@@ -1,13 +1,27 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+import graft.ops._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Query registry: each ops module contributes `queries` (name → builder)
+  * and `oracle` (name → equivalent DuckDB SQL). Names and column aliases
+  * are identical on both sides — the driver sorts columns by name and
+  * hash-compares values.
+  */
 object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    queries("group_agg")(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    CoreOps.queries ++ JoinOps.queries ++ WindowOps.queries ++
+      TimeOps.queries ++ SemiOps.queries ++ TextOps.queries
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] =
+    CoreOps.oracle ++ JoinOps.oracle ++ WindowOps.oracle ++
+      TimeOps.oracle ++ SemiOps.oracle ++ TextOps.oracle
 }

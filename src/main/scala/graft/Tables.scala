@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+
+/** Parquet table loaders for the harness fixture corpus (FIXTURES.md).
+  *
+  * The reference ingests a directory of opaque files and schedules one task
+  * per file (`Program.cs:248-290`, `Program.cs:332-349` — no splitting of
+  * large files, no combining of small ones). Here the scan is
+  * `spark.read.parquet`: splittable, bin-packed
+  * (`spark.sql.files.maxPartitionBytes`), column-pruned and
+  * predicate-pushed by Catalyst — the properties that keep a 100 TB scan
+  * feasible where a 1-file-1-task model would not be.
+  */
+object Tables {
+  private def p(sfDir: String, name: String) = s"$sfDir/$name.parquet"
+
+  def region(spark: SparkSession, sfDir: String): DataFrame     = spark.read.parquet(p(sfDir, "region"))
+  def nation(spark: SparkSession, sfDir: String): DataFrame     = spark.read.parquet(p(sfDir, "nation"))
+  def customer(spark: SparkSession, sfDir: String): DataFrame   = spark.read.parquet(p(sfDir, "customer"))
+  def supplier(spark: SparkSession, sfDir: String): DataFrame   = spark.read.parquet(p(sfDir, "supplier"))
+  def part(spark: SparkSession, sfDir: String): DataFrame       = spark.read.parquet(p(sfDir, "part"))
+  def orders(spark: SparkSession, sfDir: String): DataFrame     = spark.read.parquet(p(sfDir, "orders"))
+  def lineitem(spark: SparkSession, sfDir: String): DataFrame   = spark.read.parquet(p(sfDir, "lineitem"))
+  def documents(spark: SparkSession, sfDir: String): DataFrame  = spark.read.parquet(p(sfDir, "documents"))
+  def embeddings(spark: SparkSession, sfDir: String): DataFrame = spark.read.parquet(p(sfDir, "embeddings"))
+
+  /** `events.ts` is parquet TIMESTAMP(NANOS); Spark has no nanosecond
+    * timestamp type. Read nanos as raw longs (legacy conf) and truncate to
+    * microseconds — the identical truncation DuckDB applies when it loads
+    * the same file — so oracle comparisons stay exact. If a future Spark
+    * reads NANOS natively the schema check falls through untouched.
+    */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(p(sfDir, "events"))
+    if (df.schema("ts").dataType == LongType)
+      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else df
+  }
+}
+
+/** Determinism helpers for float aggregates (SURVEY.md §5.1, FIXTURES.md).
+  *
+  * Summing doubles is order-dependent; Spark's shuffle-merge order and
+  * DuckDB's scan order differ, so `round(sum(x), 2)` can flake at a cent
+  * boundary. Instead: cast each addend to an exact DECIMAL first, sum in
+  * decimal (exact, order-independent — also merge-order-independent across
+  * 1000 executors), cast the total back to DOUBLE. The fixture money
+  * columns carry exactly 2 decimal digits, so the decimal cast is lossless.
+  */
+object Det {
+  /** Exact sum of a 2-decimal money column, returned as DOUBLE. */
+  def moneySum(c: Column): Column = sum(c.cast(DecimalType(18, 2))).cast(DoubleType)
+
+  /** Exact sum of a product of 2-decimal columns (4 decimal digits). */
+  def moneySum4(c: Column): Column = sum(c.cast(DecimalType(18, 4))).cast(DoubleType)
+
+  /** DuckDB spelling of [[moneySum]]. */
+  def sqlMoneySum(x: String): String = s"CAST(SUM(CAST($x AS DECIMAL(18,2))) AS DOUBLE)"
+
+  /** DuckDB spelling of [[moneySum4]]. */
+  def sqlMoneySum4(x: String): String = s"CAST(SUM(CAST($x AS DECIMAL(18,4))) AS DOUBLE)"
+}

@@ -1,0 +1,273 @@
+package graft.ops
+
+import graft.{Det, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Core relational surface (SURVEY.md §2b Q1, Q2, Q3, Q6–Q12, Q17, Q19,
+  * Q20, Q23): the MapReduce-expressible query class the reference's opaque
+  * mapper/reducer slots compute (`Program.cs:332-378`, `App.config:16-17`),
+  * expressed declaratively so Catalyst gets to push filters/projections into
+  * the parquet scan and pick map-side partial aggregation — the two
+  * properties that matter most at 100 TB (scan less, shuffle less).
+  *
+  * Every query ends in a total ORDER BY with a unique tiebreaker and uses
+  * exact-decimal float aggregation ([[graft.Det]]) so the DuckDB oracle
+  * hash-compare is deterministic.
+  */
+object CoreOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Q1 scan + projection: column pruning reaches the parquet footer
+    * (ReadSchema shows only 4 of 11 lineitem columns). */
+  def scanProject(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .select($("l_orderkey"), $("l_linenumber"), $("l_quantity"), $("l_extendedprice"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** Q2 filter/grep: predicate pushed to the scan (PushedFilters). */
+  def filterPredicate(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_returnflag") === "R" && col("l_quantity") > 45)
+      .select($("l_orderkey"), $("l_linenumber"), $("l_quantity"), $("l_returnflag"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** Q3 per-source map+count — the reference's one-task-per-file fan-out
+    * (`Program.cs:332-349`) re-expressed as a group-by over the provenance
+    * key; partial aggregation makes it one shuffle of |sources| rows. */
+  def perSourceStats(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
+      .orderBy("source")
+
+  /** Q6 global aggregate — the reference's N→1 gather (`Program.cs:355`)
+    * as a two-phase agg: map-side partials, single merge row. */
+  def globalAgg(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir).agg(
+      count(lit(1)).as("n_rows"),
+      Det.moneySum(col("l_quantity")).as("sum_qty"),
+      Det.moneySum(col("l_extendedprice")).as("sum_price"),
+      min("l_orderkey").as("min_okey"),
+      max("l_orderkey").as("max_okey"))
+
+  /** Q7 grouped aggregation (TPC-H Q1 shape): low-cardinality keys ⇒
+    * map-side combine collapses 100 TB to a handful of shuffle rows. */
+  def groupAgg(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        Det.moneySum(col("l_quantity")).as("sum_qty"),
+        Det.moneySum(col("l_extendedprice")).as("sum_base_price"),
+        Det.moneySum4(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Q8 group + HAVING: the aggregate filter runs post-shuffle on already
+    * reduced data — no second pass over the fact table. */
+  def groupHaving(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy("l_suppkey")
+      .agg(Det.moneySum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n_items"))
+      .filter(col("sum_qty") > 1000)
+      .orderBy("l_suppkey")
+
+  /** Q9 exact distinct — hash-dedup, shuffle carries only distinct keys
+    * after partial dedup per partition. */
+  def distinctRows(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .select($("o_orderstatus"), $("o_orderpriority"))
+      .distinct()
+      .orderBy("o_orderstatus", "o_orderpriority")
+
+  /** Q10 exact multi-column distinct counts (one shuffle via expand). */
+  def countDistinctQ(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir).agg(
+      countDistinct(col("l_partkey")).as("n_parts"),
+      countDistinct(col("l_suppkey")).as("n_supps"),
+      countDistinct(col("l_returnflag")).as("n_flags"))
+
+  /** Q10b HLL approx distinct — the sketch that replaces exact distinct at
+    * 100 TB (mergeable, constant memory per partition). No SQL oracle
+    * (approximate); rows-only check. */
+  def approxDistinct(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir).agg(
+      approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
+      approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"))
+
+  /** Q11 total-order sort: Spark range-partitions (sampled bounds) so each
+    * of N executors sorts one disjoint range — no single-node sort. */
+  def sortTotal(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .select($("o_orderkey"), $("o_custkey"), $("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+
+  /** Q12 top-K: TakeOrderedAndProject — per-partition heaps of K, merge K·P
+    * rows at the driver; never materializes a global sort. */
+  def topK(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .select($("l_orderkey"), $("l_linenumber"), $("l_extendedprice"))
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc, col("l_linenumber").asc)
+      .limit(100)
+
+  /** Q23 histogram: bin on the map side, count per bin — shuffle is
+    * |bins| rows regardless of input size. */
+  def histogram(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy(floor(col("l_extendedprice") / 10000).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("bucket")
+
+  /** Q19 rollup: grouping-set expansion happens pre-shuffle; the NULL
+    * subtotal marker is coalesced to a sentinel so the sort key is
+    * null-free (Spark and DuckDB default NULL order differ). */
+  def rollupAgg(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.customer(spark, sfDir)
+      .rollup("c_mktsegment")
+      .agg(count(lit(1)).as("n_cust"), Det.moneySum(col("c_acctbal")).as("sum_bal"))
+      .select(coalesce(col("c_mktsegment"), lit("(all)")).as("segment"), col("n_cust"), col("sum_bal"))
+      .orderBy("segment")
+
+  /** Q20 scalar string/date/math functions — all codegen'd builtins, no
+    * UDF boundary in the hot path. Int-ish results cast to BIGINT to match
+    * DuckDB's wider return types. */
+  def scalarFuncs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .select(
+        $("o_orderkey"),
+        upper(col("o_orderpriority")).as("pri_upper"),
+        substring(col("o_orderpriority"), 1, 1).as("pri_code"),
+        length(col("o_orderstatus")).cast("long").as("status_len"),
+        year(col("o_orderdate")).cast("long").as("order_year"),
+        month(col("o_orderdate")).cast("long").as("order_month"),
+        (col("o_totalprice") / 10).as("tithe"),
+        abs(col("o_totalprice") - 100000).as("dist_100k"),
+        concat_ws("-", col("o_orderstatus"), col("o_orderpriority")).as("status_pri"))
+      .orderBy("o_orderkey")
+
+  /** Q17 set ops: union distinct / intersect / except — each a hash-dedup
+    * shuffle on the key. */
+  def setUnion(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.customer(spark, sfDir)
+      .filter(col("c_mktsegment") === "AUTOMOBILE").select(col("c_custkey").as("custkey"))
+    val big = Tables.orders(spark, sfDir)
+      .filter(col("o_totalprice") > 400000).select(col("o_custkey").as("custkey"))
+    cust.union(big).distinct().orderBy("custkey")
+  }
+
+  def setIntersect(spark: SparkSession, sfDir: String): DataFrame = {
+    val f = Tables.orders(spark, sfDir)
+      .filter(col("o_orderstatus") === "F").select(col("o_custkey").as("custkey"))
+    val o = Tables.orders(spark, sfDir)
+      .filter(col("o_orderstatus") === "O").select(col("o_custkey").as("custkey"))
+    f.intersect(o).orderBy("custkey")
+  }
+
+  def setExcept(spark: SparkSession, sfDir: String): DataFrame = {
+    val all = Tables.customer(spark, sfDir).select(col("c_custkey").as("custkey"))
+    val have = Tables.orders(spark, sfDir).select(col("o_custkey").as("custkey"))
+    all.except(have).orderBy("custkey")
+  }
+
+  private def $(c: String) = col(c)
+
+  val queries: Map[String, Q] = Map(
+    "scan_project"    -> (scanProject _),
+    "filter_predicate" -> (filterPredicate _),
+    "per_source_stats" -> (perSourceStats _),
+    "global_agg"      -> (globalAgg _),
+    "group_agg"       -> (groupAgg _),
+    "group_having"    -> (groupHaving _),
+    "distinct_rows"   -> (distinctRows _),
+    "count_distinct"  -> (countDistinctQ _),
+    "approx_distinct" -> (approxDistinct _),
+    "sort_total"      -> (sortTotal _),
+    "topk"            -> (topK _),
+    "histogram"       -> (histogram _),
+    "rollup_agg"      -> (rollupAgg _),
+    "scalar_funcs"    -> (scalarFuncs _),
+    "set_union"       -> (setUnion _),
+    "set_intersect"   -> (setIntersect _),
+    "set_except"      -> (setExcept _))
+
+  import Det.{sqlMoneySum, sqlMoneySum4}
+
+  val oracle: Map[String, String] = Map(
+    "scan_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "filter_predicate" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+        |FROM lineitem WHERE l_returnflag = 'R' AND l_quantity > 45
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "per_source_stats" ->
+      """SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "global_agg" ->
+      s"""SELECT count(*) AS n_rows,
+         |  ${sqlMoneySum("l_quantity")} AS sum_qty,
+         |  ${sqlMoneySum("l_extendedprice")} AS sum_price,
+         |  min(l_orderkey) AS min_okey, max(l_orderkey) AS max_okey
+         |FROM lineitem""".stripMargin,
+    "group_agg" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${sqlMoneySum("l_quantity")} AS sum_qty,
+         |  ${sqlMoneySum("l_extendedprice")} AS sum_base_price,
+         |  ${sqlMoneySum4("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
+         |  count(*) AS count_order
+         |FROM lineitem GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "group_having" ->
+      s"""SELECT l_suppkey, ${sqlMoneySum("l_quantity")} AS sum_qty, count(*) AS n_items
+         |FROM lineitem GROUP BY l_suppkey
+         |HAVING ${sqlMoneySum("l_quantity")} > 1000
+         |ORDER BY l_suppkey""".stripMargin,
+    "distinct_rows" ->
+      """SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+        |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
+    "count_distinct" ->
+      """SELECT count(DISTINCT l_partkey) AS n_parts,
+        |  count(DISTINCT l_suppkey) AS n_supps,
+        |  count(DISTINCT l_returnflag) AS n_flags
+        |FROM lineitem""".stripMargin,
+    "sort_total" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC""".stripMargin,
+    "topk" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        |ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC
+        |LIMIT 100""".stripMargin,
+    "histogram" ->
+      """SELECT CAST(floor(l_extendedprice / 10000) AS BIGINT) AS bucket, count(*) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "rollup_agg" ->
+      s"""SELECT coalesce(c_mktsegment, '(all)') AS segment,
+         |  count(*) AS n_cust, ${sqlMoneySum("c_acctbal")} AS sum_bal
+         |FROM customer GROUP BY ROLLUP(c_mktsegment) ORDER BY segment""".stripMargin,
+    "scalar_funcs" ->
+      """SELECT o_orderkey,
+        |  upper(o_orderpriority) AS pri_upper,
+        |  substring(o_orderpriority, 1, 1) AS pri_code,
+        |  CAST(length(o_orderstatus) AS BIGINT) AS status_len,
+        |  CAST(year(o_orderdate) AS BIGINT) AS order_year,
+        |  CAST(month(o_orderdate) AS BIGINT) AS order_month,
+        |  o_totalprice / 10 AS tithe,
+        |  abs(o_totalprice - 100000) AS dist_100k,
+        |  concat_ws('-', o_orderstatus, o_orderpriority) AS status_pri
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "set_union" ->
+      """SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+        |UNION
+        |SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 400000
+        |ORDER BY custkey""".stripMargin,
+    "set_intersect" ->
+      """SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+        |INTERSECT
+        |SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+        |ORDER BY custkey""".stripMargin,
+    "set_except" ->
+      """SELECT c_custkey AS custkey FROM customer
+        |EXCEPT
+        |SELECT o_custkey AS custkey FROM orders
+        |ORDER BY custkey""".stripMargin)
+}

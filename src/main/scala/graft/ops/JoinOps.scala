@@ -1,0 +1,107 @@
+package graft.ops
+
+import graft.{Det, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Join surface (SURVEY.md §2b Q13–Q16): the reference's reduce-side
+  * gather topology (`Program.cs:365-378`) generalized to keyed joins.
+  *
+  * Scale strategy: dimension tables (region/nation/customer/supplier/part
+  * — a few MB even at 100 TB fact scale) are broadcast explicitly, so the
+  * fact table never shuffles for enrichment joins. Fact-to-fact joins
+  * (orders⋈lineitem) shuffle on the join key once and aggregate in the
+  * same exchange; AQE handles skewed keys at runtime.
+  */
+object JoinOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Q13 broadcast (map-side) join chain: customer ⋈ nation ⋈ region with
+    * both dims broadcast — zero shuffle of the probe side for the join
+    * itself; the only exchange is the final small aggregation. */
+  def joinBroadcast(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.customer(spark, sfDir)
+      .join(broadcast(Tables.nation(spark, sfDir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, sfDir)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name").as("region"), col("n_name").as("nation"))
+      .agg(count(lit(1)).as("n_cust"), Det.moneySum(col("c_acctbal")).as("sum_bal"))
+      .orderBy("region", "nation")
+
+  /** Q14 shuffle (sort-merge/hash) fact-to-fact join + aggregate: revenue
+    * per order, top 100. Both sides hash-partition on the order key; the
+    * groupBy reuses that partitioning (no second exchange). */
+  def joinShuffleAgg(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .join(Tables.lineitem(spark, sfDir), col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_orderkey", "o_orderpriority")
+      .agg(Det.moneySum4(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("revenue").desc, col("o_orderkey").asc)
+      .limit(100)
+
+  /** Q15 left-semi (EXISTS): customers having at least one open order.
+    * Semi join ships only the key column of the build side. */
+  def joinSemi(spark: SparkSession, sfDir: String): DataFrame = {
+    val open = Tables.orders(spark, sfDir).filter(col("o_orderstatus") === "O")
+    Tables.customer(spark, sfDir)
+      .join(open, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .orderBy("c_custkey")
+  }
+
+  /** Q15 left-anti (NOT EXISTS): customers with no orders at all. */
+  def joinAnti(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.customer(spark, sfDir)
+      .join(Tables.orders(spark, sfDir), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy("c_custkey")
+
+  /** Q16 left-outer join preserving unmatched orders; count(col) skips
+    * NULLs on both engines so empty orders report 0 items. */
+  def joinOuter(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .join(Tables.lineitem(spark, sfDir), col("o_orderkey") === col("l_orderkey"), "left_outer")
+      .groupBy("o_orderkey")
+      .agg(count(col("l_orderkey")).as("n_items"),
+        Det.moneySum(coalesce(col("l_quantity"), lit(0.0))).as("sum_qty"))
+      .orderBy("o_orderkey")
+
+  val queries: Map[String, Q] = Map(
+    "join_broadcast"   -> (joinBroadcast _),
+    "join_shuffle_agg" -> (joinShuffleAgg _),
+    "join_semi"        -> (joinSemi _),
+    "join_anti"        -> (joinAnti _),
+    "join_outer"       -> (joinOuter _))
+
+  import Det.{sqlMoneySum, sqlMoneySum4}
+
+  val oracle: Map[String, String] = Map(
+    "join_broadcast" ->
+      s"""SELECT r_name AS region, n_name AS nation,
+         |  count(*) AS n_cust, ${sqlMoneySum("c_acctbal")} AS sum_bal
+         |FROM customer
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY r_name, n_name ORDER BY region, nation""".stripMargin,
+    "join_shuffle_agg" ->
+      s"""SELECT o_orderkey, o_orderpriority,
+         |  ${sqlMoneySum4("l_extendedprice * (1 - l_discount)")} AS revenue,
+         |  count(*) AS n_items
+         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         |GROUP BY o_orderkey, o_orderpriority
+         |ORDER BY revenue DESC, o_orderkey ASC LIMIT 100""".stripMargin,
+    "join_semi" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+        |ORDER BY c_custkey""".stripMargin,
+    "join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "join_outer" ->
+      s"""SELECT o_orderkey, count(l_orderkey) AS n_items,
+         |  ${sqlMoneySum("coalesce(l_quantity, 0.0)")} AS sum_qty
+         |FROM orders LEFT JOIN lineitem ON o_orderkey = l_orderkey
+         |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin)
+}

@@ -1,0 +1,84 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Semi-structured ops (SURVEY.md §2b Q21 JSON, Q22 arrays): the
+  * reference's map phase parses records inside the opaque mapper exe
+  * (`App.config:16`); here parsing is a codegen'd expression in the scan
+  * pipeline, so JSON extraction never leaves whole-stage codegen and the
+  * parquet scan still prunes to the `props`/`embedding` column only.
+  *
+  * Array math uses higher-order functions (`transform`/`aggregate`) with a
+  * DOUBLE accumulator and left-to-right fold — the exact sequential
+  * semantics DuckDB's list functions use, keeping oracles byte-exact.
+  */
+object SemiOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Q21 JSON field extraction + aggregation over the extracted key. */
+  def jsonExtract(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("k").as("sum_k"), max("k").as("max_k"))
+      .orderBy("event_type")
+
+  /** Q21 row-level JSON projection (kept separately so the per-record
+    * parse path is itself oracle-checked). */
+  def jsonProject(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select(col("event_id"), get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .orderBy("event_id")
+
+  /** Q22 array ops over embeddings: length, exact double-fold sum, min/max
+    * element — all inside codegen via higher-order functions. */
+  def arrayOps(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.embeddings(spark, sfDir)
+      .select(
+        col("vec_id"),
+        size(col("embedding")).cast("long").as("dim"),
+        round(aggregate(transform(col("embedding"), _.cast("double")),
+          lit(0.0), (acc, x) => acc + x), 6).as("vec_sum"),
+        array_min(col("embedding")).cast("double").as("vec_min"),
+        array_max(col("embedding")).cast("double").as("vec_max"))
+      .orderBy("vec_id")
+
+  /** Q22 explode/unnest: per-label element histogram — array → rows →
+    * grouped aggregate (map-side combined). */
+  def arrayExplodeAgg(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.embeddings(spark, sfDir)
+      .select(col("label"), explode(col("embedding")).as("x"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_elems"),
+        round(sum(col("x").cast("double")), 4).as("sum_elems"))
+      .orderBy("label")
+
+  val queries: Map[String, Q] = Map(
+    "json_extract"      -> (jsonExtract _),
+    "json_project"      -> (jsonProject _),
+    "array_ops"         -> (arrayOps _),
+    "array_explode_agg" -> (arrayExplodeAgg _))
+
+  val oracle: Map[String, String] = Map(
+    "json_extract" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "json_project" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events ORDER BY event_id""".stripMargin,
+    "array_ops" ->
+      """SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
+        |  round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))), 6) AS vec_sum,
+        |  CAST(list_min(embedding) AS DOUBLE) AS vec_min,
+        |  CAST(list_max(embedding) AS DOUBLE) AS vec_max
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "array_explode_agg" ->
+      """SELECT label, count(*) AS n_elems,
+        |  round(sum(CAST(x AS DOUBLE)), 4) AS sum_elems
+        |FROM (SELECT label, unnest(embedding) AS x FROM embeddings) t
+        |GROUP BY label ORDER BY label""".stripMargin)
+}

@@ -1,0 +1,173 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text analytics over `documents` (SURVEY.md §2b Q4, Q5, Q25 + the
+  * north-star training-data-pipeline text ops). The reference's canonical
+  * workload family is grep/word-count over many files (TextSearch lineage,
+  * `Readme.md:5`); these queries are that family plus the quality /
+  * language-ID / fingerprint passes an LLM-data pipeline runs at 100 TB.
+  *
+  * Everything is built from codegen'd builtins (`split`, `explode`,
+  * higher-order `filter`, `regexp_extract_all`, `md5`) — one scan, no UDF
+  * boundary, map-side combine on every aggregate.
+  */
+object TextOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def tokens: Column = split(col("text"), " ")
+
+  /** Q4 flatMap/tokenize: doc → token stream (with duplicates). */
+  def tokenize(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(tokens).as("token"))
+      .orderBy("doc_id", "token")
+
+  /** Q5 the canonical MapReduce word count: tokenize → shuffle on token →
+    * count; partial aggregation collapses each partition's counts before
+    * the exchange, so shuffle volume is |vocab| per partition. */
+  def wordCount(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(explode(tokens).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token").asc)
+
+  /** Q25 per-document stats: char/token counts and distinct-token ratio,
+    * all computed array-side (no explode ⇒ no row blow-up). */
+  def textStats(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("len_chars"),
+        size(tokens).cast("long").as("n_tokens"),
+        size(array_distinct(tokens)).cast("long").as("n_distinct_tokens"),
+        round(size(array_distinct(tokens)).cast("double") / size(tokens), 6)
+          .as("distinct_ratio"))
+      .orderBy("doc_id")
+
+  private val enStopwords =
+    Seq("the", "a", "of", "and", "to", "in", "is", "it", "on", "for")
+
+  /** North-star language-ID heuristic: English-stopword hit ratio over the
+    * token stream (an n-gram/stopword detector — the standard cheap LID
+    * pass before a real classifier). */
+  def langId(spark: SparkSession, sfDir: String): DataFrame = {
+    val stops = array(enStopwords.map(lit): _*)
+    Tables.documents(spark, sfDir)
+      .select(
+        col("doc_id"), col("lang"),
+        size(filter(tokens, t => array_contains(stops, t))).cast("long").as("n_stop"),
+        size(tokens).cast("long").as("n_tokens"))
+      .withColumn("stop_ratio", round(col("n_stop").cast("double") / col("n_tokens"), 6))
+      .withColumn("pred_en", (col("stop_ratio") > 0.05).cast("boolean"))
+      .orderBy("doc_id")
+  }
+
+  /** North-star quality score: length + diversity + stopword composite —
+    * the filter an LLM-data pipeline applies before training. */
+  def qualityScore(spark: SparkSession, sfDir: String): DataFrame = {
+    val stops = array(enStopwords.map(lit): _*)
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+      .withColumn("n_tokens", size(tokens).cast("long"))
+      .withColumn("len_score",
+        least(col("n_tokens").cast("double") / 50.0, lit(1.0)))
+      .withColumn("diversity",
+        size(array_distinct(tokens)).cast("double") / col("n_tokens"))
+      .withColumn("stop_ratio",
+        size(filter(tokens, t => array_contains(stops, t))).cast("double") / col("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"),
+        round((col("len_score") + col("diversity") + col("stop_ratio")) / 3.0, 6)
+          .as("quality"))
+      .orderBy("doc_id")
+
+  }
+
+  /** North-star BPE-ish token count: regex token classes (letters / digits
+    * / other) — the cheap token-count estimator for budget accounting. */
+  def tokenRegexCount(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("text"), lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"), lit(0)))
+          .cast("long").as("n_bpe_tokens"),
+        size(tokens).cast("long").as("n_ws_tokens"))
+      .orderBy("doc_id")
+
+  /** North-star document fingerprint: md5 over the sorted distinct token
+    * set — an order-insensitive content signature (the "bag fingerprint"
+    * used for exact-content dedup across shards). md5 hex is identical on
+    * both engines. */
+  def docFingerprint(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        md5(concat_ws(" ", array_sort(array_distinct(tokens)))).as("fingerprint"))
+      .orderBy("doc_id")
+
+  val queries: Map[String, Q] = Map(
+    "tokenize"          -> (tokenize _),
+    "word_count"        -> (wordCount _),
+    "text_stats"        -> (textStats _),
+    "lang_id"           -> (langId _),
+    "quality_score"     -> (qualityScore _),
+    "token_regex_count" -> (tokenRegexCount _),
+    "doc_fingerprint"   -> (docFingerprint _))
+
+  private val stopList = enStopwords.map(s => s"'$s'").mkString(", ")
+
+  val oracle: Map[String, String] = Map(
+    "tokenize" ->
+      """SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |FROM documents ORDER BY doc_id, token""".stripMargin,
+    "word_count" ->
+      """SELECT token, count(*) AS n
+        |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
+        |GROUP BY token ORDER BY n DESC, token ASC""".stripMargin,
+    "text_stats" ->
+      """SELECT doc_id,
+        |  CAST(length(text) AS BIGINT) AS len_chars,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct_tokens,
+        |  round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |        / len(string_split(text, ' ')), 6) AS distinct_ratio
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "lang_id" ->
+      s"""SELECT doc_id, lang,
+         |  CAST(len(list_filter(string_split(text, ' '),
+         |       t -> t IN ($stopList))) AS BIGINT) AS n_stop,
+         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |  round(CAST(len(list_filter(string_split(text, ' '),
+         |       t -> t IN ($stopList))) AS DOUBLE)
+         |        / len(string_split(text, ' ')), 6) AS stop_ratio,
+         |  (round(CAST(len(list_filter(string_split(text, ' '),
+         |       t -> t IN ($stopList))) AS DOUBLE)
+         |        / len(string_split(text, ' ')), 6) > 0.05) AS pred_en
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "quality_score" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |    least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 50.0, 1.0) AS len_score,
+         |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+         |      / len(string_split(text, ' ')) AS diversity,
+         |    CAST(len(list_filter(string_split(text, ' '),
+         |         x -> x IN ($stopList))) AS DOUBLE)
+         |      / len(string_split(text, ' ')) AS stop_ratio
+         |  FROM documents)
+         |SELECT doc_id, n_tokens,
+         |  round((len_score + diversity + stop_ratio) / 3.0, 6) AS quality
+         |FROM t ORDER BY doc_id""".stripMargin,
+    "token_regex_count" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS BIGINT)
+        |    AS n_bpe_tokens,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "doc_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+        |    AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin)
+}

@@ -1,0 +1,106 @@
+package graft.ops
+
+import graft.{Det, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Batch time-series ops over `events` (SURVEY.md §2b Q24): tumbling
+  * windows and gap-based sessionization — the analytics the reference's
+  * secondary-sort reduce would compute, done with one exchange on the
+  * group key. Sessionization uses lag + a running flag-sum, so it's a
+  * single window pass per user (no self-join); at 100 TB user_id is
+  * high-cardinality, keeping per-partition state tiny.
+  */
+object TimeOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Q24 tumbling 1-hour windows per event type. Spark's `window()` aligns
+    * to the epoch exactly like DuckDB's date_trunc('hour'). */
+  def timeTumbling(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(window(col("ts"), "1 hour").getField("start").as("hour_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), Det.moneySum(col("value")).as("sum_value"))
+      .orderBy("hour_start", "event_type")
+
+  /** Q24 gap-based sessionization (30-minute inactivity gap): lag to flag
+    * session starts, sum flags for session count. Gap compared in exact
+    * integer microseconds on both engines. */
+  def sessionize(spark: SparkSession, sfDir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    Tables.events(spark, sfDir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("is_new",
+        when(col("prev_ts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800L * 1000000L, 1L)
+          .otherwise(0L))
+      .groupBy("user_id")
+      .agg(sum(col("is_new")).as("n_sessions"), count(lit(1)).as("n_events"))
+      .orderBy("user_id")
+  }
+
+  /** Q24 session detail: per-session span + event count, keyed by a
+    * deterministic session index (running sum of start flags). */
+  def sessionSpans(spark: SparkSession, sfDir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    Tables.events(spark, sfDir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("is_new",
+        when(col("prev_ts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800L * 1000000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_id",
+        sum(col("is_new")).over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+        floor((unix_micros(max(col("ts"))) - unix_micros(min(col("ts")))) / lit(1000000L))
+          .cast("long").as("span_sec"))
+      .orderBy("user_id", "session_id")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "time_tumbling" -> (timeTumbling _),
+    "sessionize"    -> (sessionize _),
+    "session_spans" -> (sessionSpans _))
+
+  val oracle: Map[String, String] = Map(
+    "time_tumbling" ->
+      s"""SELECT date_trunc('hour', ts) AS hour_start, event_type,
+         |  count(*) AS n, ${Det.sqlMoneySum("value")} AS sum_value
+         |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin,
+    "sessionize" ->
+      """WITH t AS (
+        |  SELECT user_id, ts, event_id,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_ts
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id,
+        |    CASE WHEN prev_ts IS NULL
+        |           OR date_diff('microsecond', prev_ts, ts) > 1800000000
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM t)
+        |SELECT user_id, CAST(sum(is_new) AS BIGINT) AS n_sessions,
+        |  count(*) AS n_events
+        |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "session_spans" ->
+      """WITH t AS (
+        |  SELECT user_id, ts, event_id,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_ts
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN prev_ts IS NULL
+        |           OR date_diff('microsecond', prev_ts, ts) > 1800000000
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM t),
+        |g AS (
+        |  SELECT user_id, ts,
+        |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |         AS BIGINT) AS session_id
+        |  FROM s)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  CAST(floor(date_diff('microsecond', min(ts), max(ts)) / 1000000) AS BIGINT) AS span_sec
+        |FROM g GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin)
+}

@@ -1,0 +1,90 @@
+package graft.ops
+
+import graft.{Det, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Window-function surface (SURVEY.md §2b Q18) — the reference's
+  * "secondary sort in the reducer" pattern (sorted gather, O9) expressed
+  * as Spark window specs: one hash-partition exchange on the partition
+  * key, an in-partition sort, and a single streaming pass. At 100 TB the
+  * partition key (customer/user) is high-cardinality, so partitions stay
+  * small and spill-free; no global sort is ever needed.
+  */
+object WindowOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Q18 ranking: top-3 orders per customer by price. The window ORDER BY
+    * carries a unique tiebreaker so row_number is deterministic. */
+  def windowRank(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.orders(spark, sfDir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("rn"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy("o_custkey", "rn")
+  }
+
+  /** Q18 running aggregate + lag: cumulative spend per user over the event
+    * stream. The running sum accumulates in exact DECIMAL so the prefix
+    * sums are order-exact and engine-independent. */
+  def windowRunning(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    Tables.events(spark, sfDir)
+      .withColumn("running_value",
+        sum(col("value").cast(DecimalType(18, 2)))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast(DoubleType))
+      .withColumn("prev_value", lag(col("value"), 1).over(w))
+      .select(col("user_id"), col("event_id"), col("value"),
+        col("running_value"), coalesce(col("prev_value"), lit(-1.0)).as("prev_value"))
+      .orderBy("user_id", "event_id")
+  }
+
+  /** Q18 rank-with-gaps + dense_rank + ntile on supplier balances —
+    * covers the remaining ranking family in one pass. */
+  def windowRankFamily(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.orderBy(col("s_acctbal").desc, col("s_suppkey").asc)
+    Tables.supplier(spark, sfDir)
+      .select(col("s_suppkey"),
+        rank().over(w).cast("long").as("bal_rank"),
+        dense_rank().over(w).cast("long").as("bal_dense_rank"),
+        ntile(4).over(w).cast("long").as("bal_quartile"))
+      .orderBy("s_suppkey")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "window_rank"        -> (windowRank _),
+    "window_running"     -> (windowRunning _),
+    "window_rank_family" -> (windowRankFamily _))
+
+  val oracle: Map[String, String] = Map(
+    "window_rank" ->
+      """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "window_running" ->
+      """SELECT user_id, event_id, value,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2)))
+        |       OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS running_value,
+        |  coalesce(lag(value, 1) OVER (PARTITION BY user_id
+        |                               ORDER BY ts ASC, event_id ASC), -1.0)
+        |    AS prev_value
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
+    "window_rank_family" ->
+      """SELECT s_suppkey,
+        |  CAST(rank() OVER w AS BIGINT) AS bal_rank,
+        |  CAST(dense_rank() OVER w AS BIGINT) AS bal_dense_rank,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS bal_quartile
+        |FROM supplier
+        |WINDOW w AS (ORDER BY s_acctbal DESC, s_suppkey ASC)
+        |ORDER BY s_suppkey""".stripMargin)
+}
