@@ -17,11 +17,15 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreOps.queries ++ JoinOps.queries ++ WindowOps.queries ++
-      TimeOps.queries ++ SemiOps.queries ++ TextOps.queries
+      TimeOps.queries ++ SemiOps.queries ++ TextOps.queries ++
+      DedupOps.queries ++ SimOps.queries ++ MultiModalOps.queries ++
+      PipeOps.queries ++ Udx.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     CoreOps.oracle ++ JoinOps.oracle ++ WindowOps.oracle ++
-      TimeOps.oracle ++ SemiOps.oracle ++ TextOps.oracle
+      TimeOps.oracle ++ SemiOps.oracle ++ TextOps.oracle ++
+      DedupOps.oracle ++ SimOps.oracle ++ MultiModalOps.oracle ++
+      PipeOps.oracle ++ Udx.oracle
 }

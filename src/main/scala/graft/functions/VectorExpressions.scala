@@ -1,0 +1,137 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expression for the embedding hot path (SURVEY.md §2b
+  * Q26; north-star similarity search).
+  *
+  * A dot product phrased as `aggregate(zip_with(a, b, *), 0.0, +)` is
+  * correct but interpreted (higher-order functions don't participate in
+  * whole-stage codegen and allocate a lambda frame per element). On the
+  * O(candidates) rerank path of ANN/near-dup that interpretation cost
+  * dominates the query. This expression generates a tight primitive loop
+  * over the two `ArrayData` buffers inside whole-stage codegen — same
+  * left-to-right DOUBLE fold semantics, so results stay byte-identical to
+  * the DuckDB oracle and to the higher-order-function phrasing.
+  *
+  * Array nulls are not expected in the fixture corpus (embeddings are
+  * dense); element nulls read as 0-valued primitives, matching
+  * `ArrayData.getFloat` semantics.
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vec_dot"
+
+  private def elemType(e: Expression): DataType =
+    e.dataType.asInstanceOf[ArrayType].elementType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    val lt = elemType(left)
+    val rt = elemType(right)
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val xv = if (lt == FloatType) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (rt == FloatType) y.getFloat(i).toDouble else y.getDouble(i)
+      acc += xv * yv
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val lGet = if (elemType(left) == FloatType) "getFloat" else "getDouble"
+      val rGet = if (elemType(right) == FloatType) "getFloat" else "getDouble"
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += (double) $a.$lGet($i) * (double) $b.$rGet($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Count of positions where two long arrays agree — the MinHash
+  * signature-agreement estimator's kernel (matches/K estimates Jaccard).
+  * Same rationale as [[DotProduct]]: a per-pair primitive loop that stays
+  * inside whole-stage codegen instead of an interpreted higher-order
+  * `zip_with`.
+  */
+case class ArrayEqCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "array_eq_count"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var c = 0
+    var i = 0
+    while (i < n) {
+      if (x.getLong(i) == y.getLong(i)) c += 1
+      i += 1
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val c = ctx.freshName("c")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $c = 0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.getLong($i) == $b.getLong($i)) $c++;
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Column-API front door for the native vector expressions. */
+object VectorFunctions {
+  /** Exact sequential-fold dot product of two float/double array columns,
+    * in DOUBLE, as a whole-stage-codegen native expression. */
+  def vecDot(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      DotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Count of agreeing positions between two long-array columns. */
+  def arrayEqCount(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      ArrayEqCount(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Cosine similarity given precomputed squared norms. */
+  def cosineWithNorms(a: Column, b: Column, na: Column, nb: Column): Column = {
+    import org.apache.spark.sql.functions.sqrt
+    vecDot(a, b) / sqrt(na * nb)
+  }
+}

@@ -1,0 +1,231 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication suite over `documents` — the north-star LLM-pipeline
+  * operators (BASELINE.json north_star; SURVEY.md §2b Q9/Q26).
+  *
+  * Four tiers, in increasing tolerance to fuzz:
+  *   1. exact (content-hash groupBy)           — [[dedupExactStats]], [[dedupKeepFirst]]
+  *   2. exact set-similarity with blocking     — [[ngramJaccard]]
+  *   3. MinHash + LSH banding                  — [[minhashLsh]]
+  *   4. SimHash 64-bit fingerprints            — [[simhash]], [[simhashPairs]]
+  *
+  * Scale design (the part that has to survive 100 TB):
+  *   - Nothing ever forms the O(n²) pair space. Candidates come from
+  *     equality joins on bucket keys (content hash, blocking key, LSH band
+  *     hash, SimHash band) — each a plain shuffle join Spark partitions by
+  *     key. Pair verification touches only bucket-cohabitants.
+  *   - Signatures (minhash/simhash) are computed map-side from an explode
+  *     of per-doc distinct tokens, then reduced with `min`/`sum` partial
+  *     aggregation — shuffle volume is docs × K longs, not tokens.
+  *   - Skewed buckets (a near-universal shingle) are the classic hot spot:
+  *     the band hash of K minhashes is uniform by construction, and for
+  *     blocking keys AQE skew-join splitting handles stragglers.
+  */
+object DedupOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def toks: Column = split(col("text"), " ")
+
+  /** Exact dedup summary: hash-groupBy on md5(content). One shuffle of
+    * (hash, partial-count) pairs; at 100 TB the hash (16 B) shuffles, the
+    * document bodies never do. */
+  def dedupExactStats(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .groupBy(md5(col("text")).as("h"))
+      .agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("n_unique_texts"),
+        sum(col("c")).cast("long").as("n_docs"),
+        sum(col("c") - 1).cast("long").as("n_dup_docs"))
+
+  /** Exact dedup keeper selection: min doc_id per content hash — the
+    * deterministic replacement for `dropDuplicates`' arbitrary winner. */
+  def dedupKeepFirst(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .groupBy(md5(col("text")).as("content_hash"))
+      .agg(min(col("doc_id")).as("keeper_doc_id"), count(lit(1)).as("n_copies"))
+      .orderBy("keeper_doc_id")
+
+  /** Exact token-set Jaccard near-dup with source blocking: candidate
+    * pairs come from an equi-join on (block, token) — never a cross
+    * product — then one groupBy counts shared tokens and a slim join
+    * brings in set sizes. Oracle-checked end to end. */
+  def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val dt = docs.select(col("doc_id"), col("source"),
+      explode(array_distinct(toks)).as("tok"))
+    val sizes = dt.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val shared = dt.as("a").join(dt.as("b"),
+        col("a.tok") === col("b.tok") && col("a.source") === col("b.source") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("c"))
+    shared
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+      .withColumn("jaccard", col("c") * lit(1.0) / (col("na") + col("nb") - col("c")))
+      .filter(col("jaccard") >= 0.9)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  // --- MinHash -------------------------------------------------------------
+
+  /** K universal-hash parameters over GF(p), p = 2³¹−1: signature i =
+    * min over tokens of (h mod p)·a_i + b_i mod p. Products stay < 2⁶²,
+    * so the arithmetic is exact under ANSI mode (no overflow) and
+    * deterministic everywhere. */
+  private val K = 64
+  private val BANDS = 16 // r = K / BANDS = 4 rows per band
+  private val P = 2147483647L // 2^31 - 1 (Mersenne prime)
+  private def hashParams(i: Int): (Long, Long) =
+    (((2654435761L * (i + 1)) % P).max(1L), (40503L * i + 12345L) % P)
+
+  /** MinHash + LSH banded near-dup: estimate Jaccard via K minhashes,
+    * bucket by band hashes (any band collision ⇒ candidate), then keep
+    * pairs whose signature-agreement estimate is ≥ 0.8.
+    *
+    * With r=4 rows/band, b=16 bands the candidate curve is
+    * P(candidate) = 1-(1-j⁴)¹⁶: j=0.8 → 0.9997, j=0.5 → 0.64, j=0.3 → 0.12
+    * — high recall at the 0.8 target with the far tail cheaply pruned
+    * before exact verification.
+    *
+    * No SQL oracle: the signature depends on Spark's xxhash64. The
+    * ScalaTest spec checks recall/precision against the exact
+    * [[ngramJaccard]] semantics (which IS oracled). */
+  def minhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val dt = docs.select(col("doc_id"), explode(array_distinct(toks)).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val sigCols = (0 until K).map { i =>
+      val (a, b) = hashParams(i)
+      min((pmod(col("h"), lit(P)) * lit(a) + lit(b)) % lit(P)).as(s"m$i")
+    }
+    // One pass computes the K minhashes; the signature is packed into a
+    // single array<long> and persisted — it feeds three plan branches
+    // (band hashing + both sides of the pair verification), and without
+    // persist Spark would recompute the tokenize+aggregate per branch.
+    // Size is docs × (K+1) longs — a sliver of the corpus at any scale.
+    val sig = dt.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+      .select(col("doc_id"), array((0 until K).map(i => col(s"m$i")): _*).as("sig"))
+      .persist()
+    val bandCols = (0 until BANDS).map { j =>
+      xxhash64((j * K / BANDS until (j + 1) * K / BANDS)
+        .map(i => element_at(col("sig"), i + 1)): _*).as(s"band$j")
+    }
+    val bands = sig.select(col("doc_id") +: bandCols: _*)
+      .select(col("doc_id"),
+        posexplode(array((0 until BANDS).map(j => col(s"band$j")): _*))
+          .as(Seq("band_idx", "band_hash")))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_hash") === col("y.band_hash") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    // Verify candidates by signature agreement (the unbiased MinHash
+    // estimator of Jaccard): a native codegen'd array-compare per pair —
+    // O(pairs · K) with K constant, no second scan of the documents. An
+    // exact re-verification pass over token sets is O(pairs · |doc|) and
+    // becomes the bottleneck on near-duplicate-heavy corpora.
+    val est = graft.functions.VectorFunctions.arrayEqCount(col("sig_a"), col("sig_b"))
+      .cast("double") / K
+    cand
+      .join(sig.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+      .join(sig.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+      .withColumn("est_jaccard", est)
+      .filter(col("est_jaccard") >= 0.8)
+      .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  // --- SimHash -------------------------------------------------------------
+
+  /** 64-bit SimHash per document: tf-weighted ±1 vote per bit of each
+    * token's hash, sign of the vote sum sets the bit. Computed as an
+    * explode over (token, bit) with partial-sum aggregation — two narrow
+    * shuffles keyed by doc_id, no pair space. */
+  def simhash(spark: SparkSession, sfDir: String): DataFrame = {
+    val tf = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(toks).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      .withColumn("h", xxhash64(col("tok")))
+    tf.select(col("doc_id"), col("tf"), col("h"),
+        explode(sequence(lit(0), lit(63))).as("bit"))
+      .withColumn("contrib",
+        col("tf") * when(expr("shiftright(h, bit) & 1") === 1, 1L).otherwise(-1L))
+      .groupBy("doc_id", "bit")
+      .agg(sum(col("contrib")).as("vote"))
+      .withColumn("bitval",
+        when(col("vote") > 0, expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(0L))
+      .groupBy("doc_id")
+      .agg(sum(col("bitval")).as("simhash64"))
+      .orderBy("doc_id")
+  }
+
+  /** SimHash near-dup pairs: block on 4 × 16-bit bands (a pair within
+    * Hamming ≤ 3 of 64 bits must agree on ≥1 full band by pigeonhole for
+    * ≤3 flipped bands; we use it as a recall-friendly candidate filter),
+    * then verify true Hamming distance ≤ 8 with bit_count(xor). */
+  def simhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = simhash(spark, sfDir)
+    val bands = sh.select(col("doc_id"), col("simhash64"),
+      posexplode(array((0 until 4).map(j =>
+        expr(s"shiftright(simhash64, ${16 * j}) & 65535")): _*)).as(Seq("band_idx", "band_val")))
+    bands.as("x").join(bands.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_val") === col("y.band_val") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.simhash64").as("sh_a"), col("y.simhash64").as("sh_b"))
+      .distinct()
+      .withColumn("hamming", expr("bit_count(sh_a ^ sh_b)").cast("long"))
+      .filter(col("hamming") <= 8)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "dedup_exact_stats"   -> (dedupExactStats _),
+    "dedup_keep_first"    -> (dedupKeepFirst _),
+    "dedup_ngram_jaccard" -> (ngramJaccard _),
+    "dedup_minhash_lsh"   -> (minhashLsh _),
+    "dedup_simhash"       -> (simhash _),
+    "dedup_simhash_pairs" -> (simhashPairs _))
+
+  /** minhash/simhash signatures depend on Spark's xxhash64 — no DuckDB
+    * equivalent, so those four-of-six get the rows-only check; the exact
+    * tiers and the exact-verified jaccard are fully oracled. */
+  val oracle: Map[String, String] = Map(
+    "dedup_exact_stats" ->
+      """WITH g AS (SELECT md5(text) AS h, count(*) AS c FROM documents GROUP BY 1)
+        |SELECT count(*) AS n_unique_texts,
+        |  CAST(sum(c) AS BIGINT) AS n_docs,
+        |  CAST(sum(c - 1) AS BIGINT) AS n_dup_docs
+        |FROM g""".stripMargin,
+    "dedup_keep_first" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS keeper_doc_id,
+        |  count(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY keeper_doc_id""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      """WITH dt AS (
+        |  SELECT DISTINCT doc_id, source, tok FROM (
+        |    SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok
+        |    FROM documents) t),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM dt GROUP BY 1),
+        |shared AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+        |  FROM dt a JOIN dt b
+        |    ON a.tok = b.tok AND a.source = b.source AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b,
+        |  round(c * 1.0 / (sa.n + sb.n - c), 6) AS jaccard
+        |FROM shared
+        |JOIN sizes sa ON doc_a = sa.doc_id
+        |JOIN sizes sb ON doc_b = sb.doc_id
+        |WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.9
+        |ORDER BY doc_a, doc_b""".stripMargin)
+}

@@ -1,0 +1,110 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing (north-star): media as opaque `binary`
+  * columns with typed metadata, decoded/feature-extracted per partition.
+  *
+  * The fixture corpus has no real image/audio bytes, so the *decoder* is a
+  * deterministic stub ([[FakeDecoder]]) — but everything Spark-level is
+  * real and load-bearing: the binary column, the typed record schema, the
+  * `mapPartitions` batch shape (decoder state constructed once per
+  * partition, streamed per row — exactly how a JNI/FFmpeg/JPEG decoder
+  * would be held), and the metadata queries that stay in columnar land.
+  *
+  * At 100 TB the decode stage is the classic CPU hot spot: it's a narrow
+  * map (no shuffle), so it scales linearly with executors; the metadata
+  * extraction path never materializes the bytes more than once.
+  */
+object MultiModalOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** The stubbed media decode: deterministic pseudo-metadata from the raw
+    * bytes. A real build replaces `decode` with the actual codec call —
+    * the signature (bytes → width/height/channel-stat) is the contract. */
+  object FakeDecoder {
+    final case class Decoded(width: Int, height: Int, meanByte: Double)
+    /** Deterministic stand-in for an image decoder: shape from length,
+      * "pixel mean" from the byte stream. */
+    def decode(bytes: Array[Byte]): Decoded = {
+      val n = bytes.length
+      val w = (n % 64) + 16
+      val h = (n / 64) % 64 + 16
+      var s = 0L
+      var i = 0
+      while (i < n) { s += bytes(i) & 0xff; i += 1 }
+      Decoded(w, h, if (n == 0) 0.0 else s.toDouble / n)
+    }
+  }
+
+  final case class MediaMeta(doc_id: Long, width: Long, height: Long, mean_byte: Double)
+
+  /** Columnar metadata over a binary media column — byte length and
+    * content digest computed by codegen'd builtins; the binary column is
+    * scanned once, nothing leaves the executors. Oracle-checked (md5 and
+    * octet_length agree across engines on the UTF-8 bytes). */
+  def mmMetadata(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text").cast("binary").as("media"))
+      .select(
+        col("doc_id"),
+        length(col("media")).cast("long").as("n_bytes"),
+        md5(col("media")).as("digest"))
+      .orderBy("doc_id")
+
+  /** The decode stage: binary column → typed per-item features via
+    * `mapPartitions`, decoder instantiated once per partition. Rows-only
+    * check (the stub is Scala-side), but deterministic — the ScalaTest
+    * spec pins exact values. */
+  def mmDecodeStub(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text").cast("binary").as("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // per-partition decoder setup would go here (codec handles, JNI)
+        it.map { case (id, bytes) =>
+          val d = FakeDecoder.decode(bytes)
+          MediaMeta(id, d.width.toLong, d.height.toLong, d.meanByte)
+        }
+      }
+      .toDF()
+      .orderBy("doc_id")
+  }
+
+  /** Feature-extract + group: mean decoded "pixel" stat per source —
+    * the decode feeds a normal columnar aggregation, showing the stub
+    * composes with the relational layer. */
+  def mmFeatureAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    val decoded = docs
+      .select(col("doc_id"), col("text").cast("binary").as("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val d = FakeDecoder.decode(bytes)
+        MediaMeta(id, d.width.toLong, d.height.toLong, d.meanByte)
+      })
+      .toDF()
+    docs.select(col("doc_id"), col("source"))
+      .join(decoded, "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("width")).cast("long").as("sum_width"),
+        round(avg(col("mean_byte")), 4).as("avg_mean_byte"))
+      .orderBy("source")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "mm_metadata"    -> (mmMetadata _),
+    "mm_decode_stub" -> (mmDecodeStub _),
+    "mm_feature_agg" -> (mmFeatureAgg _))
+
+  val oracle: Map[String, String] = Map(
+    "mm_metadata" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  md5(text) AS digest
+        |FROM documents ORDER BY doc_id""".stripMargin)
+}

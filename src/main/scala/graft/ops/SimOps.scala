@@ -1,0 +1,177 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over `embeddings` (north-star; SURVEY.md §2b Q26):
+  * brute-force cosine as the exact baseline, random-hyperplane LSH as the
+  * 100 TB scale path.
+  *
+  * Numeric determinism: every dot product is a left-to-right fold in
+  * DOUBLE over the float elements — `aggregate(zip_with(...))` on the
+  * Spark side, `list_sum(list_transform(list_zip(...)))` on the DuckDB
+  * side — verified byte-identical, so even the ANN queries are fully
+  * oracle-checked. Norms are computed once per vector (O(n)) and joined,
+  * never recomputed per pair.
+  *
+  * Scale design: brute force is O(n·q) with q small (it's the rerank
+  * primitive, not the index); the LSH variant buckets by signature so the
+  * pair space is per-bucket. At 1000 executors both are plain equi-join +
+  * window plans: no driver-side collect anywhere.
+  */
+object SimOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Sequential-fold dot product in DOUBLE — the native codegen
+    * [[graft.functions.DotProduct]] expression (identical fold semantics
+    * to `aggregate(zip_with(...))`, ~an order of magnitude faster on the
+    * pair-rerank path because it stays inside whole-stage codegen). */
+  private def dot(a: Column, b: Column): Column =
+    graft.functions.VectorFunctions.vecDot(a, b)
+
+  private def withNorm(df: DataFrame): DataFrame =
+    df.withColumn("nrm", dot(col("embedding"), col("embedding")))
+
+  /** DuckDB spelling of the same fold. */
+  private def sqlDot(a: String, b: String): String =
+    s"list_sum(list_transform(list_zip($a, $b), s -> s[1] * s[2]))"
+  private val sqlVec =
+    "SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS d FROM embeddings"
+
+  /** Brute-force top-20 most-similar pairs (exact near-dup baseline).
+    * The blocked/LSH variants replace this at scale; it stays as the
+    * ground-truth oracle for them. */
+  def embedTopPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val v = withNorm(Tables.embeddings(spark, sfDir)).select("vec_id", "embedding", "nrm")
+    v.as("a").join(v.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        (dot(col("a.embedding"), col("b.embedding")) /
+          sqrt(col("a.nrm") * col("b.nrm"))).as("cos"))
+      .orderBy(col("cos").desc, col("vec_a").asc, col("vec_b").asc)
+      .limit(20)
+  }
+
+  /** Brute-force cosine top-k: for each query vector (vec_id < 10), the 5
+    * nearest neighbors — rank via per-query window, which Spark executes
+    * as one partial top-k per partition (TakeOrdered inside the window
+    * group), no global sort. */
+  def annTopkBrute(spark: SparkSession, sfDir: String): DataFrame = {
+    val v = withNorm(Tables.embeddings(spark, sfDir)).select("vec_id", "embedding", "nrm")
+    val q = v.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("nrm").as("qn"))
+    val scored = broadcast(q).join(v, col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (dot(col("qe"), col("embedding")) / sqrt(col("qn") * col("nrm"))).as("cos"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 5)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"), col("cos"))
+      .orderBy("query_id", "rnk")
+  }
+
+  // --- LSH-bucketed ANN ----------------------------------------------------
+
+  /** Deterministic pseudo-random hyperplanes: NPLANES × DIM values in
+    * [-1, 1) with denominator 1024, so their decimal literals round-trip
+    * exactly into the SQL oracle. */
+  private val NPLANES = 8
+  private val DIM = 64
+  private def planeVal(j: Int, d: Int): Double =
+    (((1103515245L * (j * DIM + d) + 12345L) % 2048L + 2048L) % 2048L - 1024L) / 1024.0
+  private val planes: Seq[Seq[Double]] =
+    (0 until NPLANES).map(j => (0 until DIM).map(d => planeVal(j, d)))
+
+  /** Random-hyperplane LSH bucketing + in-bucket exact rerank: signature
+    * bit j = sign(v · plane_j); vectors sharing all 8 bits land in one of
+    * ≤256 buckets; nearest neighbor is reranked by exact cosine within the
+    * bucket. This is the ANN shape that scales: the cross product exists
+    * only inside buckets (n/256 expected occupancy), and the bucket id is
+    * a shuffle key, not a driver structure.
+    *
+    * Fully oracle-checked: the planes are literal constants interpolated
+    * into the DuckDB SQL, so both engines compute identical signatures. */
+  def annLshBucket(spark: SparkSession, sfDir: String): DataFrame = {
+    val v = withNorm(Tables.embeddings(spark, sfDir))
+    val bucketed = v.withColumn("bucket",
+      (0 until NPLANES).map { j =>
+        val plane = array(planes(j).map(lit): _*)
+        when(dot(col("embedding"), plane) > 0, lit(1L << j)).otherwise(0L)
+      }.reduce(_ + _))
+    val pairs = bucketed.as("a").join(bucketed.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_id"), col("a.bucket").as("bucket"),
+        col("b.vec_id").as("neighbor_id"),
+        (dot(col("a.embedding"), col("b.embedding")) /
+          sqrt(col("a.nrm") * col("b.nrm"))).as("cos"))
+    val w = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+    val best = pairs.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") === 1)
+      .select(col("vec_id"), col("bucket"), col("neighbor_id"), col("cos"))
+    bucketed.select(col("vec_id"), col("bucket").as("b0"))
+      .join(best.drop("bucket"), Seq("vec_id"), "left_outer")
+      .select(col("vec_id"), col("b0").as("bucket"),
+        coalesce(col("neighbor_id"), lit(-1L)).as("neighbor_id"),
+        coalesce(col("cos"), lit(-2.0)).as("cos"))
+      .orderBy("vec_id")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "embed_top_pairs" -> (embedTopPairs _),
+    "ann_topk_brute"  -> (annTopkBrute _),
+    "ann_lsh_bucket"  -> (annLshBucket _))
+
+  private def sqlPlaneList(j: Int): String =
+    planes(j).map(x => if (x == x.floor) s"${x.toLong}.0" else x.toString).mkString("[", ", ", "]")
+
+  /** Bucket expression shared by the ann_lsh_bucket oracle. */
+  private val sqlBucket: String =
+    (0 until NPLANES).map { j =>
+      s"(CASE WHEN ${sqlDot("d", sqlPlaneList(j))} > 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString(" + ")
+
+  val oracle: Map[String, String] = Map(
+    "embed_top_pairs" ->
+      s"""WITH v AS ($sqlVec),
+         |n AS (SELECT vec_id, d, ${sqlDot("d", "d")} AS nrm FROM v)
+         |SELECT vec_a, vec_b, cos FROM (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |    ${sqlDot("a.d", "b.d")} / sqrt(a.nrm * b.nrm) AS cos
+         |  FROM n a JOIN n b ON a.vec_id < b.vec_id) t
+         |ORDER BY cos DESC, vec_a ASC, vec_b ASC LIMIT 20""".stripMargin,
+    "ann_topk_brute" ->
+      s"""WITH v AS ($sqlVec),
+         |n AS (SELECT vec_id, d, ${sqlDot("d", "d")} AS nrm FROM v),
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+         |    ${sqlDot("q.d", "x.d")} / sqrt(q.nrm * x.nrm) AS cos
+         |  FROM n q JOIN n x ON q.vec_id < 10 AND x.vec_id <> q.vec_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, cos,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |         ORDER BY cos DESC, neighbor_id ASC) AS BIGINT) AS rnk
+         |  FROM scored)
+         |SELECT query_id, rnk, neighbor_id, cos
+         |FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+    "ann_lsh_bucket" ->
+      s"""WITH v AS ($sqlVec),
+         |n AS (SELECT vec_id, d, ${sqlDot("d", "d")} AS nrm FROM v),
+         |bk AS (SELECT vec_id, d, nrm, $sqlBucket AS bucket FROM n),
+         |pairs AS (
+         |  SELECT a.vec_id AS vec_id, a.bucket AS bucket, b.vec_id AS neighbor_id,
+         |    ${sqlDot("a.d", "b.d")} / sqrt(a.nrm * b.nrm) AS cos
+         |  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+         |best AS (
+         |  SELECT vec_id, neighbor_id, cos FROM (
+         |    SELECT vec_id, neighbor_id, cos,
+         |      row_number() OVER (PARTITION BY vec_id
+         |        ORDER BY cos DESC, neighbor_id ASC) AS rnk
+         |    FROM pairs) t WHERE rnk = 1)
+         |SELECT bk.vec_id AS vec_id, CAST(bk.bucket AS BIGINT) AS bucket,
+         |  CAST(coalesce(best.neighbor_id, -1) AS BIGINT) AS neighbor_id,
+         |  coalesce(best.cos, -2.0) AS cos
+         |FROM bk LEFT JOIN best ON bk.vec_id = best.vec_id
+         |ORDER BY vec_id""".stripMargin)
+}

@@ -1,0 +1,82 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** User-extension surface (SURVEY.md §2b Q28): the reference's entire
+  * computation model is "user code in the mapper/reducer slot"
+  * (`App.config:16-17`) — here that slot is (a) a registered scalar UDF
+  * and (b) a typed `Aggregator` UDAF, both usable from the Column API and
+  * SQL. The third, faster extension tier — native Catalyst expressions —
+  * lives in [[graft.functions]] and powers the similarity path.
+  */
+object Udx {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Scalar UDF slot: text normalization (lowercase, strip non-alnum,
+    * collapse whitespace). A real pipeline would prefer the builtin
+    * `lower`/`regexp_replace` chain (codegen'd — the oracle uses exactly
+    * that); the UDF registration is the point being proven. */
+  private val normalizeFn: String => String = s =>
+    if (s == null) null
+    else s.toLowerCase.replaceAll("[^a-z0-9 ]", " ").replaceAll(" +", " ").trim
+
+  def udfNormalize(spark: SparkSession, sfDir: String): DataFrame = {
+    val norm = udf(normalizeFn)
+    spark.udf.register("graft_normalize", norm)
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), norm(col("text")).as("norm_text"))
+      .select(col("doc_id"), md5(col("norm_text")).as("norm_digest"),
+        length(col("norm_text")).cast("long").as("norm_len"))
+      .orderBy("doc_id")
+  }
+
+  /** Typed Aggregator (UDAF slot): weighted mean in exact fixed-point —
+    * the buffer holds integer 1e-4/1e-2 units so merge order (and hence
+    * 1000-executor parallelism) cannot change the result; the fixture
+    * money columns are 2-decimal so the per-row scaling is exact. */
+  final case class WBuf(sumXW: Long, sumW: Long)
+  object WeightedMean extends Aggregator[(Double, Double), WBuf, Double] {
+    override def zero: WBuf = WBuf(0L, 0L)
+    override def reduce(b: WBuf, in: (Double, Double)): WBuf =
+      WBuf(b.sumXW + math.round(in._1 * in._2 * 10000.0), b.sumW + math.round(in._2 * 100.0))
+    override def merge(a: WBuf, b: WBuf): WBuf = WBuf(a.sumXW + b.sumXW, a.sumW + b.sumW)
+    override def finish(b: WBuf): Double =
+      if (b.sumW == 0L) 0.0 else (b.sumXW / 10000.0) / (b.sumW / 100.0)
+    override def bufferEncoder: org.apache.spark.sql.Encoder[WBuf] =
+      org.apache.spark.sql.Encoders.product[WBuf]
+    override def outputEncoder: org.apache.spark.sql.Encoder[Double] =
+      org.apache.spark.sql.Encoders.scalaDouble
+  }
+
+  /** Quantity-weighted mean extended price per return flag via the
+    * Aggregator, oracle-checked against the exact decimal formulation. */
+  def udafWeightedMean(spark: SparkSession, sfDir: String): DataFrame = {
+    val wmean = udaf(WeightedMean)
+    spark.udf.register("graft_wmean", wmean)
+    Tables.lineitem(spark, sfDir)
+      .groupBy("l_returnflag")
+      .agg(wmean(col("l_extendedprice"), col("l_quantity")).as("w_mean_price"))
+      .orderBy("l_returnflag")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "udf_normalize"      -> (udfNormalize _),
+    "udaf_weighted_mean" -> (udafWeightedMean _))
+
+  val oracle: Map[String, String] = Map(
+    "udf_normalize" ->
+      """SELECT doc_id,
+        |  md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+        |                          ' +', ' ', 'g'))) AS norm_digest,
+        |  CAST(length(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+        |                          ' +', ' ', 'g'))) AS BIGINT) AS norm_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "udaf_weighted_mean" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CAST(round(l_extendedprice * l_quantity, 4) AS DECIMAL(28,4))) AS DOUBLE)
+        |    / CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS w_mean_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+}

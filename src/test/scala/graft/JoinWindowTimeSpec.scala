@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class JoinWindowTimeSpec extends SparkSpec {
+
+  test("join_broadcast: every customer lands in exactly one (region, nation)") {
+    val total = q("join_broadcast").agg(sum("n_cust")).collect()(0).getLong(0)
+    assert(total === Tables.customer(spark, sf).count())
+  }
+
+  test("join_broadcast plan actually broadcasts the dimensions") {
+    val plan = q("join_broadcast").queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join in:\n$plan")
+  }
+
+  test("join_shuffle_agg revenue is positive and ranked descending") {
+    val rows = q("join_shuffle_agg").collect()
+    assert(rows.length === 100)
+    val revs = rows.map(_.getAs[Double]("revenue"))
+    assert(revs.sameElements(revs.sorted(Ordering[Double].reverse)))
+  }
+
+  test("semi + anti partition the customer set") {
+    val semiAll = Tables.customer(spark, sf)
+      .join(Tables.orders(spark, sf), col("c_custkey") === col("o_custkey"), "left_semi")
+      .count()
+    val anti = q("join_anti").count()
+    assert(semiAll + anti === Tables.customer(spark, sf).count())
+  }
+
+  test("join_outer preserves all orders") {
+    assert(q("join_outer").count() === Tables.orders(spark, sf).count())
+  }
+
+  test("window_rank: rn within [1,3] and unique per customer") {
+    val df = q("window_rank")
+    assert(df.filter(col("rn") < 1 || col("rn") > 3).count() === 0)
+    val dupes = df.groupBy("o_custkey", "rn").count().filter(col("count") > 1).count()
+    assert(dupes === 0)
+  }
+
+  test("window_running: running value equals sum of values per user at final row") {
+    val df = q("window_running")
+    val lastRunning = df.groupBy("user_id").agg(max("running_value").as("final_run"))
+    val direct = Tables.events(spark, sf).groupBy("user_id")
+      .agg(Det.moneySum(col("value")).as("direct"))
+    val mism = lastRunning.join(direct, "user_id")
+      .filter(abs(col("final_run") - col("direct")) > 1e-9).count()
+    assert(mism === 0)
+  }
+
+  test("sessionize: session counts are bounded by event counts") {
+    val bad = q("sessionize")
+      .filter(col("n_sessions") < 1 || col("n_sessions") > col("n_events")).count()
+    assert(bad === 0)
+  }
+
+  test("session_spans rows equal total sessions") {
+    val spans = q("session_spans").count()
+    val totalSessions = q("sessionize").agg(sum("n_sessions")).collect()(0).getLong(0)
+    assert(spans === totalSessions)
+  }
+
+  test("time_tumbling: window counts sum to event count") {
+    val total = q("time_tumbling").agg(sum("n")).collect()(0).getLong(0)
+    assert(total === Tables.events(spark, sf).count())
+  }
+}

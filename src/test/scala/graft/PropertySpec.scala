@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** ScalaCheck-generated properties over small in-memory DataFrames
+  * (SURVEY.md §5.3) — plain `Gen` sampling across fixed seeds (the
+  * scalatest/scalacheck bridge artifact isn't vendored offline).
+  */
+class PropertySpec extends SparkSpec {
+
+  private def samples[A](g: Gen[A], n: Int = 5): Seq[A] =
+    (1 to n).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  private val words = Gen.listOfN(30, Gen.oneOf("a", "b", "cc", "dd", "e f", "gg"))
+
+  test("word count totals equal token count for arbitrary corpora") {
+    samples(words).foreach { ws =>
+      import spark.implicits._
+      val df = ws.zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+      val tokens = df.select(explode(split(col("text"), " ")).as("t"))
+      val counted = tokens.groupBy("t").agg(count(lit(1)).as("n"))
+      assert(counted.agg(sum("n")).collect()(0).getLong(0) === tokens.count())
+    }
+  }
+
+  test("dropDuplicates is idempotent") {
+    samples(words).foreach { ws =>
+      import spark.implicits._
+      val df = ws.toDF("w")
+      val once = df.dropDuplicates("w")
+      assert(once.count() === once.dropDuplicates("w").count())
+    }
+  }
+
+  test("orderBy is a permutation (sort preserves multiset)") {
+    samples(Gen.listOfN(40, Gen.chooseNum(-1000, 1000))).foreach { xs =>
+      import spark.implicits._
+      val df = xs.toDF("x")
+      val sorted = df.orderBy("x").collect().map(_.getInt(0))
+      assert(sorted.sorted.sameElements(xs.sorted))
+    }
+  }
+
+  test("semi + anti joins partition the left side") {
+    val pairs = for {
+      ls <- Gen.listOfN(20, Gen.chooseNum(0, 5))
+      rs <- Gen.listOfN(20, Gen.chooseNum(0, 5))
+    } yield (ls, rs)
+    samples(pairs).foreach { case (ls, rs) =>
+      import spark.implicits._
+      val l = ls.toDF("k")
+      val r = rs.toDF("k")
+      val semi = l.join(r, Seq("k"), "left_semi").count()
+      val anti = l.join(r, Seq("k"), "left_anti").count()
+      assert(semi + anti === ls.length.toLong)
+    }
+  }
+}

@@ -1,0 +1,95 @@
+package graft
+
+import graft.functions.VectorFunctions
+import graft.ops.MultiModalOps.FakeDecoder
+import org.apache.spark.sql.functions._
+
+class SimUdxSpec extends SparkSpec {
+
+  test("native DotProduct equals the higher-order-function fold exactly") {
+    val v = Tables.embeddings(spark, sf).limit(50)
+    val hof = aggregate(
+      zip_with(col("embedding"), col("embedding"), (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+    val mism = v.select(
+        VectorFunctions.vecDot(col("embedding"), col("embedding")).as("native"),
+        hof.as("hof"))
+      .filter(col("native") =!= col("hof")).count()
+    assert(mism === 0)
+  }
+
+  test("DotProduct participates in whole-stage codegen") {
+    val v = Tables.embeddings(spark, sf)
+      .select(VectorFunctions.vecDot(col("embedding"), col("embedding")).as("d"))
+    val codegen = v.queryExecution.executedPlan
+      .find(_.isInstanceOf[org.apache.spark.sql.execution.WholeStageCodegenExec])
+    assert(codegen.isDefined, s"no codegen span in:\n${v.queryExecution.executedPlan}")
+  }
+
+  test("embed_top_pairs cosine within [-1, 1] and descending") {
+    val rows = q("embed_top_pairs").collect()
+    assert(rows.length === 20)
+    val cs = rows.map(_.getAs[Double]("cos"))
+    assert(cs.forall(c => c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9))
+    assert(cs.sameElements(cs.sorted(Ordering[Double].reverse)))
+  }
+
+  test("ann_topk_brute: 5 neighbors per query, none self") {
+    val df = q("ann_topk_brute")
+    assert(df.groupBy("query_id").count().filter(col("count") =!= 5).count() === 0)
+    assert(df.filter(col("query_id") === col("neighbor_id")).count() === 0)
+  }
+
+  test("ann_lsh_bucket: reported neighbor shares the bucket and cosine <= brute-force best") {
+    val lsh = q("ann_lsh_bucket").filter(col("neighbor_id") >= 0)
+    // brute-force best cosine per vector (no bucket restriction)
+    val v = Tables.embeddings(spark, sf)
+      .withColumn("nrm", VectorFunctions.vecDot(col("embedding"), col("embedding")))
+    val best = v.as("a").join(v.as("b"), col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_id"),
+        (VectorFunctions.vecDot(col("a.embedding"), col("b.embedding")) /
+          sqrt(col("a.nrm") * col("b.nrm"))).as("cos"))
+      .groupBy("vec_id").agg(max("cos").as("best_cos"))
+    val bad = lsh.join(best, "vec_id")
+      .filter(col("cos") > col("best_cos") + 1e-12).count()
+    assert(bad === 0)
+  }
+
+  test("FakeDecoder is deterministic and mm_decode_stub matches it") {
+    val bytes = "hello world".getBytes("UTF-8")
+    val d1 = FakeDecoder.decode(bytes)
+    val d2 = FakeDecoder.decode(bytes)
+    assert(d1 === d2)
+    val row = q("mm_decode_stub").filter(col("doc_id") === 0).collect()(0)
+    val text = Tables.documents(spark, sf).filter(col("doc_id") === 0)
+      .collect()(0).getAs[String]("text")
+    val expect = FakeDecoder.decode(text.getBytes("UTF-8"))
+    assert(row.getAs[Long]("width") === expect.width.toLong)
+    assert(row.getAs[Long]("height") === expect.height.toLong)
+    assert(math.abs(row.getAs[Double]("mean_byte") - expect.meanByte) < 1e-12)
+  }
+
+  test("pipe_cat_count equals document count") {
+    val n = q("pipe_cat_count").collect()(0).getAs[Long]("n_lines")
+    assert(n === Tables.documents(spark, sf).count())
+  }
+
+  test("udaf weighted mean matches direct computation") {
+    val got = q("udaf_weighted_mean").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val direct = Tables.lineitem(spark, sf)
+      .groupBy("l_returnflag")
+      .agg((sum(col("l_extendedprice") * col("l_quantity")) / sum(col("l_quantity"))).as("wm"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    got.foreach { case (k, v) => assert(math.abs(v - direct(k)) < 1e-6) }
+  }
+
+  test("udf_normalize digest is stable for already-normal text") {
+    import spark.implicits._
+    val df = Seq((1L, "abc def")).toDF("doc_id", "text")
+    val norm = udf((s: String) =>
+      s.toLowerCase.replaceAll("[^a-z0-9 ]", " ").replaceAll(" +", " ").trim)
+    val out = df.select(norm(col("text"))).collect()(0).getString(0)
+    assert(out === "abc def")
+  }
+}

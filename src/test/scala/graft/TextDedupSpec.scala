@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class TextDedupSpec extends SparkSpec {
+
+  test("word_count total equals exploded token count") {
+    val total = q("word_count").agg(sum("n")).collect()(0).getLong(0)
+    val tokens = q("tokenize").count()
+    assert(total === tokens)
+  }
+
+  test("text_stats: distinct tokens never exceed tokens") {
+    assert(q("text_stats").filter(col("n_distinct_tokens") > col("n_tokens")).count() === 0)
+  }
+
+  test("lang_id ratios lie in [0,1]") {
+    assert(q("lang_id").filter(col("stop_ratio") < 0 || col("stop_ratio") > 1).count() === 0)
+  }
+
+  test("quality_score lies in (0, 1]") {
+    assert(q("quality_score").filter(col("quality") <= 0 || col("quality") > 1).count() === 0)
+  }
+
+  test("doc_fingerprint: permuting token order preserves fingerprint") {
+    import spark.implicits._
+    val a = Seq((1L, "alpha beta gamma"), (2L, "gamma beta alpha")).toDF("doc_id", "text")
+    val fp = a.select(md5(concat_ws(" ", array_sort(array_distinct(split(col("text"), " ")))))
+      .as("fp")).collect()
+    assert(fp(0) === fp(1))
+  }
+
+  test("dedup_exact_stats is consistent with dedup_keep_first") {
+    val stats = q("dedup_exact_stats").collect()(0)
+    val keepers = q("dedup_keep_first")
+    assert(stats.getAs[Long]("n_unique_texts") === keepers.count())
+    assert(stats.getAs[Long]("n_docs") ===
+      keepers.agg(sum("n_copies")).collect()(0).getLong(0))
+  }
+
+  test("minhash LSH achieves >= 95% recall at high precision vs exact jaccard >= 0.85") {
+    // exact global token-set jaccard (no blocking) as ground truth
+    val dt = Tables.documents(spark, sf)
+      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("tok"))
+    val sizes = dt.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val exact = dt.as("a").join(dt.as("b"),
+        col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("c"))
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+      .withColumn("j", col("c") * lit(1.0) / (col("na") + col("nb") - col("c")))
+    val truth = exact.filter(col("j") >= 0.85).select("doc_a", "doc_b")
+    val found = q("dedup_minhash_lsh").select("doc_a", "doc_b")
+    val nTruth = truth.count()
+    val hit = truth.join(found, Seq("doc_a", "doc_b"), "left_semi").count()
+    assert(nTruth > 0)
+    assert(hit.toDouble / nTruth >= 0.95, s"recall ${hit.toDouble / nTruth}")
+    // precision proxy: everything found must have exact jaccard >= 0.7
+    val falsePos = found.join(exact.filter(col("j") >= 0.7), Seq("doc_a", "doc_b"), "left_anti").count()
+    assert(falsePos.toDouble / math.max(found.count(), 1) <= 0.05)
+  }
+
+  test("simhash: equal texts yield equal signatures; signature is 64-bit") {
+    val sh = q("dedup_simhash")
+    assert(sh.count() === Tables.documents(spark, sf).count())
+    assert(sh.groupBy("doc_id").count().filter(col("count") > 1).count() === 0)
+  }
+
+  test("simhash_pairs hamming bounded by 8 and symmetric-free (a<b)") {
+    val p = q("dedup_simhash_pairs")
+    assert(p.filter(col("hamming") > 8).count() === 0)
+    assert(p.filter(col("doc_a") >= col("doc_b")).count() === 0)
+  }
+
+  test("ngram jaccard pairs respect the threshold") {
+    assert(q("dedup_ngram_jaccard").filter(col("jaccard") < 0.9).count() === 0)
+  }
+}
