@@ -116,6 +116,54 @@ case class ArrayEqCount(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** 64-bit SimHash of a token array in a single pass: each token votes
+  * ±tf on every bit of its xxhash64 (seed 42, identical to Spark SQL's
+  * `xxhash64`); the sign of the vote sum sets the output bit.
+  *
+  * Replaces the explode-over-(token × 64 bits) formulation — which
+  * shuffles tokens·64 rows per document — with a per-row O(tokens · 64)
+  * bitwise loop: the operator becomes a pure narrow map, no shuffle at
+  * all. `CodegenFallback` is fine here: the per-row work (a few thousand
+  * bit ops) dwarfs the interpretation overhead, and the op count per
+  * document is constant.
+  */
+case class SimHash64(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val votes = new Array[Int](64)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+          .hash(arr.getUTF8String(i), StringType, 42L)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Column-API front door for the native vector expressions. */
 object VectorFunctions {
   /** Exact sequential-fold dot product of two float/double array columns,
@@ -128,6 +176,10 @@ object VectorFunctions {
   def arrayEqCount(a: Column, b: Column): Column =
     ColumnBridge.column(
       ArrayEqCount(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Single-pass 64-bit SimHash of a token-array column. */
+  def simhash64(tokens: Column): Column =
+    ColumnBridge.column(SimHash64(ColumnBridge.expression(tokens)))
 
   /** Cosine similarity given precomputed squared norms. */
   def cosineWithNorms(a: Column, b: Column, na: Column, nb: Column): Column = {

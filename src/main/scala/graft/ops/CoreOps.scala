@@ -128,6 +128,26 @@ object CoreOps {
       .select(coalesce(col("c_mktsegment"), lit("(all)")).as("segment"), col("n_cust"), col("sum_bal"))
       .orderBy("segment")
 
+  /** Q19 cube: full grouping-set lattice over two dimensions, NULL
+    * markers coalesced to sentinels for engine-neutral ordering. */
+  def cubeAgg(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.customer(spark, sfDir)
+      .cube("c_mktsegment", "c_nationkey")
+      .agg(count(lit(1)).as("n_cust"), Det.moneySum(col("c_acctbal")).as("sum_bal"))
+      .select(coalesce(col("c_mktsegment"), lit("(all)")).as("segment"),
+        coalesce(col("c_nationkey"), lit(-1)).cast("long").as("nationkey"),
+        col("n_cust"), col("sum_bal"))
+      .orderBy("segment", "nationkey")
+
+  /** Q6/Q12 percentiles: exact interpolated quantiles (sort-based). At
+    * 100 TB the approx_percentile sketch replaces this; exact stays as
+    * the oracle-checkable baseline. */
+  def quantiles(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir).agg(
+      expr("percentile(l_extendedprice, 0.5)").as("p50"),
+      expr("percentile(l_extendedprice, 0.9)").as("p90"),
+      expr("percentile(l_extendedprice, 0.99)").as("p99"))
+
   /** Q20 scalar string/date/math functions — all codegen'd builtins, no
     * UDF boundary in the hot path. Int-ish results cast to BIGINT to match
     * DuckDB's wider return types. */
@@ -185,6 +205,8 @@ object CoreOps {
     "topk"            -> (topK _),
     "histogram"       -> (histogram _),
     "rollup_agg"      -> (rollupAgg _),
+    "cube_agg"        -> (cubeAgg _),
+    "quantiles"       -> (quantiles _),
     "scalar_funcs"    -> (scalarFuncs _),
     "set_union"       -> (setUnion _),
     "set_intersect"   -> (setIntersect _),
@@ -244,6 +266,17 @@ object CoreOps {
       s"""SELECT coalesce(c_mktsegment, '(all)') AS segment,
          |  count(*) AS n_cust, ${sqlMoneySum("c_acctbal")} AS sum_bal
          |FROM customer GROUP BY ROLLUP(c_mktsegment) ORDER BY segment""".stripMargin,
+    "cube_agg" ->
+      s"""SELECT coalesce(c_mktsegment, '(all)') AS segment,
+         |  CAST(coalesce(c_nationkey, -1) AS BIGINT) AS nationkey,
+         |  count(*) AS n_cust, ${sqlMoneySum("c_acctbal")} AS sum_bal
+         |FROM customer GROUP BY CUBE(c_mktsegment, c_nationkey)
+         |ORDER BY segment, nationkey""".stripMargin,
+    "quantiles" ->
+      """SELECT quantile_cont(l_extendedprice, 0.5) AS p50,
+        |  quantile_cont(l_extendedprice, 0.9) AS p90,
+        |  quantile_cont(l_extendedprice, 0.99) AS p99
+        |FROM lineitem""".stripMargin,
     "scalar_funcs" ->
       """SELECT o_orderkey,
         |  upper(o_orderpriority) AS pri_upper,

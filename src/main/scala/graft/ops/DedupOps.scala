@@ -145,26 +145,16 @@ object DedupOps {
   // --- SimHash -------------------------------------------------------------
 
   /** 64-bit SimHash per document: tf-weighted ±1 vote per bit of each
-    * token's hash, sign of the vote sum sets the bit. Computed as an
-    * explode over (token, bit) with partial-sum aggregation — two narrow
-    * shuffles keyed by doc_id, no pair space. */
-  def simhash(spark: SparkSession, sfDir: String): DataFrame = {
-    val tf = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), explode(toks).as("tok"))
-      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-      .withColumn("h", xxhash64(col("tok")))
-    tf.select(col("doc_id"), col("tf"), col("h"),
-        explode(sequence(lit(0), lit(63))).as("bit"))
-      .withColumn("contrib",
-        col("tf") * when(expr("shiftright(h, bit) & 1") === 1, 1L).otherwise(-1L))
-      .groupBy("doc_id", "bit")
-      .agg(sum(col("contrib")).as("vote"))
-      .withColumn("bitval",
-        when(col("vote") > 0, expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(0L))
-      .groupBy("doc_id")
-      .agg(sum(col("bitval")).as("simhash64"))
+    * token's hash, sign of the vote sum sets the bit — computed by the
+    * single-pass native [[graft.functions.SimHash64]] expression, so the
+    * operator is a pure narrow map (zero shuffle; the earlier
+    * explode-over-(token × 64 bits) formulation shuffled tokens·64 rows
+    * per document). */
+  def simhash(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        graft.functions.VectorFunctions.simhash64(toks).as("simhash64"))
       .orderBy("doc_id")
-  }
 
   /** SimHash near-dup pairs: block on 4 × 16-bit bands (a pair within
     * Hamming ≤ 3 of 64 bits must agree on ≥1 full band by pigeonhole for

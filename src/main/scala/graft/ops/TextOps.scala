@@ -35,6 +35,15 @@ object TextOps {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("token").asc)
 
+  /** Q2 distributed grep — the reference's canonical documented workload
+    * (TextSearch lineage, `Readme.md:5`): substring + regex match over the
+    * corpus, both predicates evaluated in the scan stage. */
+  def grepText(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .filter(col("text").contains("spark") && col("text").rlike("(fast|slow) (scan|join)"))
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .orderBy("doc_id")
+
   /** Q25 per-document stats: char/token counts and distinct-token ratio,
     * all computed array-side (no explode ⇒ no row blow-up). */
   def textStats(spark: SparkSession, sfDir: String): DataFrame =
@@ -107,6 +116,7 @@ object TextOps {
       .orderBy("doc_id")
 
   val queries: Map[String, Q] = Map(
+    "grep_text"         -> (grepText _),
     "tokenize"          -> (tokenize _),
     "word_count"        -> (wordCount _),
     "text_stats"        -> (textStats _),
@@ -118,6 +128,11 @@ object TextOps {
   private val stopList = enStopwords.map(s => s"'$s'").mkString(", ")
 
   val oracle: Map[String, String] = Map(
+    "grep_text" ->
+      """SELECT doc_id, source, n_chars FROM documents
+        |WHERE text LIKE '%spark%'
+        |  AND regexp_matches(text, '(fast|slow) (scan|join)')
+        |ORDER BY doc_id""".stripMargin,
     "tokenize" ->
       """SELECT doc_id, unnest(string_split(text, ' ')) AS token
         |FROM documents ORDER BY doc_id, token""".stripMargin,

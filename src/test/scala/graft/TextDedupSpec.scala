@@ -61,6 +61,25 @@ class TextDedupSpec extends SparkSpec {
     assert(falsePos.toDouble / math.max(found.count(), 1) <= 0.05)
   }
 
+  test("native SimHash64 matches the explode-based reference formulation") {
+    val tf = Tables.documents(spark, sf).limit(20)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      .withColumn("h", xxhash64(col("tok")))
+    val ref = tf.select(col("doc_id"), col("tf"), col("h"),
+        explode(sequence(lit(0), lit(63))).as("bit"))
+      .withColumn("contrib",
+        col("tf") * when(expr("shiftright(h, bit) & 1") === 1, 1L).otherwise(-1L))
+      .groupBy("doc_id", "bit").agg(sum(col("contrib")).as("vote"))
+      .withColumn("bitval",
+        when(col("vote") > 0, expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(0L))
+      .groupBy("doc_id").agg(sum(col("bitval")).as("ref_sh"))
+    val native = Tables.documents(spark, sf).limit(20)
+      .select(col("doc_id"),
+        graft.functions.VectorFunctions.simhash64(split(col("text"), " ")).as("sh"))
+    assert(native.join(ref, "doc_id").filter(col("sh") =!= col("ref_sh")).count() === 0)
+  }
+
   test("simhash: equal texts yield equal signatures; signature is 64-bit") {
     val sh = q("dedup_simhash")
     assert(sh.count() === Tables.documents(spark, sf).count())
