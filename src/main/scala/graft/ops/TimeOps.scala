@@ -59,12 +59,46 @@ object TimeOps {
       .orderBy("user_id", "session_id")
   }
 
+  /** As-of join — an operator Spark SQL lacks natively, composed
+    * Spark-first (SURVEY.md §7 preference (a)): tag both streams, union,
+    * and carry the most recent build-side row forward with a running
+    * `last(..., ignoreNulls)` window. One shuffle on (user, time) — the
+    * same cost profile as a sort-merge join — versus the naive
+    * inequality-join which is a per-key cross product. Ties (equal ts)
+    * order the build side first, giving inclusive `>=` semantics, which
+    * is exactly DuckDB's native ASOF JOIN — used as the oracle. */
+  def asofJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"), lit(1).as("tag"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"), lit(0).as("tag"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("tag").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    purchases.union(errors)
+      .withColumn("last_error_value",
+        last(when(col("tag") === 0, col("value")), ignoreNulls = true).over(w))
+      .filter(col("tag") === 1)
+      .select(col("event_id"), col("user_id"), col("value").as("purchase_value"),
+        coalesce(col("last_error_value"), lit(-1.0)).as("last_error_value"))
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "time_tumbling" -> (timeTumbling _),
     "sessionize"    -> (sessionize _),
-    "session_spans" -> (sessionSpans _))
+    "session_spans" -> (sessionSpans _),
+    "asof_join"     -> (asofJoin _))
 
   val oracle: Map[String, String] = Map(
+    "asof_join" ->
+      """SELECT p.event_id, p.user_id, p.value AS purchase_value,
+        |  coalesce(e.value, -1.0) AS last_error_value
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+        |  ON p.user_id = e.user_id AND p.ts >= e.ts
+        |ORDER BY p.event_id""".stripMargin,
     "time_tumbling" ->
       s"""SELECT date_trunc('hour', ts) AS hour_start, event_type,
          |  count(*) AS n, ${Det.sqlMoneySum("value")} AS sum_value

@@ -1,0 +1,89 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface.
+  *
+  * The reference is a one-shot batch job (SURVEY.md §2c — no streaming
+  * anywhere in `Program.cs:96-159`), so nothing here is required for
+  * parity; it exists because a 100 TB ingestion pipeline runs these same
+  * operators continuously. Each op is the streaming twin of a batch query
+  * in [[graft.ops.TimeOps]], sharing semantics so the specs can replay
+  * the fixture parquet through `readStream` and assert equality with the
+  * batch answer.
+  *
+  * Scale notes: windowed aggregation state is bounded by the watermark
+  * (late data beyond 1 hour is dropped, state for closed windows is
+  * evicted); sessionization state is one small record per active user,
+  * keyed by user_id — the same shuffle key as the batch variant.
+  */
+object StreamOps {
+
+  /** Streaming source over the fixture events table: schema inferred from
+    * a batch peek (streaming reads need an explicit schema), nanosecond
+    * timestamps handled identically to [[graft.Tables.events]]. */
+  def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    // streaming file sources take a directory; filter it to the events table
+    val raw = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else raw
+  }
+
+  /** Streaming twin of `time_tumbling`: 1-hour tumbling windows with a
+    * 1-hour watermark. Complete-mode result equals the batch query once
+    * the file source drains. */
+  def tumblingCounts(spark: SparkSession, sfDir: String): DataFrame =
+    eventsStream(spark, sfDir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").getField("start").as("hour_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), graft.Det.moneySum(col("value")).as("sum_value"))
+
+  final case class EventIn(user_id: Long, ts: java.sql.Timestamp)
+  final case class UserSessions(user_id: Long, n_sessions: Long, n_events: Long)
+  final case class SessState(lastTsMicros: Long, nSessions: Long, nEvents: Long)
+
+  /** Streaming twin of `sessionize`: per-user 30-minute-gap session
+    * counting via `mapGroupsWithState` — the custom-state slot
+    * (KeyValueGroupedDataset) the north star asks for. Events within a
+    * micro-batch are time-sorted before folding; state carries only
+    * (last event time, counters) per active user. */
+  def sessionizeStream(spark: SparkSession, sfDir: String): Dataset[UserSessions] = {
+    import spark.implicits._
+    val gapMicros = 1800L * 1000000L
+
+    def update(userId: Long, events: Iterator[EventIn],
+        state: GroupState[SessState]): UserSessions = {
+      val sorted = events.map(e => e.ts.getTime * 1000L).toArray.sorted
+      var st = state.getOption.getOrElse(SessState(Long.MinValue, 0L, 0L))
+      sorted.foreach { t =>
+        val isNew = st.lastTsMicros == Long.MinValue || t - st.lastTsMicros > gapMicros
+        st = SessState(t, st.nSessions + (if (isNew) 1 else 0), st.nEvents + 1)
+      }
+      state.update(st)
+      UserSessions(userId, st.nSessions, st.nEvents)
+    }
+
+    eventsStream(spark, sfDir)
+      .select(col("user_id"), col("ts"))
+      .as[EventIn]
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(update)
+  }
+
+  /** Drain a streaming DataFrame through a memory sink and return the
+    * materialized result — the spec/smoke harness for finite file
+    * sources. */
+  def runToTable(df: DataFrame, name: String, mode: OutputMode): DataFrame = {
+    val spark = df.sparkSession
+    val q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
+}

@@ -1,0 +1,38 @@
+package graft
+
+import graft.streaming.StreamOps
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+class StreamingSpec extends SparkSpec {
+
+  test("streaming tumbling window equals the batch time_tumbling result") {
+    val streamed = StreamOps.runToTable(
+      StreamOps.tumblingCounts(spark, sf), "stream_tumbling", OutputMode.Complete())
+      .orderBy("hour_start", "event_type")
+      .collect()
+    val batch = q("time_tumbling").collect()
+    assert(streamed.length === batch.length)
+    streamed.zip(batch).foreach { case (s, b) =>
+      assert(s.getAs[java.sql.Timestamp]("hour_start") === b.getAs[java.sql.Timestamp]("hour_start"))
+      assert(s.getAs[String]("event_type") === b.getAs[String]("event_type"))
+      assert(s.getAs[Long]("n") === b.getAs[Long]("n"))
+      assert(math.abs(s.getAs[Double]("sum_value") - b.getAs[Double]("sum_value")) < 1e-9)
+    }
+  }
+
+  test("stateful streaming sessionization equals the batch sessionize result") {
+    import spark.implicits._
+    val streamed = StreamOps.runToTable(
+      StreamOps.sessionizeStream(spark, sf).toDF(), "stream_sessions", OutputMode.Update())
+      .groupBy("user_id")
+      .agg(max("n_sessions").as("n_sessions"), max("n_events").as("n_events"))
+    val batch = q("sessionize")
+    val mism = streamed.as("s").join(batch.as("b"), Seq("user_id"))
+      .filter(col("s.n_sessions") =!= col("b.n_sessions") ||
+        col("s.n_events") =!= col("b.n_events"))
+      .count()
+    assert(mism === 0)
+    assert(streamed.count() === batch.count())
+  }
+}
