@@ -165,6 +165,59 @@ object CoreOps {
         concat_ws("-", col("o_orderstatus"), col("o_orderpriority")).as("status_pri"))
       .orderBy("o_orderkey")
 
+  /** Q20 date/time function pack: truncation, parts, arithmetic — all
+    * codegen'd builtins on the timestamp column. */
+  def dateFuncs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .select(
+        $("o_orderkey"),
+        trunc(to_date(col("o_orderdate")), "month").as("month_start"),
+        dayofmonth(col("o_orderdate")).cast("long").as("day_of_month"),
+        quarter(col("o_orderdate")).cast("long").as("qtr"),
+        to_date(col("o_orderdate")).as("order_date"),
+        datediff(to_date(lit("1999-01-01")), to_date(col("o_orderdate")))
+          .cast("long").as("days_to_1999"),
+        date_add(to_date(col("o_orderdate")), 30).as("due_date"))
+      .orderBy("o_orderkey")
+
+  /** Q20 string function pack: pad/trim/replace/locate/split-part. */
+  def stringFuncs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.customer(spark, sfDir)
+      .select(
+        $("c_custkey"),
+        lpad(col("c_name"), 25, "_").as("padded"),
+        replace(col("c_name"), lit("Customer"), lit("Cust")).as("replaced"),
+        instr(col("c_name"), "#").cast("long").as("hash_pos"),
+        split_part(col("c_name"), lit("#"), lit(-1)).as("num_part"),
+        reverse(col("c_mktsegment")).as("seg_rev"),
+        translate(col("c_mktsegment"), "AEIOU", "aeiou").as("seg_lower_vowels"))
+      .orderBy("c_custkey")
+
+  /** Q7/Q19 pivot: status × priority count matrix via DataFrame `pivot`
+    * (compiled to a single aggregation with conditional counters — the
+    * oracle states that form explicitly). */
+  def pivotStatus(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .groupBy("o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy("o_orderpriority")
+
+  /** Q14 scalar-subquery pattern: orders above their customer's average
+    * order value — decorrelated into an aggregate + equi-join on the
+    * correlation key (exactly what Catalyst does to a correlated
+    * subquery), in exact decimal. */
+  def aboveCustomerAvg(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = Tables.orders(spark, sfDir)
+    val custAvg = orders.groupBy("o_custkey")
+      .agg((Det.moneySum(col("o_totalprice")) / count(lit(1))).as("cust_avg"))
+    orders.join(custAvg, "o_custkey")
+      .filter(col("o_totalprice") > col("cust_avg"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy("o_orderkey")
+  }
+
   /** Q17 set ops: union distinct / intersect / except — each a hash-dedup
     * shuffle on the key. */
   def setUnion(spark: SparkSession, sfDir: String): DataFrame = {
@@ -208,6 +261,10 @@ object CoreOps {
     "cube_agg"        -> (cubeAgg _),
     "quantiles"       -> (quantiles _),
     "scalar_funcs"    -> (scalarFuncs _),
+    "date_funcs"      -> (dateFuncs _),
+    "string_funcs"    -> (stringFuncs _),
+    "pivot_status"    -> (pivotStatus _),
+    "above_customer_avg" -> (aboveCustomerAvg _),
     "set_union"       -> (setUnion _),
     "set_intersect"   -> (setIntersect _),
     "set_except"      -> (setExcept _))
@@ -288,6 +345,39 @@ object CoreOps {
         |  abs(o_totalprice - 100000) AS dist_100k,
         |  concat_ws('-', o_orderstatus, o_orderpriority) AS status_pri
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "date_funcs" ->
+      """SELECT o_orderkey,
+        |  CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+        |  CAST(day(o_orderdate) AS BIGINT) AS day_of_month,
+        |  CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+        |  CAST(o_orderdate AS DATE) AS order_date,
+        |  CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1999-01-01') AS BIGINT)
+        |    AS days_to_1999,
+        |  CAST(o_orderdate AS DATE) + 30 AS due_date
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "string_funcs" ->
+      """SELECT c_custkey,
+        |  lpad(c_name, 25, '_') AS padded,
+        |  replace(c_name, 'Customer', 'Cust') AS replaced,
+        |  CAST(instr(c_name, '#') AS BIGINT) AS hash_pos,
+        |  split_part(c_name, '#', -1) AS num_part,
+        |  reverse(c_mktsegment) AS seg_rev,
+        |  translate(c_mktsegment, 'AEIOU', 'aeiou') AS seg_lower_vowels
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "pivot_status" ->
+      """SELECT o_orderpriority,
+        |  count(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
+        |  count(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
+        |  count(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "above_customer_avg" ->
+      s"""WITH ca AS (
+         |  SELECT o_custkey, ${sqlMoneySum("o_totalprice")} / count(*) AS cust_avg
+         |  FROM orders GROUP BY o_custkey)
+         |SELECT o_orderkey, o_custkey, o_totalprice
+         |FROM orders JOIN ca USING (o_custkey)
+         |WHERE o_totalprice > cust_avg
+         |ORDER BY o_orderkey""".stripMargin,
     "set_union" ->
       """SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
         |UNION

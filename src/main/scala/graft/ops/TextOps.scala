@@ -44,6 +44,24 @@ object TextOps {
       .select(col("doc_id"), col("source"), col("n_chars"))
       .orderBy("doc_id")
 
+  /** Q5 word count, skew-hardened: explicit two-phase salted aggregation.
+    * A handful of stopwords carry most of the token mass; the salt
+    * (partition id) splits each hot key across all partitions for the
+    * first combine, then a second tiny aggregation merges the ≤ P partial
+    * rows per token. Spark's hash-aggregate partial combine does this
+    * implicitly when the map side keeps up; the explicit form is the
+    * pattern to reach for when a skewed key overwhelms a single reducer
+    * (same trick applies to skewed join keys). Result is identical to
+    * [[wordCount]] — the oracle asserts it. */
+  def wordCountSalted(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(explode(tokens).as("token"))
+      .groupBy(col("token"), spark_partition_id().as("salt"))
+      .agg(count(lit(1)).as("partial_n"))
+      .groupBy("token")
+      .agg(sum("partial_n").cast("long").as("n"))
+      .orderBy(col("n").desc, col("token").asc)
+
   /** Q25 per-document stats: char/token counts and distinct-token ratio,
     * all computed array-side (no explode ⇒ no row blow-up). */
   def textStats(spark: SparkSession, sfDir: String): DataFrame =
@@ -119,6 +137,7 @@ object TextOps {
     "grep_text"         -> (grepText _),
     "tokenize"          -> (tokenize _),
     "word_count"        -> (wordCount _),
+    "word_count_salted" -> (wordCountSalted _),
     "text_stats"        -> (textStats _),
     "lang_id"           -> (langId _),
     "quality_score"     -> (qualityScore _),
@@ -137,6 +156,10 @@ object TextOps {
       """SELECT doc_id, unnest(string_split(text, ' ')) AS token
         |FROM documents ORDER BY doc_id, token""".stripMargin,
     "word_count" ->
+      """SELECT token, count(*) AS n
+        |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
+        |GROUP BY token ORDER BY n DESC, token ASC""".stripMargin,
+    "word_count_salted" ->
       """SELECT token, count(*) AS n
         |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
         |GROUP BY token ORDER BY n DESC, token ASC""".stripMargin,

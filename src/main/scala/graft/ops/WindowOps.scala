@@ -56,12 +56,36 @@ object WindowOps {
       .orderBy("s_suppkey")
   }
 
+  /** Q18 navigation family: lead / first_value / last_value over a
+    * bounded frame — one pass per partition, same exchange as ranking. */
+  def windowNavigation(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        coalesce(lead(col("o_totalprice"), 1).over(w), lit(-1.0)).as("next_price"),
+        first(col("o_orderkey")).over(wFull).as("first_order"),
+        last(col("o_orderkey")).over(wFull).as("last_order"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
   val queries: Map[String, Q] = Map(
     "window_rank"        -> (windowRank _),
     "window_running"     -> (windowRunning _),
-    "window_rank_family" -> (windowRankFamily _))
+    "window_rank_family" -> (windowRankFamily _),
+    "window_navigation"  -> (windowNavigation _))
 
   val oracle: Map[String, String] = Map(
+    "window_navigation" ->
+      """SELECT o_custkey, o_orderkey,
+        |  coalesce(lead(o_totalprice, 1) OVER w, -1.0) AS next_price,
+        |  first_value(o_orderkey) OVER wf AS first_order,
+        |  last_value(o_orderkey) OVER wf AS last_order
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC),
+        |  wf AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "window_rank" ->
       """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,
