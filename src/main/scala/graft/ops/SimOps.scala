@@ -118,10 +118,55 @@ object SimOps {
       .orderBy("vec_id")
   }
 
+  // --- IVF-style ANN -------------------------------------------------------
+
+  /** IVF (inverted-file) ANN: a coarse quantizer partitions the corpus
+    * into cells; queries probe only their nearest cell and rerank by
+    * exact cosine inside it.
+    *
+    * The quantizer here is deterministic — every 32nd vector is a
+    * centroid — standing in for k-means centroids (which need iterative
+    * fitting; the *serving* dataflow, which is what must scale, is
+    * identical: assign = argmin over a broadcast centroid set, cells are
+    * shuffle keys, probe = equi-join on cell id). At 100 TB: centroids
+    * are a few thousand rows broadcast everywhere; the corpus shuffles
+    * once by cell; each query touches 1/|cells| of the data.
+    *
+    * Fully oracle-checked — centroid choice and every cosine are exact
+    * arithmetic mirrored in the SQL. */
+  def annIvfProbe(spark: SparkSession, sfDir: String): DataFrame = {
+    val v = withNorm(Tables.embeddings(spark, sfDir))
+    val cents = v.filter(col("vec_id") % 32 === 0)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("ce"), col("nrm").as("cn"))
+    // assign every vector (and hence every query) to its nearest centroid
+    val wAssign = Window.partitionBy("vec_id")
+      .orderBy(col("ccos").desc, col("cent_id").asc)
+    val assigned = v.join(broadcast(cents))
+      .withColumn("ccos",
+        dot(col("embedding"), col("ce")) / sqrt(col("nrm") * col("cn")))
+      .withColumn("crnk", row_number().over(wAssign))
+      .filter(col("crnk") === 1)
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cent_id").as("cell"))
+    val queries_ = assigned.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("nrm").as("qn"), col("cell"))
+    val wTop = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    queries_.join(assigned, Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cell"),
+        (dot(col("qe"), col("embedding")) / sqrt(col("qn") * col("nrm"))).as("cos"))
+      .withColumn("rnk", row_number().over(wTop).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"), col("cell"), col("cos"))
+      .orderBy("query_id", "rnk")
+  }
+
   val queries: Map[String, Q] = Map(
     "embed_top_pairs" -> (embedTopPairs _),
     "ann_topk_brute"  -> (annTopkBrute _),
-    "ann_lsh_bucket"  -> (annLshBucket _))
+    "ann_lsh_bucket"  -> (annLshBucket _),
+    "ann_ivf_probe"   -> (annIvfProbe _))
 
   private def sqlPlaneList(j: Int): String =
     planes(j).map(x => if (x == x.floor) s"${x.toLong}.0" else x.toString).mkString("[", ", ", "]")
@@ -133,6 +178,30 @@ object SimOps {
     }.mkString(" + ")
 
   val oracle: Map[String, String] = Map(
+    "ann_ivf_probe" ->
+      s"""WITH v AS ($sqlVec),
+         |n AS (SELECT vec_id, d, ${sqlDot("d", "d")} AS nrm FROM v),
+         |cents AS (SELECT vec_id AS cent_id, d AS ce, nrm AS cn FROM n WHERE vec_id % 32 = 0),
+         |assigned AS (
+         |  SELECT vec_id, d, nrm, cell FROM (
+         |    SELECT n.vec_id, n.d, n.nrm, c.cent_id AS cell,
+         |      row_number() OVER (PARTITION BY n.vec_id
+         |        ORDER BY ${sqlDot("n.d", "c.ce")} / sqrt(n.nrm * c.cn) DESC,
+         |                 c.cent_id ASC) AS crnk
+         |    FROM n CROSS JOIN cents c) t
+         |  WHERE crnk = 1),
+         |q AS (SELECT vec_id AS query_id, d AS qd, nrm AS qn, cell
+         |      FROM assigned WHERE vec_id < 10),
+         |scored AS (
+         |  SELECT q.query_id, a.vec_id AS neighbor_id, q.cell,
+         |    ${sqlDot("q.qd", "a.d")} / sqrt(q.qn * a.nrm) AS cos
+         |  FROM q JOIN assigned a ON q.cell = a.cell AND a.vec_id <> q.query_id)
+         |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, neighbor_id, cell, cos FROM (
+         |  SELECT query_id, neighbor_id, cell, cos,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos DESC, neighbor_id ASC) AS rnk
+         |  FROM scored) t
+         |WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
     "embed_top_pairs" ->
       s"""WITH v AS ($sqlVec),
          |n AS (SELECT vec_id, d, ${sqlDot("d", "d")} AS nrm FROM v)

@@ -55,6 +55,34 @@ class SimUdxSpec extends SparkSpec {
     assert(bad === 0)
   }
 
+  test("ann_ivf_probe: neighbors come from the query's own cell") {
+    val df = q("ann_ivf_probe")
+    assert(df.count() > 0)
+    assert(df.filter(col("query_id") === col("neighbor_id")).count() === 0)
+    assert(df.groupBy("query_id").count().filter(col("count") > 3).count() === 0)
+  }
+
+  test("word_count_salted equals word_count exactly") {
+    val a = q("word_count").collect().map(r => (r.getString(0), r.getLong(1)))
+    val b = q("word_count_salted").collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(a.sameElements(b))
+  }
+
+  test("pivot_status row sums equal per-priority counts") {
+    val p = q("pivot_status")
+    val total = p.select((col("F") + col("O") + col("P")).as("s"))
+      .agg(sum("s")).collect()(0).getLong(0)
+    assert(total === Tables.orders(spark, sf).count())
+  }
+
+  test("above_customer_avg: every row beats its customer average") {
+    val ca = Tables.orders(spark, sf).groupBy("o_custkey")
+      .agg(avg("o_totalprice").as("a"))
+    val bad = q("above_customer_avg").join(ca, "o_custkey")
+      .filter(col("o_totalprice") <= col("a") - 1e-6).count()
+    assert(bad === 0)
+  }
+
   test("FakeDecoder is deterministic and mm_decode_stub matches it") {
     val bytes = "hello world".getBytes("UTF-8")
     val d1 = FakeDecoder.decode(bytes)
