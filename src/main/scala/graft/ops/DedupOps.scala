@@ -58,14 +58,19 @@ object DedupOps {
     val dt = docs.select(col("doc_id"), col("source"),
       explode(array_distinct(toks)).as("tok"))
     val sizes = dt.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val shared = dt.as("a").join(dt.as("b"),
+    // Length filter (classic similarity-join prune): J(A,B) ≤ min/max of
+    // the set sizes, so J ≥ 0.9 requires 10·min ≥ 9·max. Carrying the set
+    // size on each token row lets the predicate run inside the join,
+    // pruning most of the pair enumeration before it exists. Semantically
+    // a no-op — any qualifying pair passes — and stated in the oracle too.
+    val dtn = dt.join(sizes, "doc_id")
+    val shared = dtn.as("a").join(dtn.as("b"),
         col("a.tok") === col("b.tok") && col("a.source") === col("b.source") &&
-          col("a.doc_id") < col("b.doc_id"))
+          col("a.doc_id") < col("b.doc_id") &&
+          col("a.n") * 10 >= col("b.n") * 9 && col("b.n") * 10 >= col("a.n") * 9)
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("c"), max(col("a.n")).as("na"), max(col("b.n")).as("nb"))
     shared
-      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
       .withColumn("jaccard", col("c") * lit(1.0) / (col("na") + col("nb") - col("c")))
       .filter(col("jaccard") >= 0.9)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
@@ -206,16 +211,18 @@ object DedupOps {
         |    SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok
         |    FROM documents) t),
         |sizes AS (SELECT doc_id, count(*) AS n FROM dt GROUP BY 1),
+        |dtn AS (SELECT dt.doc_id, dt.source, dt.tok, sizes.n
+        |        FROM dt JOIN sizes USING (doc_id)),
         |shared AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
-        |  FROM dt a JOIN dt b
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c,
+        |    max(a.n) AS na, max(b.n) AS nb
+        |  FROM dtn a JOIN dtn b
         |    ON a.tok = b.tok AND a.source = b.source AND a.doc_id < b.doc_id
+        |   AND a.n * 10 >= b.n * 9 AND b.n * 10 >= a.n * 9
         |  GROUP BY 1, 2)
         |SELECT doc_a, doc_b,
-        |  round(c * 1.0 / (sa.n + sb.n - c), 6) AS jaccard
+        |  round(c * 1.0 / (na + nb - c), 6) AS jaccard
         |FROM shared
-        |JOIN sizes sa ON doc_a = sa.doc_id
-        |JOIN sizes sb ON doc_b = sb.doc_id
-        |WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.9
+        |WHERE c * 1.0 / (na + nb - c) >= 0.9
         |ORDER BY doc_a, doc_b""".stripMargin)
 }
