@@ -164,6 +164,57 @@ case class SimHash64(child: Expression)
     copy(child = newChild)
 }
 
+/** K-wide MinHash signature of a token array in a single pass, as
+  * `array<long>`: token t contributes h = xxhash64(t) (seed 42, identical
+  * to Spark SQL's `xxhash64`), and signature slot i keeps
+  * min((h mod p)·aᵢ + bᵢ mod p) over all tokens, p = 2³¹−1 (products stay
+  * < 2⁶² — exact under ANSI arithmetic).
+  *
+  * Same motivation as [[SimHash64]]: the explode-over-tokens +
+  * 64-min-aggregates formulation pays a shuffle of |tokens| rows and a
+  * 64-column hash-aggregate; this is a pure narrow map with O(tokens · K)
+  * integer ops per row. Duplicate tokens are harmless (min is
+  * idempotent), so callers pass the raw token array.
+  */
+case class MinHashSig(child: Expression, k: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+
+  private val P = 2147483647L // 2^31 - 1
+  private val as: Array[Long] =
+    Array.tabulate(k)(i => math.max(1L, (2654435761L * (i + 1)) % P))
+  private val bs: Array[Long] =
+    Array.tabulate(k)(i => (40503L * i + 12345L) % P)
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val mins = Array.fill(k)(Long.MaxValue)
+    val n = arr.numElements()
+    var t = 0
+    while (t < n) {
+      if (!arr.isNullAt(t)) {
+        val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+          .hash(arr.getUTF8String(t), StringType, 42L)
+        val hm = ((h % P) + P) % P
+        var i = 0
+        while (i < k) {
+          val v = (hm * as(i) + bs(i)) % P
+          if (v < mins(i)) mins(i) = v
+          i += 1
+        }
+      }
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Column-API front door for the native vector expressions. */
 object VectorFunctions {
   /** Exact sequential-fold dot product of two float/double array columns,
@@ -176,6 +227,10 @@ object VectorFunctions {
   def arrayEqCount(a: Column, b: Column): Column =
     ColumnBridge.column(
       ArrayEqCount(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Single-pass K-wide MinHash signature of a token-array column. */
+  def minhashSig(tokens: Column, k: Int): Column =
+    ColumnBridge.column(MinHashSig(ColumnBridge.expression(tokens), k))
 
   /** Single-pass 64-bit SimHash of a token-array column. */
   def simhash64(tokens: Column): Column =

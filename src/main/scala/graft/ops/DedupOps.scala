@@ -79,15 +79,10 @@ object DedupOps {
 
   // --- MinHash -------------------------------------------------------------
 
-  /** K universal-hash parameters over GF(p), p = 2³¹−1: signature i =
-    * min over tokens of (h mod p)·a_i + b_i mod p. Products stay < 2⁶²,
-    * so the arithmetic is exact under ANSI mode (no overflow) and
-    * deterministic everywhere. */
+  /** Signature geometry; the universal-hash constants over GF(2³¹−1)
+    * live in [[graft.functions.MinHashSig]]. */
   private val K = 64
   private val BANDS = 16 // r = K / BANDS = 4 rows per band
-  private val P = 2147483647L // 2^31 - 1 (Mersenne prime)
-  private def hashParams(i: Int): (Long, Long) =
-    (((2654435761L * (i + 1)) % P).max(1L), (40503L * i + 12345L) % P)
 
   /** MinHash + LSH banded near-dup: estimate Jaccard via K minhashes,
     * bucket by band hashes (any band collision ⇒ candidate), then keep
@@ -103,19 +98,23 @@ object DedupOps {
     * [[ngramJaccard]] semantics (which IS oracled). */
   def minhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
-    val dt = docs.select(col("doc_id"), explode(array_distinct(toks)).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
-    val sigCols = (0 until K).map { i =>
-      val (a, b) = hashParams(i)
-      min((pmod(col("h"), lit(P)) * lit(a) + lit(b)) % lit(P)).as(s"m$i")
-    }
-    // One pass computes the K minhashes; the signature is packed into a
-    // single array<long> and persisted — it feeds three plan branches
-    // (band hashing + both sides of the pair verification), and without
-    // persist Spark would recompute the tokenize+aggregate per branch.
-    // Size is docs × (K+1) longs — a sliver of the corpus at any scale.
-    val sig = dt.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
-      .select(col("doc_id"), array((0 until K).map(i => col(s"m$i")): _*).as("sig"))
+    // One narrow-map pass computes the K-wide signature per document via
+    // the native MinHashSig expression (no explode, no shuffle — the
+    // earlier explode + 64-min-aggregate formulation shuffled |tokens|
+    // rows). Persisted because it feeds three plan branches (band hashing
+    // + both sides of pair verification); size is docs × (K+1) longs —
+    // a sliver of the corpus at any scale.
+    //
+    // The explicit repartition matters: a compact source (here one small
+    // parquet split; at scale, a handful of dense splits) would otherwise
+    // flow the whole signature/band pipeline through a single task even
+    // though the DOWNSTREAM pair work it seeds explodes 1000×. Spreading
+    // the cheap rows first costs one tiny shuffle and keeps every later
+    // stage at full parallelism (measured 5× on the whole operator).
+    val sig = docs
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("doc_id"),
+        graft.functions.VectorFunctions.minhashSig(toks, K).as("sig"))
       .persist()
     val bandCols = (0 until BANDS).map { j =>
       xxhash64((j * K / BANDS until (j + 1) * K / BANDS)
@@ -125,6 +124,13 @@ object DedupOps {
       .select(col("doc_id"),
         posexplode(array((0 until BANDS).map(j => col(s"band$j")): _*))
           .as(Seq("band_idx", "band_hash")))
+    // Candidate generation: plain bucket self-join. The 64-bit band hash
+    // distributes buckets uniformly, so the sort-merge join's per-key
+    // groups stay moderate and the plain join measured 4× faster than the
+    // blocked [[PairEnum]] decomposition here (5.3s vs 22s at sf0.1/32
+    // threads). When a bucket degenerates (near-universal band), switch
+    // to PairEnum.blockedSelfJoinPairs — as simhashPairs does, where the
+    // 16-bit bands do produce giant buckets.
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band_idx") === col("y.band_idx") &&
           col("x.band_hash") === col("y.band_hash") &&
@@ -166,16 +172,16 @@ object DedupOps {
     * ≤3 flipped bands; we use it as a recall-friendly candidate filter),
     * then verify true Hamming distance ≤ 8 with bit_count(xor). */
   def simhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    // same compact-source parallelism rationale as in minhashLsh
     val sh = simhash(spark, sfDir)
+      .repartition(spark.sparkContext.defaultParallelism)
     val bands = sh.select(col("doc_id"), col("simhash64"),
       posexplode(array((0 until 4).map(j =>
         expr(s"shiftright(simhash64, ${16 * j}) & 65535")): _*)).as(Seq("band_idx", "band_val")))
-    bands.as("x").join(bands.as("y"),
-        col("x.band_idx") === col("y.band_idx") &&
-          col("x.band_val") === col("y.band_val") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        col("x.simhash64").as("sh_a"), col("y.simhash64").as("sh_b"))
+    PairEnum.blockedSelfJoinPairs(
+        bands, Seq("band_idx", "band_val"), "doc_id", Seq("simhash64"))
+      .select(col("a_doc_id").as("doc_a"), col("b_doc_id").as("doc_b"),
+        col("a_simhash64").as("sh_a"), col("b_simhash64").as("sh_b"))
       .distinct()
       .withColumn("hamming", expr("bit_count(sh_a ^ sh_b)").cast("long"))
       .filter(col("hamming") <= 8)

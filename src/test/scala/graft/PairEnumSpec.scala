@@ -1,0 +1,38 @@
+package graft
+
+import graft.ops.PairEnum
+import org.apache.spark.sql.functions._
+
+class PairEnumSpec extends SparkSpec {
+
+  test("blocked pair enumeration equals the plain bucket self-join") {
+    import spark.implicits._
+    // skewed buckets: one giant, several small, singletons
+    val rows = (0 until 700).map(i => (i.toLong, "hot")) ++
+      (700 until 760).map(i => (i.toLong, s"small${i % 7}")) ++
+      (760 until 770).map(i => (i.toLong, s"single$i"))
+    val df = rows.toDF("id", "bucket")
+    val plain = df.as("x").join(df.as("y"),
+        col("x.bucket") === col("y.bucket") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("a_id"), col("y.id").as("b_id"))
+    val blocked = PairEnum.blockedSelfJoinPairs(df, Seq("bucket"), "id", Seq.empty, blockSize = 64)
+      .select(col("a_id"), col("b_id"))
+    assert(blocked.count() === plain.count())
+    assert(blocked.except(plain).count() === 0)
+    assert(plain.except(blocked).count() === 0)
+    // exactly-once: no duplicate pairs
+    assert(blocked.groupBy("a_id", "b_id").count().filter(col("count") > 1).count() === 0)
+  }
+
+  test("blocked enumeration carries payload columns") {
+    import spark.implicits._
+    val df = Seq((1L, "b", "x"), (2L, "b", "y"), (3L, "b", "z")).toDF("id", "bucket", "p")
+    val pairs = PairEnum.blockedSelfJoinPairs(df, Seq("bucket"), "id", Seq("p"), blockSize = 2)
+      .orderBy("a_id", "b_id").collect()
+    assert(pairs.length === 3)
+    val r = pairs.map(x => (x.getAs[Long]("a_id"), x.getAs[Long]("b_id"),
+      x.getAs[String]("a_p"), x.getAs[String]("b_p")))
+    assert(r.contains((1L, 2L, "x", "y")) && r.contains((1L, 3L, "x", "z")) &&
+      r.contains((2L, 3L, "y", "z")))
+  }
+}
