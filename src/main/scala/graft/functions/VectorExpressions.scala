@@ -215,6 +215,43 @@ case class MinHashSig(child: Expression, k: Int)
     copy(child = newChild)
 }
 
+/** Intersection size of two SORTED string arrays by a two-pointer merge —
+  * O(|a|+|b|) per pair with zero allocation. The verification kernel for
+  * set-similarity joins: candidates come from a (blocked, prefix-filtered)
+  * equi-join; this computes the exact overlap for the Jaccard test.
+  * Inputs must be sorted ascending and duplicate-free (`array_sort ∘
+  * array_distinct`), which callers compute once per document, not per
+  * pair.
+  */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "sorted_intersect_count"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val nx = x.numElements()
+    val ny = y.numElements()
+    var i = 0
+    var j = 0
+    var c = 0
+    while (i < nx && j < ny) {
+      val cmp = x.getUTF8String(i).compareTo(y.getUTF8String(j))
+      if (cmp == 0) { c += 1; i += 1; j += 1 }
+      else if (cmp < 0) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Column-API front door for the native vector expressions. */
 object VectorFunctions {
   /** Exact sequential-fold dot product of two float/double array columns,
@@ -227,6 +264,11 @@ object VectorFunctions {
   def arrayEqCount(a: Column, b: Column): Column =
     ColumnBridge.column(
       ArrayEqCount(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Exact overlap of two sorted, deduplicated string-array columns. */
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      SortedIntersectCount(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   /** Single-pass K-wide MinHash signature of a token-array column. */
   def minhashSig(tokens: Column, k: Int): Column =

@@ -49,28 +49,51 @@ object DedupOps {
       .agg(min(col("doc_id")).as("keeper_doc_id"), count(lit(1)).as("n_copies"))
       .orderBy("keeper_doc_id")
 
-  /** Exact token-set Jaccard near-dup with source blocking: candidate
-    * pairs come from an equi-join on (block, token) — never a cross
-    * product — then one groupBy counts shared tokens and a slim join
-    * brings in set sizes. Oracle-checked end to end. */
+  /** Exact token-set Jaccard near-dup with source blocking — the
+    * PPJoin-style plan:
+    *
+    *  1. **Length filter**: J ≥ 0.9 forces 10·min(|A|,|B|) ≥ 9·max, so
+    *     the candidate join carries set sizes and prunes inline.
+    *  2. **Prefix filter**: with token sets sorted canonically, any pair
+    *     with J ≥ θ must share a token among each side's first
+    *     n − ⌈θ·n⌉ + 1 tokens — so the candidate join only explodes the
+    *     ~10% prefix of each document, not its whole token set.
+    *  3. **Exact verify**: candidates join back to the per-doc sorted
+    *     token arrays and the native [[graft.functions.SortedIntersectCount]]
+    *     two-pointer kernel computes the true overlap — O(|A|+|B|) per
+    *     pair, no re-explosion.
+    *
+    * Both filters are provably lossless at the threshold, so the result
+    * (and the DuckDB oracle, which states the straightforward
+    * explode-join formulation) is unchanged. */
   def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.documents(spark, sfDir)
-    val dt = docs.select(col("doc_id"), col("source"),
-      explode(array_distinct(toks)).as("tok"))
-    val sizes = dt.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    // Length filter (classic similarity-join prune): J(A,B) ≤ min/max of
-    // the set sizes, so J ≥ 0.9 requires 10·min ≥ 9·max. Carrying the set
-    // size on each token row lets the predicate run inside the join,
-    // pruning most of the pair enumeration before it exists. Semantically
-    // a no-op — any qualifying pair passes — and stated in the oracle too.
-    val dtn = dt.join(sizes, "doc_id")
-    val shared = dtn.as("a").join(dtn.as("b"),
+    val spread = spark.sparkContext.defaultParallelism
+    val sets = Tables.documents(spark, sfDir)
+      .repartition(spread) // compact source must not serialize the pipeline
+      .select(col("doc_id"), col("source"),
+        array_sort(array_distinct(toks)).as("tokset"))
+      .withColumn("n", size(col("tokset")))
+      .persist()
+    // prefix length n − ⌈0.9n⌉ + 1, in exact integer arithmetic
+    // (⌈9n/10⌉ = (9n+9) div 10); float ceil(n*0.9) rounds wrong at e.g.
+    // n=10 and would silently drop qualifying pairs.
+    val prefix = sets.select(col("doc_id"), col("source"), col("n"),
+      explode(slice(col("tokset"), lit(1),
+        (col("n") - expr("(n * 9 + 9) div 10") + 1).cast("int"))).as("tok"))
+    val cand = prefix.as("a").join(prefix.as("b"),
         col("a.tok") === col("b.tok") && col("a.source") === col("b.source") &&
           col("a.doc_id") < col("b.doc_id") &&
           col("a.n") * 10 >= col("b.n") * 9 && col("b.n") * 10 >= col("a.n") * 9)
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("c"), max(col("a.n")).as("na"), max(col("b.n")).as("nb"))
-    shared
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val isect = graft.functions.VectorFunctions
+      .sortedIntersectCount(col("set_a"), col("set_b")).cast("long")
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("tokset").as("set_a"),
+        col("n").as("na")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("tokset").as("set_b"),
+        col("n").as("nb")), "doc_b")
+      .withColumn("c", isect)
       .withColumn("jaccard", col("c") * lit(1.0) / (col("na") + col("nb") - col("c")))
       .filter(col("jaccard") >= 0.9)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
