@@ -69,8 +69,21 @@ object WindowOps {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  /** Q18 via the custom [[graft.plans.TopKPerKey]] operator: identical
+    * semantics to [[windowRank]] (same DuckDB oracle) but executed with
+    * bounded per-key heaps instead of a full per-partition window sort —
+    * the custom LogicalPlan → Strategy → SparkPlan extension tier,
+    * correctness-gated by the oracle. */
+  def windowRankCustom(spark: SparkSession, sfDir: String): DataFrame =
+    graft.plans.TopKPerKey.topKPerKey(
+        Tables.orders(spark, sfDir), Seq("o_custkey"),
+        "o_totalprice", descending = true, tiebreakers = Seq("o_orderkey"), k = 3)
+      .select(col("o_custkey"), col("rn"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy("o_custkey", "rn")
+
   val queries: Map[String, Q] = Map(
     "window_rank"        -> (windowRank _),
+    "window_rank_custom" -> (windowRankCustom _),
     "window_running"     -> (windowRunning _),
     "window_rank_family" -> (windowRankFamily _),
     "window_navigation"  -> (windowNavigation _))
@@ -86,6 +99,13 @@ object WindowOps {
         |  wf AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
         |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "window_rank_custom" ->
+      """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
     "window_rank" ->
       """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,

@@ -40,6 +40,22 @@ class JoinWindowTimeSpec extends SparkSpec {
     assert(dupes === 0)
   }
 
+  test("custom TopKPerKey operator equals the row_number window formulation") {
+    val custom = q("window_rank_custom").collect()
+    val window = q("window_rank").collect()
+    assert(custom.length === window.length)
+    custom.zip(window).foreach { case (c, w) =>
+      assert(c.getAs[Long]("o_custkey") === w.getAs[Long]("o_custkey"))
+      assert(c.getAs[Int]("rn") === w.getAs[Int]("rn"))
+      assert(c.getAs[Long]("o_orderkey") === w.getAs[Long]("o_orderkey"))
+    }
+  }
+
+  test("custom TopKPerKey plans as TopKPerKeyExec with a single hash exchange") {
+    val plan = q("window_rank_custom").queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey"), s"custom exec missing in:\n$plan")
+  }
+
   test("window_running: running value equals sum of values per user at final row") {
     val df = q("window_running")
     val lastRunning = df.groupBy("user_id").agg(max("running_value").as("final_run"))
