@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Sink-side behavior (SURVEY.md §2a O15): partitioned parquet egress and
+  * the partition pruning it buys on re-read — the layout decision that
+  * turns a 100 TB scan into a one-partition scan for selective readers.
+  */
+class SinkSpec extends SparkSpec {
+
+  test("partitioned write produces hive-style layout and pruned re-reads") {
+    val out = Files.createTempDirectory("graft_sink").toString
+    val docs = Tables.documents(spark, sf)
+    docs.write.mode("overwrite").partitionBy("lang").parquet(out)
+
+    // layout: one directory per lang value
+    val langDirs = new java.io.File(out).listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("lang=")).sorted
+    val langs = docs.select("lang").distinct().collect().map(_.getString(0)).sorted
+    assert(langDirs.sameElements(langs.map(l => s"lang=$l")))
+
+    // re-read with a partition predicate: plan must show a PartitionFilter
+    // and the full row set must round-trip
+    val back = spark.read.parquet(out)
+    assert(back.count() === docs.count())
+    val pruned = back.filter(col("lang") === langs.head)
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters: [isnotnull(lang"),
+      s"partition filter not pushed:\n$scan")
+    assert(pruned.count() ===
+      docs.filter(col("lang") === langs.head).count())
+  }
+
+  test("sorted single-file egress preserves order through the sink (Verify contract)") {
+    val out = Files.createTempDirectory("graft_sink2").toString
+    val sorted = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_totalprice")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    sorted.coalesce(1).write.mode("overwrite").parquet(out)
+    val back = spark.read.parquet(out).collect()
+    val expect = sorted.collect()
+    assert(back.length === expect.length)
+    back.zip(expect).foreach { case (a, b) => assert(a === b) }
+  }
+}
