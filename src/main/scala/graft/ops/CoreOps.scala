@@ -218,6 +218,17 @@ object CoreOps {
       .orderBy("o_orderkey")
   }
 
+  /** Q1/Q4 unpivot (wide → long): each fact row melts into one row per
+    * measure — a narrow map (Expand), no shuffle until the final sort. */
+  def unpivotMeasures(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_orderkey") < 100)
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+        "measure", "value")
+      .orderBy("l_orderkey", "l_linenumber", "measure")
+
   /** Q17 set ops: union distinct / intersect / except — each a hash-dedup
     * shuffle on the key. */
   def setUnion(spark: SparkSession, sfDir: String): DataFrame = {
@@ -265,6 +276,7 @@ object CoreOps {
     "string_funcs"    -> (stringFuncs _),
     "pivot_status"    -> (pivotStatus _),
     "above_customer_avg" -> (aboveCustomerAvg _),
+    "unpivot_measures" -> (unpivotMeasures _),
     "set_union"       -> (setUnion _),
     "set_intersect"   -> (setIntersect _),
     "set_except"      -> (setExcept _))
@@ -378,6 +390,17 @@ object CoreOps {
          |FROM orders JOIN ca USING (o_custkey)
          |WHERE o_totalprice > cust_avg
          |ORDER BY o_orderkey""".stripMargin,
+    "unpivot_measures" ->
+      """SELECT l_orderkey, l_linenumber, measure, value FROM (
+        |  SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS value
+        |  FROM lineitem WHERE l_orderkey < 100
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+        |  FROM lineitem WHERE l_orderkey < 100
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+        |  FROM lineitem WHERE l_orderkey < 100) t
+        |ORDER BY l_orderkey, l_linenumber, measure""".stripMargin,
     "set_union" ->
       """SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
         |UNION
