@@ -139,6 +139,21 @@ object CoreOps {
         col("n_cust"), col("sum_bal"))
       .orderBy("segment", "nationkey")
 
+  /** Q19 arbitrary GROUPING SETS — {(segment), (nationkey), ()}: a set
+    * list that is neither a rollup nor a cube, completing the Q19 family.
+    * Same Expand-based plan as rollup/cube: the set expansion happens
+    * pre-shuffle, so shuffle volume is |sets|·|distinct keys|, not |rows|. */
+  def groupingSetsAgg(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.customer(spark, sfDir)
+      .groupingSets(
+        Seq(Seq(col("c_mktsegment")), Seq(col("c_nationkey")), Seq()),
+        col("c_mktsegment"), col("c_nationkey"))
+      .agg(count(lit(1)).as("n_cust"), Det.moneySum(col("c_acctbal")).as("sum_bal"))
+      .select(coalesce(col("c_mktsegment"), lit("(all)")).as("segment"),
+        coalesce(col("c_nationkey"), lit(-1)).cast("long").as("nationkey"),
+        col("n_cust"), col("sum_bal"))
+      .orderBy("segment", "nationkey")
+
   /** Q6/Q12 percentiles: exact interpolated quantiles (sort-based). At
     * 100 TB the approx_percentile sketch replaces this; exact stays as
     * the oracle-checkable baseline. */
@@ -270,6 +285,7 @@ object CoreOps {
     "histogram"       -> (histogram _),
     "rollup_agg"      -> (rollupAgg _),
     "cube_agg"        -> (cubeAgg _),
+    "grouping_sets_agg" -> (groupingSetsAgg _),
     "quantiles"       -> (quantiles _),
     "scalar_funcs"    -> (scalarFuncs _),
     "date_funcs"      -> (dateFuncs _),
@@ -340,6 +356,13 @@ object CoreOps {
          |  CAST(coalesce(c_nationkey, -1) AS BIGINT) AS nationkey,
          |  count(*) AS n_cust, ${sqlMoneySum("c_acctbal")} AS sum_bal
          |FROM customer GROUP BY CUBE(c_mktsegment, c_nationkey)
+         |ORDER BY segment, nationkey""".stripMargin,
+    "grouping_sets_agg" ->
+      s"""SELECT coalesce(c_mktsegment, '(all)') AS segment,
+         |  CAST(coalesce(c_nationkey, -1) AS BIGINT) AS nationkey,
+         |  count(*) AS n_cust, ${sqlMoneySum("c_acctbal")} AS sum_bal
+         |FROM customer
+         |GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
          |ORDER BY segment, nationkey""".stripMargin,
     "quantiles" ->
       """SELECT quantile_cont(l_extendedprice, 0.5) AS p50,

@@ -66,12 +66,32 @@ object JoinOps {
         Det.moneySum(coalesce(col("l_quantity"), lit(0.0))).as("sum_qty"))
       .orderBy("o_orderkey")
 
+  /** Q16 full-outer join: per-customer counts of finished ('F') vs pending
+    * ('P') orders — each status slice has customers the other lacks, so
+    * both null-extension sides are exercised. Both inputs aggregate before
+    * joining (shuffle rows = |custkeys|, not |orders|) and the join reuses
+    * the aggregation's hash partitioning — one exchange per side total.
+    * NULL keys/counts are coalesced to sentinels for engine-neutral sort. */
+  def joinFullOuter(spark: SparkSession, sfDir: String): DataFrame = {
+    def slice(status: String, out: String) =
+      Tables.orders(spark, sfDir)
+        .filter(col("o_orderstatus") === status)
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as(out))
+    slice("F", "f_orders").join(slice("P", "p_orders"), Seq("o_custkey"), "full_outer")
+      .select(col("o_custkey").as("custkey"),
+        coalesce(col("f_orders"), lit(0L)).as("f_orders"),
+        coalesce(col("p_orders"), lit(0L)).as("p_orders"))
+      .orderBy("custkey")
+  }
+
   val queries: Map[String, Q] = Map(
     "join_broadcast"   -> (joinBroadcast _),
     "join_shuffle_agg" -> (joinShuffleAgg _),
     "join_semi"        -> (joinSemi _),
     "join_anti"        -> (joinAnti _),
-    "join_outer"       -> (joinOuter _))
+    "join_outer"       -> (joinOuter _),
+    "join_full_outer"  -> (joinFullOuter _))
 
   import Det.{sqlMoneySum, sqlMoneySum4}
 
@@ -103,5 +123,15 @@ object JoinOps {
       s"""SELECT o_orderkey, count(l_orderkey) AS n_items,
          |  ${sqlMoneySum("coalesce(l_quantity, 0.0)")} AS sum_qty
          |FROM orders LEFT JOIN lineitem ON o_orderkey = l_orderkey
-         |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin)
+         |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin,
+    "join_full_outer" ->
+      """WITH f AS (SELECT o_custkey, count(*) AS f_orders FROM orders
+        |           WHERE o_orderstatus = 'F' GROUP BY o_custkey),
+        |     p AS (SELECT o_custkey, count(*) AS p_orders FROM orders
+        |           WHERE o_orderstatus = 'P' GROUP BY o_custkey)
+        |SELECT coalesce(f.o_custkey, p.o_custkey) AS custkey,
+        |  CAST(coalesce(f_orders, 0) AS BIGINT) AS f_orders,
+        |  CAST(coalesce(p_orders, 0) AS BIGINT) AS p_orders
+        |FROM f FULL JOIN p ON f.o_custkey = p.o_custkey
+        |ORDER BY custkey""".stripMargin)
 }

@@ -46,13 +46,21 @@ object SemiOps {
       .orderBy("vec_id")
 
   /** Q22 explode/unnest: per-label element histogram — array → rows →
-    * grouped aggregate (map-side combined). */
+    * grouped aggregate (map-side combined).
+    *
+    * Determinism: `round(sum(double))` is merge-order-dependent (the Det
+    * rule), and the elements are arbitrary floats so a decimal cast isn't
+    * lossless either. Instead each element is floor-scaled to an exact
+    * integer (×10⁶: one IEEE multiply + floor, bit-identical across
+    * engines), summed exactly in BIGINT (order-independent), and scaled
+    * back — the aggregate is exact by construction at any merge order. */
   def arrayExplodeAgg(spark: SparkSession, sfDir: String): DataFrame =
     Tables.embeddings(spark, sfDir)
       .select(col("label"), explode(col("embedding")).as("x"))
       .groupBy("label")
       .agg(count(lit(1)).as("n_elems"),
-        round(sum(col("x").cast("double")), 4).as("sum_elems"))
+        (sum(floor(col("x").cast("double") * 1000000).cast("long")).cast("double")
+          / 1000000).as("sum_elems"))
       .orderBy("label")
 
   val queries: Map[String, Q] = Map(
@@ -78,7 +86,8 @@ object SemiOps {
         |FROM embeddings ORDER BY vec_id""".stripMargin,
     "array_explode_agg" ->
       """SELECT label, count(*) AS n_elems,
-        |  round(sum(CAST(x AS DOUBLE)), 4) AS sum_elems
+        |  CAST(CAST(sum(CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT)
+        |       AS DOUBLE) / 1000000 AS sum_elems
         |FROM (SELECT label, unnest(embedding) AS x FROM embeddings) t
         |GROUP BY label ORDER BY label""".stripMargin)
 }
