@@ -42,13 +42,24 @@ object SimOps {
 
   /** Brute-force top-20 most-similar pairs (exact near-dup baseline).
     * The blocked/LSH variants replace this at scale; it stays as the
-    * ground-truth oracle for them. */
+    * ground-truth oracle for them.
+    *
+    * The all-pairs space is enumerated through
+    * [[PairEnum.blockedSelfJoinPairs]] under a single constant bucket:
+    * the O(n²) pair matrix decomposes into ⌈n/B⌉·(⌈n/B⌉+1)/2 independent
+    * B×B join cells spread by a shuffle — per-task work is bounded by B²
+    * and nothing is broadcast (the previous formulation was a
+    * BroadcastNestedLoopJoin that shipped the whole table to every task).
+    * The top-20 is a TakeOrdered over the cell outputs, never a global
+    * sort. */
   def embedTopPairs(spark: SparkSession, sfDir: String): DataFrame = {
-    val v = withNorm(Tables.embeddings(spark, sfDir)).select("vec_id", "embedding", "nrm")
-    v.as("a").join(v.as("b"), col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        (dot(col("a.embedding"), col("b.embedding")) /
-          sqrt(col("a.nrm") * col("b.nrm"))).as("cos"))
+    val v = withNorm(Tables.embeddings(spark, sfDir))
+      .select("vec_id", "embedding", "nrm")
+      .withColumn("__blk", lit(0))
+    PairEnum.blockedSelfJoinPairs(v, Seq("__blk"), "vec_id", Seq("embedding", "nrm"))
+      .select(col("a_vec_id").as("vec_a"), col("b_vec_id").as("vec_b"),
+        (dot(col("a_embedding"), col("b_embedding")) /
+          sqrt(col("a_nrm") * col("b_nrm"))).as("cos"))
       .orderBy(col("cos").desc, col("vec_a").asc, col("vec_b").asc)
       .limit(20)
   }
@@ -74,44 +85,59 @@ object SimOps {
 
   // --- LSH-bucketed ANN ----------------------------------------------------
 
-  /** Deterministic pseudo-random hyperplanes: NPLANES × DIM values in
+  /** Deterministic pseudo-random hyperplanes: nplanes × DIM values in
     * [-1, 1) with denominator 1024, so their decimal literals round-trip
-    * exactly into the SQL oracle. */
-  private val NPLANES = 8
+    * exactly into the SQL oracle.
+    *
+    * Geometry is parameterized: 2^nplanes buckets, so expected occupancy
+    * is n/2^nplanes — at larger corpora raise `nplanes` (the signature is
+    * one more dot product per plane, the SQL mirror is generated from the
+    * same constants). The oracle query pins the default geometry. */
+  val DefaultPlanes = 8
   private val DIM = 64
   private def planeVal(j: Int, d: Int): Double =
     (((1103515245L * (j * DIM + d) + 12345L) % 2048L + 2048L) % 2048L - 1024L) / 1024.0
-  private val planes: Seq[Seq[Double]] =
-    (0 until NPLANES).map(j => (0 until DIM).map(d => planeVal(j, d)))
+  private def planes(nplanes: Int): Seq[Seq[Double]] =
+    (0 until nplanes).map(j => (0 until DIM).map(d => planeVal(j, d)))
 
   /** Random-hyperplane LSH bucketing + in-bucket exact rerank: signature
-    * bit j = sign(v · plane_j); vectors sharing all 8 bits land in one of
-    * ≤256 buckets; nearest neighbor is reranked by exact cosine within the
-    * bucket. This is the ANN shape that scales: the cross product exists
-    * only inside buckets (n/256 expected occupancy), and the bucket id is
-    * a shuffle key, not a driver structure.
+    * bit j = sign(v · plane_j); vectors sharing all `nplanes` bits land in
+    * one of ≤2^nplanes buckets; nearest neighbor is reranked by exact
+    * cosine within the bucket. This is the ANN shape that scales: the
+    * bucket id is a shuffle key, not a driver structure, and the in-bucket
+    * pair matrix is enumerated through [[PairEnum.blockedSelfJoinPairs]],
+    * so even a pathological hot bucket (all vectors on one side of every
+    * plane) costs at most blockSize² per task instead of serializing one
+    * executor. Each unordered pair is scored once and mirrored into both
+    * directions for the per-vector argmax.
     *
     * Fully oracle-checked: the planes are literal constants interpolated
     * into the DuckDB SQL, so both engines compute identical signatures. */
-  def annLshBucket(spark: SparkSession, sfDir: String): DataFrame = {
+  def annLshBucket(spark: SparkSession, sfDir: String): DataFrame =
+    annLshBucketG(spark, sfDir, DefaultPlanes)
+
+  def annLshBucketG(spark: SparkSession, sfDir: String, nplanes: Int): DataFrame = {
     val v = withNorm(Tables.embeddings(spark, sfDir))
+    val ps = planes(nplanes)
     val bucketed = v.withColumn("bucket",
-      (0 until NPLANES).map { j =>
-        val plane = array(planes(j).map(lit): _*)
+      (0 until nplanes).map { j =>
+        val plane = array(ps(j).map(lit): _*)
         when(dot(col("embedding"), plane) > 0, lit(1L << j)).otherwise(0L)
       }.reduce(_ + _))
-    val pairs = bucketed.as("a").join(bucketed.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.vec_id") =!= col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_id"), col("a.bucket").as("bucket"),
-        col("b.vec_id").as("neighbor_id"),
-        (dot(col("a.embedding"), col("b.embedding")) /
-          sqrt(col("a.nrm") * col("b.nrm"))).as("cos"))
+    val und = PairEnum
+      .blockedSelfJoinPairs(bucketed, Seq("bucket"), "vec_id", Seq("embedding", "nrm"))
+      .withColumn("cos",
+        dot(col("a_embedding"), col("b_embedding")) / sqrt(col("a_nrm") * col("b_nrm")))
+    val pairs = und
+      .select(col("a_vec_id").as("vec_id"), col("b_vec_id").as("neighbor_id"), col("cos"))
+      .union(und
+        .select(col("b_vec_id").as("vec_id"), col("a_vec_id").as("neighbor_id"), col("cos")))
     val w = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("neighbor_id").asc)
     val best = pairs.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") === 1)
-      .select(col("vec_id"), col("bucket"), col("neighbor_id"), col("cos"))
+      .select(col("vec_id"), col("neighbor_id"), col("cos"))
     bucketed.select(col("vec_id"), col("bucket").as("b0"))
-      .join(best.drop("bucket"), Seq("vec_id"), "left_outer")
+      .join(best, Seq("vec_id"), "left_outer")
       .select(col("vec_id"), col("b0").as("bucket"),
         coalesce(col("neighbor_id"), lit(-1L)).as("neighbor_id"),
         coalesce(col("cos"), lit(-2.0)).as("cos"))
@@ -169,11 +195,13 @@ object SimOps {
     "ann_ivf_probe"   -> (annIvfProbe _))
 
   private def sqlPlaneList(j: Int): String =
-    planes(j).map(x => if (x == x.floor) s"${x.toLong}.0" else x.toString).mkString("[", ", ", "]")
+    planes(DefaultPlanes)(j)
+      .map(x => if (x == x.floor) s"${x.toLong}.0" else x.toString).mkString("[", ", ", "]")
 
-  /** Bucket expression shared by the ann_lsh_bucket oracle. */
+  /** Bucket expression shared by the ann_lsh_bucket oracle (default
+    * geometry — the same constants the Spark side folds over). */
   private val sqlBucket: String =
-    (0 until NPLANES).map { j =>
+    (0 until DefaultPlanes).map { j =>
       s"(CASE WHEN ${sqlDot("d", sqlPlaneList(j))} > 0 THEN ${1L << j} ELSE 0 END)"
     }.mkString(" + ")
 

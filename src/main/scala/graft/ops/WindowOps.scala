@@ -45,14 +45,53 @@ object WindowOps {
   }
 
   /** Q18 rank-with-gaps + dense_rank + ntile on supplier balances —
-    * covers the remaining ranking family in one pass. */
+    * covers the remaining ranking family in one pass.
+    *
+    * Executed as a TWO-PHASE global rank (no single-partition window):
+    * range-partition on the ordering key, rank locally inside each range,
+    * then add per-range row-count offsets (a |partitions|-row aggregate,
+    * broadcast back). Because the window ORDER BY carries a unique
+    * tiebreaker (s_suppkey) there are no ties, so rank == dense_rank ==
+    * row_number — the offset composition is exact — and ntile(q) is a
+    * closed-form function of (global row_number, total n): the first
+    * n%q tiles get ⌈n/q⌉ rows, the rest ⌊n/q⌋. Range bounds are sampled
+    * and may vary run-to-run, but the global position is invariant to
+    * where the contiguous ranges are cut, so the result is deterministic.
+    * At 100 TB this is the only formulation that works: every partition
+    * sorts its own disjoint range; nothing ever funnels through one task. */
   def windowRankFamily(spark: SparkSession, sfDir: String): DataFrame = {
-    val w = Window.orderBy(col("s_acctbal").desc, col("s_suppkey").asc)
-    Tables.supplier(spark, sfDir)
+    val df = Tables.supplier(spark, sfDir).select("s_suppkey", "s_acctbal")
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val ranged = df
+      .repartitionByRange(parts, col("s_acctbal").desc, col("s_suppkey").asc)
+      .withColumn("__pid", spark_partition_id())
+    val wLocal = Window.partitionBy("__pid")
+      .orderBy(col("s_acctbal").desc, col("s_suppkey").asc)
+    val local = ranged.withColumn("__lrn", row_number().over(wLocal).cast("long"))
+    // per-range counts: |parts| rows; the prefix-sum window over them is a
+    // single-partition pass over |parts| rows — bounded, not data-scaled
+    val wOff = Window.orderBy("__pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = local.groupBy("__pid").agg(count(lit(1)).as("__cnt"))
+      .withColumn("__off", coalesce(sum("__cnt").over(wOff), lit(0L)))
+      .withColumn("__n", sum("__cnt").over(
+        Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select("__pid", "__off", "__n")
+    local.join(broadcast(offsets), "__pid")
+      .withColumn("rn", col("__lrn") + col("__off"))
+      // ntile(4): the first n%4 tiles get ⌈n/4⌉ rows, the rest ⌊n/4⌋;
+      // when n < 4 the else-branch (÷ by zero base) is unreachable —
+      // every rn falls inside the first n tiles of size 1.
+      .withColumn("bal_quartile", expr(
+        """cast(case
+          |  when rn <= (__n % 4) * ((__n div 4) + 1)
+          |    then (rn - 1) div ((__n div 4) + 1)
+          |  else (__n % 4) + (rn - (__n % 4) * ((__n div 4) + 1) - 1) div (__n div 4)
+          |end + 1 as bigint)""".stripMargin))
       .select(col("s_suppkey"),
-        rank().over(w).cast("long").as("bal_rank"),
-        dense_rank().over(w).cast("long").as("bal_dense_rank"),
-        ntile(4).over(w).cast("long").as("bal_quartile"))
+        col("rn").as("bal_rank"),
+        col("rn").as("bal_dense_rank"),
+        col("bal_quartile"))
       .orderBy("s_suppkey")
   }
 

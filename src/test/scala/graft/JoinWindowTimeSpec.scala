@@ -56,6 +56,32 @@ class JoinWindowTimeSpec extends SparkSpec {
     assert(plan.contains("TopKPerKey"), s"custom exec missing in:\n$plan")
   }
 
+  test("join_full_outer covers every customer from either status slice exactly once") {
+    val df = q("join_full_outer")
+    assert(df.groupBy("custkey").count().filter(col("count") > 1).count() === 0)
+    // full-outer semantics: unmatched rows survive on BOTH sides
+    assert(df.filter(col("f_orders") === 0 && col("p_orders") > 0).count() > 0,
+      "expected P-only customers (right null-extension)")
+    assert(df.filter(col("p_orders") === 0 && col("f_orders") > 0).count() > 0,
+      "expected F-only customers (left null-extension)")
+  }
+
+  test("window_rank_family: empty-partition windows only over the |parts|-row aggregate") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    val adaptiveWas = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = q("window_rank_family").queryExecution.executedPlan
+      val globalWindows = plan.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
+      assert(globalWindows.nonEmpty, "expected the offsets prefix-sum window")
+      globalWindows.foreach { w =>
+        assert(w.collectFirst { case a: BaseAggregateExec => a }.isDefined,
+          s"a global window must sit above the per-range aggregate, not raw data:\n$w")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", adaptiveWas)
+  }
+
   test("window_running: running value equals sum of values per user at final row") {
     val df = q("window_running")
     val lastRunning = df.groupBy("user_id").agg(max("running_value").as("final_run"))

@@ -24,6 +24,24 @@ class PairEnumSpec extends SparkSpec {
     assert(blocked.groupBy("a_id", "b_id").count().filter(col("count") > 1).count() === 0)
   }
 
+  test("blocked enumeration bounds per-cell work by blockSize², any bucket size") {
+    import spark.implicits._
+    // one 700-row hot bucket: the pathological case a plain self-join
+    // serializes onto a single task (700²/2 ≈ 245k pairs in one cell)
+    val B = 64
+    val df = (0 until 700).map(i => (i.toLong, "hot")).toDF("id", "bucket")
+    val pairs = PairEnum.blockedSelfJoinPairs(df, Seq("bucket"), "id", Seq.empty, blockSize = B)
+      .select("a_id", "b_id").collect()
+    // ids are assigned in orderCol order, so position == id and the cell of
+    // a pair is (a_id/B, b_id/B); reconstruct per-cell work from the output
+    val perCell = pairs.groupBy(r => (r.getLong(0) / B, r.getLong(1) / B)).view.mapValues(_.length)
+    val nb = math.ceil(700.0 / B).toInt
+    assert(perCell.values.max <= B.toLong * B,
+      "a join cell must never exceed blockSize² pairs")
+    assert(perCell.size === nb * (nb + 1) / 2,
+      "the bucket's pair matrix must decompose into exactly ⌈m/B⌉·(⌈m/B⌉+1)/2 cells")
+  }
+
   test("blocked enumeration carries payload columns") {
     import spark.implicits._
     val df = Seq((1L, "b", "x"), (2L, "b", "y"), (3L, "b", "z")).toDF("id", "bucket", "p")

@@ -55,6 +55,29 @@ class SimUdxSpec extends SparkSpec {
     assert(bad === 0)
   }
 
+  test("ann_lsh_bucket geometry: coarser planes never worsen the found neighbor") {
+    // bucket(nplanes=4) is the low-4-bit projection of bucket(nplanes=8):
+    // every 8-plane bucket is contained in a 4-plane bucket, so the
+    // candidate set only grows and the best in-bucket cosine is monotone.
+    // This is the occupancy/recall dial documented in SimOps: more planes
+    // = smaller buckets = cheaper (PairEnum-bounded) pair work, at most a
+    // recall loss — never a correctness change.
+    import graft.ops.SimOps
+    val fine = q("ann_lsh_bucket").select(col("vec_id"), col("cos").as("fine_cos"))
+    val coarse = SimOps.annLshBucketG(spark, sf, 4)
+      .select(col("vec_id"), col("cos").as("coarse_cos"))
+    assert(coarse.groupBy("vec_id").count().filter(col("count") > 1).count() === 0)
+    val worse = fine.join(coarse, "vec_id")
+      .filter(col("coarse_cos") < col("fine_cos") - 1e-12).count()
+    assert(worse === 0)
+  }
+
+  test("embed_top_pairs plans without broadcast-nested-loop or cartesian") {
+    val plan = q("embed_top_pairs").queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoop") && !plan.contains("CartesianProduct"),
+      s"all-pairs baseline must stay block-decomposed:\n$plan")
+  }
+
   test("ann_ivf_probe: neighbors come from the query's own cell") {
     val df = q("ann_ivf_probe")
     assert(df.count() > 0)
