@@ -32,6 +32,13 @@ object Tables {
     * microseconds — the identical truncation DuckDB applies when it loads
     * the same file — so oracle comparisons stay exact. If a future Spark
     * reads NANOS natively the schema check falls through untouched.
+    *
+    * The conf set is deliberately NOT restored: the parquet reader
+    * consults it again at execution time (the scan's hadoopConf snapshot
+    * is taken when the physical plan runs), so a set-then-restore would
+    * make the deferred action fail on the NANOS column. Harness session
+    * builders (Verify/Bench/tests) also set it up front; this set is the
+    * safety net for sessions handed in by the driver.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -1,0 +1,106 @@
+package graft.ops
+
+import java.io.File
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Literal per-file ingest (SURVEY.md §1 data-model row, §7 checklist;
+  * reference `Program.cs:248-290, 332-349`): the reference keys every
+  * unit of work by its SOURCE FILE — one blob per input, one task per
+  * file, results named after the file. This module reproduces that
+  * provenance model with Spark's file-native surface:
+  *
+  *  - egress: executors write one UTF-8 file per document (the sink side
+  *    of a per-file pipeline; idempotent behind a `_SUCCESS` marker);
+  *  - ingest: `spark.read.format("binaryFile")` scans the directory as
+  *    opaque bytes — the real multimodal byte path, no `cast("binary")`
+  *    stand-in — and `input_file_name()` recovers the provenance key,
+  *    exactly the reference's filename-keyed gather.
+  *
+  * The round-trip is fully oracle-checked: every per-file fact (byte
+  * length, md5 digest, shard totals) is recomputed by DuckDB from the
+  * `documents` parquet the files were derived from, so a mismatch in
+  * either direction (write or read) fails the hash gate.
+  *
+  * At 100 TB: the file listing is driver-side metadata only; content
+  * reads are one task per file-split with no shuffle until the keyed
+  * aggregate, and the `length`/`path` metadata columns avoid touching
+  * file bytes entirely when only sizes are asked for.
+  */
+object FileOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** One `doc_<id>.txt` per document row, executor-written, created once
+    * per (JVM, sfDir) behind a marker file. Local-FS stand-in for the
+    * shared object store the reference writes into (`Program.cs:271`). */
+  def materializeDocFiles(spark: SparkSession, sfDir: String): String = {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_docfiles_${math.abs(sfDir.hashCode.toLong)}"
+    val marker = new File(dir, "_SUCCESS")
+    if (!marker.exists()) {
+      new File(dir).mkdirs()
+      // the parquet scan is one compact partition — repartition so the
+      // per-file writes spread across all executor threads instead of
+      // running serially on one task (the round-1 compact-source lesson)
+      Tables.documents(spark, sfDir).select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .foreachPartition { rows: Iterator[Row] =>
+          rows.foreach { r =>
+            Files.write(Paths.get(dir, f"doc_${r.getLong(0)}%08d.txt"),
+              r.getString(1).getBytes(StandardCharsets.UTF_8))
+          }
+        }
+      marker.createNewFile()
+    }
+    dir
+  }
+
+  /** O4 per-file ingest: binaryFile scan, provenance key parsed from
+    * `input_file_name()`, one output row per file with its size (from
+    * file metadata — content untouched) and content digest. */
+  def fileIngest(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = materializeDocFiles(spark, sfDir)
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.txt")
+      .load(dir)
+      .select(
+        regexp_extract(input_file_name(), "doc_(\\d+)\\.txt", 1).cast("long").as("doc_id"),
+        col("length").as("n_bytes"),
+        md5(col("content")).as("digest"))
+      .orderBy("doc_id")
+  }
+
+  /** O7 filename-keyed gather: files grouped by a key derived ONLY from
+    * their names (shard = doc_id % 10) — the reference's
+    * one-reducer-per-file-group topology. Sizes come from the listing's
+    * metadata column, so the aggregate never reads file contents. */
+  def fileShardStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = materializeDocFiles(spark, sfDir)
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.txt")
+      .load(dir)
+      .select(
+        (regexp_extract(input_file_name(), "doc_(\\d+)\\.txt", 1).cast("long") % 10).as("shard"),
+        col("length").as("n_bytes"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_files"), sum("n_bytes").as("total_bytes"))
+      .orderBy("shard")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "file_ingest"      -> (fileIngest _),
+    "file_shard_stats" -> (fileShardStats _))
+
+  val oracle: Map[String, String] = Map(
+    "file_ingest" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  md5(text) AS digest
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "file_shard_stats" ->
+      """SELECT doc_id % 10 AS shard, count(*) AS n_files,
+        |  CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes
+        |FROM documents GROUP BY 1 ORDER BY shard""".stripMargin)
+}

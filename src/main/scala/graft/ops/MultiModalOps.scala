@@ -8,11 +8,14 @@ import org.apache.spark.sql.functions._
   * columns with typed metadata, decoded/feature-extracted per partition.
   *
   * The fixture corpus has no real image/audio bytes, so the *decoder* is a
-  * deterministic stub ([[FakeDecoder]]) — but everything Spark-level is
-  * real and load-bearing: the binary column, the typed record schema, the
+  * deterministic stub ([[FakeDecoder]]; the container has no codec libs) —
+  * but everything Spark-level is real and load-bearing: the decode path
+  * reads ACTUAL file bytes through the `binaryFile` source (the per-doc
+  * files materialized by [[FileOps.materializeDocFiles]]), carries them as
+  * a `binary` column, and decodes them per partition with the
   * `mapPartitions` batch shape (decoder state constructed once per
   * partition, streamed per row — exactly how a JNI/FFmpeg/JPEG decoder
-  * would be held), and the metadata queries that stay in columnar land.
+  * would be held). The metadata queries stay in columnar land.
   *
   * At 100 TB the decode stage is the classic CPU hot spot: it's a narrow
   * map (no shuffle), so it scales linearly with executors; the metadata
@@ -54,14 +57,25 @@ object MultiModalOps {
         md5(col("media")).as("digest"))
       .orderBy("doc_id")
 
-  /** The decode stage: binary column → typed per-item features via
+  /** Real file bytes → (doc_id, media) — the ingest half of the decode
+    * path: a `binaryFile` scan of the per-doc files with the provenance
+    * key parsed from the path. */
+  private def mediaBytes(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = FileOps.materializeDocFiles(spark, sfDir)
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.txt")
+      .load(dir)
+      .select(regexp_extract(col("path"), "doc_(\\d+)\\.txt", 1).cast("long").as("doc_id"),
+        col("content").as("media"))
+  }
+
+  /** The decode stage: real file bytes → typed per-item features via
     * `mapPartitions`, decoder instantiated once per partition. Rows-only
     * check (the stub is Scala-side), but deterministic — the ScalaTest
     * spec pins exact values. */
   def mmDecodeStub(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, sfDir)
-      .select(col("doc_id"), col("text").cast("binary").as("media"))
+    mediaBytes(spark, sfDir)
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         // per-partition decoder setup would go here (codec handles, JNI)
@@ -75,20 +89,18 @@ object MultiModalOps {
   }
 
   /** Feature-extract + group: mean decoded "pixel" stat per source —
-    * the decode feeds a normal columnar aggregation, showing the stub
-    * composes with the relational layer. */
+    * the file-decoded features join back to the catalog table on the
+    * filename-derived key and feed a normal columnar aggregation. */
   def mmFeatureAgg(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val docs = Tables.documents(spark, sfDir)
-    val decoded = docs
-      .select(col("doc_id"), col("text").cast("binary").as("media"))
+    val decoded = mediaBytes(spark, sfDir)
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, bytes) =>
         val d = FakeDecoder.decode(bytes)
         MediaMeta(id, d.width.toLong, d.height.toLong, d.meanByte)
       })
       .toDF()
-    docs.select(col("doc_id"), col("source"))
+    Tables.documents(spark, sfDir).select(col("doc_id"), col("source"))
       .join(decoded, "doc_id")
       .groupBy("source")
       .agg(count(lit(1)).as("n_items"),

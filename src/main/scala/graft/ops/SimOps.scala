@@ -4,6 +4,7 @@ import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 /** Similarity search over `embeddings` (north-star; SURVEY.md §2b Q26):
   * brute-force cosine as the exact baseline, random-hyperplane LSH as the
@@ -188,11 +189,87 @@ object SimOps {
       .orderBy("query_id", "rnk")
   }
 
+  // --- IVF with a fitted (k-means) quantizer -------------------------------
+
+  /** DataFrame-native Lloyd iterations fitting the IVF coarse quantizer.
+    *
+    * Each iteration is two shuffles, both aggregate-shaped:
+    *  1. assign: corpus ⋈ broadcast(centroids), squared distance via the
+    *     native dot expression, argmin as `min(struct(dist², cent_id))` —
+    *     a map-side-combinable aggregate, no window;
+    *  2. update: `posexplode` to (cell, dim, value), per-(cell, dim) mean
+    *     in EXACT decimal (merge-order independent ⇒ the fitted centroids
+    *     are bit-deterministic run to run), re-assembled into an array by
+    *     position sort.
+    *
+    * Centroid count stays a broadcastable few-thousand rows at any corpus
+    * size; the corpus-sized side only ever flows through narrow maps and
+    * partial aggregates. Empty cells drop out (k shrinks), which Lloyd
+    * tolerates. */
+  def kmeansFit(v: DataFrame, iters: Int): DataFrame = {
+    val init = v.filter(col("vec_id") % 32 === 0)
+      .select(col("vec_id").as("cent_id"),
+        transform(col("embedding"), _.cast("double")).as("ce"))
+    (1 to iters).foldLeft(init) { (cents, _) =>
+      val cn = cents.withColumn("cn", dot(col("ce"), col("ce")))
+      val assigned = v.join(broadcast(cn))
+        .withColumn("dist2",
+          col("nrm") + col("cn") - lit(2.0) * dot(col("embedding"), col("ce")))
+        .groupBy("vec_id")
+        .agg(min(struct(col("dist2"), col("cent_id"))).as("m"),
+          first(col("embedding")).as("e"))
+        .select(col("m.cent_id").as("cell"), col("e"))
+      assigned
+        .select(col("cell"), posexplode(col("e")))
+        .groupBy(col("cell"), col("pos"))
+        .agg((sum(col("col").cast(DecimalType(28, 12))) / count(lit(1)))
+          .cast(DoubleType).as("mean"))
+        .groupBy(col("cell").as("cent_id"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("mean")))).as("pm"))
+        .select(col("cent_id"), transform(col("pm"), _.getField("mean")).as("ce"))
+    }
+  }
+
+  /** IVF probe over the FITTED quantizer — identical serving dataflow to
+    * [[annIvfProbe]] (broadcast centroids, cells as shuffle keys, probe =
+    * equi-join) but with Lloyd-iterated centroids. No SQL oracle (the
+    * fitted centroids are not practically SQL-expressible); deterministic
+    * by construction and recall-gated against the brute-force ground
+    * truth in the spec. */
+  def annIvfKmeans(spark: SparkSession, sfDir: String): DataFrame = {
+    val v = withNorm(Tables.embeddings(spark, sfDir))
+    val cents = kmeansFit(v, iters = 3)
+      .select(col("cent_id"), col("ce"))
+      .withColumn("cn", dot(col("ce"), col("ce")))
+    val wAssign = Window.partitionBy("vec_id")
+      .orderBy(col("ccos").desc, col("cent_id").asc)
+    val assigned = v.join(broadcast(cents))
+      .withColumn("ccos",
+        dot(col("embedding"), col("ce")) / sqrt(col("nrm") * col("cn")))
+      .withColumn("crnk", row_number().over(wAssign))
+      .filter(col("crnk") === 1)
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cent_id").as("cell"))
+    val queries_ = assigned.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("nrm").as("qn"), col("cell"))
+    val wTop = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    queries_.join(assigned, Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cell"),
+        (dot(col("qe"), col("embedding")) / sqrt(col("qn") * col("nrm"))).as("cos"))
+      .withColumn("rnk", row_number().over(wTop).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"), col("cell"), col("cos"))
+      .orderBy("query_id", "rnk")
+  }
+
   val queries: Map[String, Q] = Map(
     "embed_top_pairs" -> (embedTopPairs _),
     "ann_topk_brute"  -> (annTopkBrute _),
     "ann_lsh_bucket"  -> (annLshBucket _),
-    "ann_ivf_probe"   -> (annIvfProbe _))
+    "ann_ivf_probe"   -> (annIvfProbe _),
+    "ann_ivf_kmeans"  -> (annIvfKmeans _))
 
   private def sqlPlaneList(j: Int): String =
     planes(DefaultPlanes)(j)

@@ -51,6 +51,25 @@ class JoinWindowTimeSpec extends SparkSpec {
     }
   }
 
+  test("TopKPerKeyExec sort fallback (key budget exceeded) equals the heap path") {
+    // orders at sf0.001 has ~1500 distinct custkeys per partition; a key
+    // budget of 16 forces the overflow path in every partition, and the
+    // 1024-row chunk bound forces real spilled runs + k-way merge.
+    val spilled = graft.plans.TopKPerKey.topKPerKey(
+        Tables.orders(spark, sf), Seq("o_custkey"),
+        "o_totalprice", descending = true, tiebreakers = Seq("o_orderkey"), k = 3,
+        maxKeysInMemory = 16)
+      .select(col("o_custkey"), col("rn"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy("o_custkey", "rn").collect()
+    val window = q("window_rank").collect()
+    assert(spilled.length === window.length)
+    spilled.zip(window).foreach { case (s, w) =>
+      assert(s.getAs[Long]("o_custkey") === w.getAs[Long]("o_custkey"))
+      assert(s.getAs[Int]("rn") === w.getAs[Int]("rn"))
+      assert(s.getAs[Long]("o_orderkey") === w.getAs[Long]("o_orderkey"))
+    }
+  }
+
   test("custom TopKPerKey plans as TopKPerKeyExec with a single hash exchange") {
     val plan = q("window_rank_custom").queryExecution.executedPlan.toString
     assert(plan.contains("TopKPerKey"), s"custom exec missing in:\n$plan")

@@ -85,6 +85,24 @@ class SimUdxSpec extends SparkSpec {
     assert(df.groupBy("query_id").count().filter(col("count") > 3).count() === 0)
   }
 
+  test("ann_ivf_kmeans: fitted quantizer recall@3 >= deterministic quantizer recall@3") {
+    // ground truth: brute-force top-3 per query
+    def pairSet(df: org.apache.spark.sql.DataFrame) = df
+      .filter(col("rnk") <= 3)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = pairSet(q("ann_topk_brute"))
+    val probe = pairSet(q("ann_ivf_probe"))
+    val fitted = pairSet(q("ann_ivf_kmeans"))
+    def recall(s: Set[(Long, Long)]) = (s & brute).size.toDouble / brute.size
+    assert(recall(fitted) >= recall(probe),
+      s"k-means IVF recall ${recall(fitted)} < deterministic-quantizer recall ${recall(probe)}")
+    // sanity: result shape — one ranked list of <=3 per query, no self-neighbors
+    val df = q("ann_ivf_kmeans")
+    assert(df.filter(col("query_id") === col("neighbor_id")).count() === 0)
+    assert(df.groupBy("query_id").count().filter(col("count") > 3).count() === 0)
+  }
+
   test("word_count_salted equals word_count exactly") {
     val a = q("word_count").collect().map(r => (r.getString(0), r.getLong(1)))
     val b = q("word_count_salted").collect().map(r => (r.getString(0), r.getLong(1)))
