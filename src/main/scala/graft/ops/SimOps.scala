@@ -219,7 +219,7 @@ object SimOps {
         .agg(min(struct(col("dist2"), col("cent_id"))).as("m"),
           first(col("embedding")).as("e"))
         .select(col("m.cent_id").as("cell"), col("e"))
-      assigned
+      val next = assigned
         .select(col("cell"), posexplode(col("e")))
         .groupBy(col("cell"), col("pos"))
         .agg((sum(col("col").cast(DecimalType(28, 12))) / count(lit(1)))
@@ -227,6 +227,14 @@ object SimOps {
         .groupBy(col("cell").as("cent_id"))
         .agg(array_sort(collect_list(struct(col("pos"), col("mean")))).as("pm"))
         .select(col("cent_id"), transform(col("pm"), _.getField("mean")).as("ce"))
+      // materialize each generation (a few-thousand-row table at any
+      // corpus size): without this the lazy lineage makes iteration i
+      // re-execute iterations 1..i-1 — exponential replays — and the
+      // serving probe would recompute the whole fit once per reference
+      next.persist()
+      next.count()
+      cents.unpersist() // previous generation no longer referenced (no-op on init)
+      next
     }
   }
 
