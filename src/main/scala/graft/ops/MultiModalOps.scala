@@ -109,14 +109,95 @@ object MultiModalOps {
       .orderBy("source")
   }
 
+  /** The resize stage contract: media bytes → fixed-size thumbnail.
+    * Stub semantics (no codec libs in the container): the byte stream is
+    * cut into out_w×out_h equal blocks and each thumbnail cell is its
+    * block's floored mean byte — deterministic, so the spec pins exact
+    * values. A real build swaps `thumbnail` for the codec's scaler; the
+    * Spark shape (narrow typed map, one pass over the bytes) is final. */
+  object Resizer {
+    val OutW = 8
+    val OutH = 8
+    def thumbnail(bytes: Array[Byte]): Array[Long] = {
+      val cells = OutW * OutH
+      val out = new Array[Long](cells)
+      val n = bytes.length
+      if (n == 0) return out
+      var c = 0
+      while (c < cells) {
+        val from = (c.toLong * n / cells).toInt
+        val until = math.max(((c + 1).toLong * n / cells).toInt, from + 1) min n
+        var s = 0L
+        var i = from
+        while (i < until) { s += bytes(i) & 0xff; i += 1 }
+        out(c) = s / (until - from)
+        c += 1
+      }
+      out
+    }
+  }
+
+  final case class Thumb(doc_id: Long, out_w: Long, out_h: Long, thumb_sum: Long)
+
+  /** Resize/thumbnail over real file bytes — rows-only (byte math is not
+    * SQL-expressible in the oracle engine); exact values pinned by spec. */
+  def mmResize(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    mediaBytes(spark, sfDir)
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        Thumb(id, Resizer.OutW.toLong, Resizer.OutH.toLong, Resizer.thumbnail(bytes).sum)
+      })
+      .toDF()
+      .orderBy("doc_id")
+  }
+
+  /** The frame-sample stage contract: media bytes → every Nth fixed-size
+    * frame (video keyframe sampling shape: one media row fans out to many
+    * frame rows, each a real byte slice). */
+  object FrameSampler {
+    val FrameBytes = 256
+    val Every = 4
+    final case class Frame(doc_id: Long, frame_idx: Long, frame_len: Long)
+    def sample(id: Long, bytes: Array[Byte]): Iterator[Frame] = {
+      val nFrames = (bytes.length + FrameBytes - 1) / FrameBytes
+      Iterator.range(0, nFrames, Every).map { f =>
+        val slice = java.util.Arrays.copyOfRange(bytes,
+          f * FrameBytes, math.min((f + 1) * FrameBytes, bytes.length))
+        Frame(id, f.toLong, slice.length.toLong)
+      }
+    }
+  }
+
+  /** Frame sampling over real file bytes. The emitted geometry
+    * (which frames, their lengths) is fully oracle-checked against the
+    * source table's byte lengths; the slices themselves are materialized
+    * (copyOfRange), so the fan-out cost is the real one. */
+  def mmFrameSample(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    mediaBytes(spark, sfDir)
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) => FrameSampler.sample(id, bytes) })
+      .toDF()
+      .orderBy("doc_id", "frame_idx")
+  }
+
   val queries: Map[String, Q] = Map(
-    "mm_metadata"    -> (mmMetadata _),
-    "mm_decode_stub" -> (mmDecodeStub _),
-    "mm_feature_agg" -> (mmFeatureAgg _))
+    "mm_metadata"     -> (mmMetadata _),
+    "mm_decode_stub"  -> (mmDecodeStub _),
+    "mm_feature_agg"  -> (mmFeatureAgg _),
+    "mm_resize"       -> (mmResize _),
+    "mm_frame_sample" -> (mmFrameSample _))
 
   val oracle: Map[String, String] = Map(
     "mm_metadata" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  md5(text) AS digest
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "mm_frame_sample" ->
+      """SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
+        |  CAST(least(256, octet_length(encode(text)) - i*256) AS BIGINT) AS frame_len
+        |FROM documents,
+        |  unnest(range(0, (octet_length(encode(text)) + 255) // 256, 4)) AS t(i)
+        |ORDER BY doc_id, frame_idx""".stripMargin)
 }

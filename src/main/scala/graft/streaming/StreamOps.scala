@@ -77,6 +77,30 @@ object StreamOps {
       .mapGroupsWithState(GroupStateTimeout.NoTimeout)(update)
   }
 
+  /** Streaming source over the fixture documents table (same batch-peek
+    * schema trick as [[eventsStream]]). */
+  def documentsStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+    spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(sfDir)
+  }
+
+  /** Streaming twin of exact dedup (`dedup_exact_stats` family): arriving
+    * documents are deduplicated on (source, content-digest) with streaming
+    * `dropDuplicates` — state is one digest per distinct document, the
+    * same 16-byte-per-distinct-row budget as the batch hash-groupBy — and
+    * the surviving stream feeds a per-source distinct count. Complete-mode
+    * result equals the batch distinct count once the source drains. In a
+    * continuous deployment the dedup key set is bounded with
+    * `dropDuplicatesWithinWatermark` on the ingest timestamp; the fixture
+    * table has no event time, so the finite-replay form is used here. */
+  def dedupStream(spark: SparkSession, sfDir: String): DataFrame =
+    documentsStream(spark, sfDir)
+      .select(col("source"), md5(col("text")).as("digest"))
+      .dropDuplicates("source", "digest")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_distinct_docs"))
+
   /** Drain a streaming DataFrame through a memory sink and return the
     * materialized result — the spec/smoke harness for finite file
     * sources. */

@@ -138,6 +138,32 @@ class SimUdxSpec extends SparkSpec {
     assert(math.abs(row.getAs[Double]("mean_byte") - expect.meanByte) < 1e-12)
   }
 
+  test("mm_resize: thumbnail pinned to the Resizer contract on real bytes") {
+    import graft.ops.MultiModalOps.Resizer
+    // unit: blocks of a known byte ramp average exactly
+    val ramp = Array.tabulate(128)(i => i.toByte)
+    val t = Resizer.thumbnail(ramp)
+    assert(t.length === Resizer.OutW * Resizer.OutH)
+    assert(t(0) === 0L && t.last === 126L) // last 2-byte block: (126+127)/2
+    // query row equals the same algorithm applied to the doc's UTF-8 bytes
+    val row = q("mm_resize").filter(col("doc_id") === 0).collect()(0)
+    val text = Tables.documents(spark, sf).filter(col("doc_id") === 0)
+      .collect()(0).getAs[String]("text")
+    assert(row.getAs[Long]("thumb_sum") ===
+      Resizer.thumbnail(text.getBytes("UTF-8")).sum)
+    assert(row.getAs[Long]("out_w") === 8L && row.getAs[Long]("out_h") === 8L)
+  }
+
+  test("mm_frame_sample: sampled slices are the real byte ranges") {
+    import graft.ops.MultiModalOps.FrameSampler
+    val bytes = Array.tabulate(1000)(i => (i % 251).toByte)
+    val frames = FrameSampler.sample(7L, bytes).toSeq
+    assert(frames.map(_.frame_idx) === Seq(0L)) // 4 frames -> sample idx 0 only
+    val big = FrameSampler.sample(7L, Array.fill(256 * 9 + 10)(1.toByte)).toSeq
+    assert(big.map(_.frame_idx) === Seq(0L, 4L, 8L))
+    assert(big.map(_.frame_len) === Seq(256L, 256L, 256L))
+  }
+
   test("pipe_cat_count equals document count") {
     val n = q("pipe_cat_count").collect()(0).getAs[Long]("n_lines")
     assert(n === Tables.documents(spark, sf).count())

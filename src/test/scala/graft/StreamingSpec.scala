@@ -21,6 +21,21 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming dedup equals the batch per-source distinct count") {
+    val streamed = StreamOps.runToTable(
+      StreamOps.dedupStream(spark, sf), "stream_dedup", OutputMode.Complete())
+      .orderBy("source").collect()
+    val batch = Tables.documents(spark, sf)
+      .select(col("source"), md5(col("text")).as("digest")).distinct()
+      .groupBy("source").agg(count(lit(1)).as("n_distinct_docs"))
+      .orderBy("source").collect()
+    assert(streamed.length === batch.length)
+    streamed.zip(batch).foreach { case (s, b) =>
+      assert(s.getAs[String]("source") === b.getAs[String]("source"))
+      assert(s.getAs[Long]("n_distinct_docs") === b.getAs[Long]("n_distinct_docs"))
+    }
+  }
+
   test("stateful streaming sessionization equals the batch sessionize result") {
     import spark.implicits._
     val streamed = StreamOps.runToTable(
