@@ -163,6 +163,17 @@ object CoreOps {
       expr("percentile(l_extendedprice, 0.9)").as("p90"),
       expr("percentile(l_extendedprice, 0.99)").as("p99"))
 
+  /** Q6/Q12 approx percentiles — the mergeable sketch that replaces the
+    * exact sort-based quantile at 100 TB: constant memory per partition,
+    * one merge per executor tree level, accuracy set by the accuracy knob
+    * (10⁴ ⇒ ~0.01% rank error). No SQL oracle (sketch-valued); the spec
+    * bounds the error against the exact `quantiles` result. */
+  def quantilesApprox(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir).agg(
+      expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("p50"),
+      expr("approx_percentile(l_extendedprice, 0.9, 10000)").as("p90"),
+      expr("approx_percentile(l_extendedprice, 0.99, 10000)").as("p99"))
+
   /** Q20 scalar string/date/math functions — all codegen'd builtins, no
     * UDF boundary in the hot path. Int-ish results cast to BIGINT to match
     * DuckDB's wider return types. */
@@ -287,6 +298,7 @@ object CoreOps {
     "cube_agg"        -> (cubeAgg _),
     "grouping_sets_agg" -> (groupingSetsAgg _),
     "quantiles"       -> (quantiles _),
+    "quantiles_approx" -> (quantilesApprox _),
     "scalar_funcs"    -> (scalarFuncs _),
     "date_funcs"      -> (dateFuncs _),
     "string_funcs"    -> (stringFuncs _),

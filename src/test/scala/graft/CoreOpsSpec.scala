@@ -48,6 +48,16 @@ class CoreOpsSpec extends SparkSpec {
     assert(math.abs(row.getAs[Long]("approx_parts") - exact) <= exact / 20 + 1)
   }
 
+  test("quantiles_approx within 1% relative error of the exact quantiles") {
+    val approx = q("quantiles_approx").collect()(0)
+    val exact = q("quantiles").collect()(0)
+    Seq("p50", "p90", "p99").foreach { c =>
+      val a = approx.getAs[Double](c)
+      val e = exact.getAs[Double](c)
+      assert(math.abs(a - e) <= math.abs(e) * 0.01 + 1e-9, s"$c: approx $a vs exact $e")
+    }
+  }
+
   test("sort_total is totally ordered by (price desc, key asc)") {
     val rows = q("sort_total").collect()
     val pairs = rows.map(r => (-r.getAs[Double]("o_totalprice"), r.getAs[Long]("o_orderkey")))

@@ -85,6 +85,18 @@ class JoinWindowTimeSpec extends SparkSpec {
       "expected F-only customers (left null-extension)")
   }
 
+  test("join_full_outer plan reuses the aggregation partitioning — no join exchange") {
+    val adaptiveWas = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = q("join_full_outer").queryExecution.executedPlan.toString
+      // one hash exchange per aggregated side + the final ORDER BY range
+      // exchange; the full-outer join itself rides the agg partitioning
+      assert("Exchange".r.findAllIn(plan).length === 3, s"unexpected exchanges:\n$plan")
+      assert(plan.contains("FullOuter"), plan)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", adaptiveWas)
+  }
+
   test("window_rank_family: empty-partition windows only over the |parts|-row aggregate") {
     import org.apache.spark.sql.execution.window.WindowExec
     import org.apache.spark.sql.execution.aggregate.BaseAggregateExec

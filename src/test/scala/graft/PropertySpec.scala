@@ -43,6 +43,29 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("two-phase ntile closed form equals Spark's ntile for arbitrary sizes") {
+    // the closed form WindowOps.windowRankFamily uses: the first n%q
+    // tiles get ceil(n/q) rows, the rest floor(n/q)
+    def closedForm(rn: Long, n: Long, q: Long): Long = {
+      val base = n / q
+      val rem = n % q
+      val cut = rem * (base + 1)
+      (if (rn <= cut) (rn - 1) / (base + 1) else rem + (rn - cut - 1) / base) + 1
+    }
+    samples(Gen.chooseNum(1, 37), n = 10).foreach { n =>
+      import spark.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val df = (1 to n).map(_.toLong).toDF("x")
+      val w = Window.orderBy("x")
+      val got = df.select(col("x"), ntile(4).over(w).cast("long").as("t"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      (1 to n).foreach { rn =>
+        assert(got(rn.toLong) === closedForm(rn.toLong, n.toLong, 4L),
+          s"n=$n rn=$rn")
+      }
+    }
+  }
+
   test("semi + anti joins partition the left side") {
     val pairs = for {
       ls <- Gen.listOfN(20, Gen.chooseNum(0, 5))
