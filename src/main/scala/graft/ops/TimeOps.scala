@@ -85,13 +85,53 @@ object TimeOps {
       .orderBy("event_id")
   }
 
+  /** Interval/range join — the other join Spark SQL has no native
+    * operator for. Derived "campaign" windows ([month−10d, month+24d],
+    * deliberately OVERLAPPING so a date can hit 0, 1 or 2 campaigns) are
+    * joined to orders on containment.
+    *
+    * Naive formulation is a theta-join → BroadcastNestedLoopJoin: O(n·m)
+    * comparisons and a trap once both sides are large. The scale pattern
+    * here is BINNING (SURVEY §7 preference (a) — compose existing ops):
+    * each interval explodes into the month bins it touches (≤2 — bounded
+    * by interval span / bin width), the fact side's bin is a plain
+    * truncation, and the join becomes a shuffled equi-join on the bin with
+    * a residual containment filter. Per-row join work is bounded by the
+    * number of intervals sharing a bin, not the total interval count. */
+  def rangeJoinBinned(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), to_date(col("o_orderdate")).as("d"), col("o_totalprice"))
+    val camps = orders.select(trunc(col("d"), "month").as("m")).distinct()
+      .select(col("m"), date_sub(col("m"), 10).as("cstart"), date_add(col("m"), 24).as("cend"))
+    val campBins = camps
+      .withColumn("bin", explode(expr(
+        "sequence(trunc(cstart, 'month'), trunc(cend, 'month'), interval 1 month)")))
+    orders.withColumn("bin", trunc(col("d"), "month"))
+      .join(campBins.hint("shuffle_hash"), Seq("bin"))
+      .filter(col("d") >= col("cstart") && col("d") <= col("cend"))
+      .groupBy(col("m").as("campaign_month"))
+      .agg(count(lit(1)).as("n_orders"), Det.moneySum(col("o_totalprice")).as("sum_price"))
+      .orderBy("campaign_month")
+  }
+
   val queries: Map[String, Q] = Map(
     "time_tumbling" -> (timeTumbling _),
     "sessionize"    -> (sessionize _),
     "session_spans" -> (sessionSpans _),
-    "asof_join"     -> (asofJoin _))
+    "asof_join"     -> (asofJoin _),
+    "range_join_binned" -> (rangeJoinBinned _))
 
   val oracle: Map[String, String] = Map(
+    "range_join_binned" ->
+      s"""WITH camps AS (
+         |  SELECT m, m - 10 AS cstart, m + 24 AS cend FROM (
+         |    SELECT DISTINCT date_trunc('month', CAST(o_orderdate AS DATE)) AS m
+         |    FROM orders))
+         |SELECT m AS campaign_month, count(*) AS n_orders,
+         |  ${Det.sqlMoneySum("o_totalprice")} AS sum_price
+         |FROM orders JOIN camps
+         |  ON CAST(o_orderdate AS DATE) BETWEEN cstart AND cend
+         |GROUP BY m ORDER BY campaign_month""".stripMargin,
     "asof_join" ->
       """SELECT p.event_id, p.user_id, p.value AS purchase_value,
         |  coalesce(e.value, -1.0) AS last_error_value

@@ -33,6 +33,18 @@ class JoinWindowTimeSpec extends SparkSpec {
     assert(q("join_outer").count() === Tables.orders(spark, sf).count())
   }
 
+  test("range_join_binned: overlapping intervals, binned plan (no nested loop)") {
+    val df = q("range_join_binned")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoop") && !plan.contains("CartesianProduct"),
+      s"range join must stay a binned equi-join:\n$plan")
+    // the campaign windows overlap: memberships exceed the order count,
+    // so rows genuinely land in multiple intervals (a real range join,
+    // not a disguised partition-by)
+    val memberships = df.agg(sum("n_orders")).collect()(0).getLong(0)
+    assert(memberships > Tables.orders(spark, sf).count())
+  }
+
   test("window_rank: rn within [1,3] and unique per customer") {
     val df = q("window_rank")
     assert(df.filter(col("rn") < 1 || col("rn") > 3).count() === 0)
