@@ -105,7 +105,10 @@ object MultiModalOps {
       .groupBy("source")
       .agg(count(lit(1)).as("n_items"),
         sum(col("width")).cast("long").as("sum_width"),
-        round(avg(col("mean_byte")), 4).as("avg_mean_byte"))
+        // floor-scaled exact mean (the Det doctrine): round(avg(double))
+        // is merge-order dependent; integer sums are not
+        (sum(floor(col("mean_byte") * 1000000).cast("long")).cast("double")
+          / (count(lit(1)) * 1000000)).as("avg_mean_byte"))
       .orderBy("source")
   }
 

@@ -27,6 +27,39 @@ import org.apache.spark.sql.functions._
   * requested payload columns prefixed `a_` / `b_`.
   */
 object PairEnum {
+
+  /** All-pairs (no bucket key) blocked enumeration. The per-bucket
+    * variant's dense index comes from a per-bucket window — fine when
+    * buckets are many and small, but under a single constant bucket that
+    * window funnels the whole table through one task. Here the dense
+    * index is assigned TWO-PHASE instead (range-partition on `orderCol`,
+    * count per range, broadcast prefix offsets — the same decomposition
+    * as the global-rank operator), so no stage ever sees more than one
+    * range of the data, at any scale. Block geometry and output contract
+    * match [[blockedSelfJoinPairs]]. */
+  def blockedAllPairs(
+      df: DataFrame,
+      orderCol: String,
+      payload: Seq[String],
+      blockSize: Int = 512): DataFrame = {
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val ranged = df.repartitionByRange(parts, col(orderCol))
+      .withColumn("__pid", spark_partition_id())
+    val wLocal = Window.partitionBy("__pid").orderBy(col(orderCol))
+    val local = ranged.withColumn("__lrn", row_number().over(wLocal).cast("long"))
+    val wOff = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = local.groupBy("__pid").agg(count(lit(1)).as("__cnt"))
+      .withColumn("__off", coalesce(sum("__cnt").over(wOff), lit(0L)))
+      .withColumn("__m", sum("__cnt").over(
+        Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select("__pid", "__off", "__m")
+    val indexed = local.join(broadcast(offsets), "__pid")
+      .withColumn("__r", col("__lrn") + col("__off") - 1)
+      .withColumn("__nb", ceil(col("__m") / lit(blockSize)).cast("int"))
+      .withColumn("__g", (col("__r") / lit(blockSize)).cast("int"))
+    joinBlocks(indexed, Seq.empty, orderCol, payload)
+  }
+
   def blockedSelfJoinPairs(
       df: DataFrame,
       bucketCols: Seq[String],
@@ -40,6 +73,17 @@ object PairEnum {
         Window.partitionBy(bucketCols.map(col): _*)))
       .withColumn("__nb", ceil(col("__m") / lit(blockSize)).cast("int"))
       .withColumn("__g", (col("__r") / lit(blockSize)).cast("int"))
+    joinBlocks(indexed, bucketCols, orderCol, payload)
+  }
+
+  /** Shared block-join tail: rows carry (__g, __nb) block coordinates;
+    * emit each row into every block-pair it participates in and equi-join
+    * on (bucket?, blockA, blockB). */
+  private def joinBlocks(
+      indexed: DataFrame,
+      bucketCols: Seq[String],
+      orderCol: String,
+      payload: Seq[String]): DataFrame = {
     val lower = indexed
       .withColumn("__gb", explode(expr("sequence(__g, __nb - 1)")))
       .withColumnRenamed("__g", "__ga")

@@ -46,18 +46,18 @@ object SimOps {
     * ground-truth oracle for them.
     *
     * The all-pairs space is enumerated through
-    * [[PairEnum.blockedSelfJoinPairs]] under a single constant bucket:
-    * the O(n²) pair matrix decomposes into ⌈n/B⌉·(⌈n/B⌉+1)/2 independent
-    * B×B join cells spread by a shuffle — per-task work is bounded by B²
-    * and nothing is broadcast (the previous formulation was a
-    * BroadcastNestedLoopJoin that shipped the whole table to every task).
-    * The top-20 is a TakeOrdered over the cell outputs, never a global
+    * [[PairEnum.blockedAllPairs]]: the O(n²) pair matrix decomposes into
+    * ⌈n/B⌉·(⌈n/B⌉+1)/2 independent B×B join cells spread by a shuffle —
+    * per-task work is bounded by B² and nothing is broadcast (the
+    * previous formulation was a BroadcastNestedLoopJoin that shipped the
+    * whole table to every task), and the dense block index is assigned
+    * two-phase so no stage funnels the table through one task. The
+    * top-20 is a TakeOrdered over the cell outputs, never a global
     * sort. */
   def embedTopPairs(spark: SparkSession, sfDir: String): DataFrame = {
     val v = withNorm(Tables.embeddings(spark, sfDir))
       .select("vec_id", "embedding", "nrm")
-      .withColumn("__blk", lit(0))
-    PairEnum.blockedSelfJoinPairs(v, Seq("__blk"), "vec_id", Seq("embedding", "nrm"))
+    PairEnum.blockedAllPairs(v, "vec_id", Seq("embedding", "nrm"))
       .select(col("a_vec_id").as("vec_a"), col("b_vec_id").as("vec_b"),
         (dot(col("a_embedding"), col("b_embedding")) /
           sqrt(col("a_nrm") * col("b_nrm"))).as("cos"))
@@ -217,7 +217,9 @@ object SimOps {
           col("nrm") + col("cn") - lit(2.0) * dot(col("embedding"), col("ce")))
         .groupBy("vec_id")
         .agg(min(struct(col("dist2"), col("cent_id"))).as("m"),
-          first(col("embedding")).as("e"))
+          // per-vec_id the embedding is constant; min() is just the
+          // deterministic (merge-order-free) way to carry it through
+          min(col("embedding")).as("e"))
         .select(col("m.cent_id").as("cell"), col("e"))
       val next = assigned
         .select(col("cell"), posexplode(col("e")))

@@ -42,6 +42,37 @@ class PairEnumSpec extends SparkSpec {
       "the bucket's pair matrix must decompose into exactly ⌈m/B⌉·(⌈m/B⌉+1)/2 cells")
   }
 
+  test("blockedAllPairs equals the constant-bucket enumeration, no global data window") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    val df = (0 until 300).map(i => (i.toLong, s"p$i")).toDF("id", "p")
+    val viaBucket = PairEnum
+      .blockedSelfJoinPairs(df.withColumn("__bk", lit(0)), Seq("__bk"), "id", Seq("p"), 64)
+      .select("a_id", "b_id", "a_p", "b_p")
+    val allPairs = PairEnum.blockedAllPairs(df, "id", Seq("p"), 64)
+      .select("a_id", "b_id", "a_p", "b_p")
+    assert(allPairs.count() === 300L * 299 / 2)
+    assert(allPairs.except(viaBucket).count() === 0)
+    assert(viaBucket.except(allPairs).count() === 0)
+    // two-phase indexing: any empty-partition window sits above the
+    // per-range aggregate, never over row data
+    val adaptiveWas = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = PairEnum.blockedAllPairs(df, "id", Seq("p"), 64).queryExecution.executedPlan
+      val globalWindows = plan.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
+      globalWindows.foreach { w =>
+        val overAggregate = w.collectFirst {
+          case a: BaseAggregateExec => a
+          case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+            if r.child.collectFirst { case a: BaseAggregateExec => a }.isDefined => r
+        }.isDefined
+        assert(overAggregate, s"global window over raw data:\n$w")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", adaptiveWas)
+  }
+
   test("blocked enumeration carries payload columns") {
     import spark.implicits._
     val df = Seq((1L, "b", "x"), (2L, "b", "y"), (3L, "b", "z")).toDF("id", "bucket", "p")
