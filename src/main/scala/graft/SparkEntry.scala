@@ -19,7 +19,7 @@ object SparkEntry {
     CoreOps.queries ++ JoinOps.queries ++ WindowOps.queries ++
       TimeOps.queries ++ SemiOps.queries ++ TextOps.queries ++
       DedupOps.queries ++ SimOps.queries ++ MultiModalOps.queries ++
-      PipeOps.queries ++ Udx.queries ++ FileOps.queries
+      PipeOps.queries ++ Udx.queries ++ FileOps.queries ++ CurateOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -27,5 +27,5 @@ object SparkEntry {
     CoreOps.oracle ++ JoinOps.oracle ++ WindowOps.oracle ++
       TimeOps.oracle ++ SemiOps.oracle ++ TextOps.oracle ++
       DedupOps.oracle ++ SimOps.oracle ++ MultiModalOps.oracle ++
-      PipeOps.oracle ++ Udx.oracle ++ FileOps.oracle
+      PipeOps.oracle ++ Udx.oracle ++ FileOps.oracle ++ CurateOps.oracle
 }

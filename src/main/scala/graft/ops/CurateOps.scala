@@ -1,0 +1,152 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data curation pipeline (north-star): the composed passes a
+  * 100 TB corpus goes through before training — quality/language gating,
+  * exact dedup, benchmark decontamination, reproducible splits and
+  * stratified sampling. Everything here is deterministic BY CONTENT
+  * (md5-derived decisions), which is how production pipelines stay
+  * reproducible across reruns and cluster sizes — and it makes every
+  * query fully DuckDB-oracle-checkable, including the sampling ones.
+  *
+  * All passes are scans + one keyed exchange each: gates are row-local
+  * predicates (pushed into the scan), dedup/decontamination key on
+  * content digests (16-byte shuffle keys, bodies never shuffle twice),
+  * splits/sampling are stateless hash decisions.
+  */
+object CurateOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def toks: Column = split(col("text"), " ")
+  private val enStopwords =
+    Seq("the", "a", "of", "and", "to", "in", "is", "it", "on", "for")
+
+  /** The composed curation pipeline: length gate (≥20 tokens), language
+    * gate (stopword ratio > 0.05), quality gate (distinct-token ratio
+    * > 0.3), exact dedup keeping the lowest doc_id per content digest,
+    * then per-source survivor stats. The keep-first dedup is the
+    * row_number idiom — with [[graft.plans.GraftExtensions]] live it
+    * plans as the TopKPerKey heap operator, not a window sort. */
+  def curationPipeline(spark: SparkSession, sfDir: String): DataFrame = {
+    val stops = array(enStopwords.map(lit): _*)
+    val gated = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), col("text"))
+      .withColumn("n_tokens", size(toks).cast("long"))
+      .withColumn("stop_ratio",
+        size(filter(toks, t => array_contains(stops, t))).cast("double") / col("n_tokens"))
+      .withColumn("distinct_ratio",
+        size(array_distinct(toks)).cast("double") / col("n_tokens"))
+      .filter(col("n_tokens") >= 20 &&
+        col("stop_ratio") > 0.05 && col("distinct_ratio") > 0.3)
+      .withColumn("digest", md5(col("text")))
+    val w = Window.partitionBy("digest").orderBy(col("doc_id").asc)
+    gated.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 1)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").cast("long").as("total_tokens"))
+      .orderBy("source")
+  }
+
+  /** Reproducible train/validation split: the decision is a pure function
+    * of the content hash (first hex byte of md5 < 0x1a ⇒ validation,
+    * ≈10.2%), so membership is stable across reruns, repartitions and
+    * engines — the property random splits lack. */
+  def trainValSplit(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("source"),
+        (substring(md5(col("text")), 1, 2) < "1a").as("is_val"))
+      .groupBy("source")
+      .agg(count(when(!col("is_val"), 1)).as("n_train"),
+        count(when(col("is_val"), 1)).as("n_val"))
+      .orderBy("source")
+
+  /** Benchmark decontamination: drop corpus documents whose
+    * order-insensitive token fingerprint collides with the eval set
+    * (stand-in: every 97th document) — a cross-corpus exact-content
+    * anti-join on a 16-byte signature, the first pass of every
+    * contamination audit. */
+  def decontaminate(spark: SparkSession, sfDir: String): DataFrame = {
+    def fp(df: DataFrame): DataFrame =
+      df.withColumn("fingerprint",
+        md5(concat_ws(" ", array_sort(array_distinct(toks)))))
+    val corpus = fp(Tables.documents(spark, sfDir).select(col("doc_id"), col("source"), col("text")))
+    val eval_ = fp(Tables.documents(spark, sfDir).filter(col("doc_id") % 97 === 0)
+      .select(col("text")))
+      .select("fingerprint")
+    corpus.join(eval_, Seq("fingerprint"), "left_anti")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_clean"))
+      .orderBy("source")
+  }
+
+  /** Deterministic stratified sampling: per-language keep rates (en 25%,
+    * everything else 50%) decided by a content-hash byte — the
+    * reproducible form of `sampleBy` used when a sampled corpus must be
+    * identical on every rerun at any parallelism. */
+  def stratifiedSample(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("lang"),
+        substring(md5(col("text")), 3, 2).as("h"))
+      .filter(when(col("lang") === "en", col("h") < "40").otherwise(col("h") < "80"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_sampled"))
+      .orderBy("lang")
+
+  val queries: Map[String, Q] = Map(
+    "curation_pipeline" -> (curationPipeline _),
+    "train_val_split"   -> (trainValSplit _),
+    "decontaminate"     -> (decontaminate _),
+    "stratified_sample" -> (stratifiedSample _))
+
+  private val stopList = enStopwords.map(s => s"'$s'").mkString(", ")
+
+  val oracle: Map[String, String] = Map(
+    "curation_pipeline" ->
+      s"""WITH gated AS (
+         |  SELECT doc_id, source, md5(text) AS digest,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         |  FROM documents
+         |  WHERE len(string_split(text, ' ')) >= 20
+         |    AND CAST(len(list_filter(string_split(text, ' '),
+         |          t -> t IN ($stopList))) AS DOUBLE)
+         |        / len(string_split(text, ' ')) > 0.05
+         |    AND CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+         |        / len(string_split(text, ' ')) > 0.3),
+         |kept AS (
+         |  SELECT source, n_tokens FROM (
+         |    SELECT source, n_tokens,
+         |      row_number() OVER (PARTITION BY digest ORDER BY doc_id ASC) AS rn
+         |    FROM gated) t
+         |  WHERE rn = 1)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+         |FROM kept GROUP BY source ORDER BY source""".stripMargin,
+    "train_val_split" ->
+      """SELECT source,
+        |  count(*) FILTER (WHERE NOT substr(md5(text), 1, 2) < '1a') AS n_train,
+        |  count(*) FILTER (WHERE substr(md5(text), 1, 2) < '1a') AS n_val
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "decontaminate" ->
+      """WITH fp AS (
+        |  SELECT doc_id, source,
+        |    md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+        |      AS fingerprint
+        |  FROM documents),
+        |ev AS (
+        |  SELECT DISTINCT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+        |    AS fingerprint
+        |  FROM documents WHERE doc_id % 97 = 0)
+        |SELECT source, count(*) AS n_clean
+        |FROM fp WHERE NOT EXISTS (SELECT 1 FROM ev WHERE ev.fingerprint = fp.fingerprint)
+        |GROUP BY source ORDER BY source""".stripMargin,
+    "stratified_sample" ->
+      """SELECT lang, count(*) AS n_sampled
+        |FROM documents
+        |WHERE CASE WHEN lang = 'en' THEN substr(md5(text), 3, 2) < '40'
+        |           ELSE substr(md5(text), 3, 2) < '80' END
+        |GROUP BY lang ORDER BY lang""".stripMargin)
+}
