@@ -90,9 +90,32 @@ object FileOps {
       .orderBy("shard")
   }
 
+  /** CSV sink + source round-trip (O4/O15 source-format breadth): orders
+    * egress to partitioned CSV (executor-parallel, idempotent behind the
+    * sink's own _SUCCESS marker), then re-ingest with an EXPLICIT schema —
+    * never inference, which would re-read the data — and aggregate. The
+    * oracle recomputes from the parquet table, so the round-trip proves
+    * both directions (write fidelity and typed parse). */
+  def csvRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_csv_${math.abs(sfDir.hashCode.toLong)}"
+    if (!new File(dir, "_SUCCESS").exists()) {
+      Tables.orders(spark, sfDir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"), col("o_totalprice"))
+        .write.mode("overwrite").option("header", "true").csv(dir)
+    }
+    spark.read
+      .schema("o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE")
+      .option("header", "true")
+      .csv(dir)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"), graft.Det.moneySum(col("o_totalprice")).as("sum_price"))
+      .orderBy("o_orderstatus")
+  }
+
   val queries: Map[String, Q] = Map(
     "file_ingest"      -> (fileIngest _),
-    "file_shard_stats" -> (fileShardStats _))
+    "file_shard_stats" -> (fileShardStats _),
+    "csv_roundtrip"    -> (csvRoundtrip _))
 
   val oracle: Map[String, String] = Map(
     "file_ingest" ->
@@ -102,5 +125,9 @@ object FileOps {
     "file_shard_stats" ->
       """SELECT doc_id % 10 AS shard, count(*) AS n_files,
         |  CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes
-        |FROM documents GROUP BY 1 ORDER BY shard""".stripMargin)
+        |FROM documents GROUP BY 1 ORDER BY shard""".stripMargin,
+    "csv_roundtrip" ->
+      s"""SELECT o_orderstatus, count(*) AS n_orders,
+         |  ${graft.Det.sqlMoneySum("o_totalprice")} AS sum_price
+         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
 }
