@@ -133,7 +133,29 @@ object TextOps {
         md5(concat_ws(" ", array_sort(array_distinct(tokens)))).as("fingerprint"))
       .orderBy("doc_id")
 
+  /** North-star rolling-shingle fingerprint (winnowing/MOSS family): the
+    * document's 3-token shingles are hashed and the bottom-4 hashes form
+    * the sketch — a fixed-size, order-sensitive signature whose collision
+    * rate estimates content overlap (the sketch two near-dup docs share
+    * ~min-wise). Pure narrow map: shingling, hashing and the bottom-k
+    * selection all happen array-side inside one row. md5 makes the sketch
+    * engine-portable, so even this sketch is fully oracle-checked. */
+  def docShingleSketch(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .filter(size(tokens) >= 3)
+      .select(col("doc_id"),
+        slice(array_sort(expr(
+          """transform(sequence(1, size(split(text, ' ')) - 2),
+            |  i -> md5(concat_ws(' ',
+            |    element_at(split(text, ' '), i),
+            |    element_at(split(text, ' '), i + 1),
+            |    element_at(split(text, ' '), i + 2))))""".stripMargin)), 1, 4).as("sketch"))
+      .select(col("doc_id"), posexplode(col("sketch")).as(Seq("pos", "shingle_hash")))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("rank"), col("shingle_hash"))
+      .orderBy("doc_id", "rank")
+
   val queries: Map[String, Q] = Map(
+    "doc_shingle_sketch" -> (docShingleSketch _),
     "grep_text"         -> (grepText _),
     "tokenize"          -> (tokenize _),
     "word_count"        -> (wordCount _),
@@ -147,6 +169,17 @@ object TextOps {
   private val stopList = enStopwords.map(s => s"'$s'").mkString(", ")
 
   val oracle: Map[String, String] = Map(
+    "doc_shingle_sketch" ->
+      """WITH sk AS (
+        |  SELECT doc_id,
+        |    list_sort(list_transform(range(1, len(string_split(text, ' ')) - 1),
+        |      i -> md5(string_split(text, ' ')[i] || ' ' ||
+        |                string_split(text, ' ')[i + 1] || ' ' ||
+        |                string_split(text, ' ')[i + 2])))[1:4] AS sketch
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 3)
+        |SELECT doc_id, CAST(t.i AS BIGINT) AS rank, sketch[t.i] AS shingle_hash
+        |FROM sk, unnest(range(1, len(sketch) + 1)) AS t(i)
+        |ORDER BY doc_id, rank""".stripMargin,
     "grep_text" ->
       """SELECT doc_id, source, n_chars FROM documents
         |WHERE text LIKE '%spark%'
