@@ -143,13 +143,20 @@ object TextOps {
   def docShingleSketch(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
       .filter(size(tokens) >= 3)
+      // Shingling via three shifted slices + zip_with, NOT element_at
+      // inside a transform lambda: the optimizer inlines the token-array
+      // column into lambda bodies, so per-element references re-split the
+      // document per shingle — O(tokens²) per doc, measured 9.4s at
+      // sf0.1. Slices evaluate their input once per ROW; this form runs
+      // the split a constant number of times per document.
+      .select(col("doc_id"), tokens.as("t"), (size(tokens) - 2).as("m"))
       .select(col("doc_id"),
-        slice(array_sort(expr(
-          """transform(sequence(1, size(split(text, ' ')) - 2),
-            |  i -> md5(concat_ws(' ',
-            |    element_at(split(text, ' '), i),
-            |    element_at(split(text, ' '), i + 1),
-            |    element_at(split(text, ' '), i + 2))))""".stripMargin)), 1, 4).as("sketch"))
+        slice(array_sort(
+          zip_with(
+            zip_with(slice(col("t"), lit(1), col("m")), slice(col("t"), lit(2), col("m")),
+              (x, y) => concat_ws(" ", x, y)),
+            slice(col("t"), lit(3), col("m")),
+            (xy, z) => md5(concat_ws(" ", xy, z)))), 1, 4).as("sketch"))
       .select(col("doc_id"), posexplode(col("sketch")).as(Seq("pos", "shingle_hash")))
       .select(col("doc_id"), (col("pos") + 1).cast("long").as("rank"), col("shingle_hash"))
       .orderBy("doc_id", "rank")

@@ -11,6 +11,13 @@ class CurateSpec extends SparkSpec {
     assert(kept > 0 && kept <= total)
   }
 
+  test("curation dedup plans through the TopKPerKey rewrite (extensions live)") {
+    val plan = q("curation_pipeline").queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey"),
+      s"keep-first dedup should be rewritten to the heap operator:\n$plan")
+    assert(!plan.contains("Window ["), s"no window sort expected:\n$plan")
+  }
+
   test("train/val split partitions every source exactly") {
     val df = q("train_val_split")
     val sums = df.agg(sum(col("n_train") + col("n_val"))).collect()(0).getLong(0)
