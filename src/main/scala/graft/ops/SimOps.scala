@@ -248,7 +248,7 @@ object SimOps {
     * truth in the spec. */
   def annIvfKmeans(spark: SparkSession, sfDir: String): DataFrame = {
     val v = withNorm(Tables.embeddings(spark, sfDir))
-    val cents = kmeansFit(v, iters = 3)
+    val cents = kmeansFit(v, iters = 2)
       .select(col("cent_id"), col("ce"))
       .withColumn("cn", dot(col("ce"), col("ce")))
     val wAssign = Window.partitionBy("vec_id")
