@@ -66,6 +66,52 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("PairEnum property: random skewed buckets, blocked == plain self-join") {
+    import graft.ops.PairEnum
+    val bucketGen = Gen.frequency(
+      (6, Gen.const("hot")),
+      (3, Gen.oneOf("b1", "b2", "b3")),
+      (1, Gen.chooseNum(0, 50).map("u" + _)))
+    samples(Gen.listOfN(120, bucketGen), n = 3).foreach { bs =>
+      import spark.implicits._
+      val df = bs.zipWithIndex.map { case (b, i) => (i.toLong, b) }.toDF("id", "bucket")
+      val plain = df.as("x").join(df.as("y"),
+          col("x.bucket") === col("y.bucket") && col("x.id") < col("y.id"))
+        .select(col("x.id").as("a_id"), col("y.id").as("b_id"))
+      val blocked = PairEnum
+        .blockedSelfJoinPairs(df, Seq("bucket"), "id", Seq.empty, blockSize = 16)
+        .select("a_id", "b_id")
+      assert(blocked.count() === plain.count())
+      assert(blocked.except(plain).count() === 0)
+      assert(plain.except(blocked).count() === 0)
+    }
+  }
+
+  test("TopKPerKey property: random data and k, heap and spill paths equal reference") {
+    val gen = for {
+      n <- Gen.chooseNum(1, 200)
+      ks <- Gen.listOfN(n, Gen.chooseNum(0, 8))
+      vs <- Gen.listOfN(n, Gen.chooseNum(-100, 100))
+      k <- Gen.chooseNum(1, 4)
+      cap <- Gen.oneOf(2, 1 << 16) // 2 forces the sort-fallback, 1<<16 the heap path
+    } yield (ks.zip(vs).zipWithIndex.map { case ((key, v), i) =>
+      (key.toLong, v.toDouble, i.toLong) }, k, cap)
+    samples(gen, n = 6).foreach { case (rows, k, cap) =>
+      import spark.implicits._
+      val df = rows.toDF("key", "value", "uid")
+      val got = graft.plans.TopKPerKey
+        .topKPerKey(df, Seq("key"), "value", descending = true,
+          tiebreakers = Seq("uid"), k = k, maxKeysInMemory = cap)
+        .select("key", "rn", "uid").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      val expect = rows.groupBy(_._1).flatMap { case (key, rs) =>
+        rs.sortBy(r => (-r._2, r._3)).take(k).zipWithIndex
+          .map { case (r, i) => (key, i + 1, r._3) }
+      }.toSet
+      assert(got === expect, s"k=$k cap=$cap")
+    }
+  }
+
   test("semi + anti joins partition the left side") {
     val pairs = for {
       ls <- Gen.listOfN(20, Gen.chooseNum(0, 5))
