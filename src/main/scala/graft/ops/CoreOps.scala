@@ -3,6 +3,7 @@ package graft.ops
 import graft.{Det, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 /** Core relational surface (SURVEY.md §2b Q1, Q2, Q3, Q6–Q12, Q17, Q19,
   * Q20, Q23): the MapReduce-expressible query class the reference's opaque
@@ -174,6 +175,35 @@ object CoreOps {
       expr("approx_percentile(l_extendedprice, 0.9, 10000)").as("p90"),
       expr("approx_percentile(l_extendedprice, 0.99, 10000)").as("p99"))
 
+  /** Q6/Q7 second-moment statistics (variance / covariance / correlation)
+    * per group — computed from EXACT decimal power sums (Σx, Σy, Σxy, Σx²,
+    * Σy², n) rather than the built-in one-pass co-moment aggregates: the
+    * built-ins merge partial co-moments in floating point, so their last
+    * bits depend on partition merge order; exact integer-decimal moments
+    * make the derived statistics bit-deterministic at any parallelism and
+    * let DuckDB mirror the arithmetic exactly. Same single map-side
+    * combined aggregation — the moments are just wider partials. */
+  def statsMoments(spark: SparkSession, sfDir: String): DataFrame = {
+    // precisions chosen so every moment sum's unscaled value stays below
+    // 2^53 at fixture scales: the decimal→double conversion is then a
+    // single exact-int read + one division rounding, identical on both
+    // engines (a price² sum would exceed that and risk cross-engine
+    // double-rounding, which is why corr is not derived here)
+    val x = col("l_quantity").cast(DecimalType(12, 2))
+    val y = col("l_extendedprice").cast(DecimalType(14, 2))
+    Tables.lineitem(spark, sfDir)
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(x * y).as("sxy"), sum(x).as("sx"), sum(y).as("sy"), sum(x * x).as("sxx"))
+      .select(col("l_returnflag"), col("n"),
+        ((col("sxy").cast(DoubleType) - col("sx").cast(DoubleType) * col("sy").cast(DoubleType) / col("n"))
+          / (col("n") - 1)).as("covar_qty_price"),
+        sqrt((col("sxx").cast(DoubleType) - col("sx").cast(DoubleType) * col("sx").cast(DoubleType) / col("n"))
+          / (col("n") - 1)).as("stddev_qty"))
+      .orderBy("l_returnflag")
+  }
+
   /** Q20 scalar string/date/math functions — all codegen'd builtins, no
     * UDF boundary in the hot path. Int-ish results cast to BIGINT to match
     * DuckDB's wider return types. */
@@ -299,6 +329,7 @@ object CoreOps {
     "grouping_sets_agg" -> (groupingSetsAgg _),
     "quantiles"       -> (quantiles _),
     "quantiles_approx" -> (quantilesApprox _),
+    "stats_moments"   -> (statsMoments _),
     "scalar_funcs"    -> (scalarFuncs _),
     "date_funcs"      -> (dateFuncs _),
     "string_funcs"    -> (stringFuncs _),
@@ -369,6 +400,34 @@ object CoreOps {
          |  count(*) AS n_cust, ${sqlMoneySum("c_acctbal")} AS sum_bal
          |FROM customer GROUP BY CUBE(c_mktsegment, c_nationkey)
          |ORDER BY segment, nationkey""".stripMargin,
+    "stats_moments" ->
+      """WITH m AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |    sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(14,2))) AS sxy,
+        |    sum(CAST(l_quantity AS DECIMAL(12,2))) AS sx,
+        |    sum(CAST(l_extendedprice AS DECIMAL(14,2))) AS sy,
+        |    sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS sxx
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |  (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n) / (n - 1)
+        |    AS covar_qty_price,
+        |  sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) / (n - 1))
+        |    AS stddev_qty
+        |FROM m ORDER BY l_returnflag""".stripMargin,
+    "stats_moments" ->
+      """WITH m AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |    sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(14,2))) AS sxy,
+        |    sum(CAST(l_quantity AS DECIMAL(12,2))) AS sx,
+        |    sum(CAST(l_extendedprice AS DECIMAL(14,2))) AS sy,
+        |    sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS sxx
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |  (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n) / (n - 1)
+        |    AS covar_qty_price,
+        |  sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) / (n - 1))
+        |    AS stddev_qty
+        |FROM m ORDER BY l_returnflag""".stripMargin,
     "grouping_sets_agg" ->
       s"""SELECT coalesce(c_mktsegment, '(all)') AS segment,
          |  CAST(coalesce(c_nationkey, -1) AS BIGINT) AS nationkey,
