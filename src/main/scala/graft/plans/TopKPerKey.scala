@@ -4,7 +4,7 @@ import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream, Data
 
 import org.apache.spark.TaskContext
 import org.apache.spark.rdd.RDD
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeReference, Descending, Expression, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
@@ -113,8 +113,8 @@ private[plans] final class ExternalRowSorter(
     val ins = (chunks.map(runIterator).toSeq :+ arr.iterator).map(_.buffered).filter(_.hasNext)
     if (ins.sizeIs <= 1) ins.headOption.getOrElse(Iterator.empty)
     else {
-      val pq = mutable.PriorityQueue.empty[BufferedIterator[UnsafeRow]](
-        Ordering.by[BufferedIterator[UnsafeRow], UnsafeRow](_.head)(ord.reverse))
+      val pq = mutable.PriorityQueue.empty[collection.BufferedIterator[UnsafeRow]](
+        Ordering.by[collection.BufferedIterator[UnsafeRow], UnsafeRow](_.head)(ord.reverse))
       ins.foreach(pq.enqueue(_))
       new Iterator[UnsafeRow] {
         override def hasNext: Boolean = pq.nonEmpty
