@@ -164,6 +164,11 @@ class SimUdxSpec extends SparkSpec {
     assert(big.map(_.frame_len) === Seq(256L, 256L, 256L))
   }
 
+  test("external-command failure propagates to the action (O13: stricter than warn-and-continue)") {
+    val rdd = spark.sparkContext.parallelize(Seq("x"), 1).pipe(Seq("false"))
+    intercept[org.apache.spark.SparkException] { rdd.collect() }
+  }
+
   test("pipe_cat_count equals document count") {
     val n = q("pipe_cat_count").collect()(0).getAs[Long]("n_lines")
     assert(n === Tables.documents(spark, sf).count())
