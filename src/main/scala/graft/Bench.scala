@@ -18,7 +18,8 @@ object Bench {
     // happens to touch it first. Idempotent (marker file) — a warm temp
     // dir makes this a no-op.
     ops.FileOps.materializeDocFiles(spark, sfDir)
-    ops.FileOps.csvRoundtrip(spark, sfDir) // eager CSV egress is fixture prep too
+    ops.FileOps.csvRoundtrip(spark, sfDir)  // eager CSV egress is fixture prep too
+    ops.FileOps.jsonRoundtrip(spark, sfDir) // ... and the JSON twin
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -19,7 +19,8 @@ object SparkEntry {
     CoreOps.queries ++ JoinOps.queries ++ WindowOps.queries ++
       TimeOps.queries ++ SemiOps.queries ++ TextOps.queries ++
       DedupOps.queries ++ SimOps.queries ++ MultiModalOps.queries ++
-      PipeOps.queries ++ Udx.queries ++ FileOps.queries ++ CurateOps.queries
+      PipeOps.queries ++ Udx.queries ++ FileOps.queries ++ CurateOps.queries ++
+      QualityOps.queries ++ MartOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -27,5 +28,6 @@ object SparkEntry {
     CoreOps.oracle ++ JoinOps.oracle ++ WindowOps.oracle ++
       TimeOps.oracle ++ SemiOps.oracle ++ TextOps.oracle ++
       DedupOps.oracle ++ SimOps.oracle ++ MultiModalOps.oracle ++
-      PipeOps.oracle ++ Udx.oracle ++ FileOps.oracle ++ CurateOps.oracle
+      PipeOps.oracle ++ Udx.oracle ++ FileOps.oracle ++ CurateOps.oracle ++
+      QualityOps.oracle ++ MartOps.oracle
 }

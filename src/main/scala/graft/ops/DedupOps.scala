@@ -241,10 +241,20 @@ object DedupOps {
     * Algorithm: iterative min-label propagation as pure DataFrame ops —
     * label(v) ← min(label(v), min over neighbors' labels) until fixpoint.
     * Each iteration is one equi-join + one map-side-combinable min
-    * aggregate; the label table (docs × 2 longs) is persisted per
-    * generation (lineage otherwise replays all prior iterations) and the
-    * loop's only driver-side value is Σlabels, which strictly decreases
-    * until convergence — the check is one long per iteration, no collect.
+    * aggregate; the loop's only driver-side value is Σlabels, which
+    * strictly decreases until convergence — one long per iteration, no
+    * collect.
+    *
+    * Each generation is truncated with an EAGER `localCheckpoint`. This
+    * is load-bearing, not hygiene: `labels` feeds the next generation
+    * twice (directly and inside the neighbor aggregate), so without
+    * truncation the logical plan DOUBLES per round — by round 6 Catalyst
+    * re-analyzes 2⁶ inlined copies of the whole edge-pipeline subtree and
+    * the driver, not the executors, becomes the bottleneck (measured 60 s
+    * of driver CPU at sf0.1 vs ~4 s checkpointed). The edge list is
+    * checkpointed once for the same reason (its two union branches would
+    * otherwise each re-execute the similarity join). On a cluster,
+    * substitute reliable `checkpoint` to also bound failure recovery.
     *
     * Scale: iterations = component diameter. Near-dup clusters at J ≥ 0.9
     * are near-cliques (diameter ≤ ~3), so the loop converges in a handful
@@ -253,12 +263,13 @@ object DedupOps {
     * converges in O(log n) rounds over the same join-aggregate primitives.
     */
   def dedupClusters(spark: SparkSession, sfDir: String): DataFrame = {
-    val pairs = ngramJaccard(spark, sfDir).select(col("doc_a"), col("doc_b"))
+    val pairs = ngramJaccard(spark, sfDir)
+      .select(col("doc_a"), col("doc_b")).localCheckpoint()
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .persist()
     var labels = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), col("doc_id").as("label")).persist()
+      .select(col("doc_id"), col("doc_id").as("label")).localCheckpoint()
     var prevSum = labels.agg(sum("label")).head().getLong(0)
     var converged = false
     var iter = 0
@@ -269,9 +280,8 @@ object DedupOps {
       val next = labels.join(nbrMin, col("doc_id") === col("dst"), "left_outer")
         .select(col("doc_id"),
           least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
-        .persist()
+        .localCheckpoint() // eager: executes the round AND truncates lineage
       val s = next.agg(sum("label")).head().getLong(0)
-      labels.unpersist()
       labels = next
       converged = s == prevSum
       prevSum = s

@@ -112,10 +112,33 @@ object FileOps {
       .orderBy("o_orderstatus")
   }
 
+  /** JSON-lines sink + source round-trip (the second text source format):
+    * `part` egress to newline-delimited JSON, re-ingest with an explicit
+    * schema (inference would re-read the data AND widen types), aggregate
+    * by brand. Oracle recomputes from the parquet table — both directions
+    * (serialization fidelity, typed parse) sit under the hash gate. */
+  def jsonRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_json_${math.abs(sfDir.hashCode.toLong)}"
+    if (!new File(dir, "_SUCCESS").exists()) {
+      Tables.part(spark, sfDir)
+        .select(col("p_partkey"), col("p_brand"), col("p_size"), col("p_retailprice"))
+        .write.mode("overwrite").json(dir)
+    }
+    spark.read
+      .schema("p_partkey BIGINT, p_brand STRING, p_size BIGINT, p_retailprice DOUBLE")
+      .json(dir)
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_parts"),
+        sum("p_size").cast("long").as("total_size"),
+        graft.Det.moneySum(col("p_retailprice")).as("sum_price"))
+      .orderBy("p_brand")
+  }
+
   val queries: Map[String, Q] = Map(
     "file_ingest"      -> (fileIngest _),
     "file_shard_stats" -> (fileShardStats _),
-    "csv_roundtrip"    -> (csvRoundtrip _))
+    "csv_roundtrip"    -> (csvRoundtrip _),
+    "json_roundtrip"   -> (jsonRoundtrip _))
 
   val oracle: Map[String, String] = Map(
     "file_ingest" ->
@@ -129,5 +152,10 @@ object FileOps {
     "csv_roundtrip" ->
       s"""SELECT o_orderstatus, count(*) AS n_orders,
          |  ${graft.Det.sqlMoneySum("o_totalprice")} AS sum_price
-         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "json_roundtrip" ->
+      s"""SELECT p_brand, count(*) AS n_parts,
+         |  CAST(sum(p_size) AS BIGINT) AS total_size,
+         |  ${graft.Det.sqlMoneySum("p_retailprice")} AS sum_price
+         |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin)
 }

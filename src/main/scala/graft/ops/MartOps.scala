@@ -1,0 +1,89 @@
+package graft.ops
+
+import graft.{Det, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Composed analytics-mart pipelines — the flagship multi-join shapes a
+  * warehouse user of the reference would run daily (SURVEY.md §2b
+  * Q13/Q14 composed end-to-end; the TPC-H Q4/Q5 families restated over
+  * the fixture tables).
+  *
+  * These exist to prove the JOIN TOPOLOGY at scale, not new operators:
+  *   - dimension chain (region ⋈ nation) is broadcast — never shuffled;
+  *   - customer enriched with its nation is still dimension-sized
+  *     (broadcast again), so the orders-side pipeline reaches the big
+  *     fact join with zero wide stages;
+  *   - the single unavoidable shuffle is the fact-fact equi-join on
+  *     orderkey; the final group-by is dimension-cardinality and cheap.
+  * At 100 TB the same plan holds: dims stay broadcastable, lineitem ⋈
+  * orders shuffles once on the join key, and AQE handles orderkey skew.
+  *
+  * Money aggregates follow the exact-decimal rule ([[graft.Det]]): the
+  * extendedprice·(1−discount) product has exactly 4 decimal digits, so
+  * the DECIMAL(18,4) sum is lossless and merge-order independent.
+  */
+object MartOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Revenue per (region, nation): lineitem ⋈ orders ⋈ customer ⋈
+    * nation ⋈ region with revenue = Σ extprice·(1−discount). */
+  def revenueByNation(spark: SparkSession, sfDir: String): DataFrame = {
+    val natReg = Tables.nation(spark, sfDir)
+      .join(broadcast(Tables.region(spark, sfDir)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"), col("r_name"))
+    val custNat = Tables.customer(spark, sfDir)
+      .join(broadcast(natReg), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name"), col("r_name"))
+    val ordNat = Tables.orders(spark, sfDir)
+      .join(broadcast(custNat), col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("n_name"), col("r_name"))
+    Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      .join(ordNat, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(Det.moneySum4(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("revenue").desc, col("n_name").asc)
+  }
+
+  /** Late-shipment priority census (TPC-H Q4 family): orders with at
+    * least one line shipped after the order date, counted per priority —
+    * a fact-fact LEFT SEMI join (the EXISTS shape) followed by a tiny
+    * aggregate. The semi join ships only orderkey+dates, never widens
+    * rows, and dedups order-side matches inside the join. */
+  def lateShipPriority(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .join(Tables.lineitem(spark, sfDir),
+        col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > col("o_orderdate"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_late_orders"))
+      .orderBy("o_orderpriority")
+
+  val queries: Map[String, Q] = Map(
+    "revenue_by_nation"  -> (revenueByNation _),
+    "late_ship_priority" -> (lateShipPriority _))
+
+  val oracle: Map[String, String] = Map(
+    "revenue_by_nation" ->
+      s"""SELECT r_name, n_name,
+         |  ${Det.sqlMoneySum4("l_extendedprice * (1 - l_discount)")} AS revenue,
+         |  count(*) AS n_lines
+         |FROM lineitem
+         |  JOIN orders   ON l_orderkey = o_orderkey
+         |  JOIN customer ON o_custkey = c_custkey
+         |  JOIN nation   ON c_nationkey = n_nationkey
+         |  JOIN region   ON n_regionkey = r_regionkey
+         |GROUP BY r_name, n_name
+         |ORDER BY revenue DESC, n_name ASC""".stripMargin,
+    "late_ship_priority" ->
+      """SELECT o_orderpriority, count(*) AS n_late_orders
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+}

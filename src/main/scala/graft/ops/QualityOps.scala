@@ -1,0 +1,160 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data quality gates beyond the basic text stats (north-star
+  * LLM-pipeline operators): repetition signals of the Gopher/C4 family,
+  * corpus-language-model typicality scoring, and PII-style redaction /
+  * pseudonymization. Everything is exact integer arithmetic plus single
+  * IEEE divisions, so each query is fully DuckDB-oracle-checked.
+  *
+  * Scale notes (100 TB):
+  *   - [[repSignals]] is one narrow map (array-side bigram/distinct
+  *     counts) plus one doc-keyed aggregate for the token mode — shuffle
+  *     volume is (doc, token) partial counts, collapsed map-side.
+  *   - [[unigramLmScore]] builds the vocabulary with a map-side-combined
+  *     count and joins it back BROADCAST: the vocabulary of a 100 TB
+  *     corpus is millions of rows (Zipf), the corpus side never shuffles.
+  *     If the vocab outgrows broadcast, the join key (token) is already
+  *     the natural shuffle key.
+  *   - [[piiRedact]] is a pure narrow map — regex passes run inside
+  *     whole-stage codegen, no shuffle at all.
+  */
+object QualityOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def toks: Column = split(col("text"), " ")
+
+  /** Gopher-style repetition signals per document:
+    *   - `top_token_ratio`: frequency of the modal token / token count
+    *     (catches "the the the ..." degeneracy),
+    *   - `dup_token_ratio`: 1 − distinct/total tokens,
+    *   - `dup_bigram_ratio`: 1 − distinct/total bigrams (catches looped
+    *     phrases that distinct-token ratios miss).
+    * Bigrams are formed array-side with the shifted-slice `zip_with`
+    * trick (one evaluation of the token array per row — see
+    * [[TextOps.docShingleSketch]] for why `element_at` in a lambda is
+    * quadratic). Ratios are exact integer counts with one final IEEE
+    * division, so they hash-compare exactly. */
+  def repSignals(spark: SparkSession, sfDir: String): DataFrame = {
+    val perTok = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(toks).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).as("mx"))
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), toks.as("t"), size(toks).as("n"))
+      .filter(col("n") >= 2)
+      .withColumn("bg", zip_with(
+        slice(col("t"), lit(1), (col("n") - 1).cast("int")),
+        slice(col("t"), lit(2), (col("n") - 1).cast("int")),
+        (a, b) => concat_ws(" ", a, b)))
+      .join(perTok, "doc_id")
+      .select(col("doc_id"), col("n").cast("long").as("n_tokens"),
+        (col("mx").cast("double") / col("n")).as("top_token_ratio"),
+        ((col("n") - size(array_distinct(col("t")))).cast("double") / col("n"))
+          .as("dup_token_ratio"),
+        ((col("n") - 1 - size(array_distinct(col("bg")))).cast("double") / (col("n") - 1))
+          .as("dup_bigram_ratio"))
+      .orderBy("doc_id")
+  }
+
+  /** Corpus-unigram-LM typicality score: mean corpus probability of the
+    * document's tokens, Σ count(tok) / (n_tokens · total_tokens), plus
+    * the rarest-token count. The natural-log perplexity formulation is
+    * deliberately avoided: `ln` is not IEEE-exactly-specified and differs
+    * across engines in the last ulp, while this rational form is integer
+    * sums with one final division — bit-identical everywhere. Low
+    * `mean_tok_prob` / low `min_tok_count` = atypical/rare-vocabulary
+    * documents, the same ranking a unigram logprob gives at the tails. */
+  def unigramLmScore(spark: SparkSession, sfDir: String): DataFrame = {
+    val tok = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(toks).as("token"))
+    val vocab = tok.groupBy("token").agg(count(lit(1)).as("c"))
+    val total = vocab.agg(sum(col("c")).cast("long").as("total"))
+    tok.join(broadcast(vocab), "token")
+      .groupBy("doc_id")
+      .agg(sum(col("c")).cast("long").as("sum_c"), count(lit(1)).as("n"),
+        min(col("c")).as("min_tok_count"))
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), col("n").as("n_tokens"),
+        (col("sum_c").cast("double") / (col("n") * col("total"))).as("mean_tok_prob"),
+        col("min_tok_count"))
+      .orderBy("doc_id")
+  }
+
+  /** PII-style redaction + pseudonymization over a log-line projection of
+    * `events`: emails → `<EMAIL>`, IPv4 → `<IP>`, remaining 3+-digit runs
+    * → `<NUM>` (three ordered regex passes — order matters, an email
+    * contains digit runs), and the stable join key survives as an md5
+    * pseudonym instead of the raw id. The regexes stick to character
+    * classes + bounded repetition, the portable core of Java and RE2
+    * syntax. Narrow map, codegen'd end to end. */
+  def piiRedact(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("event_type"))
+      .withColumn("msg", concat(
+        lit("user "), col("user_id"),
+        lit(" (user"), col("user_id"), lit("@mail.example) sent "),
+        col("event_type"),
+        lit(" from 10."), col("user_id") % 256, lit(".0."), col("event_id") % 256))
+      .withColumn("redacted",
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col("msg"), "[a-zA-Z0-9_]+@[a-zA-Z0-9.]+", "<EMAIL>"),
+            "[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+", "<IP>"),
+          "[0-9]{3,}", "<NUM>"))
+      .withColumn("user_pseudonym", substring(md5(col("user_id").cast("string")), 1, 8))
+      .select(col("event_id"), col("user_pseudonym"), col("redacted"))
+      .orderBy("event_id")
+
+  val queries: Map[String, Q] = Map(
+    "rep_signals"      -> (repSignals _),
+    "unigram_lm_score" -> (unigramLmScore _),
+    "pii_redact"       -> (piiRedact _))
+
+  val oracle: Map[String, String] = Map(
+    "rep_signals" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |tf AS (SELECT doc_id, tok, count(*) AS c FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents) x
+        |  GROUP BY 1, 2),
+        |top AS (SELECT doc_id, max(c) AS mx FROM tf GROUP BY 1),
+        |base AS (SELECT doc_id, len(tk) AS n,
+        |    len(list_distinct(tk)) AS nd,
+        |    len(list_distinct(list_transform(range(1, len(tk)),
+        |      i -> tk[i] || ' ' || tk[i + 1]))) AS nbg
+        |  FROM t WHERE len(tk) >= 2)
+        |SELECT base.doc_id, CAST(base.n AS BIGINT) AS n_tokens,
+        |  CAST(top.mx AS DOUBLE) / base.n AS top_token_ratio,
+        |  CAST(base.n - base.nd AS DOUBLE) / base.n AS dup_token_ratio,
+        |  CAST(base.n - 1 - base.nbg AS DOUBLE) / (base.n - 1) AS dup_bigram_ratio
+        |FROM base JOIN top USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "unigram_lm_score" ->
+      """WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |            FROM documents),
+        |vocab AS (SELECT token, count(*) AS c FROM tk GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM vocab),
+        |per AS (SELECT tk.doc_id, CAST(sum(v.c) AS BIGINT) AS sum_c,
+        |    count(*) AS n, min(v.c) AS min_tok_count
+        |  FROM tk JOIN vocab v USING (token) GROUP BY 1)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+        |  CAST(sum_c AS DOUBLE) / (n * tot.total) AS mean_tok_prob,
+        |  CAST(min_tok_count AS BIGINT) AS min_tok_count
+        |FROM per, tot ORDER BY doc_id""".stripMargin,
+    "pii_redact" ->
+      """WITH m AS (SELECT event_id,
+        |    'user ' || user_id || ' (user' || user_id || '@mail.example) sent '
+        |      || event_type || ' from 10.' || (user_id % 256) || '.0.'
+        |      || (event_id % 256) AS msg,
+        |    substr(md5(CAST(user_id AS VARCHAR)), 1, 8) AS user_pseudonym
+        |  FROM events)
+        |SELECT event_id, user_pseudonym,
+        |  regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(msg, '[a-zA-Z0-9_]+@[a-zA-Z0-9.]+', '<EMAIL>', 'g'),
+        |      '[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+', '<IP>', 'g'),
+        |    '[0-9]{3,}', '<NUM>', 'g') AS redacted
+        |FROM m ORDER BY event_id""".stripMargin)
+}

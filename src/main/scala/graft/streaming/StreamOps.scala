@@ -101,6 +101,49 @@ object StreamOps {
       .groupBy("source")
       .agg(count(lit(1)).as("n_distinct_docs"))
 
+  /** Static per-user profile (batch side of the stream-static join):
+    * historical event count and spend per user — the precomputed
+    * dimension a serving pipeline joins onto live traffic. */
+  def userProfile(spark: SparkSession, sfDir: String): DataFrame =
+    graft.Tables.events(spark, sfDir)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_hist"), graft.Det.moneySum(col("value")).as("hist_value"))
+
+  /** Stream-static enrichment join: the live event stream joined to the
+    * BROADCAST static profile (no shuffle on the stream side, no state —
+    * stream-static inner joins are stateless), then a watermark-free
+    * count by (event_type, heavy_user). At 100 TB the profile is the
+    * dimension table; only it is rebuilt batch-side, the stream never
+    * repartitions. */
+  def enrichedCounts(spark: SparkSession, sfDir: String): DataFrame =
+    eventsStream(spark, sfDir)
+      .join(broadcast(userProfile(spark, sfDir)), "user_id")
+      .withColumn("heavy_user", col("n_hist") >= 75)
+      .groupBy("event_type", "heavy_user")
+      .agg(count(lit(1)).as("n"))
+
+  /** Stream-stream join: purchases within 30 minutes after a click by the
+    * same user. Both sides carry watermarks and the join has a time-range
+    * predicate, so state is evicted once the watermark passes the range —
+    * the unbounded-state trap of stream-stream joins is closed by
+    * construction. Inner joins emit on match arrival (no watermark
+    * latency); the result is the raw pair stream, aggregation is left to
+    * the consumer. */
+  def purchaseAfterClick(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = eventsStream(spark, sfDir)
+    val clicks = base.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", "2 hours")
+    val purchases = base.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "2 hours")
+    clicks.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"))
+      .select(col("user_id"), col("click_ts"), col("purchase_ts"))
+  }
+
   /** Drain a streaming DataFrame through a memory sink and return the
     * materialized result — the spec/smoke harness for finite file
     * sources. */

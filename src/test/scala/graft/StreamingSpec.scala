@@ -36,6 +36,43 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("stream-static broadcast enrichment equals the batch join") {
+    val streamed = StreamOps.runToTable(
+      StreamOps.enrichedCounts(spark, sf), "stream_enrich", OutputMode.Complete())
+      .orderBy("event_type", "heavy_user").collect()
+    val batch = Tables.events(spark, sf)
+      .join(StreamOps.userProfile(spark, sf), "user_id")
+      .withColumn("heavy_user", col("n_hist") >= 75)
+      .groupBy("event_type", "heavy_user")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("event_type", "heavy_user").collect()
+    assert(streamed.length === batch.length)
+    streamed.zip(batch).foreach { case (s, b) =>
+      assert(s.getAs[String]("event_type") === b.getAs[String]("event_type"))
+      assert(s.getAs[Boolean]("heavy_user") === b.getAs[Boolean]("heavy_user"))
+      assert(s.getAs[Long]("n") === b.getAs[Long]("n"))
+    }
+  }
+
+  test("watermarked stream-stream join equals the batch time-range join") {
+    val streamed = StreamOps.runToTable(
+      StreamOps.purchaseAfterClick(spark, sf), "stream_ssj", OutputMode.Append())
+    val ev = Tables.events(spark, sf)
+    val batch = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"))
+      .join(ev.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user"), col("ts").as("purchase_ts")),
+        col("user_id") === col("p_user") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"))
+      .select(col("user_id"), col("click_ts"), col("purchase_ts"))
+    assert(streamed.count() > 0)
+    assert(streamed.count() === batch.count())
+    // exact multiset equality, both directions
+    assert(streamed.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(streamed).count() === 0)
+  }
+
   test("stateful streaming sessionization equals the batch sessionize result") {
     import spark.implicits._
     val streamed = StreamOps.runToTable(
