@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan-audit tool: prints the executed physical plan of named registry
+  * queries (all queries when none given). AQE is disabled so exchanges,
+  * pushed filters and codegen stage boundaries are visible pre-execution
+  * — the same setting the plan-shape specs use.
+  *
+  * Usage: runMain graft.Explain <sfDir> [query ...]
+  */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val names = if (args.length > 1) args.drop(1).toSeq else SparkEntry.queries.keys.toSeq.sorted
+    val spark = SparkSession.builder()
+      .withExtensions(new graft.plans.GraftExtensions)
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.adaptive.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    names.foreach { n =>
+      println(s"===== $n")
+      println(SparkEntry.queries(n)(spark, sfDir).queryExecution.executedPlan.toString)
+    }
+    spark.stop()
+  }
+}

@@ -164,6 +164,22 @@ object CoreOps {
       expr("percentile(l_extendedprice, 0.9)").as("p90"),
       expr("percentile(l_extendedprice, 0.99)").as("p99"))
 
+  /** Q6/Q7/Q12 grouped percentiles: exact interpolated quantiles PER KEY —
+    * one hash-partition exchange on the group key, quantile computed
+    * within each group (no global sort). Spark `percentile` and DuckDB
+    * `quantile_cont` interpolate identically (verified bit-exact round 1),
+    * so the grouped form is oracled too. At 100 TB swap the aggregate for
+    * `approx_percentile` per key — same plan shape, sketch-valued. */
+  def groupQuantiles(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_extendedprice, 0.25)").as("p25"),
+        expr("percentile(l_extendedprice, 0.5)").as("p50"),
+        expr("percentile(l_extendedprice, 0.95)").as("p95"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
   /** Q6/Q12 approx percentiles — the mergeable sketch that replaces the
     * exact sort-based quantile at 100 TB: constant memory per partition,
     * one merge per executor tree level, accuracy set by the accuracy knob
@@ -328,6 +344,7 @@ object CoreOps {
     "cube_agg"        -> (cubeAgg _),
     "grouping_sets_agg" -> (groupingSetsAgg _),
     "quantiles"       -> (quantiles _),
+    "group_quantiles" -> (groupQuantiles _),
     "quantiles_approx" -> (quantilesApprox _),
     "stats_moments"   -> (statsMoments _),
     "scalar_funcs"    -> (scalarFuncs _),
@@ -440,6 +457,13 @@ object CoreOps {
         |  quantile_cont(l_extendedprice, 0.9) AS p90,
         |  quantile_cont(l_extendedprice, 0.99) AS p99
         |FROM lineitem""".stripMargin,
+    "group_quantiles" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_extendedprice, 0.25) AS p25,
+        |  quantile_cont(l_extendedprice, 0.5) AS p50,
+        |  quantile_cont(l_extendedprice, 0.95) AS p95,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "scalar_funcs" ->
       """SELECT o_orderkey,
         |  upper(o_orderpriority) AS pri_upper,

@@ -224,8 +224,12 @@ object SimOps {
       val next = assigned
         .select(col("cell"), posexplode(col("e")))
         .groupBy(col("cell"), col("pos"))
-        .agg((sum(col("col").cast(DecimalType(28, 12))) / count(lit(1)))
-          .cast(DoubleType).as("mean"))
+        // exact decimal sum, cast to DOUBLE, THEN divide: decimal division
+        // has engine-specific scale/rounding rules, while double(exact
+        // decimal)/count is two IEEE-defined steps — this is what lets the
+        // fitted centroids be mirrored bit-exactly by the SQL oracle
+        .agg((sum(col("col").cast(DecimalType(28, 12))).cast(DoubleType) / count(lit(1)))
+          .as("mean"))
         .groupBy(col("cell").as("cent_id"))
         .agg(array_sort(collect_list(struct(col("pos"), col("mean")))).as("pm"))
         .select(col("cent_id"), transform(col("pm"), _.getField("mean")).as("ce"))
@@ -242,10 +246,12 @@ object SimOps {
 
   /** IVF probe over the FITTED quantizer — identical serving dataflow to
     * [[annIvfProbe]] (broadcast centroids, cells as shuffle keys, probe =
-    * equi-join) but with Lloyd-iterated centroids. No SQL oracle (the
-    * fitted centroids are not practically SQL-expressible); deterministic
-    * by construction and recall-gated against the brute-force ground
-    * truth in the spec. */
+    * equi-join) but with Lloyd-iterated centroids. Fully oracle-checked:
+    * the fixed iteration count unrolls into plain SQL (one CTE pair per
+    * Lloyd round, mirrored by [[sqlLloydIter]]), and the
+    * decimal-sum→double→divide centroid mean makes every centroid
+    * coordinate bit-identical across engines. Also recall-gated against
+    * the brute-force ground truth in the spec. */
   def annIvfKmeans(spark: SparkSession, sfDir: String): DataFrame = {
     val v = withNorm(Tables.embeddings(spark, sfDir))
     val cents = kmeansFit(v, iters = 2)
@@ -292,7 +298,55 @@ object SimOps {
       s"(CASE WHEN ${sqlDot("d", sqlPlaneList(j))} > 0 THEN ${1L << j} ELSE 0 END)"
     }.mkString(" + ")
 
+  /** One Lloyd round as SQL CTEs: `cents` → assignment by squared
+    * distance (same (dist², cent_id) lexicographic argmin as the Spark
+    * `min(struct(...))`) → per-(cell, dim) decimal-exact mean → `out`.
+    * The [[kmeansFit]] loop with iters=2 unrolls to two of these. */
+  private def sqlLloydIter(cents: String, out: String): String =
+    s"""cn_$out AS (SELECT cent_id, ce, ${sqlDot("ce", "ce")} AS cn FROM $cents),
+       |asg_$out AS (
+       |  SELECT vec_id, d, cell FROM (
+       |    SELECT n.vec_id, n.d, c.cent_id AS cell,
+       |      row_number() OVER (PARTITION BY n.vec_id
+       |        ORDER BY (n.nrm + c.cn - 2.0 * ${sqlDot("n.d", "c.ce")}) ASC,
+       |                 c.cent_id ASC) AS rk
+       |    FROM n CROSS JOIN cn_$out c) t WHERE rk = 1),
+       |pd_$out AS (SELECT cell, t.pos, d[t.pos] AS val
+       |  FROM asg_$out, unnest(range(1, len(d) + 1)) AS t(pos)),
+       |$out AS (
+       |  SELECT cell AS cent_id, list(mean ORDER BY pos) AS ce FROM (
+       |    SELECT cell, pos,
+       |      CAST(sum(CAST(val AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS mean
+       |    FROM pd_$out GROUP BY cell, pos) m GROUP BY cell)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "ann_ivf_kmeans" ->
+      s"""WITH v AS ($sqlVec),
+         |n AS (SELECT vec_id, d, ${sqlDot("d", "d")} AS nrm FROM v),
+         |c0 AS (SELECT vec_id AS cent_id, d AS ce FROM n WHERE vec_id % 32 = 0),
+         |${sqlLloydIter("c0", "c1")},
+         |${sqlLloydIter("c1", "c2")},
+         |cents AS (SELECT cent_id, ce, ${sqlDot("ce", "ce")} AS cn FROM c2),
+         |assigned AS (
+         |  SELECT vec_id, d, nrm, cell FROM (
+         |    SELECT n.vec_id, n.d, n.nrm, c.cent_id AS cell,
+         |      row_number() OVER (PARTITION BY n.vec_id
+         |        ORDER BY ${sqlDot("n.d", "c.ce")} / sqrt(n.nrm * c.cn) DESC,
+         |                 c.cent_id ASC) AS crnk
+         |    FROM n CROSS JOIN cents c) t
+         |  WHERE crnk = 1),
+         |q AS (SELECT vec_id AS query_id, d AS qd, nrm AS qn, cell
+         |      FROM assigned WHERE vec_id < 10),
+         |scored AS (
+         |  SELECT q.query_id, a.vec_id AS neighbor_id, q.cell,
+         |    ${sqlDot("q.qd", "a.d")} / sqrt(q.qn * a.nrm) AS cos
+         |  FROM q JOIN assigned a ON q.cell = a.cell AND a.vec_id <> q.query_id)
+         |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, neighbor_id, cell, cos FROM (
+         |  SELECT query_id, neighbor_id, cell, cos,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos DESC, neighbor_id ASC) AS rnk
+         |  FROM scored) t
+         |WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
     "ann_ivf_probe" ->
       s"""WITH v AS ($sqlVec),
          |n AS (SELECT vec_id, d, ${sqlDot("d", "d")} AS nrm FROM v),

@@ -42,4 +42,42 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("*(1)"), s"no codegen span in:\n$plan")
     assert(plan.contains("partial_"), s"no map-side partial aggregation in:\n$plan")
   }
+
+  test("revenue_by_nation broadcasts the dimension chain, never nests loops") {
+    val plan = planOf("revenue_by_nation")
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join in:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"nested-loop/cartesian join in:\n$plan")
+    // the dim keys must never be shuffle-partitioning keys (dims broadcast)
+    assert(!"Exchange hashpartitioning\\([^)]*n_nationkey".r.findFirstIn(plan).isDefined &&
+      !"Exchange hashpartitioning\\([^)]*r_regionkey".r.findFirstIn(plan).isDefined,
+      s"dimension join shuffled instead of broadcast in:\n$plan")
+  }
+
+  test("late_ship_priority plans the EXISTS as a semi join") {
+    val plan = planOf("late_ship_priority")
+    assert(plan.contains("LeftSemi"), s"no semi join in:\n$plan")
+    // the range predicate rides the join; no post-join filter stage needed
+    assert(plan.contains("l_shipdate") && plan.contains("o_orderdate"),
+      s"date condition missing from plan:\n$plan")
+  }
+
+  test("unigram_lm_score broadcasts the vocabulary; corpus side never repartitions on token") {
+    val plan = planOf("unigram_lm_score")
+    assert(plan.contains("BroadcastHashJoin"), s"vocab join not broadcast in:\n$plan")
+    // the doc-side token stream must not be exchange-partitioned by token;
+    // the only token-keyed exchange allowed is building the (tiny) vocab
+    // a ReusedExchange line restates the original exchange after a comma —
+    // count only tree-node occurrences ("+- Exchange ...") as real shuffles
+    val tokenExchanges = "- Exchange hashpartitioning\\(token".r.findAllIn(plan).length
+    val reused = "ReusedExchange".r.findAllIn(plan).length
+    assert(tokenExchanges <= 1, s"corpus shuffled by token in:\n$plan")
+    assert(reused >= 1, s"vocabulary exchange not reused for the total in:\n$plan")
+  }
+
+  test("pii_redact is a pure narrow map (no hash-partition exchange)") {
+    val plan = planOf("pii_redact")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"redaction introduced a shuffle in:\n$plan")
+  }
 }
