@@ -265,11 +265,28 @@ object DedupOps {
   def dedupClusters(spark: SparkSession, sfDir: String): DataFrame = {
     val pairs = ngramJaccard(spark, sfDir)
       .select(col("doc_a"), col("doc_b")).localCheckpoint()
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    val nodes = Tables.documents(spark, sfDir).select(col("doc_id"))
+    val labels = connectedComponents(nodes, pairs)
+    val sizes = labels.groupBy(col("label").as("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    labels.select(col("doc_id"), col("label").as("cluster_id"))
+      .join(sizes, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        (col("doc_id") === col("cluster_id")).as("is_keeper"))
+      .orderBy("doc_id")
+  }
+
+  /** Reusable connected components: `nodes` (doc_id) + undirected `pairs`
+    * (doc_a, doc_b) → (doc_id, label) with label = min node id reachable.
+    * Iterative min-label propagation with the checkpoint discipline
+    * described on [[dedupClusters]]; isolated nodes keep their own id. */
+  def connectedComponents(nodes: DataFrame, pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col(pairs.columns(0)).as("src"), col(pairs.columns(1)).as("dst"))
+      .union(pairs.select(col(pairs.columns(1)).as("src"), col(pairs.columns(0)).as("dst")))
       .persist()
-    var labels = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), col("doc_id").as("label")).localCheckpoint()
+    var labels = nodes
+      .select(col(nodes.columns(0)).as("doc_id"), col(nodes.columns(0)).as("label"))
+      .localCheckpoint()
     var prevSum = labels.agg(sum("label")).head().getLong(0)
     var converged = false
     var iter = 0
@@ -287,15 +304,8 @@ object DedupOps {
       prevSum = s
       iter += 1
     }
-    val sizes = labels.groupBy(col("label").as("cluster_id"))
-      .agg(count(lit(1)).as("cluster_size"))
-    val out = labels.select(col("doc_id"), col("label").as("cluster_id"))
-      .join(sizes, "cluster_id")
-      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
-        (col("doc_id") === col("cluster_id")).as("is_keeper"))
-      .orderBy("doc_id")
     edges.unpersist()
-    out
+    labels
   }
 
   val queries: Map[String, Q] = Map(

@@ -25,6 +25,44 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("connectedComponents equals BFS reference on random graphs (chains, cycles, isolates)") {
+    import spark.implicits._
+    // up to 30 nodes (diameter < the 50-iteration bound even for a path),
+    // random edge sets incl. none (all isolates) and dense (one component)
+    val graphGen = for {
+      n <- Gen.chooseNum(1, 30)
+      m <- Gen.chooseNum(0, 45)
+      edges <- Gen.listOfN(m, for {
+        a <- Gen.chooseNum(0, n - 1); b <- Gen.chooseNum(0, n - 1)
+      } yield (a.toLong, b.toLong))
+    } yield (n, edges.filter { case (a, b) => a != b })
+    samples(graphGen, n = 8).foreach { case (n, edges) =>
+      val nodes = (0L until n.toLong).toDF("doc_id")
+      val pairs =
+        if (edges.isEmpty) Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+        else edges.toDF("doc_a", "doc_b")
+      val got = graft.ops.DedupOps.connectedComponents(nodes, pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // BFS reference
+      val adj = scala.collection.mutable.Map.empty[Long, List[Long]].withDefaultValue(Nil)
+      edges.foreach { case (a, b) => adj(a) = b :: adj(a); adj(b) = a :: adj(b) }
+      val ref = scala.collection.mutable.Map.empty[Long, Long]
+      (0L until n.toLong).foreach { s =>
+        if (!ref.contains(s)) {
+          val seen = scala.collection.mutable.Set(s)
+          val queue = scala.collection.mutable.Queue(s)
+          while (queue.nonEmpty) {
+            val v = queue.dequeue()
+            adj(v).foreach(u => if (seen.add(u)) queue.enqueue(u))
+          }
+          val label = seen.min
+          seen.foreach(v => ref(v) = label)
+        }
+      }
+      assert(got === ref.toMap, s"n=$n edges=$edges")
+    }
+  }
+
   test("dropDuplicates is idempotent") {
     samples(words).foreach { ws =>
       import spark.implicits._
