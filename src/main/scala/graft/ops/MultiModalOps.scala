@@ -70,9 +70,11 @@ object MultiModalOps {
   }
 
   /** The decode stage: real file bytes → typed per-item features via
-    * `mapPartitions`, decoder instantiated once per partition. Rows-only
-    * check (the stub is Scala-side), but deterministic — the ScalaTest
-    * spec pins exact values. */
+    * `mapPartitions`, decoder instantiated once per partition.
+    * Oracle-checked: the fixture corpus is pure ASCII, so the file bytes
+    * ARE the text's code points and DuckDB recomputes the stub decoder's
+    * byte math from `documents.text` — which also re-proves the per-doc
+    * file round-trip. The ScalaTest spec additionally pins exact values. */
   def mmDecodeStub(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     mediaBytes(spark, sfDir)
@@ -142,8 +144,10 @@ object MultiModalOps {
 
   final case class Thumb(doc_id: Long, out_w: Long, out_h: Long, thumb_sum: Long)
 
-  /** Resize/thumbnail over real file bytes — rows-only (byte math is not
-    * SQL-expressible in the oracle engine); exact values pinned by spec. */
+  /** Resize/thumbnail over real file bytes — oracle-checked (the
+    * ASCII-fixture byte math is SQL-expressible, including the
+    * overlapping-block rule for docs shorter than 64 bytes); exact
+    * values additionally pinned by spec. */
   def mmResize(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     mediaBytes(spark, sfDir)
@@ -192,11 +196,54 @@ object MultiModalOps {
     "mm_resize"       -> (mmResize _),
     "mm_frame_sample" -> (mmFrameSample _))
 
+  /** Per-doc byte sums over the ASCII fixture: octet_length == length and
+    * ascii(char) == byte value, so the decoder stub's byte math mirrors
+    * into list arithmetic over the source text. Fixture-specific by
+    * design — oracles always are — and doubles as a file round-trip
+    * check (Spark reads the materialized FILES, the oracle the table). */
+  private val sqlByteSums =
+    """b AS (SELECT doc_id, octet_length(encode(text)) AS n,
+      |  list_sum(list_transform(range(1, length(text) + 1),
+      |    i -> ascii(substring(text, i, 1)))) AS s
+      |  FROM documents)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "mm_metadata" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  md5(text) AS digest
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "mm_decode_stub" ->
+      s"""WITH $sqlByteSums
+         |SELECT doc_id, CAST((n % 64) + 16 AS BIGINT) AS width,
+         |  CAST((n // 64) % 64 + 16 AS BIGINT) AS height,
+         |  CAST(s AS DOUBLE) / n AS mean_byte
+         |FROM b ORDER BY doc_id""".stripMargin,
+    "mm_feature_agg" ->
+      s"""WITH $sqlByteSums,
+         |d AS (SELECT doc_id, (n % 64) + 16 AS width,
+         |             CAST(s AS DOUBLE) / n AS mean_byte FROM b)
+         |SELECT source, count(*) AS n_items,
+         |  CAST(sum(width) AS BIGINT) AS sum_width,
+         |  CAST(sum(CAST(floor(mean_byte * 1000000) AS BIGINT)) AS DOUBLE)
+         |    / (count(*) * 1000000) AS avg_mean_byte
+         |FROM documents JOIN d USING (doc_id)
+         |GROUP BY source ORDER BY source""".stripMargin,
+    "mm_resize" ->
+      """WITH pos AS (SELECT doc_id, octet_length(encode(text)) AS n, t.i AS i,
+        |    ascii(substring(text, CAST(t.i + 1 AS INTEGER), 1)) AS v
+        |  FROM documents, unnest(range(0, octet_length(encode(text)))) AS t(i)),
+        |docs AS (SELECT DISTINCT doc_id, n FROM pos),
+        |cells AS (SELECT doc_id, n, c.c AS c,
+        |    (c.c * n) // 64 AS frm,
+        |    least(greatest(((c.c + 1) * n) // 64, (c.c * n) // 64 + 1), n) AS til
+        |  FROM docs, unnest(range(0, 64)) AS c(c)),
+        |cv AS (SELECT cells.doc_id, cells.c, sum(pos.v) // count(*) AS cell
+        |  FROM cells JOIN pos ON pos.doc_id = cells.doc_id
+        |    AND pos.i >= cells.frm AND pos.i < cells.til
+        |  GROUP BY 1, 2)
+        |SELECT doc_id, CAST(8 AS BIGINT) AS out_w, CAST(8 AS BIGINT) AS out_h,
+        |  CAST(sum(cell) AS BIGINT) AS thumb_sum
+        |FROM cv GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "mm_frame_sample" ->
       """SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
         |  CAST(least(256, octet_length(encode(text)) - i*256) AS BIGINT) AS frame_len
