@@ -278,8 +278,15 @@ object DedupOps {
 
   /** Reusable connected components: `nodes` (doc_id) + undirected `pairs`
     * (doc_a, doc_b) → (doc_id, label) with label = min node id reachable.
-    * Iterative min-label propagation with the checkpoint discipline
-    * described on [[dedupClusters]]; isolated nodes keep their own id. */
+    * Each round is min-label propagation over edges PLUS pointer jumping
+    * (label ← label's label): propagation alone needs O(diameter) rounds
+    * — catastrophic for the adversarial long-chain components a 100 TB
+    * dedup graph can contain — while the jump step halves pointer-chain
+    * depth every round, so convergence is O(log diameter) (a 10M-node
+    * chain resolves in ~25 rounds, not 10M). Every label value is itself
+    * a node id, so the jump is a plain self-equi-join; checkpoint
+    * discipline as described on [[dedupClusters]]. Isolated nodes keep
+    * their own id. */
   def connectedComponents(nodes: DataFrame, pairs: DataFrame): DataFrame = {
     val edges = pairs.select(col(pairs.columns(0)).as("src"), col(pairs.columns(1)).as("dst"))
       .union(pairs.select(col(pairs.columns(1)).as("src"), col(pairs.columns(0)).as("dst")))
@@ -294,9 +301,13 @@ object DedupOps {
       val nbrMin = edges.join(labels, col("src") === col("doc_id"))
         .groupBy(col("dst"))
         .agg(min("label").as("nbr_min"))
-      val next = labels.join(nbrMin, col("doc_id") === col("dst"), "left_outer")
+      val prop = labels.join(nbrMin, col("doc_id") === col("dst"), "left_outer")
         .select(col("doc_id"),
           least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+      val next = prop
+        .join(prop.select(col("doc_id").as("p_id"), col("label").as("p_label")),
+          col("label") === col("p_id"))
+        .select(col("doc_id"), col("p_label").as("label"))
         .localCheckpoint() // eager: executes the round AND truncates lineage
       val s = next.agg(sum("label")).head().getLong(0)
       labels = next
