@@ -109,10 +109,65 @@ object QualityOps {
       .select(col("event_id"), col("user_pseudonym"), col("redacted"))
       .orderBy("event_id")
 
+  /** Misra–Gries candidate pass: one k-counter summary per partition,
+    * emitted as the partition's candidate token set. Guarantee (used by
+    * [[heavyHitters]]): any token with GLOBAL frequency > total/k has
+    * partition frequency > partition_total/k in at least one partition
+    * (pigeonhole), and MG(k) never evicts such a token — so the union of
+    * per-partition candidates is a superset of the true heavy hitters.
+    * O(k) memory per partition, zero shuffle. */
+  def mgCandidates(tokens: DataFrame, k: Int): DataFrame = {
+    import tokens.sparkSession.implicits._
+    tokens.select(col(tokens.columns(0)).cast("string")).as[String]
+      .mapPartitions { it =>
+        val counters = scala.collection.mutable.HashMap.empty[String, Long]
+        it.foreach { t =>
+          if (counters.contains(t)) counters(t) += 1L
+          else if (counters.size < k) counters(t) = 1L
+          else {
+            // decrement-all; evict zeros (the classic MG step)
+            val dead = List.newBuilder[String]
+            counters.mapValuesInPlace((_, v) => v - 1L)
+            counters.foreach { case (key, v) => if (v <= 0L) dead += key }
+            dead.result().foreach(counters.remove)
+          }
+        }
+        counters.keysIterator
+      }
+      .toDF("token").distinct()
+  }
+
+  /** Exact heavy hitters at threshold total/k via sketch-then-verify —
+    * the 100 TB shape for "which tokens dominate the corpus": pass 1 is
+    * the shuffle-free [[mgCandidates]] map-side summary (k counters per
+    * partition, candidates ≤ k · partitions rows however large the
+    * corpus), pass 2 semi-joins the token stream against the BROADCAST
+    * candidate set and counts exactly. Because the sketch provably never
+    * misses a true heavy hitter and the verify pass filters exactly, the
+    * result is the EXACT answer — deterministic whatever the
+    * partitioning, so it is fully oracle-checked against the plain
+    * group-by-having formulation a small engine can afford. */
+  def heavyHitters(spark: SparkSession, sfDir: String): DataFrame = {
+    val k = 50
+    val tok = Tables.documents(spark, sfDir)
+      .select(explode(toks).as("token"))
+    val cand = mgCandidates(tok, k)
+    val total = tok.agg(count(lit(1)).as("total"))
+    tok.join(broadcast(cand), "token")
+      .groupBy("token")
+      .agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(total))
+      .filter(col("n") * k > col("total"))
+      .select(col("token"), col("n"),
+        (col("n").cast("double") / col("total")).as("share"))
+      .orderBy(col("n").desc, col("token").asc)
+  }
+
   val queries: Map[String, Q] = Map(
     "rep_signals"      -> (repSignals _),
     "unigram_lm_score" -> (unigramLmScore _),
-    "pii_redact"       -> (piiRedact _))
+    "pii_redact"       -> (piiRedact _),
+    "heavy_hitters"    -> (heavyHitters _))
 
   val oracle: Map[String, String] = Map(
     "rep_signals" ->
@@ -143,6 +198,14 @@ object QualityOps {
         |  CAST(sum_c AS DOUBLE) / (n * tot.total) AS mean_tok_prob,
         |  CAST(min_tok_count AS BIGINT) AS min_tok_count
         |FROM per, tot ORDER BY doc_id""".stripMargin,
+    "heavy_hitters" ->
+      """WITH tk AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+        |tot AS (SELECT count(*) AS total FROM tk)
+        |SELECT token, count(*) AS n,
+        |  CAST(count(*) AS DOUBLE) / tot.total AS share
+        |FROM tk, tot GROUP BY token, tot.total
+        |HAVING count(*) * 50 > tot.total
+        |ORDER BY n DESC, token ASC""".stripMargin,
     "pii_redact" ->
       """WITH m AS (SELECT event_id,
         |    'user ' || user_id || ' (user' || user_id || '@mail.example) sent '

@@ -63,6 +63,26 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("Misra-Gries candidates contain every true heavy hitter (random skewed streams)") {
+    import spark.implicits._
+    val streamGen = for {
+      n <- Gen.chooseNum(50, 400)
+      toks <- Gen.listOfN(n, Gen.frequency(
+        (8, Gen.oneOf("hot1", "hot2")),
+        (3, Gen.oneOf("warm1", "warm2", "warm3")),
+        (2, Gen.oneOf((1 to 30).map("cold" + _)))))
+      k <- Gen.chooseNum(3, 12)
+    } yield (toks, k)
+    samples(streamGen, n = 6).foreach { case (toks, k) =>
+      val df = toks.toDF("token").repartition(4)
+      val cand = graft.ops.QualityOps.mgCandidates(df, k)
+        .collect().map(_.getString(0)).toSet
+      val counts = toks.groupBy(identity).view.mapValues(_.size).toMap
+      val heavies = counts.collect { case (t, c) if c.toLong * k > toks.size => t }.toSet
+      assert(heavies.subsetOf(cand), s"missed ${heavies -- cand} k=$k n=${toks.size}")
+    }
+  }
+
   test("dropDuplicates is idempotent") {
     samples(words).foreach { ws =>
       import spark.implicits._
