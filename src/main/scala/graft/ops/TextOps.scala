@@ -161,7 +161,59 @@ object TextOps {
       .select(col("doc_id"), (col("pos") + 1).cast("long").as("rank"), col("shingle_hash"))
       .orderBy("doc_id", "rank")
 
+  /** TF-IDF top terms per document, with the rational idf variant
+    * tf · N/df (no `ln` — not bit-portable across engines; the log is
+    * monotone in N/df for the per-token factor, and the rational score
+    * is an equally standard weighting). Three map-side-combined
+    * aggregates + one broadcast join; the per-doc top-3 is the
+    * `row_number ≤ k` idiom, which [[graft.plans.TopKRewriteRule]]
+    * rewrites to the TopKPerKeyExec heap operator under the harness
+    * sessions — a corpus-scale exercise of the custom-operator tier,
+    * oracle-checked like everything else. */
+  def tfidfTopTerms(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(tokens).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val nDocs = Tables.documents(spark, sfDir).agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("token").asc)
+    tf.join(broadcast(dfreq), "token")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score", (col("tf") * col("n_docs")).cast("double") / col("df"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("rank"), col("token"), col("score"))
+      .orderBy("doc_id", "rank")
+  }
+
+  /** Bigram conditional-probability LM: P(w₂ | w₁) = c(w₁w₂) / c(w₁·),
+    * with the denominator counted over bigram-first positions so the
+    * probabilities per w₁ sum to exactly 1. Bigrams form array-side
+    * (shifted-slice zip_with), counts are map-side-combined integers,
+    * the probability is one exact division. The building block of n-gram
+    * scorers and the repetition detectors above it. */
+  def bigramLm(spark: SparkSession, sfDir: String): DataFrame = {
+    val bg = Tables.documents(spark, sfDir)
+      .select(tokens.as("t"), (size(tokens) - 1).as("m"))
+      .filter(col("m") >= 1)
+      .select(explode(zip_with(
+        slice(col("t"), lit(1), col("m").cast("int")),
+        slice(col("t"), lit(2), col("m").cast("int")),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val c1 = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
+    c2.join(broadcast(c1), "w1")
+      .select(col("w1"), col("w2"), col("c2"),
+        (col("c2").cast("double") / col("c1")).as("p"))
+      .orderBy(col("c2").desc, col("w1").asc, col("w2").asc)
+  }
+
   val queries: Map[String, Q] = Map(
+    "tfidf_top_terms"   -> (tfidfTopTerms _),
+    "bigram_lm"         -> (bigramLm _),
     "doc_shingle_sketch" -> (docShingleSketch _),
     "grep_text"         -> (grepText _),
     "tokenize"          -> (tokenize _),
@@ -176,6 +228,31 @@ object TextOps {
   private val stopList = enStopwords.map(s => s"'$s'").mkString(", ")
 
   val oracle: Map[String, String] = Map(
+    "tfidf_top_terms" ->
+      """WITH tf AS (SELECT doc_id, token, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |    FROM documents) t GROUP BY 1, 2),
+        |dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+        |nd AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (SELECT tf.doc_id, tf.token,
+        |    CAST(tf.tf * nd.n_docs AS DOUBLE) / dfreq.df AS score
+        |  FROM tf JOIN dfreq USING (token), nd)
+        |SELECT doc_id, CAST(rank AS BIGINT) AS rank, token, score FROM (
+        |  SELECT doc_id, token, score,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY score DESC, token ASC) AS rank
+        |  FROM scored) r
+        |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+    "bigram_lm" ->
+      """WITH bg AS (
+        |  SELECT tk[i] AS w1, tk[i + 1] AS w2 FROM (
+        |    SELECT string_split(text, ' ') AS tk FROM documents) t,
+        |    unnest(range(1, len(tk))) AS u(i)),
+        |c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
+        |c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1)
+        |SELECT c2.w1, c2.w2, c2.c2, CAST(c2.c2 AS DOUBLE) / c1.c1 AS p
+        |FROM c2 JOIN c1 USING (w1)
+        |ORDER BY c2.c2 DESC, w1 ASC, w2 ASC""".stripMargin,
     "doc_shingle_sketch" ->
       """WITH sk AS (
         |  SELECT doc_id,
