@@ -7,11 +7,17 @@ import org.apache.spark.sql.functions._
 /** Deduplication suite over `documents` — the north-star LLM-pipeline
   * operators (BASELINE.json north_star; SURVEY.md §2b Q9/Q26).
   *
-  * Four tiers, in increasing tolerance to fuzz:
+  * Five tiers, in increasing tolerance to fuzz, plus the decision step:
   *   1. exact (content-hash groupBy)           — [[dedupExactStats]], [[dedupKeepFirst]]
   *   2. exact set-similarity with blocking     — [[ngramJaccard]]
   *   3. MinHash + LSH banding                  — [[minhashLsh]]
   *   4. SimHash 64-bit fingerprints            — [[simhash]], [[simhashPairs]]
+  *   5. pairs → clusters → keepers             — [[dedupClusters]] / [[connectedComponents]]
+  *
+  * All five tiers are DuckDB-oracled: the sketches use the md5-portable
+  * base hash ([[graft.functions.PortableHash]]) so both engines compute
+  * identical signatures, and clustering is mirrored by a recursive-CTE
+  * reachability query.
   *
   * Scale design (the part that has to survive 100 TB):
   *   - Nothing ever forms the O(n²) pair space. Candidates come from
