@@ -75,6 +75,12 @@ class PlanAuditSpec extends SparkSpec {
     assert(reused >= 1, s"vocabulary exchange not reused for the total in:\n$plan")
   }
 
+  test("tfidf_top_terms plans the per-doc top-3 as the TopKPerKey heap, not a window sort") {
+    val plan = planOf("tfidf_top_terms")
+    assert(plan.contains("TopKPerKey"), s"rewrite rule did not fire in:\n$plan")
+    assert(!plan.contains("Window"), s"window sort survived the rewrite in:\n$plan")
+  }
+
   test("pii_redact is a pure narrow map (no hash-partition exchange)") {
     val plan = planOf("pii_redact")
     assert(!plan.contains("Exchange hashpartitioning"),

@@ -133,6 +133,31 @@ class TextDedupSpec extends SparkSpec {
     cl.unpersist()
   }
 
+  test("connectedComponents resolves a 2000-node chain (needs O(log d) jumping)") {
+    // a path graph of diameter 1999: plain min-propagation needs ~2000
+    // rounds and would exhaust the 50-iteration bound; pointer jumping
+    // converges in O(log d) ≈ 11 rounds. This test is the differentiator
+    // that keeps the scalability claim honest.
+    import spark.implicits._
+    val n = 2000L
+    val nodes = spark.range(n).toDF("doc_id")
+    val pairs = spark.range(n - 1)
+      .select(col("id").as("doc_a"), (col("id") + 1).as("doc_b"))
+    val labels = graft.ops.DedupOps.connectedComponents(nodes, pairs)
+    assert(labels.filter(col("label") =!= 0L).count() === 0)
+    assert(labels.count() === n)
+  }
+
+  test("heavy_hitters equals word_count filtered at the exact threshold") {
+    val hh = q("heavy_hitters").select("token", "n")
+    val tokens = q("tokenize")
+    val total = tokens.count()
+    val expect = q("word_count").filter(col("n") * 50 > total).select("token", "n")
+    assert(hh.exceptAll(expect).count() === 0)
+    assert(expect.exceptAll(hh).count() === 0)
+    assert(hh.count() > 0)
+  }
+
   test("ngram jaccard pairs respect the threshold") {
     assert(q("dedup_ngram_jaccard").filter(col("jaccard") < 0.9).count() === 0)
   }
