@@ -204,7 +204,9 @@ object TextOps {
         (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
       .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
     val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
-    val c1 = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
+    // the denominator is a roll-up of the numerator table (vocab² rows),
+    // not a second corpus-scale aggregation: c(w₁·) = Σ_w₂ c(w₁w₂)
+    val c1 = c2.groupBy("w1").agg(sum("c2").cast("long").as("c1"))
     c2.join(broadcast(c1), "w1")
       .select(col("w1"), col("w2"), col("c2"),
         (col("c2").cast("double") / col("c1")).as("p"))
@@ -249,7 +251,7 @@ object TextOps {
         |    SELECT string_split(text, ' ') AS tk FROM documents) t,
         |    unnest(range(1, len(tk))) AS u(i)),
         |c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
-        |c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1)
+        |c1 AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1)
         |SELECT c2.w1, c2.w2, c2.c2, CAST(c2.c2 AS DOUBLE) / c1.c1 AS p
         |FROM c2 JOIN c1 USING (w1)
         |ORDER BY c2.c2 DESC, w1 ASC, w2 ASC""".stripMargin,
