@@ -169,7 +169,10 @@ object TextOps {
     * `row_number ≤ k` idiom, which [[graft.plans.TopKRewriteRule]]
     * rewrites to the TopKPerKeyExec heap operator under the harness
     * sessions — a corpus-scale exercise of the custom-operator tier,
-    * oracle-checked like everything else. */
+    * oracle-checked like everything else. At 100 TB the document
+    * frequencies are vocabulary-sized (millions of rows under Zipf) —
+    * still broadcastable; past that, `token` is already the join key to
+    * shuffle on (same fallback as [[QualityOps.unigramLmScore]]). */
   def tfidfTopTerms(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val tf = Tables.documents(spark, sfDir)
