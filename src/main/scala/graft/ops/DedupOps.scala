@@ -72,7 +72,14 @@ object DedupOps {
     * Both filters are provably lossless at the threshold, so the result
     * (and the DuckDB oracle, which states the straightforward
     * explode-join formulation) is unchanged. */
-  def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
+  def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame =
+    ngramJaccardPairs(spark, sfDir)
+      .orderBy("doc_a", "doc_b")
+
+  /** [[ngramJaccard]] without the presentation sort — the form composed
+    * operators ([[dedupClusters]]) consume, so they don't pay for a
+    * total order they immediately destroy. */
+  def ngramJaccardPairs(spark: SparkSession, sfDir: String): DataFrame = {
     val spread = spark.sparkContext.defaultParallelism
     val sets = Tables.documents(spark, sfDir)
       .repartition(spread) // compact source must not serialize the pipeline
@@ -103,7 +110,6 @@ object DedupOps {
       .withColumn("jaccard", col("c") * lit(1.0) / (col("na") + col("nb") - col("c")))
       .filter(col("jaccard") >= 0.9)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
-      .orderBy("doc_a", "doc_b")
   }
 
   // --- MinHash -------------------------------------------------------------
@@ -209,10 +215,15 @@ object DedupOps {
     * explode-over-(token × 64 bits) formulation shuffled tokens·64 rows
     * per document). */
   def simhash(spark: SparkSession, sfDir: String): DataFrame =
+    simhashSigs(spark, sfDir).orderBy("doc_id")
+
+  /** [[simhash]] without the presentation sort (for composition —
+    * [[simhashPairs]] repartitions immediately, so a sort here would be
+    * paid and thrown away). */
+  private def simhashSigs(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
       .select(col("doc_id"),
         graft.functions.VectorFunctions.simhash64(toks).as("simhash64"))
-      .orderBy("doc_id")
 
   /** SimHash near-dup pairs: block on 4 × 16-bit bands (a pair within
     * Hamming ≤ 3 of 64 bits must agree on ≥1 full band by pigeonhole for
@@ -220,7 +231,7 @@ object DedupOps {
     * then verify true Hamming distance ≤ 8 with bit_count(xor). */
   def simhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
     // same compact-source parallelism rationale as in minhashLsh
-    val sh = simhash(spark, sfDir)
+    val sh = simhashSigs(spark, sfDir)
       .repartition(spark.sparkContext.defaultParallelism)
     val bands = sh.select(col("doc_id"), col("simhash64"),
       posexplode(array((0 until 4).map(j =>
@@ -269,7 +280,7 @@ object DedupOps {
     * converges in O(log n) rounds over the same join-aggregate primitives.
     */
   def dedupClusters(spark: SparkSession, sfDir: String): DataFrame = {
-    val pairs = ngramJaccard(spark, sfDir)
+    val pairs = ngramJaccardPairs(spark, sfDir)
       .select(col("doc_a"), col("doc_b")).localCheckpoint()
     val nodes = Tables.documents(spark, sfDir).select(col("doc_id"))
     val labels = connectedComponents(nodes, pairs)
