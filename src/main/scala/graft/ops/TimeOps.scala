@@ -114,14 +114,67 @@ object TimeOps {
       .orderBy("campaign_month")
   }
 
+  /** Latest-record-per-key compaction (SCD-1 / changelog upsert shape):
+    * one row per user — their most recent event — via `row_number ≤ 1`,
+    * which the TopKRewriteRule plans as the TopKPerKey heap (k=1 keeps
+    * one record per key per partition before the exchange; no sort).
+    * Tiebreak on event_id so concurrent timestamps stay deterministic. */
+  def latestPerUser(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables.events(spark, sfDir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id").as("latest_event_id"),
+        col("ts").as("latest_ts"), col("event_type").as("latest_type"))
+      .orderBy("user_id")
+  }
+
+  /** Click→purchase conversion funnel: per user with at least one click,
+    * the first click, first purchase (if any), and whether the purchase
+    * followed the click — two map-side-combined min aggregates and one
+    * outer join on the user key. Null-safe conversion flag: no purchase
+    * ⇒ false, identically in both engines. */
+  def eventFunnel(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val fc = ev.filter(col("event_type") === "click")
+      .groupBy("user_id").agg(min(col("ts")).as("first_click"))
+    val fp = ev.filter(col("event_type") === "purchase")
+      .groupBy("user_id").agg(min(col("ts")).as("first_purchase"))
+    fc.join(fp, Seq("user_id"), "left_outer")
+      .select(col("user_id"), col("first_click"), col("first_purchase"),
+        (col("first_purchase").isNotNull &&
+          col("first_purchase") > col("first_click")).as("converted"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "time_tumbling" -> (timeTumbling _),
     "sessionize"    -> (sessionize _),
     "session_spans" -> (sessionSpans _),
     "asof_join"     -> (asofJoin _),
-    "range_join_binned" -> (rangeJoinBinned _))
+    "range_join_binned" -> (rangeJoinBinned _),
+    "latest_per_user" -> (latestPerUser _),
+    "event_funnel"    -> (eventFunnel _))
 
   val oracle: Map[String, String] = Map(
+    "latest_per_user" ->
+      """SELECT user_id, latest_event_id, latest_ts, latest_type FROM (
+        |  SELECT user_id, event_id AS latest_event_id, ts AS latest_ts,
+        |    event_type AS latest_type,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) t
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "event_funnel" ->
+      """WITH fc AS (SELECT user_id, min(ts) AS first_click FROM events
+        |            WHERE event_type = 'click' GROUP BY 1),
+        |fp AS (SELECT user_id, min(ts) AS first_purchase FROM events
+        |       WHERE event_type = 'purchase' GROUP BY 1)
+        |SELECT fc.user_id, fc.first_click, fp.first_purchase,
+        |  (fp.first_purchase IS NOT NULL AND fp.first_purchase > fc.first_click)
+        |    AS converted
+        |FROM fc LEFT JOIN fp USING (user_id) ORDER BY fc.user_id""".stripMargin,
     "range_join_binned" ->
       s"""WITH camps AS (
          |  SELECT m, m - 10 AS cstart, m + 24 AS cend FROM (
