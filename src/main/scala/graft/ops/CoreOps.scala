@@ -431,20 +431,6 @@ object CoreOps {
         |  sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) / (n - 1))
         |    AS stddev_qty
         |FROM m ORDER BY l_returnflag""".stripMargin,
-    "stats_moments" ->
-      """WITH m AS (
-        |  SELECT l_returnflag, count(*) AS n,
-        |    sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(14,2))) AS sxy,
-        |    sum(CAST(l_quantity AS DECIMAL(12,2))) AS sx,
-        |    sum(CAST(l_extendedprice AS DECIMAL(14,2))) AS sy,
-        |    sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS sxx
-        |  FROM lineitem GROUP BY l_returnflag)
-        |SELECT l_returnflag, n,
-        |  (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n) / (n - 1)
-        |    AS covar_qty_price,
-        |  sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) / (n - 1))
-        |    AS stddev_qty
-        |FROM m ORDER BY l_returnflag""".stripMargin,
     "grouping_sets_agg" ->
       s"""SELECT coalesce(c_mktsegment, '(all)') AS segment,
          |  CAST(coalesce(c_nationkey, -1) AS BIGINT) AS nationkey,

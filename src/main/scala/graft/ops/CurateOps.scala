@@ -83,6 +83,40 @@ object CurateOps {
       .orderBy("source")
   }
 
+  /** [[decontaminate]] with a broadcast bucket prefilter — the shape that
+    * survives a LARGE eval set at 100 TB. The first 16 bits of the
+    * fingerprint index a membership table of ≤ 2¹⁶ distinct buckets
+    * (bounded however big the eval set grows — the exact-bitmap analog of
+    * a Bloom filter, false-positive rate = occupied-bucket fraction):
+    *
+    *  1. corpus rows whose bucket misses the broadcast table are clean by
+    *     construction — they NEVER shuffle;
+    *  2. only the surviving candidates carry their fingerprints into the
+    *     exact anti-join, which restores zero false positives.
+    *
+    * Result is identical to the plain anti-join (same oracle SQL): the
+    * prefilter can only remove rows the anti-join would also keep-as-clean
+    * … i.e. it routes, never decides. */
+  def decontaminatePrefilter(spark: SparkSession, sfDir: String): DataFrame = {
+    def fp(df: DataFrame): DataFrame =
+      df.withColumn("fingerprint",
+        md5(concat_ws(" ", array_sort(array_distinct(toks)))))
+    def bucketed(df: DataFrame): DataFrame =
+      df.withColumn("bucket", substring(col("fingerprint"), 1, 4))
+    val corpus = bucketed(fp(Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), col("text"))))
+    val evalFp = fp(Tables.documents(spark, sfDir).filter(col("doc_id") % 97 === 0)
+      .select(col("text"))).select("fingerprint")
+    val evalBuckets = bucketed(evalFp).select("bucket").distinct()
+    val cleanByBucket = corpus.join(broadcast(evalBuckets), Seq("bucket"), "left_anti")
+    val survivors = corpus.join(broadcast(evalBuckets), Seq("bucket"), "left_semi")
+      .join(evalFp, Seq("fingerprint"), "left_anti")
+    cleanByBucket.select("source").union(survivors.select("source"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_clean"))
+      .orderBy("source")
+  }
+
   /** Deterministic stratified sampling: per-language keep rates (en 25%,
     * everything else 50%) decided by a content-hash byte — the
     * reproducible form of `sampleBy` used when a sampled corpus must be
@@ -97,10 +131,11 @@ object CurateOps {
       .orderBy("lang")
 
   val queries: Map[String, Q] = Map(
-    "curation_pipeline" -> (curationPipeline _),
-    "train_val_split"   -> (trainValSplit _),
-    "decontaminate"     -> (decontaminate _),
-    "stratified_sample" -> (stratifiedSample _))
+    "curation_pipeline"      -> (curationPipeline _),
+    "train_val_split"        -> (trainValSplit _),
+    "decontaminate"          -> (decontaminate _),
+    "decontaminate_prefilter" -> (decontaminatePrefilter _),
+    "stratified_sample"      -> (stratifiedSample _))
 
   private val stopList = enStopwords.map(s => s"'$s'").mkString(", ")
 
@@ -130,6 +165,21 @@ object CurateOps {
         |  count(*) FILTER (WHERE NOT substr(md5(text), 1, 2) < '1a') AS n_train,
         |  count(*) FILTER (WHERE substr(md5(text), 1, 2) < '1a') AS n_val
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    // identical semantics (and near-identical SQL) to decontaminate: the
+    // bucket prefilter is a routing optimization, not a semantic change
+    "decontaminate_prefilter" ->
+      """WITH fp AS (
+        |  SELECT doc_id, source,
+        |    md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+        |      AS fingerprint
+        |  FROM documents),
+        |ev AS (
+        |  SELECT DISTINCT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+        |    AS fingerprint
+        |  FROM documents WHERE doc_id % 97 = 0)
+        |SELECT source, count(*) AS n_clean
+        |FROM fp WHERE NOT EXISTS (SELECT 1 FROM ev WHERE ev.fingerprint = fp.fingerprint)
+        |GROUP BY source ORDER BY source""".stripMargin,
     "decontaminate" ->
       """WITH fp AS (
         |  SELECT doc_id, source,

@@ -270,8 +270,10 @@ object DedupOps {
     * the driver, not the executors, becomes the bottleneck (measured 60 s
     * of driver CPU at sf0.1 vs ~4 s checkpointed). The edge list is
     * checkpointed once for the same reason (its two union branches would
-    * otherwise each re-execute the similarity join). On a cluster,
-    * substitute reliable `checkpoint` to also bound failure recovery.
+    * otherwise each re-execute the similarity join). [[eagerCheckpoint]]
+    * picks the cluster-safe flavor automatically: reliable `checkpoint`
+    * when a checkpoint dir is configured, `localCheckpoint` under
+    * `local[N]`.
     *
     * Scale: iterations = component diameter. Near-dup clusters at J ≥ 0.9
     * are near-cliques (diameter ≤ ~3), so the loop converges in a handful
@@ -280,8 +282,8 @@ object DedupOps {
     * converges in O(log n) rounds over the same join-aggregate primitives.
     */
   def dedupClusters(spark: SparkSession, sfDir: String): DataFrame = {
-    val pairs = ngramJaccardPairs(spark, sfDir)
-      .select(col("doc_a"), col("doc_b")).localCheckpoint()
+    val pairs = eagerCheckpoint(ngramJaccardPairs(spark, sfDir)
+      .select(col("doc_a"), col("doc_b")))
     val nodes = Tables.documents(spark, sfDir).select(col("doc_id"))
     val labels = connectedComponents(nodes, pairs)
     val sizes = labels.groupBy(col("label").as("cluster_id"))
@@ -304,35 +306,57 @@ object DedupOps {
     * a node id, so the jump is a plain self-equi-join; checkpoint
     * discipline as described on [[dedupClusters]]. Isolated nodes keep
     * their own id. */
+  /** Eager lineage truncation with a cluster-safe default: when the
+    * session has a checkpoint dir configured (`spark.sparkContext
+    * .setCheckpointDir` / `spark.checkpoint.dir`), use RELIABLE
+    * `checkpoint` — blocks live on the shared FS, so an executor loss
+    * mid-fixpoint recovers instead of failing the job. Otherwise fall
+    * back to `localCheckpoint` (correct and fastest under `local[N]`,
+    * where executor loss means JVM loss anyway). */
+  private[ops] def eagerCheckpoint(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+    else df.localCheckpoint()
+
+  private val MaxCcRounds = 50
+
   def connectedComponents(nodes: DataFrame, pairs: DataFrame): DataFrame = {
     val edges = pairs.select(col(pairs.columns(0)).as("src"), col(pairs.columns(1)).as("dst"))
       .union(pairs.select(col(pairs.columns(1)).as("src"), col(pairs.columns(0)).as("dst")))
       .persist()
-    var labels = nodes
-      .select(col(nodes.columns(0)).as("doc_id"), col(nodes.columns(0)).as("label"))
-      .localCheckpoint()
-    var prevSum = labels.agg(sum("label")).head().getLong(0)
+    var labels = eagerCheckpoint(nodes
+      .select(col(nodes.columns(0)).as("doc_id"), col(nodes.columns(0)).as("label")))
     var converged = false
     var iter = 0
-    while (!converged && iter < 50) {
+    while (!converged && iter < MaxCcRounds) {
       val nbrMin = edges.join(labels, col("src") === col("doc_id"))
         .groupBy(col("dst"))
         .agg(min("label").as("nbr_min"))
       val prop = labels.join(nbrMin, col("doc_id") === col("dst"), "left_outer")
         .select(col("doc_id"),
           least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
-      val next = prop
+      val next = eagerCheckpoint(prop
         .join(prop.select(col("doc_id").as("p_id"), col("label").as("p_label")),
           col("label") === col("p_id"))
-        .select(col("doc_id"), col("p_label").as("label"))
-        .localCheckpoint() // eager: executes the round AND truncates lineage
-      val s = next.agg(sum("label")).head().getLong(0)
+        .select(col("doc_id"), col("p_label").as("label")))
+      // Convergence = zero labels changed this round. Labels only ever
+      // decrease, so changed == 0 IS the fixpoint; the count can't give a
+      // false positive, unlike a Σlabel equality probe, which can wrap
+      // around Long on billion-node/large-id graphs. Still one driver-side
+      // long per round, no collect.
+      val changed = next
+        .join(labels.select(col("doc_id"), col("label").as("prev_label")), "doc_id")
+        .filter(col("label") =!= col("prev_label")).count()
       labels = next
-      converged = s == prevSum
-      prevSum = s
+      converged = changed == 0L
       iter += 1
     }
     edges.unpersist()
+    // With pointer jumping, rounds ≈ log₂(diameter): 50 covers any graph
+    // that fits in Long ids. Hitting the cap means a logic regression —
+    // returning silently-unconverged labels would be WRONG answers, so
+    // fail loudly instead.
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents: no fixpoint after $MaxCcRounds rounds (labels still changing)")
     labels
   }
 

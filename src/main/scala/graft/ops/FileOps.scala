@@ -1,10 +1,9 @@
 package graft.ops
 
-import java.io.File
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths}
 
 import graft.Tables
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -26,6 +25,16 @@ import org.apache.spark.sql.functions._
   * `documents` parquet the files were derived from, so a mismatch in
   * either direction (write or read) fails the hash gate.
   *
+  * Deployment shape: every path below goes through the Hadoop
+  * `FileSystem` API under a configurable root
+  * (`spark.graft.files.root`), so on a real cluster the corpus lives on
+  * storage every node sees (HDFS / object store — the analog of the
+  * reference's shared blob container, `Program.cs:271`) and the
+  * driver-side `_SUCCESS` probe and the executor-side writes hit the
+  * SAME filesystem. The default root is the local tmpdir, which is
+  * correct exactly where it is used — `local[N]`, where driver and
+  * executors share one FS.
+  *
   * At 100 TB: the file listing is driver-side metadata only; content
   * reads are one task per file-split with no shuffle until the keyed
   * aggregate, and the `length`/`path` metadata columns avoid touching
@@ -34,26 +43,52 @@ import org.apache.spark.sql.functions._
 object FileOps {
   type Q = (SparkSession, String) => DataFrame
 
-  /** One `doc_<id>.txt` per document row, executor-written, created once
-    * per (JVM, sfDir) behind a marker file. Local-FS stand-in for the
-    * shared object store the reference writes into (`Program.cs:271`). */
+  /** Scratch root for the file fixtures. Override with
+    * `--conf spark.graft.files.root=hdfs://...` (or any shared-FS URI)
+    * when driver and executors do not share a local filesystem. */
+  def filesRoot(spark: SparkSession): String =
+    spark.conf.get("spark.graft.files.root",
+      "file:" + System.getProperty("java.io.tmpdir"))
+
+  /** Cache directories are keyed on the FULL sanitized source path — two
+    * distinct sfDirs can never collide (the previous `hashCode` key
+    * could). Warm-dir assumption: the fixture parquet under sfDir is
+    * immutable input data (TESTDATA.md); regenerating it IN PLACE without
+    * clearing the root reuses the stale egress. */
+  private def sanitize(s: String): String = s.replaceAll("[^A-Za-z0-9._-]", "_")
+
+  private def cacheDir(spark: SparkSession, kind: String, sfDir: String): String =
+    s"${filesRoot(spark)}/graft_${kind}_${sanitize(sfDir)}"
+
+  /** One `doc_<id>.txt` per document row, executor-written through the
+    * Hadoop FS resolved from the (possibly remote) root URI, created once
+    * per (root, sfDir) behind a marker file the driver checks through the
+    * same FS. */
   def materializeDocFiles(spark: SparkSession, sfDir: String): String = {
-    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_docfiles_${math.abs(sfDir.hashCode.toLong)}"
-    val marker = new File(dir, "_SUCCESS")
-    if (!marker.exists()) {
-      new File(dir).mkdirs()
+    val dir = cacheDir(spark, "docfiles", sfDir)
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new Path(root, "_SUCCESS")
+    if (!fs.exists(marker)) {
+      fs.mkdirs(root)
       // the parquet scan is one compact partition — repartition so the
       // per-file writes spread across all executor threads instead of
       // running serially on one task (the round-1 compact-source lesson)
       Tables.documents(spark, sfDir).select("doc_id", "text")
         .repartition(spark.sparkContext.defaultParallelism)
         .foreachPartition { rows: Iterator[Row] =>
+          // executor side: the FS comes from the path URI's scheme, so a
+          // scheme-qualified shared root (hdfs://, s3a://…) resolves to
+          // the same store the driver probed
+          val p = new Path(dir)
+          val efs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
           rows.foreach { r =>
-            Files.write(Paths.get(dir, f"doc_${r.getLong(0)}%08d.txt"),
-              r.getString(1).getBytes(StandardCharsets.UTF_8))
+            val out = efs.create(new Path(p, f"doc_${r.getLong(0)}%08d.txt"), true)
+            try out.write(r.getString(1).getBytes(StandardCharsets.UTF_8))
+            finally out.close()
           }
         }
-      marker.createNewFile()
+      fs.create(marker, true).close()
     }
     dir
   }
@@ -97,8 +132,10 @@ object FileOps {
     * oracle recomputes from the parquet table, so the round-trip proves
     * both directions (write fidelity and typed parse). */
   def csvRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
-    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_csv_${math.abs(sfDir.hashCode.toLong)}"
-    if (!new File(dir, "_SUCCESS").exists()) {
+    val dir = cacheDir(spark, "csv", sfDir)
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(root, "_SUCCESS"))) {
       Tables.orders(spark, sfDir)
         .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"), col("o_totalprice"))
         .write.mode("overwrite").option("header", "true").csv(dir)
@@ -118,8 +155,10 @@ object FileOps {
     * by brand. Oracle recomputes from the parquet table — both directions
     * (serialization fidelity, typed parse) sit under the hash gate. */
   def jsonRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
-    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_json_${math.abs(sfDir.hashCode.toLong)}"
-    if (!new File(dir, "_SUCCESS").exists()) {
+    val dir = cacheDir(spark, "json", sfDir)
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(root, "_SUCCESS"))) {
       Tables.part(spark, sfDir)
         .select(col("p_partkey"), col("p_brand"), col("p_size"), col("p_retailprice"))
         .write.mode("overwrite").json(dir)
@@ -134,11 +173,41 @@ object FileOps {
       .orderBy("p_brand")
   }
 
+  /** Partition-pruned scan — the single biggest scan lever at 100 TB,
+    * where data lives hive-partitioned by date/tenant/status and a query
+    * touching one partition must not list-or-read the rest. `orders` is
+    * egressed ONCE into a `o_orderstatus=X/` directory layout (idempotent
+    * behind the sink's own `_SUCCESS` marker, same warm-dir contract as
+    * the csv/json round-trips), then re-read with a partition predicate.
+    * The predicate resolves against directory names during file listing —
+    * it shows as `PartitionFilters` on the scan, pinned by SinkSpec — so
+    * files of non-matching partitions are never opened at all; the oracle
+    * recomputes the aggregate from the source parquet, proving the
+    * partitioned egress lost nothing. */
+  def partitionedPrune(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = cacheDir(spark, "orderspart", sfDir)
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(root, "_SUCCESS"))) {
+      Tables.orders(spark, sfDir)
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+          col("o_orderstatus"))
+        .write.mode("overwrite").partitionBy("o_orderstatus").parquet(dir)
+    }
+    spark.read.parquet(dir)
+      .filter(col("o_orderstatus") === "F")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        graft.Det.moneySum(col("o_totalprice")).as("sum_price"))
+      .orderBy("o_orderpriority")
+  }
+
   val queries: Map[String, Q] = Map(
-    "file_ingest"      -> (fileIngest _),
-    "file_shard_stats" -> (fileShardStats _),
-    "csv_roundtrip"    -> (csvRoundtrip _),
-    "json_roundtrip"   -> (jsonRoundtrip _))
+    "file_ingest"       -> (fileIngest _),
+    "file_shard_stats"  -> (fileShardStats _),
+    "csv_roundtrip"     -> (csvRoundtrip _),
+    "json_roundtrip"    -> (jsonRoundtrip _),
+    "partitioned_prune" -> (partitionedPrune _))
 
   val oracle: Map[String, String] = Map(
     "file_ingest" ->
@@ -157,5 +226,10 @@ object FileOps {
       s"""SELECT p_brand, count(*) AS n_parts,
          |  CAST(sum(p_size) AS BIGINT) AS total_size,
          |  ${graft.Det.sqlMoneySum("p_retailprice")} AS sum_price
-         |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin)
+         |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "partitioned_prune" ->
+      s"""SELECT o_orderpriority, count(*) AS n_orders,
+         |  ${graft.Det.sqlMoneySum("o_totalprice")} AS sum_price
+         |FROM orders WHERE o_orderstatus = 'F'
+         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
 }

@@ -10,14 +10,16 @@ import org.apache.spark.sql.functions._
   * the fixture tables).
   *
   * These exist to prove the JOIN TOPOLOGY at scale, not new operators:
-  *   - dimension chain (region ⋈ nation) is broadcast — never shuffled;
-  *   - customer enriched with its nation is still dimension-sized
-  *     (broadcast again), so the orders-side pipeline reaches the big
-  *     fact join with zero wide stages;
-  *   - the single unavoidable shuffle is the fact-fact equi-join on
-  *     orderkey; the final group-by is dimension-cardinality and cheap.
-  * At 100 TB the same plan holds: dims stay broadcastable, lineitem ⋈
-  * orders shuffles once on the join key, and AQE handles orderkey skew.
+  *   - the TRUE dimension chain (region ⋈ nation — fixed 5/25 rows at any
+  *     SF) is hint-broadcast: never shuffled, at any scale;
+  *   - customer is SF-PROPORTIONAL (150k × SF rows), so its joins carry
+  *     no hint — Catalyst/AQE broadcast it while it fits the threshold
+  *     (it does at bench SFs) and shuffle on the equi-key beyond that;
+  *   - the unavoidable wide stages are the fact-side equi-joins
+  *     (orders ⋈ customer on custkey, lineitem ⋈ orders on orderkey);
+  *     the final group-by is dimension-cardinality and cheap.
+  * At 100 TB: dims broadcast, the two fact joins shuffle once each on
+  * their keys, and AQE handles orderkey skew.
   *
   * Money aggregates follow the exact-decimal rule ([[graft.Det]]): the
   * extendedprice·(1−discount) product has exactly 4 decimal digits, so
@@ -36,8 +38,10 @@ object MartOps {
     val custNat = Tables.customer(spark, sfDir)
       .join(broadcast(natReg), col("c_nationkey") === col("n_nationkey"))
       .select(col("c_custkey"), col("n_name"), col("r_name"))
+    // custNat derives from customer — SF-proportional, NOT a dimension:
+    // no hint, so the planner may broadcast only while it actually fits
     val ordNat = Tables.orders(spark, sfDir)
-      .join(broadcast(custNat), col("o_custkey") === col("c_custkey"))
+      .join(custNat, col("o_custkey") === col("c_custkey"))
       .select(col("o_orderkey"), col("n_name"), col("r_name"))
     Tables.lineitem(spark, sfDir)
       .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))

@@ -15,10 +15,13 @@ import org.apache.spark.sql.functions._
   *     counts) plus one doc-keyed aggregate for the token mode — shuffle
   *     volume is (doc, token) partial counts, collapsed map-side.
   *   - [[unigramLmScore]] builds the vocabulary with a map-side-combined
-  *     count and joins it back BROADCAST: the vocabulary of a 100 TB
-  *     corpus is millions of rows (Zipf), the corpus side never shuffles.
-  *     If the vocab outgrows broadcast, the join key (token) is already
-  *     the natural shuffle key.
+  *     count and joins it back UNHINTED: Catalyst's size estimate + AQE
+  *     broadcast the vocab while it fits `autoBroadcastJoinThreshold`
+  *     (the corpus side then never shuffles) and fall back to a shuffle
+  *     join on `token` — already the natural key — when the vocabulary
+  *     outgrows it (billions of distinct tokens at 100 TB under Zipf; a
+  *     forced hint would OOM there). Both plan regimes are pinned by
+  *     VocabJoinFallbackSpec.
   *   - [[piiRedact]] is a pure narrow map — regex passes run inside
   *     whole-stage codegen, no shuffle at all.
   */
@@ -73,7 +76,7 @@ object QualityOps {
       .select(col("doc_id"), explode(toks).as("token"))
     val vocab = tok.groupBy("token").agg(count(lit(1)).as("c"))
     val total = vocab.agg(sum(col("c")).cast("long").as("total"))
-    tok.join(broadcast(vocab), "token")
+    tok.join(vocab, "token")
       .groupBy("doc_id")
       .agg(sum(col("c")).cast("long").as("sum_c"), count(lit(1)).as("n"),
         min(col("c")).as("min_tok_count"))

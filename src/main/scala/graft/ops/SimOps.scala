@@ -117,14 +117,19 @@ object SimOps {
   def annLshBucket(spark: SparkSession, sfDir: String): DataFrame =
     annLshBucketG(spark, sfDir, DefaultPlanes)
 
-  def annLshBucketG(spark: SparkSession, sfDir: String, nplanes: Int): DataFrame = {
-    val v = withNorm(Tables.embeddings(spark, sfDir))
+  /** Vectors + their `nplanes`-bit hyperplane signature bucket — the
+    * shared head of every LSH-routed operator below. */
+  private def bucketVecs(spark: SparkSession, sfDir: String, nplanes: Int): DataFrame = {
     val ps = planes(nplanes)
-    val bucketed = v.withColumn("bucket",
+    withNorm(Tables.embeddings(spark, sfDir)).withColumn("bucket",
       (0 until nplanes).map { j =>
         val plane = array(ps(j).map(lit): _*)
         when(dot(col("embedding"), plane) > 0, lit(1L << j)).otherwise(0L)
       }.reduce(_ + _))
+  }
+
+  def annLshBucketG(spark: SparkSession, sfDir: String, nplanes: Int): DataFrame = {
+    val bucketed = bucketVecs(spark, sfDir, nplanes)
     val und = PairEnum
       .blockedSelfJoinPairs(bucketed, Seq("bucket"), "vec_id", Seq("embedding", "nrm"))
       .withColumn("cos",
@@ -142,6 +147,89 @@ object SimOps {
       .select(col("vec_id"), col("b0").as("bucket"),
         coalesce(col("neighbor_id"), lit(-1L)).as("neighbor_id"),
         coalesce(col("cos"), lit(-2.0)).as("cos"))
+      .orderBy("vec_id")
+  }
+
+  /** Multiprobe LSH nearest neighbor: each vector probes its OWN bucket
+    * plus the `nplanes` Hamming-1 neighbor buckets (one signature bit
+    * flipped). Single-probe LSH misses any neighbor that lands a hair on
+    * the other side of one hyperplane — the signature-boundary failure
+    * mode — and the standard fix at scale is probing adjacent buckets
+    * rather than adding tables (recall rises without re-hashing or extra
+    * storage; see the multi-probe LSH literature).
+    *
+    * Dataflow: the probe side explodes to (1 + nplanes) rows per vector
+    * (a constant fan-out, narrow), candidates come from a plain equi-join
+    * on the probed bucket id — still a shuffle key, never a driver
+    * structure — and the per-vector argmax is one window over candidate
+    * rows. The candidate multiset is a strict superset of single-probe's,
+    * so recall is provably ≥ single-probe recall (asserted against brute
+    * force in the spec). Probe buckets of one vector are distinct values,
+    * so no pair is scored twice.
+    *
+    * Fully oracle-checked: neighbor-bucket enumeration is `xor(bucket,
+    * 2^j)` over the same literal plane constants in both engines. */
+  def annLshMultiprobe(spark: SparkSession, sfDir: String): DataFrame = {
+    val nplanes = DefaultPlanes
+    val bucketed = bucketVecs(spark, sfDir, nplanes)
+    val probes = bucketed.select(col("vec_id"), col("embedding"), col("nrm"),
+      explode(array(col("bucket") +:
+        (0 until nplanes).map(j => col("bucket").bitwiseXOR(lit(1L << j))): _*))
+        .as("pbucket"))
+    val cand = bucketed.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("ce"), col("nrm").as("cn"), col("bucket").as("pbucket"))
+    val scored = probes.join(cand,
+        Seq("pbucket")).filter(col("neighbor_id") =!= col("vec_id"))
+      .select(col("vec_id"), col("neighbor_id"),
+        (dot(col("embedding"), col("ce")) / sqrt(col("nrm") * col("cn"))).as("cos"))
+    val w = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+    val best = scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") === 1)
+      .select(col("vec_id"), col("neighbor_id"), col("cos"))
+    bucketed.select(col("vec_id"), col("bucket").as("b0"))
+      .join(best, Seq("vec_id"), "left_outer")
+      .select(col("vec_id"), col("b0").as("bucket"),
+        coalesce(col("neighbor_id"), lit(-1L)).as("neighbor_id"),
+        coalesce(col("cos"), lit(-2.0)).as("cos"))
+      .orderBy("vec_id")
+  }
+
+  /** Embedding-space dedup DECISIONS — the embedding twin of
+    * [[DedupOps.dedupClusters]]: LSH-bucketed candidate pairs at a fixed
+    * cosine threshold become edges, connected components label every
+    * vector with the smallest reachable vec_id, and the minimum id per
+    * cluster is the keeper. This closes the pairs→clusters→keepers
+    * composition on the embedding side (the text side has had it since
+    * round 2); semantic dedup of a 100 TB corpus is exactly this at
+    * larger geometry.
+    *
+    * Scale: candidate edges come from [[PairEnum.blockedSelfJoinPairs]]
+    * over bucket keys (B² bounded work even in a degenerate bucket), the
+    * edge list is checkpointed once, and the fixpoint is the same
+    * pointer-jumping CC used for text (O(log diameter) rounds).
+    *
+    * The 0.3 threshold is calibrated to the synthetic fixture (max
+    * pairwise cos ≈ 0.5, so 0.3 marks its near-dup tail); production
+    * semantic dedup uses the same plan at ~0.9 over real embeddings. */
+  val ClusterCosThreshold = 0.3
+
+  def embedDedupClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    val bucketed = bucketVecs(spark, sfDir, DefaultPlanes)
+    val pairs = DedupOps.eagerCheckpoint(
+      PairEnum.blockedSelfJoinPairs(bucketed, Seq("bucket"), "vec_id",
+          Seq("embedding", "nrm"))
+        .withColumn("cos",
+          dot(col("a_embedding"), col("b_embedding")) / sqrt(col("a_nrm") * col("b_nrm")))
+        .filter(col("cos") >= ClusterCosThreshold)
+        .select(col("a_vec_id").as("vec_a"), col("b_vec_id").as("vec_b")))
+    val nodes = Tables.embeddings(spark, sfDir).select(col("vec_id"))
+    val labels = DedupOps.connectedComponents(nodes, pairs)
+    val sizes = labels.groupBy(col("label").as("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    labels.select(col("doc_id").as("vec_id"), col("label").as("cluster_id"))
+      .join(sizes, "cluster_id")
+      .select(col("vec_id"), col("cluster_id"), col("cluster_size"),
+        (col("vec_id") === col("cluster_id")).as("is_keeper"))
       .orderBy("vec_id")
   }
 
@@ -281,11 +369,13 @@ object SimOps {
   }
 
   val queries: Map[String, Q] = Map(
-    "embed_top_pairs" -> (embedTopPairs _),
-    "ann_topk_brute"  -> (annTopkBrute _),
-    "ann_lsh_bucket"  -> (annLshBucket _),
-    "ann_ivf_probe"   -> (annIvfProbe _),
-    "ann_ivf_kmeans"  -> (annIvfKmeans _))
+    "embed_top_pairs"      -> (embedTopPairs _),
+    "ann_topk_brute"       -> (annTopkBrute _),
+    "ann_lsh_bucket"       -> (annLshBucket _),
+    "ann_lsh_multiprobe"   -> (annLshMultiprobe _),
+    "embed_dedup_clusters" -> (embedDedupClusters _),
+    "ann_ivf_probe"        -> (annIvfProbe _),
+    "ann_ivf_kmeans"       -> (annIvfKmeans _))
 
   private def sqlPlaneList(j: Int): String =
     planes(DefaultPlanes)(j)
@@ -297,6 +387,13 @@ object SimOps {
     (0 until DefaultPlanes).map { j =>
       s"(CASE WHEN ${sqlDot("d", sqlPlaneList(j))} > 0 THEN ${1L << j} ELSE 0 END)"
     }.mkString(" + ")
+
+  /** Shared CTE prefix: vectors → norms → signature buckets (the SQL
+    * mirror of [[bucketVecs]] at the default geometry). */
+  private val sqlBkCtes: String =
+    s"""v AS ($sqlVec),
+       |n AS (SELECT vec_id, d, ${sqlDot("d", "d")} AS nrm FROM v),
+       |bk AS (SELECT vec_id, d, nrm, $sqlBucket AS bucket FROM n)""".stripMargin
 
   /** One Lloyd round as SQL CTEs: `cents` → assignment by squared
     * distance (same (dist², cent_id) lexicographic argmin as the Spark
@@ -394,9 +491,7 @@ object SimOps {
          |SELECT query_id, rnk, neighbor_id, cos
          |FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
     "ann_lsh_bucket" ->
-      s"""WITH v AS ($sqlVec),
-         |n AS (SELECT vec_id, d, ${sqlDot("d", "d")} AS nrm FROM v),
-         |bk AS (SELECT vec_id, d, nrm, $sqlBucket AS bucket FROM n),
+      s"""WITH $sqlBkCtes,
          |pairs AS (
          |  SELECT a.vec_id AS vec_id, a.bucket AS bucket, b.vec_id AS neighbor_id,
          |    ${sqlDot("a.d", "b.d")} / sqrt(a.nrm * b.nrm) AS cos
@@ -411,5 +506,43 @@ object SimOps {
          |  CAST(coalesce(best.neighbor_id, -1) AS BIGINT) AS neighbor_id,
          |  coalesce(best.cos, -2.0) AS cos
          |FROM bk LEFT JOIN best ON bk.vec_id = best.vec_id
-         |ORDER BY vec_id""".stripMargin)
+         |ORDER BY vec_id""".stripMargin,
+    "ann_lsh_multiprobe" ->
+      s"""WITH $sqlBkCtes,
+         |pr AS (SELECT vec_id, d, nrm,
+         |    unnest([bucket, ${(0 until DefaultPlanes)
+                .map(j => s"xor(bucket, ${1L << j})").mkString(", ")}]) AS pbucket
+         |  FROM bk),
+         |pairs AS (
+         |  SELECT p.vec_id, c.vec_id AS neighbor_id,
+         |    ${sqlDot("p.d", "c.d")} / sqrt(p.nrm * c.nrm) AS cos
+         |  FROM pr p JOIN bk c ON c.bucket = p.pbucket AND c.vec_id <> p.vec_id),
+         |best AS (
+         |  SELECT vec_id, neighbor_id, cos FROM (
+         |    SELECT vec_id, neighbor_id, cos,
+         |      row_number() OVER (PARTITION BY vec_id
+         |        ORDER BY cos DESC, neighbor_id ASC) AS rnk
+         |    FROM pairs) t WHERE rnk = 1)
+         |SELECT bk.vec_id AS vec_id, CAST(bk.bucket AS BIGINT) AS bucket,
+         |  CAST(coalesce(best.neighbor_id, -1) AS BIGINT) AS neighbor_id,
+         |  coalesce(best.cos, -2.0) AS cos
+         |FROM bk LEFT JOIN best ON bk.vec_id = best.vec_id
+         |ORDER BY vec_id""".stripMargin,
+    "embed_dedup_clusters" ->
+      s"""WITH RECURSIVE $sqlBkCtes,
+         |np AS (
+         |  SELECT a.vec_id AS va, b.vec_id AS vb
+         |  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |  WHERE ${sqlDot("a.d", "b.d")} / sqrt(a.nrm * b.nrm) >= $ClusterCosThreshold),
+         |e(src, dst) AS (SELECT va, vb FROM np UNION ALL SELECT vb, va FROM np),
+         |reach(x, m) AS (
+         |  SELECT vec_id, vec_id FROM embeddings
+         |  UNION
+         |  SELECT e.dst, reach.m FROM reach JOIN e ON e.src = reach.x),
+         |lab AS (SELECT x AS vec_id, min(m) AS cluster_id FROM reach GROUP BY 1),
+         |sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+         |       FROM lab GROUP BY 1)
+         |SELECT lab.vec_id, lab.cluster_id, sz.cluster_size,
+         |  lab.vec_id = lab.cluster_id AS is_keeper
+         |FROM lab JOIN sz USING (cluster_id) ORDER BY vec_id""".stripMargin)
 }

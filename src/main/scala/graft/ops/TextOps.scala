@@ -169,10 +169,16 @@ object TextOps {
     * `row_number ≤ k` idiom, which [[graft.plans.TopKRewriteRule]]
     * rewrites to the TopKPerKeyExec heap operator under the harness
     * sessions — a corpus-scale exercise of the custom-operator tier,
-    * oracle-checked like everything else. At 100 TB the document
-    * frequencies are vocabulary-sized (millions of rows under Zipf) —
-    * still broadcastable; past that, `token` is already the join key to
-    * shuffle on (same fallback as [[QualityOps.unigramLmScore]]). */
+    * oracle-checked like everything else.
+    *
+    * The document-frequency join carries NO broadcast hint: at 100 TB the
+    * vocabulary grows with the corpus (billions of distinct tokens under
+    * Zipf — URLs, typos, numbers), so a forced broadcast would OOM. The
+    * strategy choice is left to Catalyst's size estimate + AQE: below
+    * `spark.sql.autoBroadcastJoinThreshold` the df side broadcasts, above
+    * it the join falls back to shuffling on `token` — which is already
+    * the natural key (same contract as [[QualityOps.unigramLmScore]];
+    * both plans are pinned by VocabJoinFallbackSpec). */
   def tfidfTopTerms(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val tf = Tables.documents(spark, sfDir)
@@ -182,8 +188,8 @@ object TextOps {
     val nDocs = Tables.documents(spark, sfDir).agg(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy("doc_id")
       .orderBy(col("score").desc, col("token").asc)
-    tf.join(broadcast(dfreq), "token")
-      .crossJoin(broadcast(nDocs))
+    tf.join(dfreq, "token")
+      .crossJoin(broadcast(nDocs)) // single-row aggregate: always broadcast-safe
       .withColumn("score", (col("tf") * col("n_docs")).cast("double") / col("df"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= 3)
@@ -208,9 +214,12 @@ object TextOps {
       .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
     val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
     // the denominator is a roll-up of the numerator table (vocab² rows),
-    // not a second corpus-scale aggregation: c(w₁·) = Σ_w₂ c(w₁w₂)
+    // not a second corpus-scale aggregation: c(w₁·) = Σ_w₂ c(w₁w₂).
+    // No broadcast hint on the join-back: c1 is vocabulary-sized, which
+    // grows with the corpus — Catalyst/AQE broadcast it while it fits the
+    // threshold and shuffle on w1 (already the key) beyond that.
     val c1 = c2.groupBy("w1").agg(sum("c2").cast("long").as("c1"))
-    c2.join(broadcast(c1), "w1")
+    c2.join(c1, "w1")
       .select(col("w1"), col("w2"), col("c2"),
         (col("c2").cast("double") / col("c1")).as("p"))
       .orderBy(col("c2").desc, col("w1").asc, col("w2").asc)

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Embedding-tier properties that the hash-oracle can't express:
+  * multiprobe recall dominance over single-probe (measured against the
+  * exact brute-force 1-NN ground truth) and structural invariants of the
+  * embedding dedup clustering. */
+class EmbedAnnSpec extends SparkSpec {
+
+  /** Exact 1-NN per vector by brute force (500 vectors at sf0.001 — the
+    * ground truth the LSH variants approximate). */
+  private lazy val truth: Map[Long, Long] = {
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("d"))
+    val n = emb.withColumn("nrm",
+      aggregate(zip_with(col("d"), col("d"), _ * _), lit(0.0), _ + _))
+    val a = n.select(col("vec_id").as("va"), col("d").as("da"), col("nrm").as("na"))
+    val b = n.select(col("vec_id").as("vb"), col("d").as("db"), col("nrm").as("nb"))
+    a.crossJoin(b).filter(col("va") =!= col("vb"))
+      .select(col("va"), col("vb"),
+        (aggregate(zip_with(col("da"), col("db"), _ * _), lit(0.0), _ + _) /
+          sqrt(col("na") * col("nb"))).as("cos"))
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("va")
+          .orderBy(col("cos").desc, col("vb").asc)))
+      .filter(col("rnk") === 1)
+      .select("va", "vb").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  private def recallOf(name: String): Double = {
+    val found = q(name).select("vec_id", "neighbor_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    truth.count { case (v, nn) => found.get(v).contains(nn) }.toDouble / truth.size
+  }
+
+  test("multiprobe recall dominates single-probe recall (superset candidate sets)") {
+    val single = recallOf("ann_lsh_bucket")
+    val multi = recallOf("ann_lsh_multiprobe")
+    // provable: multiprobe's candidate set contains single-probe's, and
+    // the true NN (global max cos) can never be displaced from an argmax
+    // over a superset
+    assert(multi >= single, s"multiprobe recall $multi < single-probe $single")
+    // and the probing must actually help on this geometry, not just tie
+    assert(multi > 0.0, "multiprobe found no true nearest neighbors at all")
+  }
+
+  test("multiprobe leaves no vector neighborless when single-probe found one") {
+    val single = q("ann_lsh_bucket").filter(col("neighbor_id") =!= -1L)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val multiMiss = q("ann_lsh_multiprobe").filter(col("neighbor_id") === -1L)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(single.intersect(multiMiss).isEmpty,
+      "a vector with a same-bucket neighbor lost it under multiprobe")
+  }
+
+  test("embed_dedup_clusters labels are a valid min-id clustering") {
+    val rows = q("embed_dedup_clusters").collect()
+    val n = Tables.embeddings(spark, sf).count()
+    assert(rows.length === n, "every vector must be labeled")
+    // label is the min reachable id: never above the vector's own id
+    assert(rows.forall(r => r.getLong(1) <= r.getLong(0)))
+    // exactly one keeper per cluster, and it carries the cluster id
+    val byCluster = rows.groupBy(_.getLong(1))
+    byCluster.foreach { case (cid, members) =>
+      assert(members.count(_.getBoolean(3)) === 1, s"cluster $cid keeper count != 1")
+      assert(members.exists(r => r.getLong(0) == cid), s"cluster $cid lacks its min node")
+      assert(members.forall(r => r.getLong(2) == members.length),
+        s"cluster $cid size column inconsistent")
+    }
+  }
+}

@@ -32,6 +32,23 @@ class SinkSpec extends SparkSpec {
       docs.filter(col("lang") === langs.head).count())
   }
 
+  test("partitioned_prune registry query prunes at listing time (PartitionFilters)") {
+    val adaptiveWas = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = q("partitioned_prune").queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters: [isnotnull(o_orderstatus"),
+        s"partition predicate not a PartitionFilter:\n$plan")
+      assert("PartitionFilters: \\[[^\\]]*o_orderstatus[^\\]]*= F".r.findFirstIn(plan).isDefined
+        || plan.contains("(o_orderstatus#"),
+        s"equality predicate missing from PartitionFilters:\n$plan")
+      // the partition column resolves from directory names, never file bytes
+      val readSchema = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(plan).map(_.group(1))
+      assert(readSchema.exists(!_.contains("o_orderstatus")),
+        s"partition column read from file contents:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", adaptiveWas)
+  }
+
   test("sorted single-file egress preserves order through the sink (Verify contract)") {
     val out = Files.createTempDirectory("graft_sink2").toString
     val sorted = Tables.orders(spark, sf)
