@@ -1,0 +1,62 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Driver-visible evidence for the two rows-only registry queries.
+  *
+  * `approx_distinct` (HLL) and `quantiles_approx` (percentile sketch) are
+  * approximate BY SEMANTICS, so they can't sit under the DuckDB hash gate
+  * the other queries use. Their correctness story is an error bound
+  * against their exact oracled twins (`count_distinct` / `quantiles`) —
+  * asserted in CoreOpsSpec on every test run, and emitted here as a
+  * committed artifact (`APPROX_BOUNDS.json`) so the evidence lives in the
+  * repo, not only in test output.
+  *
+  * Bounds mirror the spec: HLL at rsd=0.01 is checked at 5% (≫5σ);
+  * approx_percentile at accuracy=10⁴ is checked at 1% relative error.
+  */
+object ApproxBounds {
+  def main(args: Array[String]): Unit = {
+    val sfDirs = if (args.nonEmpty) args.toSeq
+      else Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .withExtensions(new graft.plans.GraftExtensions)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def entry(sfDir: String): String = {
+      val approxD = SparkEntry.queries("approx_distinct")(spark, sfDir).collect()(0)
+      val exactParts = Tables.lineitem(spark, sfDir).select("l_partkey").distinct().count()
+      val exactOrders = Tables.lineitem(spark, sfDir).select("l_orderkey").distinct().count()
+      val approxQ = SparkEntry.queries("quantiles_approx")(spark, sfDir).collect()(0)
+      val exactQ = SparkEntry.queries("quantiles")(spark, sfDir).collect()(0)
+      def relErr(a: Double, e: Double): Double = math.abs(a - e) / math.abs(e)
+      val hll = Seq(
+        ("approx_parts", approxD.getAs[Long]("approx_parts").toDouble, exactParts.toDouble),
+        ("approx_orders", approxD.getAs[Long]("approx_orders").toDouble, exactOrders.toDouble))
+      val pct = Seq("p50", "p90", "p99").map(c =>
+        (c, approxQ.getAs[Double](c), exactQ.getAs[Double](c)))
+      val hllJson = hll.map { case (k, a, e) =>
+        f"""{"field":"$k","approx":${a.toLong},"exact":${e.toLong},"rel_err":${relErr(a, e)}%.6f,"bound":0.05,"pass":${relErr(a, e) <= 0.05}}"""
+      }.mkString("[", ",", "]")
+      val pctJson = pct.map { case (k, a, e) =>
+        f"""{"field":"$k","approx":$a%.4f,"exact":$e%.4f,"rel_err":${relErr(a, e)}%.6f,"bound":0.01,"pass":${relErr(a, e) <= 0.01}}"""
+      }.mkString("[", ",", "]")
+      s""""$sfDir": {"approx_distinct_vs_count_distinct": $hllJson, "quantiles_approx_vs_quantiles": $pctJson}"""
+    }
+
+    val json = sfDirs.map(entry).mkString("{\n", ",\n", "\n}\n")
+    Files.writeString(Paths.get("APPROX_BOUNDS.json"), json)
+    println(json)
+    spark.stop()
+  }
+}
