@@ -304,8 +304,10 @@ object DedupOps {
     * depth every round, so convergence is O(log diameter) (a 10M-node
     * chain resolves in ~25 rounds, not 10M). Every label value is itself
     * a node id, so the jump is a plain self-equi-join; checkpoint
-    * discipline as described on [[dedupClusters]]. Isolated nodes keep
-    * their own id. */
+    * discipline as described on [[dedupClusters]]. The loop runs only
+    * over edge-involved nodes — per-round work scales with the duplicate
+    * subgraph, not the corpus — and isolated nodes rejoin afterwards
+    * with their own id as label. */
   /** Eager lineage truncation with a cluster-safe default: when the
     * session has a checkpoint dir configured (`spark.sparkContext
     * .setCheckpointDir` / `spark.checkpoint.dir`), use RELIABLE
@@ -323,30 +325,35 @@ object DedupOps {
     val edges = pairs.select(col(pairs.columns(0)).as("src"), col(pairs.columns(1)).as("dst"))
       .union(pairs.select(col(pairs.columns(1)).as("src"), col(pairs.columns(0)).as("dst")))
       .persist()
-    var labels = eagerCheckpoint(nodes
-      .select(col(nodes.columns(0)).as("doc_id"), col(nodes.columns(0)).as("label")))
+    // The fixpoint only runs over EDGE-INVOLVED nodes: a node with no
+    // near-dup edge is its own component by definition and re-deriving
+    // that through O(log d) join rounds would make the loop scale with
+    // the corpus instead of with the (far smaller) duplicate subgraph.
+    // Isolated nodes rejoin with label = own id after convergence.
+    var labels = eagerCheckpoint(edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id")))
     var converged = false
     var iter = 0
     while (!converged && iter < MaxCcRounds) {
       val nbrMin = edges.join(labels, col("src") === col("doc_id"))
         .groupBy(col("dst"))
         .agg(min("label").as("nbr_min"))
+      // prev rides along through propagation + jump, so the convergence
+      // probe below needs no extra join against the previous generation
       val prop = labels.join(nbrMin, col("doc_id") === col("dst"), "left_outer")
-        .select(col("doc_id"),
+        .select(col("doc_id"), col("label").as("prev"),
           least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
       val next = eagerCheckpoint(prop
         .join(prop.select(col("doc_id").as("p_id"), col("label").as("p_label")),
           col("label") === col("p_id"))
-        .select(col("doc_id"), col("p_label").as("label")))
+        .select(col("doc_id"), col("prev"), col("p_label").as("label")))
       // Convergence = zero labels changed this round. Labels only ever
       // decrease, so changed == 0 IS the fixpoint; the count can't give a
       // false positive, unlike a Σlabel equality probe, which can wrap
       // around Long on billion-node/large-id graphs. Still one driver-side
       // long per round, no collect.
-      val changed = next
-        .join(labels.select(col("doc_id"), col("label").as("prev_label")), "doc_id")
-        .filter(col("label") =!= col("prev_label")).count()
-      labels = next
+      val changed = next.filter(col("label") =!= col("prev")).count()
+      labels = next.select("doc_id", "label")
       converged = changed == 0L
       iter += 1
     }
@@ -357,7 +364,9 @@ object DedupOps {
     // fail loudly instead.
     if (!converged) throw new IllegalStateException(
       s"connectedComponents: no fixpoint after $MaxCcRounds rounds (labels still changing)")
-    labels
+    nodes.select(col(nodes.columns(0)).as("doc_id"))
+      .join(labels, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("label"))
   }
 
   val queries: Map[String, Q] = Map(
