@@ -173,6 +173,56 @@ object FileOps {
       .orderBy("p_brand")
   }
 
+  /** ORC sink + source round-trip (third columnar format, zero extra
+    * deps — the ORC reader/writer ships with Spark): lineitem projection
+    * egressed to ORC, re-read with an explicit schema, aggregated. ORC
+    * scans get the same pushdown/pruning treatment as parquet
+    * (column-pruned stripes, predicate pushdown), so format choice is an
+    * IO decision, not a plan decision. Oracle recomputes from the source
+    * parquet — write fidelity and typed re-parse both gated. */
+  def orcRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = cacheDir(spark, "orc", sfDir)
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(root, "_SUCCESS"))) {
+      Tables.lineitem(spark, sfDir)
+        .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"),
+          col("l_extendedprice"))
+        .write.mode("overwrite").orc(dir)
+    }
+    spark.read
+      .schema("l_orderkey BIGINT, l_returnflag STRING, l_quantity DOUBLE, l_extendedprice DOUBLE")
+      .orc(dir)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("l_quantity").cast("decimal(20,2)")).cast("long").as("sum_qty"),
+        graft.Det.moneySum(col("l_extendedprice")).as("sum_price"))
+      .orderBy("l_returnflag")
+  }
+
+  /** XML sink + source round-trip (the document-markup source format,
+    * built into Spark 4's SQL layer): supplier rows egressed as XML
+    * elements, re-read with rowTag + explicit schema, aggregated per
+    * nation. Proves the full breadth of text source formats (CSV, JSON
+    * lines, XML) under one oracle pattern. */
+  def xmlRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = cacheDir(spark, "xml", sfDir)
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(root, "_SUCCESS"))) {
+      Tables.supplier(spark, sfDir)
+        .select(col("s_suppkey"), col("s_nationkey"), col("s_acctbal"))
+        .write.mode("overwrite").option("rowTag", "supplier").xml(dir)
+    }
+    spark.read
+      .schema("s_suppkey BIGINT, s_nationkey BIGINT, s_acctbal DOUBLE")
+      .option("rowTag", "supplier")
+      .xml(dir)
+      .groupBy("s_nationkey")
+      .agg(count(lit(1)).as("n_supps"), graft.Det.moneySum(col("s_acctbal")).as("sum_bal"))
+      .orderBy("s_nationkey")
+  }
+
   /** Partition-pruned scan — the single biggest scan lever at 100 TB,
     * where data lives hive-partitioned by date/tenant/status and a query
     * touching one partition must not list-or-read the rest. `orders` is
@@ -207,6 +257,8 @@ object FileOps {
     "file_shard_stats"  -> (fileShardStats _),
     "csv_roundtrip"     -> (csvRoundtrip _),
     "json_roundtrip"    -> (jsonRoundtrip _),
+    "orc_roundtrip"     -> (orcRoundtrip _),
+    "xml_roundtrip"     -> (xmlRoundtrip _),
     "partitioned_prune" -> (partitionedPrune _))
 
   val oracle: Map[String, String] = Map(
@@ -227,6 +279,15 @@ object FileOps {
          |  CAST(sum(p_size) AS BIGINT) AS total_size,
          |  ${graft.Det.sqlMoneySum("p_retailprice")} AS sum_price
          |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "orc_roundtrip" ->
+      s"""SELECT l_returnflag, count(*) AS n_lines,
+         |  CAST(sum(CAST(l_quantity AS DECIMAL(20,2))) AS BIGINT) AS sum_qty,
+         |  ${graft.Det.sqlMoneySum("l_extendedprice")} AS sum_price
+         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "xml_roundtrip" ->
+      s"""SELECT s_nationkey, count(*) AS n_supps,
+         |  ${graft.Det.sqlMoneySum("s_acctbal")} AS sum_bal
+         |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
     "partitioned_prune" ->
       s"""SELECT o_orderpriority, count(*) AS n_orders,
          |  ${graft.Det.sqlMoneySum("o_totalprice")} AS sum_price

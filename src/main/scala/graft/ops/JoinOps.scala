@@ -27,6 +27,70 @@ object JoinOps {
       .agg(count(lit(1)).as("n_cust"), Det.moneySum(col("c_acctbal")).as("sum_bal"))
       .orderBy("region", "nation")
 
+  /** Q14 at steady state: the BUCKETED co-located fact-fact join — the
+    * pre-partitioning strategy for joins that RECUR at 100 TB. Both
+    * sides are written once into the warehouse bucketed (and
+    * bucket-sorted) on the join key; every subsequent join on that key
+    * reads bucket-aligned sorted files and needs NO Exchange at query
+    * time — the shuffle is amortized into the ingest (and with
+    * `spark.sql.legacy.bucketedTableScan.outputOrdering=true` the
+    * per-bucket Sort is elided too, since the write keeps one file per
+    * bucket). Plan pinned by PlanAuditSpec (SortMergeJoin with zero
+    * exchanges and zero sorts on the key) alongside BucketingSpec; the oracle
+    * recomputes from the raw parquet, so bucketed-write fidelity is
+    * hash-gated too. Table creation is idempotent per sfDir (warm
+    * warehouse, same staleness contract as the file-fixture caches). */
+  /** Idempotent bucketed-table provisioning that survives metastore
+    * churn: each harness JVM has a fresh in-memory catalog but they all
+    * share the on-disk warehouse, so "table missing from the catalog"
+    * does not imply "files missing". If the location already holds a
+    * previous JVM's bucketed files, re-REGISTER them as an external
+    * table with the same bucket spec (bucket identity is metadata +
+    * deterministic file naming, so the registration is lossless);
+    * only write when the location is genuinely absent. */
+  private def ensureBucketed(spark: SparkSession, db: String, name: String,
+      schema: String, write: => org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row]): Unit = {
+    val qn = s"$db.$name"
+    if (!spark.catalog.tableExists(qn)) {
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir") + s"/$db.db/$name")
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc))
+        spark.sql(s"""CREATE TABLE $qn ($schema) USING PARQUET
+                     |CLUSTERED BY (o_orderkey) SORTED BY (o_orderkey) INTO 8 BUCKETS
+                     |LOCATION '$loc'""".stripMargin)
+      else
+        write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(qn)
+    }
+  }
+
+  def joinBucketed(spark: SparkSession, sfDir: String): DataFrame = {
+    val db = "graft_bkt_" + sfDir.replaceAll("[^A-Za-z0-9_]", "_")
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+    // repartition(8, key) before the bucketed write: the repartition hash
+    // equals the bucket hash, so each task holds exactly one bucket and
+    // writes ONE file per bucket — the layout that lets the merge join
+    // use the buckets' sort order (multi-file buckets are only sorted
+    // per FILE, and Spark must re-sort them)
+    ensureBucketed(spark, db, "orders_b",
+      "o_orderkey BIGINT, o_orderstatus STRING",
+      Tables.orders(spark, sfDir).select("o_orderkey", "o_orderstatus")
+        .repartition(8, col("o_orderkey"))
+        .write.mode("overwrite"))
+    ensureBucketed(spark, db, "lineitem_b",
+      "o_orderkey BIGINT, l_extendedprice DOUBLE, l_discount DOUBLE",
+      Tables.lineitem(spark, sfDir)
+        .select(col("l_orderkey").as("o_orderkey"), col("l_extendedprice"), col("l_discount"))
+        .repartition(8, col("o_orderkey"))
+        .write.mode("overwrite"))
+    spark.table(s"$db.orders_b")
+      .join(spark.table(s"$db.lineitem_b"), "o_orderkey")
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_lines"),
+        Det.moneySum4(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+      .orderBy("o_orderstatus")
+  }
+
   /** Q14 shuffle (sort-merge/hash) fact-to-fact join + aggregate: revenue
     * per order, top 100. Both sides hash-partition on the order key; the
     * groupBy reuses that partitioning (no second exchange). */
@@ -87,6 +151,7 @@ object JoinOps {
 
   val queries: Map[String, Q] = Map(
     "join_broadcast"   -> (joinBroadcast _),
+    "join_bucketed"    -> (joinBucketed _),
     "join_shuffle_agg" -> (joinShuffleAgg _),
     "join_semi"        -> (joinSemi _),
     "join_anti"        -> (joinAnti _),
@@ -96,6 +161,11 @@ object JoinOps {
   import Det.{sqlMoneySum, sqlMoneySum4}
 
   val oracle: Map[String, String] = Map(
+    "join_bucketed" ->
+      s"""SELECT o_orderstatus, count(*) AS n_lines,
+         |  ${sqlMoneySum4("l_extendedprice * (1 - l_discount)")} AS revenue
+         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "join_broadcast" ->
       s"""SELECT r_name AS region, n_name AS nation,
          |  count(*) AS n_cust, ${sqlMoneySum("c_acctbal")} AS sum_bal

@@ -81,6 +81,31 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("Window"), s"window sort survived the rewrite in:\n$plan")
   }
 
+  test("join_bucketed joins bucket-aligned files with no exchange and no sort") {
+    // at fixture SF the build side fits the broadcast threshold (also a
+    // fine, exchange-free plan); disable broadcast to pin the bucket
+    // alignment the layout is FOR — the merge join both sides feed
+    // without shuffling or sorting at any size
+    // sort-order propagation from bucket-sorted scans is opt-in (it needs
+    // one file per bucket, which the write guarantees via repartition)
+    val thrWas = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    val plan = try planOf("join_bucketed")
+    finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thrWas)
+      spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "false")
+    }
+    assert(plan.contains("SortMergeJoin"), s"no sort-merge join in:\n$plan")
+    // the join key must not be shuffled — bucketing pre-partitioned it at
+    // write time; the only exchange allowed is the final status group-by
+    assert(!"Exchange hashpartitioning\\([^)]*o_orderkey".r.findFirstIn(plan).isDefined,
+      s"bucketed join still shuffles on the key:\n$plan")
+    // bucket-sorted files also satisfy the merge-join sort requirement
+    assert(!"\\+- \\*?\\(?\\d*\\)? ?Sort \\[o_orderkey".r.findFirstIn(plan).isDefined,
+      s"bucketed join re-sorts pre-sorted buckets:\n$plan")
+  }
+
   test("pii_redact is a pure narrow map (no hash-partition exchange)") {
     val plan = planOf("pii_redact")
     assert(!plan.contains("Exchange hashpartitioning"),
