@@ -91,6 +91,33 @@ object JoinOps {
       .orderBy("o_orderstatus")
   }
 
+  /** Q14 skew-hardened: the SALTED fact-dim join — the explicit rewrite
+    * for when one join key carries a disproportionate share of the fact
+    * rows and a single reducer would serialize the stage (AQE's
+    * skew-split is the adaptive version; explicit salting is the tool
+    * when the skew is known, extreme, or AQE can't split the build
+    * side). The probe side gets a deterministic per-row salt, the build
+    * side is replicated S ways with every salt value, and the join keys
+    * on (key, salt) — a hot key's rows now spread over S tasks. The
+    * salt provably cancels (each probe row still matches its build row
+    * exactly once), so the oracle is the PLAIN join's SQL — the rewrite
+    * must be invisible in the result. SkewJoinSpec additionally proves
+    * the spread on a 90%-one-key dataset. */
+  def joinSkewSalted(spark: SparkSession, sfDir: String): DataFrame = {
+    val S = 8
+    val probe = Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey"), col("l_extendedprice"), col("l_discount"),
+        pmod(xxhash64(col("l_orderkey") * 7 + col("l_linenumber")), lit(S)).as("salt"))
+    val build = Tables.part(spark, sfDir).select(col("p_partkey"), col("p_brand"))
+      .withColumn("salt", explode(sequence(lit(0L), lit(S - 1L))))
+    probe.join(build,
+        probe("l_partkey") === build("p_partkey") && probe("salt") === build("salt"))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_lines"),
+        Det.moneySum4(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+      .orderBy("p_brand")
+  }
+
   /** Q14 shuffle (sort-merge/hash) fact-to-fact join + aggregate: revenue
     * per order, top 100. Both sides hash-partition on the order key; the
     * groupBy reuses that partitioning (no second exchange). */
@@ -152,6 +179,7 @@ object JoinOps {
   val queries: Map[String, Q] = Map(
     "join_broadcast"   -> (joinBroadcast _),
     "join_bucketed"    -> (joinBucketed _),
+    "join_skew_salted" -> (joinSkewSalted _),
     "join_shuffle_agg" -> (joinShuffleAgg _),
     "join_semi"        -> (joinSemi _),
     "join_anti"        -> (joinAnti _),
@@ -166,6 +194,12 @@ object JoinOps {
          |  ${sqlMoneySum4("l_extendedprice * (1 - l_discount)")} AS revenue
          |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
          |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // the salt cancels by construction, so the oracle is the PLAIN join
+    "join_skew_salted" ->
+      s"""SELECT p_brand, count(*) AS n_lines,
+         |  ${sqlMoneySum4("l_extendedprice * (1 - l_discount)")} AS revenue
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
     "join_broadcast" ->
       s"""SELECT r_name AS region, n_name AS nation,
          |  count(*) AS n_cust, ${sqlMoneySum("c_acctbal")} AS sum_bal
