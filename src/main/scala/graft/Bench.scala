@@ -20,7 +20,19 @@ object Bench {
     ops.FileOps.materializeDocFiles(spark, sfDir)
     ops.FileOps.csvRoundtrip(spark, sfDir)  // eager CSV egress is fixture prep too
     ops.FileOps.jsonRoundtrip(spark, sfDir) // ... and the JSON twin
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // local-iteration filter: SPARK_GRAFT_ONLY=a,b,c times just those
+    // queries (the driver sets no filter and gets the full registry)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty[String])
+    val results = SparkEntry.queries
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .map { case (name, fn) =>
+      // each query is an independent measurement: drop any cache blocks a
+      // previous query persisted (several operators persist plan-shared
+      // intermediates and can't unpersist before their action runs), so
+      // late queries aren't taxed by 100 predecessors' leftover blocks
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

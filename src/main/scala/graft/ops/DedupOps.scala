@@ -90,11 +90,19 @@ object DedupOps {
     // prefix length n − ⌈0.9n⌉ + 1, in exact integer arithmetic
     // (⌈9n/10⌉ = (9n+9) div 10); float ceil(n*0.9) rounds wrong at e.g.
     // n=10 and would silently drop qualifying pairs.
+    // the candidate join keys on the 64-bit HASH of (token, source), not
+    // the token string: the shuffle then carries 8-byte keys instead of
+    // variable-length text, and key comparisons are integer. A hash
+    // collision can only ADD a candidate pair, and every candidate is
+    // re-verified by exact intersection below — so the result stays
+    // exact, no probabilistic caveat.
     val prefix = sets.select(col("doc_id"), col("source"), col("n"),
       explode(slice(col("tokset"), lit(1),
         (col("n") - expr("(n * 9 + 9) div 10") + 1).cast("int"))).as("tok"))
+      .select(col("doc_id"), col("source"), col("n"),
+        xxhash64(col("tok"), col("source")).as("tokh"))
     val cand = prefix.as("a").join(prefix.as("b"),
-        col("a.tok") === col("b.tok") && col("a.source") === col("b.source") &&
+        col("a.tokh") === col("b.tokh") && col("a.source") === col("b.source") &&
           col("a.doc_id") < col("b.doc_id") &&
           col("a.n") * 10 >= col("b.n") * 9 && col("b.n") * 10 >= col("a.n") * 9)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
