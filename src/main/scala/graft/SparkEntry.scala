@@ -20,7 +20,8 @@ object SparkEntry {
       TimeOps.queries ++ SemiOps.queries ++ TextOps.queries ++
       DedupOps.queries ++ SimOps.queries ++ MultiModalOps.queries ++
       PipeOps.queries ++ Udx.queries ++ FileOps.queries ++ CurateOps.queries ++
-      QualityOps.queries ++ MartOps.queries
+      QualityOps.queries ++ MartOps.queries ++ WarehouseOps.queries ++
+      GraphOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -29,5 +30,6 @@ object SparkEntry {
       TimeOps.oracle ++ SemiOps.oracle ++ TextOps.oracle ++
       DedupOps.oracle ++ SimOps.oracle ++ MultiModalOps.oracle ++
       PipeOps.oracle ++ Udx.oracle ++ FileOps.oracle ++ CurateOps.oracle ++
-      QualityOps.oracle ++ MartOps.oracle
+      QualityOps.oracle ++ MartOps.oracle ++ WarehouseOps.oracle ++
+      GraphOps.oracle
 }

@@ -377,7 +377,39 @@ object DedupOps {
       .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("label"))
   }
 
+  /** Cross-document repeated-span detection — the substring-level exact
+    * dedup signal (the "deduplicating training data" family: spans
+    * repeated verbatim across documents mark boilerplate/templates for
+    * excision, a finer grain than whole-document dedup). Every 3-token
+    * shingle is hashed (md5 — engine-portable) and the hashes are
+    * aggregated; spans seen in ≥2 distinct documents are reported with
+    * their document and occurrence counts.
+    *
+    * Scale shape: the explode shuffles tokens × 16 B hash keys — the same
+    * volume a suffix-array shard build moves — and both counts are
+    * map-side partially aggregated, so a boilerplate span occurring
+    * millions of times arrives at its reducer as one partial per map
+    * task, not one row per occurrence. No pair space anywhere. The
+    * shifted-slice zip_with shingling (not element_at in a lambda)
+    * avoids the O(tokens²) re-split trap documented at
+    * [[TextOps.docShingleSketch]]. */
+  def dupNgramSpans(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .filter(size(toks) >= 3)
+      .select(col("doc_id"), toks.as("t"), (size(toks) - 2).as("m"))
+      .select(col("doc_id"), explode(
+          zip_with(
+            zip_with(slice(col("t"), lit(1), col("m")), slice(col("t"), lit(2), col("m")),
+              (x, y) => concat_ws(" ", x, y)),
+            slice(col("t"), lit(3), col("m")),
+            (xy, z) => md5(concat_ws(" ", xy, z)))).as("shingle_hash"))
+      .groupBy("shingle_hash")
+      .agg(countDistinct(col("doc_id")).as("n_docs"), count(lit(1)).as("n_occ"))
+      .filter(col("n_docs") >= 2)
+      .orderBy("shingle_hash")
+
   val queries: Map[String, Q] = Map(
+    "dup_ngram_spans"     -> (dupNgramSpans _),
     "dedup_exact_stats"   -> (dedupExactStats _),
     "dedup_keep_first"    -> (dedupKeepFirst _),
     "dedup_ngram_jaccard" -> (ngramJaccard _),
@@ -444,6 +476,18 @@ object DedupOps {
       """SELECT md5(text) AS content_hash, min(doc_id) AS keeper_doc_id,
         |  count(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY keeper_doc_id""".stripMargin,
+    "dup_ngram_spans" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(string_split(text, ' ')) - 1),
+        |      i -> md5(string_split(text, ' ')[i] || ' ' ||
+        |                string_split(text, ' ')[i + 1] || ' ' ||
+        |                string_split(text, ' ')[i + 2]))) AS shingle_hash
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 3)
+        |SELECT shingle_hash, count(DISTINCT doc_id) AS n_docs,
+        |  count(*) AS n_occ
+        |FROM sh GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
+        |ORDER BY shingle_hash""".stripMargin,
     "dedup_ngram_jaccard" ->
       s"""WITH $sqlNgramPairCtes
          |SELECT doc_a, doc_b,

@@ -368,7 +368,45 @@ object SimOps {
       .orderBy("query_id", "rnk")
   }
 
+  /** kNN majority-vote classification: the held-out query vectors
+    * (vec_id < 50) take the majority label of their 5 nearest corpus
+    * neighbors by cosine (vec_id ≥ 50), ties broken toward the smaller
+    * label. This is the label-propagation primitive downstream of any
+    * ANN index (quality-tier transfer, weak labeling); here it runs on
+    * the brute-force scorer so the prediction itself is exact and fully
+    * oracled — swap [[annLshBucketG]]/IVF cells in front of the same
+    * vote to make it approximate at scale. The probe set broadcasts
+    * (queries are the small side by construction); the corpus only
+    * streams — no shuffle of the big side at all. */
+  def embedKnnClassify(spark: SparkSession, sfDir: String): DataFrame = {
+    val v = withNorm(Tables.embeddings(spark, sfDir))
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        col("label").cast("long").as("label"))
+    val q = v.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("query_id"), col("label").as("true_label"),
+        col("embedding").as("qe"), col("nrm").as("qn"))
+    val corpus = v.filter(col("vec_id") >= 50)
+    val wTop = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    val wVote = Window.partitionBy("query_id")
+      .orderBy(col("n_votes").desc, col("label").asc)
+    corpus.crossJoin(broadcast(q))
+      .select(col("query_id"), col("true_label"),
+        col("vec_id").as("neighbor_id"), col("label"),
+        (dot(col("qe"), col("embedding")) / sqrt(col("qn") * col("nrm"))).as("cos"))
+      .withColumn("rnk", row_number().over(wTop))
+      .filter(col("rnk") <= 5)
+      .groupBy(col("query_id"), col("true_label"), col("label"))
+      .agg(count(lit(1)).as("n_votes"))
+      .withColumn("vr", row_number().over(wVote))
+      .filter(col("vr") === 1)
+      .select(col("query_id"), col("true_label"),
+        col("label").as("pred_label"), col("n_votes"))
+      .orderBy("query_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "embed_knn_classify"   -> (embedKnnClassify _),
     "embed_top_pairs"      -> (embedTopPairs _),
     "ann_topk_brute"       -> (annTopkBrute _),
     "ann_lsh_bucket"       -> (annLshBucket _),
@@ -417,6 +455,26 @@ object SimOps {
        |    FROM pd_$out GROUP BY cell, pos) m GROUP BY cell)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "embed_knn_classify" ->
+      s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS d,
+         |           CAST(label AS BIGINT) AS label FROM embeddings),
+         |n AS (SELECT vec_id, label, d, ${sqlDot("d", "d")} AS nrm FROM v),
+         |q AS (SELECT vec_id AS query_id, label AS true_label, d AS qd, nrm AS qn
+         |      FROM n WHERE vec_id < 50),
+         |scored AS (
+         |  SELECT q.query_id, q.true_label, c.vec_id AS neighbor_id, c.label,
+         |    ${sqlDot("q.qd", "c.d")} / sqrt(q.qn * c.nrm) AS cos
+         |  FROM q CROSS JOIN n c WHERE c.vec_id >= 50),
+         |top AS (SELECT * FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos DESC, neighbor_id ASC) AS rnk FROM scored) t
+         |  WHERE rnk <= 5),
+         |votes AS (SELECT query_id, true_label, label, count(*) AS n_votes
+         |          FROM top GROUP BY 1, 2, 3)
+         |SELECT query_id, true_label, label AS pred_label, n_votes FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY n_votes DESC, label ASC) AS vr FROM votes) t
+         |WHERE vr = 1 ORDER BY query_id""".stripMargin,
     "ann_ivf_kmeans" ->
       s"""WITH v AS ($sqlVec),
          |n AS (SELECT vec_id, d, ${sqlDot("d", "d")} AS nrm FROM v),

@@ -1,0 +1,137 @@
+package graft.ops
+
+import graft.{Det, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Warehouse maintenance operators (SURVEY.md §2b Q7/Q18 compositions):
+  * the mutation-shaped workloads a batch analytics engine expresses as
+  * joins and windows — MERGE/upsert (SCD type 1), slowly-changing-
+  * dimension history (SCD type 2), and re-aggregation of partial
+  * aggregates (the algebraic contract behind incremental rollups).
+  *
+  * The reference's pipeline rewrites its sink wholesale per run
+  * (`Program.cs:430-470` — egress is a full re-upload); these operators
+  * are the incremental alternatives a 100 TB warehouse actually runs,
+  * and each is a pure declarative plan: MERGE is a full-outer shuffle
+  * join on the key (AQE free to broadcast a small update batch), SCD-2
+  * is one window over the natural key, and partial-merge is two
+  * map-side-combined aggregates whose exactness rests on DECIMAL sums
+  * being associative — the same property that makes them safe across
+  * 1000 executors and across incremental batches.
+  */
+object WarehouseOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** MERGE/upsert, SCD type 1: apply a keyed update batch to a base
+    * table in one pass. The update batch is the per-customer open-order
+    * position (plus one synthetic key absent from the base, so the
+    * INSERT branch is exercised); the result tags every row with the
+    * branch it took. At scale the base side shuffles on the key once —
+    * or not at all when the update batch fits the broadcast threshold
+    * (no hint: AQE decides from the batch's actual size). */
+  def mergeUpsert(spark: SparkSession, sfDir: String): DataFrame = {
+    val updates = Tables.orders(spark, sfDir)
+      .filter(col("o_orderstatus") === "O")
+      .groupBy(col("o_custkey").as("u_custkey"))
+      .agg(count(lit(1)).as("n_open"),
+        Det.moneySum(col("o_totalprice")).as("open_spend"))
+      .unionByName(
+        spark.range(1).select(lit(-1L).as("u_custkey"),
+          lit(0L).as("n_open"), lit(0.0).as("open_spend")))
+    Tables.customer(spark, sfDir)
+      .select("c_custkey", "c_name", "c_acctbal")
+      .join(updates, col("c_custkey") === col("u_custkey"), "full_outer")
+      .select(
+        coalesce(col("c_custkey"), col("u_custkey")).as("custkey"),
+        coalesce(col("c_name"), lit("NEW")).as("name"),
+        coalesce(col("c_acctbal"), lit(0.0)).as("acctbal"),
+        coalesce(col("n_open"), lit(0L)).as("n_open"),
+        coalesce(col("open_spend"), lit(0.0)).as("open_spend"),
+        when(col("c_custkey").isNull, "insert")
+          .when(col("u_custkey").isNull, "keep")
+          .otherwise("update").as("action"))
+      .orderBy("custkey")
+  }
+
+  /** SCD type 2: rebuild a validity-interval history from an event-keyed
+    * fact — each order opens a version of its customer's state, closed by
+    * the next order's date (`lead`), open-ended for the latest. One
+    * window per natural key, no self-join: the O(n) formulation that
+    * replaces the quadratic "match each row with its successor" join.
+    * Ties on the date are broken by the orderkey so versioning is total
+    * and deterministic at any parallelism. */
+  def scd2Intervals(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("custkey")
+      .orderBy(col("valid_from").asc, col("orderkey").asc)
+    Tables.orders(spark, sfDir)
+      .select(col("o_custkey").as("custkey"), col("o_orderkey").as("orderkey"),
+        col("o_orderstatus").as("status"), col("o_orderdate").as("valid_from"))
+      .withColumn("version", row_number().over(w).cast("long"))
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+      .select("custkey", "version", "orderkey", "status",
+        "valid_from", "valid_to", "is_current")
+      .orderBy("custkey", "version")
+  }
+
+  /** Partial-aggregate merge: shard-local partial aggregates re-combined
+    * to the final grouping, hash-gated equal to the direct single-pass
+    * aggregate. This is the algebraic contract incremental pipelines
+    * depend on (per-batch partials + a merge instead of a full rescan),
+    * and it holds exactly here because the partial sums stay DECIMAL
+    * until the final cast — associative and merge-order independent,
+    * where double partials would drift. The shard key is synthetic
+    * (orderkey mod 32) standing in for a partition/batch id. */
+  def partialAggMerge(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"), col("l_linestatus"),
+        pmod(col("l_orderkey"), lit(32)).as("shard"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("l_quantity").cast("decimal(18,2)")).as("pq"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).as("pp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("cnt")).as("n_items"),
+        sum(col("pq")).cast("double").as("sum_qty"),
+        sum(col("pp")).cast("double").as("sum_price"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  val queries: Map[String, Q] = Map(
+    "merge_upsert"      -> (mergeUpsert _),
+    "scd2_intervals"    -> (scd2Intervals _),
+    "partial_agg_merge" -> (partialAggMerge _))
+
+  val oracle: Map[String, String] = Map(
+    "merge_upsert" ->
+      """WITH upd AS (
+        |  SELECT o_custkey AS u_custkey, count(*) AS n_open,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS open_spend
+        |  FROM orders WHERE o_orderstatus = 'O' GROUP BY 1
+        |  UNION ALL SELECT -1, 0, 0.0)
+        |SELECT coalesce(c_custkey, u_custkey) AS custkey,
+        |  coalesce(c_name, 'NEW') AS name,
+        |  coalesce(c_acctbal, 0.0) AS acctbal,
+        |  coalesce(n_open, 0) AS n_open,
+        |  coalesce(open_spend, 0.0) AS open_spend,
+        |  CASE WHEN c_custkey IS NULL THEN 'insert'
+        |       WHEN u_custkey IS NULL THEN 'keep'
+        |       ELSE 'update' END AS action
+        |FROM customer FULL OUTER JOIN upd ON c_custkey = u_custkey
+        |ORDER BY custkey""".stripMargin,
+    "scd2_intervals" ->
+      """SELECT o_custkey AS custkey,
+        |  CAST(row_number() OVER w AS BIGINT) AS version,
+        |  o_orderkey AS orderkey, o_orderstatus AS status,
+        |  o_orderdate AS valid_from,
+        |  lead(o_orderdate, 1) OVER w AS valid_to,
+        |  lead(o_orderdate, 1) OVER w IS NULL AS is_current
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+        |ORDER BY custkey, version""".stripMargin,
+    "partial_agg_merge" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n_items,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+}

@@ -120,14 +120,42 @@ object WindowOps {
       .select(col("o_custkey"), col("rn"), col("o_orderkey"), col("o_totalprice"))
       .orderBy("o_custkey", "rn")
 
+  /** Q18 distribution family: quartile (ntile), percent_rank and
+    * cume_dist of each customer's balance within its nation — the
+    * normalized-position window functions (the quantile-bucketing shape
+    * feature pipelines use for per-group score calibration). The order
+    * key carries the custkey tiebreaker, so every rank-derived ratio is
+    * deterministic; the ratios themselves are single IEEE divisions of
+    * integer counts — bit-identical across engines. */
+  def windowCume(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("c_nationkey")
+      .orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+    Tables.customer(spark, sfDir)
+      .select(col("c_nationkey").cast("long").as("nationkey"), col("c_custkey"),
+        col("c_acctbal"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"))
+      .orderBy("nationkey", "c_acctbal", "c_custkey")
+  }
+
   val queries: Map[String, Q] = Map(
     "window_rank"        -> (windowRank _),
     "window_rank_custom" -> (windowRankCustom _),
     "window_running"     -> (windowRunning _),
     "window_rank_family" -> (windowRankFamily _),
-    "window_navigation"  -> (windowNavigation _))
+    "window_navigation"  -> (windowNavigation _),
+    "window_cume"        -> (windowCume _))
 
   val oracle: Map[String, String] = Map(
+    "window_cume" ->
+      """SELECT CAST(c_nationkey AS BIGINT) AS nationkey, c_custkey, c_acctbal,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist() OVER w AS cume
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal ASC, c_custkey ASC)
+        |ORDER BY nationkey, c_acctbal, c_custkey""".stripMargin,
     "window_navigation" ->
       """SELECT o_custkey, o_orderkey,
         |  coalesce(lead(o_totalprice, 1) OVER w, -1.0) AS next_price,
