@@ -120,6 +120,57 @@ object DedupOps {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Containment near-dup: |A∩B| / |A| ≥ 0.9 with A the smaller token
+    * set — the SUBSET-duplicate detector (a document pasted inside a
+    * larger one), which Jaccard misses entirely when the container is
+    * much bigger (J = |A|/|B| → 0 while containment = 1).
+    *
+    * Asymmetric PPJoin variant: only the probe (smaller) side can be
+    * prefix-filtered — if c ≥ ⌈0.9·|A|⌉ then A misses at most
+    * |A|−⌈0.9|A|⌉ of its own tokens, so one of its first
+    * |A|−⌈0.9|A|⌉+1 sorted tokens must be shared — while the index
+    * (larger) side explodes fully: that full explode IS the inverted
+    * index, the same shuffle volume a word count moves, keyed by 8-byte
+    * token hashes. The (n, id) orientation makes each unordered pair
+    * probe exactly once; exact two-pointer verification absorbs hash
+    * collisions. No length-ratio filter applies — containment pairs are
+    * precisely the ones whose sizes diverge. */
+  def ngramContainment(spark: SparkSession, sfDir: String): DataFrame = {
+    val spread = spark.sparkContext.defaultParallelism
+    val sets = Tables.documents(spark, sfDir)
+      .repartition(spread)
+      .select(col("doc_id"), col("source"),
+        array_sort(array_distinct(toks)).as("tokset"))
+      .withColumn("n", size(col("tokset")))
+      .persist()
+    val prefix = sets.select(col("doc_id"), col("source"), col("n"),
+      explode(slice(col("tokset"), lit(1),
+        (col("n") - expr("(n * 9 + 9) div 10") + 1).cast("int"))).as("tok"))
+      .select(col("doc_id"), col("source"), col("n"),
+        xxhash64(col("tok"), col("source")).as("tokh"))
+    val index = sets.select(col("doc_id"), col("source"), col("n"),
+      explode(col("tokset")).as("tok"))
+      .select(col("doc_id"), col("source"), col("n"),
+        xxhash64(col("tok"), col("source")).as("tokh"))
+    val cand = prefix.as("a").join(index.as("b"),
+        col("a.tokh") === col("b.tokh") && col("a.source") === col("b.source") &&
+          (col("a.n") < col("b.n") ||
+            (col("a.n") === col("b.n") && col("a.doc_id") < col("b.doc_id"))))
+      .select(col("a.doc_id").as("doc_small"), col("b.doc_id").as("doc_big"))
+      .distinct()
+    val isect = graft.functions.VectorFunctions
+      .sortedIntersectCount(col("set_s"), col("set_b")).cast("long")
+    cand
+      .join(sets.select(col("doc_id").as("doc_small"), col("tokset").as("set_s"),
+        col("n").as("ns")), "doc_small")
+      .join(sets.select(col("doc_id").as("doc_big"), col("tokset").as("set_b")), "doc_big")
+      .withColumn("c", isect)
+      .withColumn("containment", col("c") * lit(1.0) / col("ns"))
+      .filter(col("containment") >= 0.9)
+      .select(col("doc_small"), col("doc_big"), round(col("containment"), 6).as("containment"))
+      .orderBy("doc_small", "doc_big")
+  }
+
   // --- MinHash -------------------------------------------------------------
 
   /** Signature geometry; the universal-hash constants over GF(2³¹−1)
@@ -410,6 +461,7 @@ object DedupOps {
 
   val queries: Map[String, Q] = Map(
     "dup_ngram_spans"     -> (dupNgramSpans _),
+    "dedup_containment"   -> (ngramContainment _),
     "dedup_exact_stats"   -> (dedupExactStats _),
     "dedup_keep_first"    -> (dedupKeepFirst _),
     "dedup_ngram_jaccard" -> (ngramJaccard _),
@@ -495,6 +547,24 @@ object DedupOps {
          |FROM shared
          |WHERE c * 1.0 / (na + nb - c) >= 0.9
          |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_containment" ->
+      """WITH dt AS (
+        |  SELECT DISTINCT doc_id, source, tok FROM (
+        |    SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok
+        |    FROM documents) t),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM dt GROUP BY 1),
+        |dtn AS (SELECT dt.doc_id, dt.source, dt.tok, sizes.n
+        |        FROM dt JOIN sizes USING (doc_id)),
+        |shared AS (
+        |  SELECT a.doc_id AS doc_small, b.doc_id AS doc_big, count(*) AS c,
+        |    max(a.n) AS ns
+        |  FROM dtn a JOIN dtn b
+        |    ON a.tok = b.tok AND a.source = b.source
+        |   AND (a.n < b.n OR (a.n = b.n AND a.doc_id < b.doc_id))
+        |  GROUP BY 1, 2)
+        |SELECT doc_small, doc_big, round(c * 1.0 / ns, 6) AS containment
+        |FROM shared WHERE c * 1.0 / ns >= 0.9
+        |ORDER BY doc_small, doc_big""".stripMargin,
     "dedup_clusters" ->
       s"""WITH RECURSIVE $sqlNgramPairCtes,
          |np AS (SELECT doc_a, doc_b FROM shared

@@ -144,6 +144,64 @@ object StreamOps {
       .select(col("user_id"), col("click_ts"), col("purchase_ts"))
   }
 
+  /** Streaming twin of [[graft.ops.WarehouseOps.mergeUpsert]]: incremental
+    * MERGE via `foreachBatch` — the canonical streaming-warehouse-
+    * maintenance pattern. The order fixture is split into 4 files and
+    * streamed one file per microbatch; each batch's per-customer open
+    * position is MERGEd (full-outer + coalesce-add) into a parquet state
+    * table with an atomic swap (write new generation, repoint). The
+    * accumulated state equals the one-shot batch aggregate because the
+    * partial sums are DECIMAL — associative across batch boundaries
+    * exactly as they are across executors. The stream itself stays
+    * STATELESS (the aggregation lives in the sink), so no watermark or
+    * state-store sizing is involved; at scale the same foreachBatch body
+    * targets a transactional table format instead of a swap dir.
+    * Returns the final state table after the source drains. */
+  def upsertMergeRun(spark: SparkSession, sfDir: String): DataFrame = {
+    val sch = spark.read.parquet(s"$sfDir/orders.parquet").schema
+    val tag = sfDir.replaceAll("[^A-Za-z0-9_]", "_")
+    val splitDir = new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft_orders_split_$tag")
+    val marker = new java.io.File(splitDir, "_GRAFT_READY")
+    if (!marker.exists()) {
+      spark.read.parquet(s"$sfDir/orders.parquet")
+        .repartition(4).write.mode("overwrite").parquet(splitDir.toString)
+      marker.createNewFile()
+    }
+    val stateRoot = java.nio.file.Files.createTempDirectory("graft_upsert_state")
+    @volatile var current: Option[String] = None
+    val dec = "decimal(28,2)"
+    val stream = spark.readStream.schema(sch)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "part-*.parquet")
+      .parquet(splitDir.toString)
+      .filter(col("o_orderstatus") === "O")
+    val q = stream.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      val delta = batch.groupBy(col("o_custkey").as("u_custkey"))
+        .agg(count(lit(1)).as("n_open"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast(dec).as("open_spend"))
+      val merged = current match {
+        case None => delta
+        case Some(dir) =>
+          val st = spark.read.parquet(dir)
+          st.as("s").join(delta.as("d"),
+              col("s.u_custkey") === col("d.u_custkey"), "full_outer")
+            .select(
+              coalesce(col("s.u_custkey"), col("d.u_custkey")).as("u_custkey"),
+              (coalesce(col("s.n_open"), lit(0L)) +
+                coalesce(col("d.n_open"), lit(0L))).as("n_open"),
+              (coalesce(col("s.open_spend"), lit(0).cast(dec)) +
+                coalesce(col("d.open_spend"), lit(0).cast(dec))).cast(dec).as("open_spend"))
+      }
+      val out = stateRoot.resolve(s"state_$id").toString
+      merged.write.mode("overwrite").parquet(out)
+      current = Some(out)
+    }.start()
+    try q.processAllAvailable() finally q.stop()
+    current.map(spark.read.parquet(_)).getOrElse(
+      spark.emptyDataFrame)
+  }
+
   /** Drain a streaming DataFrame through a memory sink and return the
     * materialized result — the spec/smoke harness for finite file
     * sources. */

@@ -87,4 +87,23 @@ class StreamingSpec extends SparkSpec {
     assert(mism === 0)
     assert(streamed.count() === batch.count())
   }
+
+  test("foreachBatch incremental MERGE equals the one-shot batch aggregate") {
+    val streamed = StreamOps.upsertMergeRun(spark, sf)
+      .orderBy("u_custkey").collect()
+    val batch = Tables.orders(spark, sf)
+      .filter(col("o_orderstatus") === "O")
+      .groupBy(col("o_custkey").as("u_custkey"))
+      .agg(count(lit(1)).as("n_open"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("decimal(28,2)").as("open_spend"))
+      .orderBy("u_custkey").collect()
+    assert(streamed.length === batch.length)
+    streamed.zip(batch).foreach { case (s, b) =>
+      assert(s.getAs[Long]("u_custkey") === b.getAs[Long]("u_custkey"))
+      assert(s.getAs[Long]("n_open") === b.getAs[Long]("n_open"))
+      // DECIMAL partials: exact across batch boundaries, so exact equality
+      assert(s.getAs[java.math.BigDecimal]("open_spend") ===
+        b.getAs[java.math.BigDecimal]("open_spend"))
+    }
+  }
 }
