@@ -111,4 +111,35 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("Exchange hashpartitioning"),
       s"redaction introduced a shuffle in:\n$plan")
   }
+
+  test("scd2_intervals is one window pass: a single exchange on the natural key") {
+    val plan = planOf("scd2_intervals")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges === 1, s"expected exactly one key shuffle, got $exchanges in:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"),
+      s"successor computed via join instead of lead() window:\n$plan")
+  }
+
+  test("partial_agg_merge keeps map-side partial aggregation at both levels") {
+    val plan = planOf("partial_agg_merge")
+    assert(plan.contains("partial_"), s"no partial aggregation in:\n$plan")
+    // two grouping levels -> exactly two hash exchanges (shard level, final level)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges === 2, s"expected two aggregate exchanges, got $exchanges in:\n$plan")
+  }
+
+  test("merge_upsert scans base and updates once each — no re-read per branch") {
+    val plan = planOf("merge_upsert")
+    assert("FileScan parquet".r.findAllIn(plan).length <= 2,
+      s"branch tagging re-scanned an input in:\n$plan")
+    assert(plan.contains("FullOuter"), s"MERGE shape lost (no full-outer join) in:\n$plan")
+  }
+
+  test("graph_triangles never broadcasts the edge set or nests loops over it") {
+    val plan = planOf("graph_triangles")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
+    // the only BNLJs permitted are the three single-row aggregate combines
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).length
+    assert(bnlj <= 2, s"edge-set nested loop in:\n$plan")
+  }
 }
