@@ -119,6 +119,55 @@ object CoreOps {
       .agg(count(lit(1)).as("n"))
       .orderBy("bucket")
 
+  /** Q23 equi-depth histogram: decile buckets with equal ROW counts
+    * (value boundaries fall where the data is dense — the histogram
+    * shape optimizers and feature-binning pipelines want, where
+    * [[histogram]]'s fixed-width bins would starve).
+    *
+    * Needs a global position per row — computed TWO-PHASE exactly like
+    * [[WindowOps.windowRankFamily]]: range-partition on the (unique-
+    * tiebroken) order key, rank locally, add broadcast per-range offsets;
+    * the decile is then the closed-form ntile(10) split of (rn, n). No
+    * single-partition window ever sees the data, so the plan holds at
+    * any scale. The SQL oracle states plain `ntile(10) OVER (ORDER BY…)`
+    * — hash equality proves the decomposition reproduces SQL ntile
+    * exactly. */
+  def equiDepthHist(spark: SparkSession, sfDir: String): DataFrame = {
+    val df = Tables.lineitem(spark, sfDir)
+      .select(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val ranged = df
+      .repartitionByRange(parts, col("l_extendedprice").asc,
+        col("l_orderkey").asc, col("l_linenumber").asc)
+      .withColumn("__pid", spark_partition_id())
+    val wLocal = org.apache.spark.sql.expressions.Window.partitionBy("__pid")
+      .orderBy(col("l_extendedprice").asc, col("l_orderkey").asc, col("l_linenumber").asc)
+    val local = ranged.withColumn("__lrn", row_number().over(wLocal).cast("long"))
+    val wOff = org.apache.spark.sql.expressions.Window.orderBy("__pid")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val wAll = org.apache.spark.sql.expressions.Window.orderBy("__pid")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val offsets = local.groupBy("__pid").agg(count(lit(1)).as("__cnt"))
+      .withColumn("__off", coalesce(sum("__cnt").over(wOff), lit(0L)))
+      .withColumn("__n", sum("__cnt").over(wAll))
+      .select("__pid", "__off", "__n")
+    local.join(broadcast(offsets), "__pid")
+      .withColumn("rn", col("__lrn") + col("__off"))
+      .withColumn("decile", expr(
+        """cast(case
+          |  when rn <= (__n % 10) * ((__n div 10) + 1)
+          |    then (rn - 1) div ((__n div 10) + 1)
+          |  else (__n % 10) + (rn - (__n % 10) * ((__n div 10) + 1) - 1) div (__n div 10)
+          |end + 1 as bigint)""".stripMargin))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("l_extendedprice")).as("lo"),
+        max(col("l_extendedprice")).as("hi"),
+        Det.moneySum(col("l_extendedprice")).as("sum_price"))
+      .orderBy("decile")
+  }
+
   /** Q19 rollup: grouping-set expansion happens pre-shuffle; the NULL
     * subtotal marker is coalesced to a sentinel so the sort key is
     * null-free (Spark and DuckDB default NULL order differ). */
@@ -340,6 +389,7 @@ object CoreOps {
     "sort_total"      -> (sortTotal _),
     "topk"            -> (topK _),
     "histogram"       -> (histogram _),
+    "equi_depth_hist" -> (equiDepthHist _),
     "rollup_agg"      -> (rollupAgg _),
     "cube_agg"        -> (cubeAgg _),
     "grouping_sets_agg" -> (groupingSetsAgg _),
@@ -407,6 +457,16 @@ object CoreOps {
     "histogram" ->
       """SELECT CAST(floor(l_extendedprice / 10000) AS BIGINT) AS bucket, count(*) AS n
         |FROM lineitem GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "equi_depth_hist" ->
+      s"""WITH t AS (
+         |  SELECT l_extendedprice,
+         |    CAST(ntile(10) OVER (ORDER BY l_extendedprice ASC,
+         |      l_orderkey ASC, l_linenumber ASC) AS BIGINT) AS decile
+         |  FROM lineitem)
+         |SELECT decile, count(*) AS n_rows,
+         |  min(l_extendedprice) AS lo, max(l_extendedprice) AS hi,
+         |  ${sqlMoneySum("l_extendedprice")} AS sum_price
+         |FROM t GROUP BY decile ORDER BY decile""".stripMargin,
     "rollup_agg" ->
       s"""SELECT coalesce(c_mktsegment, '(all)') AS segment,
          |  count(*) AS n_cust, ${sqlMoneySum("c_acctbal")} AS sum_bal

@@ -95,6 +95,28 @@ object WindowOps {
       .orderBy("s_suppkey")
   }
 
+  /** Q18 RANGE frame: 30-day trailing spend per customer — the
+    * value-based window frame (peers enter/leave by timestamp distance,
+    * not row position), the shape rolling-feature pipelines use.
+    * One exchange on the partition key; the frame sum is DECIMAL until
+    * the final cast so frame-merge order can't drift a cent. Spark needs
+    * a numeric range key, so the timestamp is ordered as epoch seconds
+    * and the frame is ±seconds — identical peer sets to the SQL
+    * INTERVAL frame. */
+  def windowTrailingRange(spark: SparkSession, sfDir: String): DataFrame = {
+    // NTZ → timestamp → epoch seconds; the frame uses value DIFFERENCES,
+    // so the (UTC-pinned) epoch offset cancels and peers are exactly the
+    // SQL INTERVAL peers
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate").cast("timestamp").cast("long"))
+      .rangeBetween(-30L * 86400, 0)
+    Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).over(w)
+          .cast("double").as("trailing_30d"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
   /** Q18 navigation family: lead / first_value / last_value over a
     * bounded frame — one pass per partition, same exchange as ranking. */
   def windowNavigation(spark: SparkSession, sfDir: String): DataFrame = {
@@ -145,9 +167,17 @@ object WindowOps {
     "window_running"     -> (windowRunning _),
     "window_rank_family" -> (windowRankFamily _),
     "window_navigation"  -> (windowNavigation _),
-    "window_cume"        -> (windowCume _))
+    "window_cume"        -> (windowCume _),
+    "window_trailing_range" -> (windowTrailingRange _))
 
   val oracle: Map[String, String] = Map(
+    "window_trailing_range" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+        |    (PARTITION BY o_custkey ORDER BY o_orderdate
+        |     RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)
+        |    AS DOUBLE) AS trailing_30d
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
     "window_cume" ->
       """SELECT CAST(c_nationkey AS BIGINT) AS nationkey, c_custkey, c_acctbal,
         |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
