@@ -62,9 +62,37 @@ object Udx {
       .orderBy("l_returnflag")
   }
 
+  /** Row type for the typed-Dataset slot; field names match the parquet
+    * schema so the Encoder binds by name. */
+  final case class OrderRow(o_orderkey: Long, o_custkey: Long,
+      o_orderstatus: String, o_totalprice: Double)
+
+  /** Typed `Dataset[T]` pipeline — the compile-time-checked flavor of the
+    * user-code slot: case-class Encoder, typed filter, `groupByKey` +
+    * `mapValues` + `reduceGroups`. `reduceGroups` is an Aggregator under
+    * the hood, so it KEEPS map-side partial aggregation (unlike
+    * `mapGroups`, which would ship every row to its reducer — the typed
+    * API's classic scale trap, avoided here by construction). The money
+    * sum is held in integer cents inside the typed buffer, so merge
+    * order can't drift it — the typed twin of [[graft.Det.moneySum]]. */
+  def typedAggPipeline(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, sfDir)
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      .as[OrderRow]
+      .filter((o: OrderRow) => o.o_orderstatus == "F")
+      .groupByKey((o: OrderRow) => o.o_custkey)
+      .mapValues((o: OrderRow) => (1L, math.round(o.o_totalprice * 100.0)))
+      .reduceGroups((a: (Long, Long), b: (Long, Long)) => (a._1 + b._1, a._2 + b._2))
+      .map { case (custkey, (n, cents)) => (custkey, n, cents / 100.0) }
+      .toDF("custkey", "n_f", "spend")
+      .orderBy("custkey")
+  }
+
   val queries: Map[String, Q] = Map(
     "udf_normalize"      -> (udfNormalize _),
-    "udaf_weighted_mean" -> (udafWeightedMean _))
+    "udaf_weighted_mean" -> (udafWeightedMean _),
+    "typed_agg_pipeline" -> (typedAggPipeline _))
 
   val oracle: Map[String, String] = Map(
     "udf_normalize" ->
@@ -78,5 +106,10 @@ object Udx {
       """SELECT l_returnflag,
         |  CAST(SUM(CAST(round(l_extendedprice * l_quantity, 4) AS DECIMAL(28,4))) AS DOUBLE)
         |    / CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS w_mean_price
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "typed_agg_pipeline" ->
+      """SELECT o_custkey AS custkey, count(*) AS n_f,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+        |FROM orders WHERE o_orderstatus = 'F'
+        |GROUP BY 1 ORDER BY custkey""".stripMargin)
 }
