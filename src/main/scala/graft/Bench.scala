@@ -67,7 +67,11 @@ object Bench {
     // total bench wall clock hits the budget; queries not reached keep
     // their single sample. Idle-machine cost is roughly 2× one pass; a
     // loaded machine gets as much denoising as the budget allows.
-    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "300").toDouble
+    // 600 s: an idle full run (~190 s for two passes) is unaffected, and
+    // a loaded run — the case that NEEDS denoising, observed 500 s+ for
+    // one pass — still gets rerun coverage for its slowest queries
+    // before the budget stops the second pass.
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "600").toDouble
     val best = collection.mutable.Map(firstPass.toSeq: _*)
     for ((name, t1) <- firstPass.toSeq.sortBy(-_._2) if elapsed < budgetSec)
       best(name) = math.min(t1, timeOne(name))
