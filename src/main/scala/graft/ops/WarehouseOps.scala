@@ -97,10 +97,50 @@ object WarehouseOps {
         sum(col("pp")).cast("double").as("sum_price"))
       .orderBy("l_returnflag", "l_linestatus")
 
+  /** Snapshot reconciliation: diff two keyed table versions into
+    * added / removed / changed / same cohorts with exact net deltas —
+    * the data-quality audit that runs after every warehouse load. The
+    * "next" snapshot is derived deterministically from the base (price
+    * bump on open orders, every 97th key deleted, every 101st mirrored
+    * as a new negative key), so the oracle states the identical
+    * derivation. One full-outer shuffle on the key; per-row comparison
+    * is column equality, no row digests needed when schemas align (at
+    * 100 TB you'd md5 the value columns once per side instead — same
+    * join shape, 16-byte compares). Deltas sum in DECIMAL cents. */
+  def snapshotDiff(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val next = base.filter(pmod(col("o_orderkey"), lit(97)) =!= 0)
+      .select(col("o_orderkey"),
+        col("o_orderstatus"),
+        when(col("o_orderstatus") === "O", col("o_totalprice") + lit(1.0))
+          .otherwise(col("o_totalprice")).as("o_totalprice"))
+      .unionByName(base.filter(pmod(col("o_orderkey"), lit(101)) === 0)
+        .select((-col("o_orderkey")).as("o_orderkey"),
+          lit("N").as("o_orderstatus"), col("o_totalprice")))
+    val b = base.select(col("o_orderkey").as("k"),
+      col("o_orderstatus").as("bs"), col("o_totalprice").as("bp"))
+    val n = next.select(col("o_orderkey").as("k2"),
+      col("o_orderstatus").as("ns"), col("o_totalprice").as("np"))
+    b.join(n, col("k") === col("k2"), "full_outer")
+      .select(
+        when(col("k").isNull, "added")
+          .when(col("k2").isNull, "removed")
+          .when(col("bs") =!= col("ns") || col("bp") =!= col("np"), "changed")
+          .otherwise("same").as("change_type"),
+        coalesce(col("np"), lit(0.0)).as("npv"),
+        coalesce(col("bp"), lit(0.0)).as("bpv"))
+      .groupBy("change_type")
+      .agg(count(lit(1)).as("n_rows"),
+        Det.moneySum(col("npv") - col("bpv")).as("net_price_delta"))
+      .orderBy("change_type")
+  }
+
   val queries: Map[String, Q] = Map(
     "merge_upsert"      -> (mergeUpsert _),
     "scd2_intervals"    -> (scd2Intervals _),
-    "partial_agg_merge" -> (partialAggMerge _))
+    "partial_agg_merge" -> (partialAggMerge _),
+    "snapshot_diff"     -> (snapshotDiff _))
 
   val oracle: Map[String, String] = Map(
     "merge_upsert" ->
@@ -133,5 +173,27 @@ object WarehouseOps {
       """SELECT l_returnflag, l_linestatus, count(*) AS n_items,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
-        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "snapshot_diff" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+        |nxt AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CASE WHEN o_orderstatus = 'O' THEN o_totalprice + 1.0
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM base WHERE o_orderkey % 97 <> 0
+        |  UNION ALL
+        |  SELECT -o_orderkey, 'N', o_totalprice
+        |  FROM base WHERE o_orderkey % 101 = 0),
+        |d AS (
+        |  SELECT CASE WHEN b.o_orderkey IS NULL THEN 'added'
+        |              WHEN n.o_orderkey IS NULL THEN 'removed'
+        |              WHEN b.o_orderstatus <> n.o_orderstatus
+        |                OR b.o_totalprice <> n.o_totalprice THEN 'changed'
+        |              ELSE 'same' END AS change_type,
+        |    coalesce(n.o_totalprice, 0.0) - coalesce(b.o_totalprice, 0.0) AS delta
+        |  FROM base b FULL OUTER JOIN nxt n ON b.o_orderkey = n.o_orderkey)
+        |SELECT change_type, count(*) AS n_rows,
+        |  CAST(SUM(CAST(delta AS DECIMAL(18,2))) AS DOUBLE) AS net_price_delta
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin)
 }
