@@ -66,10 +66,80 @@ object GraphOps {
     nNodes.crossJoin(nEdges).crossJoin(nTri)
   }
 
+  /** PageRank (3 power iterations, damping 0.85) over the bipartite
+    * part↔supplier sourcing graph from lineitem, node ids disambiguated
+    * as 2·partkey / 2·suppkey+1. Edges run BOTH directions, so every
+    * node has out-degree ≥ 1 — no dangling-mass correction term — and
+    * the unnormalized 1.0-start convention keeps the initial vector
+    * exact. Each iteration is one equi-join (edges ⋈ ranks on the
+    * source key) and one aggregate on the destination key: the textbook
+    * message-passing shape, shuffle-partitioned on node ids, nothing
+    * driver-side, no broadcast of the rank vector.
+    *
+    * Float determinism across engines AND across executor merge orders:
+    * per-edge contributions are quantized to binary fixed point —
+    * `floor(x·2³⁰)` as a LONG — before summing. The 2³⁰ scale is a
+    * power of two, so the multiply and the final divide are EXACT in
+    * IEEE-754; the integer sum is associative (merge-order free) and
+    * bounded well under 2⁶³; the one rounding step (floor) is identical
+    * in any engine. This sidesteps the double→DECIMAL cast, whose
+    * rounding path differs between engines (exact decimal expansion vs
+    * double-multiply) at high scales. Three unrolled CTE iterations in
+    * the oracle state the same arithmetic. */
+  def graphPagerank(spark: SparkSession, sfDir: String): DataFrame = {
+    val SCALE = 1073741824.0 // 2^30
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk")).distinct()
+    val edges = li.select((col("pk") * 2).as("src"), (col("sk") * 2 + 1).as("dst"))
+      .unionAll(li.select((col("sk") * 2 + 1).as("src"), (col("pk") * 2).as("dst")))
+    val outdeg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val eo = edges.join(outdeg, "src") // (src, dst, deg)
+    val pr0 = outdeg.select(col("src").as("node"), lit(1.0).as("pr"))
+    val pr3 = (1 to 3).foldLeft(pr0) { (pr, _) =>
+      eo.join(pr, eo("src") === pr("node"))
+        .select(col("dst"),
+          floor(col("pr") / col("deg").cast("double") * lit(SCALE))
+            .cast("long").as("q"))
+        .groupBy(col("dst").as("node"))
+        .agg((lit(0.15) + lit(0.85) * (sum(col("q")).cast("double") / lit(SCALE)))
+          .as("pr"))
+        .select(col("node"), col("pr"))
+    }
+    pr3.join(outdeg, pr3("node") === outdeg("src"))
+      .select(col("node"), col("deg"), col("pr"))
+      .orderBy(col("pr").desc, col("node").asc)
+      .limit(20)
+  }
+
   val queries: Map[String, Q] = Map(
-    "graph_triangles" -> (graphTriangles _))
+    "graph_triangles" -> (graphTriangles _),
+    "graph_pagerank"  -> (graphPagerank _))
+
+  /** One unrolled PageRank iteration as a DuckDB CTE — arithmetic stated
+    * step-for-step as the Spark side: quantize each contribution to
+    * binary fixed point (floor(x·2³⁰) as BIGINT), sum exactly, convert
+    * back with an exact power-of-two divide. */
+  private def prIterSql(cur: String, prev: String): String =
+    s"""$cur AS (SELECT dst AS node,
+       |  0.15 + 0.85 * (CAST(CAST(SUM(CAST(FLOOR(
+       |      pr / CAST(deg AS DOUBLE) * 1073741824.0) AS BIGINT)) AS BIGINT)
+       |    AS DOUBLE) / 1073741824.0) AS pr
+       |  FROM eo JOIN $prev ON eo.src = $prev.node GROUP BY dst)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "graph_pagerank" ->
+      s"""WITH li AS (SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk FROM lineitem),
+         |e AS (SELECT pk * 2 AS src, sk * 2 + 1 AS dst FROM li
+         |      UNION ALL SELECT sk * 2 + 1, pk * 2 FROM li),
+         |d AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+         |eo AS (SELECT e.src, e.dst, d.deg FROM e JOIN d USING (src)),
+         |p0 AS (SELECT src AS node, CAST(1.0 AS DOUBLE) AS pr FROM d),
+         |${prIterSql("p1", "p0")},
+         |${prIterSql("p2", "p1")},
+         |${prIterSql("p3", "p2")}
+         |SELECT p3.node, d.deg, p3.pr
+         |FROM p3 JOIN d ON p3.node = d.src
+         |ORDER BY pr DESC, node ASC LIMIT 20""".stripMargin,
     "graph_triangles" ->
       """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
         |ed AS (SELECT DISTINCT a.pk AS x, b.pk AS y

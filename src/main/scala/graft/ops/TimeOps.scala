@@ -148,6 +148,44 @@ object TimeOps {
       .orderBy("user_id")
   }
 
+  /** Marketing attribution: each purchase credits its user's FIRST
+    * non-purchase touch (first-touch model) and the LAST touch strictly
+    * before it (last-touch model); purchases with no prior touch credit
+    * "direct". One window pass per user (ignore-nulls first/last over a
+    * preceding-rows frame — no self-join against the touch history),
+    * then a single exchange on the channel key: the long-form explode
+    * (role × channel × value) lets both models aggregate in one shuffle
+    * instead of two jobs joined after the fact. Revenue sums follow the
+    * exact-decimal rule ([[graft.Det]]). At 100 TB user_id is the
+    * high-cardinality window key and channels are the tiny agg domain —
+    * the same shape as sessionize above. */
+  def attributionTouch(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touch = when(col("event_type") =!= "purchase", col("event_type"))
+    val purchases = Tables.events(spark, sfDir)
+      .withColumn("ft", first(touch, ignoreNulls = true).over(w))
+      .withColumn("lt", last(touch, ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(coalesce(col("ft"), lit("direct")).as("ft"),
+        coalesce(col("lt"), lit("direct")).as("lt"), col("value"))
+    purchases
+      .select(explode(array(
+        struct(lit("first").as("role"), col("ft").as("channel"), col("value")),
+        struct(lit("last").as("role"), col("lt").as("channel"), col("value")))).as("t"))
+      .select(col("t.role"), col("t.channel"), col("t.value"))
+      .groupBy("channel")
+      .agg(
+        count(when(col("role") === "first", lit(1))).as("ft_conversions"),
+        coalesce(sum(when(col("role") === "first", col("value"))
+          .cast("decimal(18,2)")).cast("double"), lit(0.0)).as("ft_revenue"),
+        count(when(col("role") === "last", lit(1))).as("lt_conversions"),
+        coalesce(sum(when(col("role") === "last", col("value"))
+          .cast("decimal(18,2)")).cast("double"), lit(0.0)).as("lt_revenue"))
+      .orderBy("channel")
+  }
+
   val queries: Map[String, Q] = Map(
     "time_tumbling" -> (timeTumbling _),
     "sessionize"    -> (sessionize _),
@@ -155,9 +193,33 @@ object TimeOps {
     "asof_join"     -> (asofJoin _),
     "range_join_binned" -> (rangeJoinBinned _),
     "latest_per_user" -> (latestPerUser _),
-    "event_funnel"    -> (eventFunnel _))
+    "event_funnel"    -> (eventFunnel _),
+    "attribution_touch" -> (attributionTouch _))
 
   val oracle: Map[String, String] = Map(
+    "attribution_touch" ->
+      """WITH t AS (
+        |  SELECT event_type, value,
+        |    first_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+        |      IGNORE NULLS) OVER w AS ft,
+        |    last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+        |      IGNORE NULLS) OVER w AS lt
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |p AS (SELECT coalesce(ft, 'direct') AS ft, coalesce(lt, 'direct') AS lt,
+        |        value
+        |      FROM t WHERE event_type = 'purchase'),
+        |l AS (SELECT 'first' AS role, ft AS channel, value FROM p
+        |      UNION ALL SELECT 'last', lt, value FROM p)
+        |SELECT channel,
+        |  count(CASE WHEN role = 'first' THEN 1 END) AS ft_conversions,
+        |  coalesce(CAST(SUM(CASE WHEN role = 'first'
+        |    THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE), 0.0) AS ft_revenue,
+        |  count(CASE WHEN role = 'last' THEN 1 END) AS lt_conversions,
+        |  coalesce(CAST(SUM(CASE WHEN role = 'last'
+        |    THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE), 0.0) AS lt_revenue
+        |FROM l GROUP BY channel ORDER BY channel""".stripMargin,
     "latest_per_user" ->
       """SELECT user_id, latest_event_id, latest_ts, latest_type FROM (
         |  SELECT user_id, event_id AS latest_event_id, ts AS latest_ts,

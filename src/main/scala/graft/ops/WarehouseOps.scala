@@ -136,13 +136,84 @@ object WarehouseOps {
       .orderBy("change_type")
   }
 
+  /** CDC changelog apply: replay an ORDERED change stream (insert /
+    * update / delete records with a total per-key sequence) onto a base
+    * snapshot — the consumer side of change-data-capture, and the
+    * batch-shaped core of what a streaming MERGE does per micro-batch.
+    * Last-writer-wins per key: one window (row_number DESC over the
+    * sequence) reduces the changelog to its final record per key, then a
+    * single full-outer shuffle join applies it — deletes drop the row,
+    * inserts/updates take the change's value, untouched base rows pass
+    * through. The changelog is derived deterministically from orders
+    * (orderkey = the monotone sequence; every 19th record a delete,
+    * every 101st mirrored as an insert under a fresh negative key) so
+    * the oracle states the identical derivation. At 100 TB both the
+    * window and the join shuffle once on the same key — AQE can even
+    * co-plan them — and the changelog side is typically a small daily
+    * batch the planner broadcasts. */
+  def cdcApply(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    val changes = o.select(col("o_custkey").as("key"), col("o_orderkey").as("seq"),
+        when(pmod(col("o_orderkey"), lit(19)) === 0, "D").otherwise("U").as("op"),
+        col("o_totalprice").as("new_bal"))
+      .unionByName(o.filter(pmod(col("o_orderkey"), lit(101)) === 0)
+        .select((-col("o_custkey")).as("key"), col("o_orderkey").as("seq"),
+          lit("I").as("op"), col("o_totalprice").as("new_bal")))
+    val byKeySeq = Window.partitionBy("key").orderBy(col("seq").desc)
+    val fin = changes
+      .withColumn("rn", row_number().over(byKeySeq))
+      .withColumn("n_changes", count(lit(1)).over(Window.partitionBy("key")))
+      .filter(col("rn") === 1)
+      .select(col("key"), col("op"), col("new_bal"), col("n_changes"))
+    Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"))
+      .join(fin, col("c_custkey") === col("key"), "full_outer")
+      .filter(coalesce(col("op"), lit("")) =!= "D")
+      .select(
+        coalesce(col("c_custkey"), col("key")).as("custkey"),
+        coalesce(col("c_mktsegment"), lit("UNKNOWN")).as("mktsegment"),
+        coalesce(col("new_bal"), col("c_acctbal")).as("balance"),
+        when(col("key").isNull, "unchanged")
+          .when(col("op") === "I", "inserted")
+          .otherwise("updated").as("last_op"),
+        coalesce(col("n_changes"), lit(0L)).as("n_changes"))
+      .orderBy("custkey")
+  }
+
   val queries: Map[String, Q] = Map(
     "merge_upsert"      -> (mergeUpsert _),
     "scd2_intervals"    -> (scd2Intervals _),
     "partial_agg_merge" -> (partialAggMerge _),
-    "snapshot_diff"     -> (snapshotDiff _))
+    "snapshot_diff"     -> (snapshotDiff _),
+    "cdc_apply"         -> (cdcApply _))
 
   val oracle: Map[String, String] = Map(
+    "cdc_apply" ->
+      """WITH ch AS (
+        |  SELECT o_custkey AS key, o_orderkey AS seq,
+        |    CASE WHEN o_orderkey % 19 = 0 THEN 'D' ELSE 'U' END AS op,
+        |    o_totalprice AS new_bal
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT -o_custkey, o_orderkey, 'I', o_totalprice
+        |  FROM orders WHERE o_orderkey % 101 = 0),
+        |fin AS (
+        |  SELECT key, op, new_bal, n_changes FROM (
+        |    SELECT key, op, new_bal,
+        |      row_number() OVER (PARTITION BY key ORDER BY seq DESC) AS rn,
+        |      count(*) OVER (PARTITION BY key) AS n_changes
+        |    FROM ch) t
+        |  WHERE rn = 1)
+        |SELECT coalesce(c_custkey, key) AS custkey,
+        |  coalesce(c_mktsegment, 'UNKNOWN') AS mktsegment,
+        |  coalesce(new_bal, c_acctbal) AS balance,
+        |  CASE WHEN key IS NULL THEN 'unchanged'
+        |       WHEN op = 'I' THEN 'inserted'
+        |       ELSE 'updated' END AS last_op,
+        |  coalesce(n_changes, 0) AS n_changes
+        |FROM customer FULL OUTER JOIN fin ON c_custkey = key
+        |WHERE coalesce(op, '') <> 'D'
+        |ORDER BY custkey""".stripMargin,
     "merge_upsert" ->
       """WITH upd AS (
         |  SELECT o_custkey AS u_custkey, count(*) AS n_open,

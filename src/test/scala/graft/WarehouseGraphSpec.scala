@@ -104,6 +104,70 @@ class WarehouseGraphSpec extends SparkSpec {
     assert(acc > 0, "kNN should recover at least one true label on clustered fixtures")
   }
 
+  test("cdc_apply: deletes drop rows, inserts land, last writer wins") {
+    val rows = q("cdc_apply").collect()
+    val byKey = rows.map(r => r.getAs[Long]("custkey") -> r).toMap
+    assert(byKey.size === rows.length, "one row per key")
+    // recompute the changelog's final record per key driver-side
+    val o = Tables.orders(spark, sf)
+      .select(col("o_custkey").as("k"), col("o_orderkey").as("s"), col("o_totalprice").as("p"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val changes = o.map { case (k, s, p) =>
+      (k, s, if (s % 19 == 0) "D" else "U", p)
+    } ++ o.filter(_._2 % 101 == 0).map { case (k, s, p) => (-k, s, "I", p) }
+    val finalByKey = changes.groupBy(_._1).view.mapValues(_.maxBy(_._2)).toMap
+    finalByKey.foreach { case (k, (_, _, op, p)) =>
+      if (op == "D") assert(!byKey.contains(k), s"deleted key $k must be absent")
+      else {
+        assert(byKey.contains(k), s"key $k with final $op must be present")
+        assert(byKey(k).getAs[Double]("balance") === p, "last writer's value wins")
+        assert(byKey(k).getAs[String]("last_op") ===
+          (if (op == "I") "inserted" else "updated"))
+      }
+    }
+    // untouched base rows pass through with their original balance
+    val base = Tables.customer(spark, sf).select("c_custkey", "c_acctbal")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    base.keys.filterNot(finalByKey.contains).foreach { k =>
+      assert(byKey(k).getAs[String]("last_op") === "unchanged")
+      assert(byKey(k).getAs[Double]("balance") === base(k))
+    }
+  }
+
+  test("attribution_touch: both models credit every purchase exactly once") {
+    val rows = q("attribution_touch").collect()
+    val nPurch = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase").count()
+    assert(rows.map(_.getAs[Long]("ft_conversions")).sum === nPurch)
+    assert(rows.map(_.getAs[Long]("lt_conversions")).sum === nPurch)
+    // channels are non-purchase event types (or the direct bucket)
+    val chans = rows.map(_.getAs[String]("channel")).toSet
+    assert(chans.subsetOf(Set("click", "view", "signup", "error", "direct")))
+    rows.foreach { r =>
+      assert(r.getAs[Double]("ft_revenue") >= 0.0)
+      assert(r.getAs[Double]("lt_revenue") >= 0.0)
+    }
+  }
+
+  test("graph_pagerank: ranks exceed the damping floor and descend in order") {
+    val rows = q("graph_pagerank").collect()
+    assert(rows.length === 20)
+    // every rank ≥ 0.15 (the damping floor) and the result is ordered
+    rows.foreach(r => assert(r.getAs[Double]("pr") >= 0.15))
+    rows.sliding(2).foreach {
+      case Array(a, b) => assert(a.getAs[Double]("pr") >= b.getAs[Double]("pr"))
+      case _ =>
+    }
+    // high-degree nodes accumulate rank: the top node's degree should be
+    // well above the graph's mean degree
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+    val meanDeg = 2.0 * li.count() * 2 / // both directions, two endpoints
+      (li.select("l_partkey").distinct().count() +
+        li.select("l_suppkey").distinct().count())
+    assert(rows.head.getAs[Long]("deg").toDouble > meanDeg)
+  }
+
   test("dup_ngram_spans: every reported span occurs in >=2 docs and occ >= docs") {
     val rows = q("dup_ngram_spans").collect()
     rows.foreach { r =>
