@@ -68,11 +68,57 @@ object MartOps {
       .agg(count(lit(1)).as("n_late_orders"))
       .orderBy("o_orderpriority")
 
+  /** Promo revenue share per order month (TPC-H Q14 family): the
+    * conditional-aggregate ratio — promo-part revenue over total revenue
+    * — computed in ONE grouped pass (no second scan for the denominator).
+    * Both numerator and denominator follow the exact-decimal rule; the
+    * share is a single double divide of two already-exact totals, so the
+    * ratio is bit-deterministic at any parallelism. Join topology: two
+    * fact equi-joins (lineitem⋈orders on orderkey, lineitem⋈part on
+    * partkey), both unhinted — part is SF-proportional, so AQE broadcasts
+    * it only while it genuinely fits. */
+  def promoShare(spark: SparkSession, sfDir: String): DataFrame = {
+    val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_partkey"), rev.as("rev"))
+      .join(Tables.orders(spark, sfDir)
+        .select(col("o_orderkey"),
+          trunc(col("o_orderdate").cast("date"), "month").as("month")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.part(spark, sfDir)
+        .select(col("p_partkey"), (col("p_type") === "PROMO").as("is_promo")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("month")
+      .agg(count(lit(1)).as("n_lines"),
+        Det.moneySum4(col("rev")).as("total_rev"),
+        coalesce(sum(when(col("is_promo"), col("rev")).cast("decimal(18,4)"))
+          .cast("double"), lit(0.0)).as("promo_rev"))
+      .withColumn("promo_share", lit(100.0) * col("promo_rev") / col("total_rev"))
+      .select("month", "n_lines", "total_rev", "promo_rev", "promo_share")
+      .orderBy("month")
+  }
+
   val queries: Map[String, Q] = Map(
     "revenue_by_nation"  -> (revenueByNation _),
-    "late_ship_priority" -> (lateShipPriority _))
+    "late_ship_priority" -> (lateShipPriority _),
+    "promo_share"        -> (promoShare _))
 
   val oracle: Map[String, String] = Map(
+    "promo_share" ->
+      s"""WITH g AS (
+         |  SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS month,
+         |    count(*) AS n_lines,
+         |    ${Det.sqlMoneySum4("l_extendedprice * (1 - l_discount)")} AS total_rev,
+         |    coalesce(CAST(SUM(CASE WHEN p_type = 'PROMO'
+         |      THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+         |      END) AS DOUBLE), 0.0) AS promo_rev
+         |  FROM lineitem
+         |    JOIN orders ON l_orderkey = o_orderkey
+         |    JOIN part   ON l_partkey = p_partkey
+         |  GROUP BY 1)
+         |SELECT month, n_lines, total_rev, promo_rev,
+         |  100.0 * promo_rev / total_rev AS promo_share
+         |FROM g ORDER BY month""".stripMargin,
     "revenue_by_nation" ->
       s"""SELECT r_name, n_name,
          |  ${Det.sqlMoneySum4("l_extendedprice * (1 - l_discount)")} AS revenue,

@@ -166,13 +166,86 @@ object QualityOps {
       .orderBy(col("n").desc, col("token").asc)
   }
 
+  /** Statistical anomaly gate: per customer segment, flag orders whose
+    * price sits more than 2.5σ from the segment mean — the numeric-column
+    * outlier check a data-quality pipeline runs on every load. Two
+    * aggregate-shaped passes: segment stats (count / exact-decimal sum /
+    * quantized sum of squares), then a broadcast of the segment-cardinality
+    * stats table back over the fact to count exceedances — the fact table
+    * never shuffles for the second pass.
+    *
+    * Float determinism: Σx is the exact-decimal money sum; Σx² is
+    * quantized to 1/16 via `floor(x²·16)` summed in DECIMAL(38,0) — the
+    * binary fixed-point trick ([[GraphOps.graphPagerank]]): ·16 and /16
+    * are IEEE-exact, floor is engine-identical, the integer sum is exact
+    * at any merge order and any SF. The 1/16 quantization shifts σ by
+    * <1e-6 relative — irrelevant to a 2.5σ gate and identical in both
+    * engines, which is what the hash compare needs. */
+  def outlierZscore(spark: SparkSession, sfDir: String): DataFrame = {
+    val oc = Tables.orders(spark, sfDir)
+      .join(Tables.customer(spark, sfDir).select("c_custkey", "c_mktsegment"),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("segment"), col("o_totalprice").as("price"))
+    val stats = oc.groupBy("segment").agg(
+        count(lit(1)).as("n_orders"),
+        sum(col("price").cast("decimal(18,2)")).as("s1"),
+        sum(floor(col("price") * col("price") * lit(16.0)).cast("decimal(38,0)"))
+          .as("s2q"))
+      .withColumn("mean_price", col("s1").cast("double") / col("n_orders").cast("double"))
+      .withColumn("sd_price",
+        sqrt((col("s2q").cast("double") / lit(16.0) -
+          col("n_orders").cast("double") * col("mean_price") * col("mean_price")) /
+          (col("n_orders") - lit(1)).cast("double")))
+      .select("segment", "n_orders", "mean_price", "sd_price")
+    oc.join(broadcast(stats), "segment")
+      .withColumn("z", (col("price") - col("mean_price")) / col("sd_price"))
+      .groupBy("segment")
+      .agg(count(when(abs(col("z")) > 2.5, lit(1))).as("n_outliers"),
+        max(abs(col("z"))).as("max_abs_z"))
+      .join(stats, "segment")
+      .select("segment", "n_orders", "mean_price", "sd_price",
+        "n_outliers", "max_abs_z")
+      .orderBy("segment")
+  }
+
   val queries: Map[String, Q] = Map(
     "rep_signals"      -> (repSignals _),
     "unigram_lm_score" -> (unigramLmScore _),
     "pii_redact"       -> (piiRedact _),
-    "heavy_hitters"    -> (heavyHitters _))
+    "heavy_hitters"    -> (heavyHitters _),
+    "outlier_zscore"   -> (outlierZscore _))
 
   val oracle: Map[String, String] = Map(
+    "outlier_zscore" ->
+      """WITH oc AS (
+        |  SELECT c_mktsegment AS segment, o_totalprice AS price
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |st AS (
+        |  SELECT segment, count(*) AS n_orders,
+        |    CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS s1d,
+        |    CAST(SUM(CAST(FLOOR(price * price * 16.0) AS DECIMAL(38,0)))
+        |      AS DOUBLE) AS s2d
+        |  FROM oc GROUP BY 1),
+        |st2 AS (
+        |  SELECT segment, n_orders, s1d / CAST(n_orders AS DOUBLE) AS mean_price,
+        |    s2d, s1d
+        |  FROM st),
+        |st3 AS (
+        |  SELECT segment, n_orders, mean_price,
+        |    sqrt((s2d / 16.0 - CAST(n_orders AS DOUBLE) * mean_price * mean_price)
+        |      / CAST(n_orders - 1 AS DOUBLE)) AS sd_price
+        |  FROM st2),
+        |fl AS (
+        |  SELECT o.segment, (o.price - s.mean_price) / s.sd_price AS z
+        |  FROM oc o JOIN st3 s USING (segment)),
+        |agg AS (
+        |  SELECT segment, count(CASE WHEN abs(z) > 2.5 THEN 1 END) AS n_outliers,
+        |    max(abs(z)) AS max_abs_z
+        |  FROM fl GROUP BY 1)
+        |SELECT s.segment, s.n_orders, s.mean_price, s.sd_price,
+        |  a.n_outliers, a.max_abs_z
+        |FROM st3 s JOIN agg a USING (segment)
+        |ORDER BY s.segment""".stripMargin,
     "rep_signals" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
         |tf AS (SELECT doc_id, tok, count(*) AS c FROM (

@@ -405,6 +405,56 @@ object SimOps {
       .orderBy("query_id")
   }
 
+  // --- Product quantization ------------------------------------------------
+
+  /** PQ geometry: M=4 subspaces of 16 dims, K=8 centroids each → a
+    * 12-bit code per vector. Codebook entries are deterministic
+    * pseudo-random constants with denominator 1024 (same family as the
+    * LSH planes) so their decimal literals round-trip exactly into the
+    * SQL oracle. */
+  private val PqM = 4; private val PqK = 8; private val PqSub = 16
+  private def pqCent(m: Int, k: Int): Seq[Double] =
+    (0 until PqSub).map { d =>
+      (((1103515245L * (m * PqK * PqSub + k * PqSub + d) + 54321L) % 2048L
+        + 2048L) % 2048L - 1024L) / 1024.0
+    }
+
+  /** Product-quantization encoding: per subspace, the vector's nearest
+    * codebook centroid by squared L2 (argmin ties broken toward the
+    * smaller code — the coalesce-of-equality chain, identical in both
+    * engines); codes pack into one 12-bit integer. This is the memory
+    * side of IVF-PQ serving: a 64-float vector (256 bytes) becomes a
+    * 12-bit code plus one shared codebook, so the 100 TB corpus's
+    * re-rank index shuffles and stores ~170× less — the codebook is a
+    * literal constant here and a broadcast table in production, never a
+    * shuffle participant. Encoding is a pure narrow map (no shuffle at
+    * all until the final diagnostic sort); distances fold left-to-right
+    * per element, so every distance, argmin, and distortion is
+    * bit-identical to the DuckDB mirror. */
+  def pqEncode(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+    val coded = (0 until PqM).foldLeft(base) { (df, m) =>
+      val sub = slice(col("embedding"), 1 + m * PqSub, PqSub)
+      val dists = (0 until PqK).map { k =>
+        val c = array(pqCent(m, k).map(lit): _*)
+        aggregate(zip_with(sub, c, (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, z) => acc + z)
+      }
+      val minD = least(dists: _*)
+      df.withColumn(s"code$m",
+          coalesce(dists.zipWithIndex.map { case (d, k) =>
+            when(d === minD, lit(k.toLong))
+          }: _*))
+        .withColumn(s"dist$m", minD)
+    }
+    coded.select(col("vec_id"),
+        col("code0"), col("code1"), col("code2"), col("code3"),
+        (col("code0") + col("code1") * 8 + col("code2") * 64 + col("code3") * 512)
+          .as("pq_code"),
+        (col("dist0") + col("dist1") + col("dist2") + col("dist3")).as("distortion"))
+      .orderBy("vec_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "embed_knn_classify"   -> (embedKnnClassify _),
     "embed_top_pairs"      -> (embedTopPairs _),
@@ -413,7 +463,8 @@ object SimOps {
     "ann_lsh_multiprobe"   -> (annLshMultiprobe _),
     "embed_dedup_clusters" -> (embedDedupClusters _),
     "ann_ivf_probe"        -> (annIvfProbe _),
-    "ann_ivf_kmeans"       -> (annIvfKmeans _))
+    "ann_ivf_kmeans"       -> (annIvfKmeans _),
+    "pq_encode"            -> (pqEncode _))
 
   private def sqlPlaneList(j: Int): String =
     planes(DefaultPlanes)(j)
@@ -454,7 +505,45 @@ object SimOps {
        |      CAST(sum(CAST(val AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS mean
        |    FROM pd_$out GROUP BY cell, pos) m GROUP BY cell)""".stripMargin
 
+  private def sqlPqCentList(m: Int, k: Int): String =
+    pqCent(m, k).map(x => if (x == x.floor) s"${x.toLong}.0" else x.toString)
+      .mkString("[", ", ", "]")
+
+  /** Squared-L2 distance of subspace m against codebook entry k — the
+    * same left-to-right element fold the Spark `aggregate` performs. */
+  private def sqlPqDist(m: Int, k: Int): String =
+    s"list_sum(list_transform(list_zip(d[${1 + m * PqSub}:${(m + 1) * PqSub}], " +
+      s"${sqlPqCentList(m, k)}), z -> (z[1] - z[2]) * (z[1] - z[2])))"
+
+  private val sqlPqEncode: String = {
+    val distCols = (for (m <- 0 until PqM; k <- 0 until PqK)
+      yield s"${sqlPqDist(m, k)} AS d${m}_$k").mkString(",\n    ")
+    val minCols = (0 until PqM).map(m =>
+      s"LEAST(${(0 until PqK).map(k => s"d${m}_$k").mkString(", ")}) AS mn$m")
+      .mkString(",\n    ")
+    val codeCols = (0 until PqM).map { m =>
+      val cases = (0 until PqK).map(k =>
+        s"CASE WHEN d${m}_$k = mn$m THEN CAST($k AS BIGINT) END").mkString(", ")
+      s"coalesce($cases) AS code$m"
+    }.mkString(",\n    ")
+    s"""WITH v AS ($sqlVec),
+       |s AS (SELECT vec_id,
+       |    $distCols
+       |  FROM v),
+       |m AS (SELECT *,
+       |    $minCols
+       |  FROM s),
+       |cd AS (SELECT vec_id,
+       |    $codeCols,
+       |    mn0 + mn1 + mn2 + mn3 AS distortion
+       |  FROM m)
+       |SELECT vec_id, code0, code1, code2, code3,
+       |  code0 + code1 * 8 + code2 * 64 + code3 * 512 AS pq_code, distortion
+       |FROM cd ORDER BY vec_id""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "pq_encode" -> sqlPqEncode,
     "embed_knn_classify" ->
       s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS d,
          |           CAST(label AS BIGINT) AS label FROM embeddings),

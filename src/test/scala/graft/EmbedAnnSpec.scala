@@ -54,6 +54,36 @@ class EmbedAnnSpec extends SparkSpec {
       "a vector with a same-bucket neighbor lost it under multiprobe")
   }
 
+  test("pq_encode matches a driver-side brute-force argmin encode") {
+    val rows = q("pq_encode").collect()
+    val vecs = Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    assert(rows.length === vecs.size)
+    def cent(m: Int, k: Int, d: Int): Double =
+      (((1103515245L * (m * 8 * 16 + k * 16 + d) + 54321L) % 2048L + 2048L) % 2048L
+        - 1024L) / 1024.0
+    rows.foreach { r =>
+      val v = vecs(r.getAs[Long]("vec_id"))
+      var distortion = 0.0
+      for (m <- 0 until 4) {
+        val dists = (0 until 8).map { k =>
+          (0 until 16).map { d =>
+            val diff = v(m * 16 + d).toDouble - cent(m, k, d); diff * diff
+          }.sum
+        }
+        val want = dists.indexOf(dists.min)
+        assert(r.getAs[Long](s"code$m") === want.toLong,
+          s"vec ${r.getAs[Long]("vec_id")} subspace $m")
+        distortion += dists.min
+      }
+      assert(math.abs(r.getAs[Double]("distortion") - distortion) < 1e-9)
+      assert(r.getAs[Long]("pq_code") ===
+        r.getAs[Long]("code0") + 8 * r.getAs[Long]("code1") +
+          64 * r.getAs[Long]("code2") + 512 * r.getAs[Long]("code3"))
+    }
+  }
+
   test("embed_dedup_clusters labels are a valid min-id clustering") {
     val rows = q("embed_dedup_clusters").collect()
     val n = Tables.embeddings(spark, sf).count()

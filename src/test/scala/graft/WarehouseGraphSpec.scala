@@ -168,6 +168,46 @@ class WarehouseGraphSpec extends SparkSpec {
     assert(rows.head.getAs[Long]("deg").toDouble > meanDeg)
   }
 
+  test("promo_share: ratio bounded, denominators reconcile with direct revenue") {
+    val rows = q("promo_share").collect()
+    rows.foreach { r =>
+      assert(r.getAs[Double]("promo_rev") >= 0.0)
+      assert(r.getAs[Double]("promo_rev") <= r.getAs[Double]("total_rev"))
+      val share = r.getAs[Double]("promo_share")
+      assert(share >= 0.0 && share <= 100.0)
+    }
+    val total = rows.map(r => BigDecimal(r.getAs[Double]("total_rev"))).sum
+    val direct = Tables.lineitem(spark, sf)
+      .agg(graft.Det.moneySum4(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+      .collect().head.getDouble(0)
+    assert((total - BigDecimal(direct)).abs < BigDecimal(1e-4),
+      "per-month revenue must reconcile with the corpus total")
+  }
+
+  test("outlier_zscore: stats sane, outlier count matches a direct recompute") {
+    val rows = q("outlier_zscore").collect()
+    rows.foreach { r =>
+      assert(r.getAs[Double]("sd_price") > 0.0)
+      assert(r.getAs[Long]("n_outliers") < r.getAs[Long]("n_orders"))
+      if (r.getAs[Double]("max_abs_z") > 2.5) assert(r.getAs[Long]("n_outliers") >= 1L)
+      else assert(r.getAs[Long]("n_outliers") === 0L)
+    }
+    // cross-check one segment against a driver-side recompute
+    val seg = rows.head.getAs[String]("segment")
+    val prices = Tables.orders(spark, sf)
+      .join(Tables.customer(spark, sf)
+        .filter(col("c_mktsegment") === seg).select("c_custkey"),
+        col("o_custkey") === col("c_custkey"))
+      .select("o_totalprice").collect().map(_.getDouble(0))
+    val mean = prices.sum / prices.length
+    val sd = math.sqrt(prices.map(p => (p - mean) * (p - mean)).sum / (prices.length - 1))
+    assert(math.abs(rows.head.getAs[Double]("mean_price") - mean) < 1e-6 * mean)
+    assert(math.abs(rows.head.getAs[Double]("sd_price") - sd) < 1e-4 * sd)
+    val nOut = prices.count(p => math.abs((p - mean) / sd) > 2.5)
+    // the engine's quantized sd can flip a knife-edge case; allow ±1
+    assert(math.abs(rows.head.getAs[Long]("n_outliers") - nOut) <= 1)
+  }
+
   test("dup_ngram_spans: every reported span occurs in >=2 docs and occ >= docs") {
     val rows = q("dup_ngram_spans").collect()
     rows.foreach { r =>
