@@ -92,8 +92,13 @@ object GraphOps {
       .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk")).distinct()
     val edges = li.select((col("pk") * 2).as("src"), (col("sk") * 2 + 1).as("dst"))
       .unionAll(li.select((col("sk") * 2 + 1).as("src"), (col("pk") * 2).as("dst")))
-    val outdeg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-    val eo = edges.join(outdeg, "src") // (src, dst, deg)
+    // materialize the static (src, dst, deg) table once: every iteration
+    // (and the final deg join) reuses it instead of re-deriving the
+    // distinct + union + degree-agg lineage per reference — the standard
+    // "cache the edge list" step of any iterative graph job
+    val outdeg = DedupOps.eagerCheckpoint(
+      edges.groupBy("src").agg(count(lit(1)).as("deg")))
+    val eo = DedupOps.eagerCheckpoint(edges.join(outdeg, "src")) // (src, dst, deg)
     val pr0 = outdeg.select(col("src").as("node"), lit(1.0).as("pr"))
     val pr3 = (1 to 3).foldLeft(pr0) { (pr, _) =>
       eo.join(pr, eo("src") === pr("node"))
