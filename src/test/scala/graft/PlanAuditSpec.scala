@@ -142,4 +142,50 @@ class PlanAuditSpec extends SparkSpec {
     val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).length
     assert(bnlj <= 2, s"edge-set nested loop in:\n$plan")
   }
+
+  test("pq_encode is a pure narrow map until the diagnostic sort") {
+    val plan = planOf("pq_encode")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"PQ encoding introduced a shuffle in:\n$plan")
+    assert(!plan.contains("Join"), s"PQ encoding introduced a join in:\n$plan")
+  }
+
+  test("outlier_zscore broadcasts the stats table back over the fact") {
+    val plan = planOf("outlier_zscore")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"stats join not broadcast in:\n$plan")
+    // the fact meets the stats through the broadcast join only; the one
+    // permitted merge join is the final segment-cardinality combine of
+    // the two 5-row aggregate outputs (no fact rows flow through it)
+    val segJoins = "SortMergeJoin \\[segment".r.findAllIn(plan).length
+    assert(segJoins <= 1, s"fact shuffle-joined against segment stats in:\n$plan")
+  }
+
+  test("attribution_touch computes both models in one window pass and one agg shuffle") {
+    val plan = planOf("attribution_touch")
+    // one user_id exchange (the window), one channel exchange (the agg)
+    val userEx = "- Exchange hashpartitioning\\(user_id".r.findAllIn(plan).length
+    val chanEx = "- Exchange hashpartitioning\\(channel".r.findAllIn(plan).length
+    assert(userEx === 1, s"expected one user window exchange, got $userEx in:\n$plan")
+    assert(chanEx === 1, s"expected one channel agg exchange, got $chanEx in:\n$plan")
+    assert(!plan.contains("Join"), s"attribution joined instead of windowed:\n$plan")
+  }
+
+  test("cdc_apply applies the changelog through one full-outer join, no rescans") {
+    val plan = planOf("cdc_apply")
+    assert(plan.contains("FullOuter"), s"no full-outer apply join in:\n$plan")
+    // base scanned once, changelog (orders) scanned twice (U/D rows + inserts)
+    assert("FileScan parquet".r.findAllIn(plan).length <= 3,
+      s"extra input rescans in:\n$plan")
+  }
+
+  test("promo_share aggregates numerator and denominator in a single grouped pass") {
+    val plan = planOf("promo_share")
+    assert(plan.contains("partial_"), s"no map-side partial aggregation in:\n$plan")
+    // one month exchange: both sums ride the same aggregate
+    val monthEx = "- Exchange hashpartitioning\\(month".r.findAllIn(plan).length
+    assert(monthEx === 1, s"expected one month exchange, got $monthEx in:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"non-equi join shape in:\n$plan")
+  }
 }
