@@ -21,7 +21,7 @@ object SparkEntry {
       DedupOps.queries ++ SimOps.queries ++ MultiModalOps.queries ++
       PipeOps.queries ++ Udx.queries ++ FileOps.queries ++ CurateOps.queries ++
       QualityOps.queries ++ MartOps.queries ++ WarehouseOps.queries ++
-      GraphOps.queries
+      GraphOps.queries ++ SeriesOps.queries ++ ProfileOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -31,5 +31,5 @@ object SparkEntry {
       DedupOps.oracle ++ SimOps.oracle ++ MultiModalOps.oracle ++
       PipeOps.oracle ++ Udx.oracle ++ FileOps.oracle ++ CurateOps.oracle ++
       QualityOps.oracle ++ MartOps.oracle ++ WarehouseOps.oracle ++
-      GraphOps.oracle
+      GraphOps.oracle ++ SeriesOps.oracle ++ ProfileOps.oracle
 }

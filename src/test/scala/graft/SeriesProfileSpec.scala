@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantic invariants for the time-series and profiling operators
+  * beyond the DuckDB hash gate: hopping-window multiplicity, grid
+  * density + LOCF carry of the gap fill, island/day conservation, and
+  * profile counts vs direct queries. */
+class SeriesProfileSpec extends SparkSpec {
+
+  test("hopping_window: every event lands in exactly size/slide = 4 windows") {
+    val total = q("hopping_window").agg(sum("n")).collect().head.getLong(0)
+    val events = Tables.events(spark, sf).count()
+    assert(total === 4 * events)
+  }
+
+  test("hopping_window: window starts are 15-minute aligned and span each event") {
+    val starts = q("hopping_window").select("win_start").distinct().collect()
+      .map(_.getTimestamp(0).getTime)
+    assert(starts.forall(_ % (15L * 60 * 1000) == 0))
+  }
+
+  test("time_gap_fill: grid is dense and zero hours carry the last observed sum") {
+    val rows = q("time_gap_fill").collect()
+    val types = rows.map(_.getAs[String]("event_type")).distinct
+    val hours = rows.map(_.getAs[java.sql.Timestamp]("h")).distinct
+    assert(rows.length === types.length * hours.length)
+    // within each type, a zero-count hour repeats the previous locf_sum
+    types.foreach { t =>
+      val series = rows.filter(_.getAs[String]("event_type") == t)
+        .sortBy(_.getAs[java.sql.Timestamp]("h").getTime)
+      series.sliding(2).foreach {
+        case Array(prev, cur) if cur.getAs[Long]("n") == 0 =>
+          assert(cur.getAs[Double]("locf_sum") === prev.getAs[Double]("locf_sum"))
+        case _ =>
+      }
+    }
+  }
+
+  test("gaps_islands: island lengths conserve active days for every user") {
+    val out = q("gaps_islands").collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("n_islands"), r.getAs[Long]("longest_run"))).toMap
+    val days = Tables.events(spark, sf)
+      .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+      .collect().map(r => (r.getLong(0), r.getDate(1).toLocalDate))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    days.foreach { case (u, ds) =>
+      // brute-force island split on consecutive days
+      val runs = ds.foldLeft(List.empty[List[java.time.LocalDate]]) {
+        case (acc @ (cur :: rest), d)
+            if cur.nonEmpty && cur.head.plusDays(1) == d => (d :: cur) :: rest
+        case (acc, d) => List(d) :: acc
+      }
+      val (nIslands, longest) = out(u)
+      assert(nIslands === runs.length.toLong, s"user $u island count")
+      assert(longest === runs.map(_.length).max.toLong, s"user $u longest run")
+    }
+  }
+
+  test("profile_table: counts match direct queries; min <= max in native type") {
+    val rows = q("profile_table").collect()
+      .map(r => r.getAs[String]("column_name") -> r).toMap
+    val o = Tables.orders(spark, sf)
+    assert(rows("o_custkey").getAs[Long]("n_distinct") ===
+      o.select("o_custkey").distinct().count())
+    assert(rows("o_orderstatus").getAs[Long]("n_nulls") === 0L)
+    val tp = rows("o_totalprice")
+    assert(tp.getAs[String]("min_str").toDouble <= tp.getAs[String]("max_str").toDouble)
+  }
+
+  test("string_agg_group: lists are sorted and cover all 25 nations") {
+    val rows = q("string_agg_group").collect()
+    val all = rows.flatMap(_.getAs[String]("nations").split(","))
+    assert(all.length === 25)
+    assert(all.distinct.length === 25)
+    rows.foreach { r =>
+      val ns = r.getAs[String]("nations").split(",").toSeq
+      assert(ns === ns.sorted)
+      assert(ns.length.toLong === r.getAs[Long]("n_nations"))
+    }
+  }
+}
