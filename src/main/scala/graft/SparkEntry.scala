@@ -21,7 +21,8 @@ object SparkEntry {
       DedupOps.queries ++ SimOps.queries ++ MultiModalOps.queries ++
       PipeOps.queries ++ Udx.queries ++ FileOps.queries ++ CurateOps.queries ++
       QualityOps.queries ++ MartOps.queries ++ WarehouseOps.queries ++
-      GraphOps.queries ++ SeriesOps.queries ++ ProfileOps.queries
+      GraphOps.queries ++ SeriesOps.queries ++ ProfileOps.queries ++
+      BehaviorOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -31,5 +32,6 @@ object SparkEntry {
       DedupOps.oracle ++ SimOps.oracle ++ MultiModalOps.oracle ++
       PipeOps.oracle ++ Udx.oracle ++ FileOps.oracle ++ CurateOps.oracle ++
       QualityOps.oracle ++ MartOps.oracle ++ WarehouseOps.oracle ++
-      GraphOps.oracle ++ SeriesOps.oracle ++ ProfileOps.oracle
+      GraphOps.oracle ++ SeriesOps.oracle ++ ProfileOps.oracle ++
+      BehaviorOps.oracle
 }

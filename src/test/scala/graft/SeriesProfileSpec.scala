@@ -69,6 +69,51 @@ class SeriesProfileSpec extends SparkSpec {
     assert(tp.getAs[String]("min_str").toDouble <= tp.getAs[String]("max_str").toDouble)
   }
 
+  test("cohort_retention: offset-0 cells partition the user base") {
+    val rows = q("cohort_retention").collect()
+    val day0 = rows.filter(_.getAs[Int]("day_offset") == 0)
+      .map(_.getAs[Long]("n_active")).sum
+    val users = Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(day0 === users) // every user appears in exactly one cohort at offset 0
+    // retention never exceeds the cohort's size
+    val size = day0Sizes(rows)
+    rows.foreach(r => assert(r.getAs[Long]("n_active") <=
+      size(r.getAs[java.sql.Date]("cohort"))))
+  }
+
+  private def day0Sizes(rows: Array[org.apache.spark.sql.Row]) =
+    rows.filter(_.getAs[Int]("day_offset") == 0)
+      .map(r => r.getAs[java.sql.Date]("cohort") -> r.getAs[Long]("n_active")).toMap
+
+  test("event_transitions: rows per from-type sum to probability 1") {
+    val rows = q("event_transitions").collect()
+    rows.groupBy(_.getAs[String]("from_type")).foreach { case (_, g) =>
+      assert(math.abs(g.map(_.getAs[Double]("p")).sum - 1.0) < 1e-9)
+    }
+    val nPairs = rows.map(_.getAs[Long]("n")).sum
+    val ev = Tables.events(spark, sf)
+    val expected = ev.count() - ev.select("user_id").distinct().count()
+    assert(nPairs === expected) // each user contributes (events − 1) transitions
+  }
+
+  test("segment_gini: bounded by 1 − 1/k and matches a brute-force recompute") {
+    val rows = q("segment_gini").collect()
+    val k = Tables.events(spark, sf).select("event_type").distinct().count()
+    rows.foreach { r =>
+      val g = r.getAs[Double]("gini")
+      assert(g >= 0.0 && g <= 1.0 - 1.0 / k)
+    }
+    // brute-force one segment
+    val ev = Tables.events(spark, sf)
+      .withColumn("dow", (weekday(col("ts")) + lit(1)).cast("long"))
+    val seg = rows.head.getAs[Long]("dow")
+    val counts = ev.filter(col("dow") === seg).groupBy("event_type").count()
+      .collect().map(_.getAs[Long]("count"))
+    val n = counts.sum.toDouble
+    val expected = 1.0 - counts.map(c => c * c).sum / (n * n)
+    assert(math.abs(rows.head.getAs[Double]("gini") - expected) < 1e-12)
+  }
+
   test("string_agg_group: lists are sorted and cover all 25 nations") {
     val rows = q("string_agg_group").collect()
     val all = rows.flatMap(_.getAs[String]("nations").split(","))
