@@ -16,21 +16,24 @@ object BehaviorOps {
   type Q = (SparkSession, String) => DataFrame
 
   /** Cohort retention: users are cohorted by first active day; each
-    * (cohort, day-offset) cell counts users active that day. One
-    * exchange on `user_id` (distinct day grid + min-over-window share
-    * it), then one on the tiny (cohort, offset) key. The distinct day
-    * grid means `count(*)` IS distinct users — no second distinct agg.
-    * At 100 TB the user exchange dominates and is skew-free (one row
-    * per user-day). */
-  def cohortRetention(spark: SparkSession, sfDir: String): DataFrame = {
-    val days = Tables.events(spark, sfDir)
-      .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
-    days
-      .withColumn("cohort", min(col("d")).over(Window.partitionBy("user_id")))
+    * (cohort, day-offset) cell counts users active that day. The SQL
+    * formulation (the oracle) runs distinct-days → min-over-window —
+    * two user-grid exchanges. Spark-first it is ONE exchange on
+    * `user_id`: a map-side-deduping `collect_set(day)` gives each
+    * user's distinct days in-row, the cohort is `array_min`, and the
+    * explode back to (cohort, offset) rows happens after the shuffle.
+    * Per-user state is the distinct-day array (calendar-bounded), the
+    * day grid means `count(*)` IS distinct users, and the second
+    * exchange is on the tiny (cohort, offset) domain. Plan-pinned. */
+  def cohortRetention(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+      .groupBy("user_id")
+      .agg(collect_set(col("d")).as("ds"))
+      .select(array_min(col("ds")).as("cohort"), explode(col("ds")).as("d"))
       .groupBy(col("cohort"), datediff(col("d"), col("cohort")).as("day_offset"))
       .agg(count(lit(1)).as("n_active"))
       .orderBy("cohort", "day_offset")
-  }
 
   /** First-order Markov transition matrix of event types: one `lead`
     * window pass per user, then a grouped count over the (from, to)

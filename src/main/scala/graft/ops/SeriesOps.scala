@@ -64,25 +64,35 @@ object SeriesOps {
   }
 
   /** Q24 gaps-and-islands: per user, maximal runs of consecutive active
-    * days (the classic `date − row_number()` anchor trick — consecutive
-    * days share an anchor, any gap starts a new one). Two keyed
-    * aggregations after one window pass; all three exchanges hash on
-    * `user_id`, so the shape is skew-safe and the per-key state is one
-    * row number. Reported per user: island count and longest run.
+    * days. The classic SQL does `date − row_number()` anchoring — a
+    * distinct on (user, day), a window pass, and two more aggregations:
+    * four exchanges (the oracle keeps that formulation). Spark-first,
+    * the whole per-user computation fits in ONE exchange: a map-side-
+    * deduping `collect_set(day)` groups each user's distinct days into
+    * a row, and islands fall out of an in-row sorted fold
+    * (`zip_with` day-gaps + `aggregate` run-length scan). Per-user
+    * state is the distinct-day array — bounded by calendar history
+    * (≤ a few thousand), never by event count — so the shape holds at
+    * 100 TB where the window variant would shuffle the day grid twice
+    * more. Plan-pinned: exactly one hash exchange, no Window.
     */
-  def gapsIslands(spark: SparkSession, sfDir: String): DataFrame = {
-    val days = Tables.events(spark, sfDir)
-      .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
-    val w = Window.partitionBy("user_id").orderBy("d")
-    days
-      .withColumn("rn", row_number().over(w))
-      .withColumn("anchor", expr("date_sub(d, rn)"))
-      .groupBy("user_id", "anchor")
-      .agg(count(lit(1)).as("len"))
+  def gapsIslands(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), to_date(col("ts")).as("d"))
       .groupBy("user_id")
-      .agg(count(lit(1)).as("n_islands"), max(col("len")).as("longest_run"))
+      .agg(sort_array(collect_set(col("d"))).as("ds"))
+      .withColumn("gaps", expr(
+        "zip_with(slice(ds, 2, size(ds) - 1), slice(ds, 1, size(ds) - 1), (a, b) -> datediff(a, b))"))
+      .select(
+        col("user_id"),
+        expr("CAST(size(filter(gaps, g -> g > 1)) + 1 AS BIGINT)").as("n_islands"),
+        expr("""aggregate(gaps,
+                named_struct('cur', CAST(1 AS BIGINT), 'best', CAST(1 AS BIGINT)),
+                (acc, g) -> named_struct(
+                  'cur',  IF(g = 1, acc.cur + 1, CAST(1 AS BIGINT)),
+                  'best', GREATEST(acc.best, IF(g = 1, acc.cur + 1, CAST(1 AS BIGINT)))),
+                acc -> acc.best)""").as("longest_run"))
       .orderBy("user_id")
-  }
 
   val queries: Map[String, Q] = Map(
     "hopping_window" -> (hoppingWindow _),

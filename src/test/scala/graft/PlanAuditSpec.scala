@@ -188,4 +188,31 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       s"non-equi join shape in:\n$plan")
   }
+
+  test("hopping_window explodes map-side (Expand) into one agg exchange — no grid join") {
+    val plan = planOf("hopping_window")
+    assert(plan.contains("Expand"), s"no map-side window explode in:\n$plan")
+    assert(plan.contains("partial_"), s"no map-side partial aggregation in:\n$plan")
+    assert(!plan.contains("Join"), s"window assignment joined instead of expanded:\n$plan")
+    val hashEx = "- Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(hashEx === 1, s"expected one hash exchange, got $hashEx in:\n$plan")
+  }
+
+  test("gaps_islands runs in a single user exchange, no window pass") {
+    val plan = planOf("gaps_islands")
+    val userEx = "- Exchange hashpartitioning\\(user_id".r.findAllIn(plan).length
+    val hashEx = "- Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(userEx === 1 && hashEx === 1,
+      s"expected exactly one user_id exchange, got $hashEx in:\n$plan")
+    assert(!plan.contains("Window"), s"island scan fell back to a window sort:\n$plan")
+  }
+
+  test("cohort_retention shuffles the user grid once; cohort agg rides the tiny key") {
+    val plan = planOf("cohort_retention")
+    val userEx = "- Exchange hashpartitioning\\(user_id".r.findAllIn(plan).length
+    assert(userEx === 1, s"expected one user_id exchange, got $userEx in:\n$plan")
+    val cohortEx = "- Exchange hashpartitioning\\(cohort".r.findAllIn(plan).length
+    assert(cohortEx === 1, s"expected one cohort exchange, got $cohortEx in:\n$plan")
+    assert(!plan.contains("Window"), s"cohort min fell back to a window pass:\n$plan")
+  }
 }
