@@ -69,9 +69,43 @@ object ProfileOps {
         concat_ws(",", array_sort(collect_list(col("n_name")))).as("nations"))
       .orderBy("r_name")
 
+  /** Grouped simple linear regression + Pearson correlation
+    * (price ~ quantity per return flag) from the five sufficient
+    * statistics Σx, Σy, Σxy, Σx², Σy² — each an EXACT decimal sum
+    * (merge-order-free across 1000 executors), combined into
+    * slope/intercept/r by a fixed sequence of IEEE double ops that both
+    * engines execute identically, so the floats hash-match. One
+    * map-side-combined grouped pass; the naive two-pass
+    * mean-then-residual formulation would rescan the fact. This is the
+    * mergeable-statistics contract: partials from disjoint shards
+    * combine exactly, which is what makes the statistic incremental at
+    * 100 TB. */
+  def regressionStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val x = col("l_quantity").cast("decimal(18,2)")
+    val y = col("l_extendedprice").cast("decimal(18,2)")
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(x).cast("double").as("sxd"), sum(y).cast("double").as("syd"),
+        sum(x * y).cast("double").as("sxyd"),
+        sum(x * x).cast("double").as("sxxd"),
+        sum(y * y).cast("double").as("syyd"))
+      .withColumn("nd", col("n").cast("double"))
+      .withColumn("num", col("nd") * col("sxyd") - col("sxd") * col("syd"))
+      .withColumn("den", col("nd") * col("sxxd") - col("sxd") * col("sxd"))
+      .select(col("l_returnflag"), col("n"),
+        (col("num") / col("den")).as("slope"),
+        ((col("syd") - (col("num") / col("den")) * col("sxd")) / col("nd"))
+          .as("intercept"),
+        (col("num") / sqrt(col("den") *
+          (col("nd") * col("syyd") - col("syd") * col("syd")))).as("r"))
+      .orderBy("l_returnflag")
+  }
+
   val queries: Map[String, Q] = Map(
     "profile_table"    -> (profileTable _),
-    "string_agg_group" -> (stringAggGroup _))
+    "string_agg_group" -> (stringAggGroup _),
+    "regression_stats" -> (regressionStats _))
 
   private def profileUnionSql: String =
     profiledCols.map { c =>
@@ -84,6 +118,27 @@ object ProfileOps {
     }.mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
 
   val oracle: Map[String, String] = Map(
+    "regression_stats" ->
+      """WITH s AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxd,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syd,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+        |      * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxyd,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+        |      * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxxd,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |      * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syyd
+        |  FROM lineitem GROUP BY 1),
+        |t AS (SELECT l_returnflag, n, CAST(n AS DOUBLE) AS nd,
+        |        sxd, syd, sxyd, sxxd, syyd,
+        |        CAST(n AS DOUBLE) * sxyd - sxd * syd AS num,
+        |        CAST(n AS DOUBLE) * sxxd - sxd * sxd AS den
+        |      FROM s)
+        |SELECT l_returnflag, n, num / den AS slope,
+        |  (syd - (num / den) * sxd) / nd AS intercept,
+        |  num / sqrt(den * (nd * syyd - syd * syd)) AS r
+        |FROM t ORDER BY l_returnflag""".stripMargin,
     "profile_table" -> profileUnionSql,
     "string_agg_group" ->
       """SELECT r_name, count(*) AS n_nations,

@@ -114,6 +114,23 @@ class SeriesProfileSpec extends SparkSpec {
     assert(math.abs(rows.head.getAs[Double]("gini") - expected) < 1e-12)
   }
 
+  test("regression_stats: matches Spark's built-in corr/regr aggregates") {
+    val rows = q("regression_stats").collect()
+      .map(r => r.getAs[String]("l_returnflag") -> r).toMap
+    val builtin = Tables.lineitem(spark, sf)
+      .groupBy("l_returnflag")
+      .agg(corr(col("l_extendedprice"), col("l_quantity")).as("c"),
+        regr_slope(col("l_extendedprice"), col("l_quantity")).as("s"),
+        regr_intercept(col("l_extendedprice"), col("l_quantity")).as("i"))
+      .collect()
+    builtin.foreach { b =>
+      val mine = rows(b.getAs[String]("l_returnflag"))
+      assert(math.abs(mine.getAs[Double]("r") - b.getAs[Double]("c")) < 1e-6)
+      assert(math.abs(mine.getAs[Double]("slope") - b.getAs[Double]("s")) < 1e-6)
+      assert(math.abs(mine.getAs[Double]("intercept") - b.getAs[Double]("i")) < 1e-3)
+    }
+  }
+
   test("string_agg_group: lists are sorted and cover all 25 nations") {
     val rows = q("string_agg_group").collect()
     val all = rows.flatMap(_.getAs[String]("nations").split(","))
