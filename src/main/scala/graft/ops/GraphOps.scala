@@ -116,8 +116,58 @@ object GraphOps {
       .limit(20)
   }
 
+  /** Per-node triangle counts + local clustering coefficient over the
+    * same co-purchase graph as [[graphTriangles]] — the node-level
+    * "how clique-like is this neighborhood" signal (spam/template
+    * cluster scoring in a near-dup graph). Same degree-oriented
+    * adjacency-intersection dataflow, but the intersection ELEMENTS are
+    * kept: a triangle found at oriented edge (u,v) with witness w
+    * credits all three nodes — u and v once per witness
+    * (`size(array_intersect)`), each witness once (`explode`). Credits
+    * then aggregate on the node key (map-side combined), join the
+    * undirected degree table, and the coefficient 2T/(d(d−1)) is one
+    * IEEE division of exact longs. Degree-1 nodes have no defined
+    * coefficient and are filtered (both engines). */
+  def graphLocalCc(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val e = li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .select(col("a.pk").as("x"), col("b.pk").as("y")).distinct()
+    val deg = e.select(col("x").as("node")).unionAll(e.select(col("y").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val oriented = e
+      .join(deg.withColumnRenamed("node", "x").withColumnRenamed("deg", "dx"), "x")
+      .join(deg.withColumnRenamed("node", "y").withColumnRenamed("deg", "dy"), "y")
+      .select(
+        when(struct(col("dx"), col("x")) < struct(col("dy"), col("y")),
+          struct(col("x").as("u"), col("y").as("v")))
+          .otherwise(struct(col("y").as("u"), col("x").as("v")))
+          .as("o"))
+      .select(col("o.u").as("u"), col("o.v").as("v"))
+    val adj = oriented.groupBy("u").agg(collect_list(col("v")).as("nbrs"))
+    val hits = oriented
+      .join(adj.select(col("u"), col("nbrs").as("un")), Seq("u"))
+      .join(adj.select(col("u").as("v"), col("nbrs").as("vn")), Seq("v"))
+      .select(col("u"), col("v"), array_intersect(col("un"), col("vn")).as("ws"))
+      .filter(size(col("ws")) > 0)
+    val credits = hits
+      .select(col("u").as("node"), size(col("ws")).cast("long").as("t"))
+      .unionAll(hits.select(col("v").as("node"), size(col("ws")).cast("long")))
+      .unionAll(hits.select(explode(col("ws")).as("node"), lit(1L)))
+    credits.groupBy("node").agg(sum(col("t")).as("n_tri"))
+      .join(deg, "node")
+      .filter(col("deg") >= 2)
+      .select(col("node"), col("deg"), col("n_tri"),
+        ((col("n_tri") * 2).cast("double") /
+          (col("deg") * (col("deg") - 1)).cast("double")).as("lcc"))
+      .orderBy(col("n_tri").desc, col("node").asc)
+      .limit(100)
+  }
+
   val queries: Map[String, Q] = Map(
     "graph_triangles" -> (graphTriangles _),
+    "graph_local_cc"  -> (graphLocalCc _),
     "graph_pagerank"  -> (graphPagerank _))
 
   /** One unrolled PageRank iteration as a DuckDB CTE — arithmetic stated
@@ -145,6 +195,24 @@ object GraphOps {
          |SELECT p3.node, d.deg, p3.pr
          |FROM p3 JOIN d ON p3.node = d.src
          |ORDER BY pr DESC, node ASC LIMIT 20""".stripMargin,
+    "graph_local_cc" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |ed AS (SELECT DISTINCT a.pk AS x, b.pk AS y
+        |       FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+        |deg AS (SELECT n AS node, count(*) AS deg FROM
+        |  (SELECT x AS n FROM ed UNION ALL SELECT y FROM ed) GROUP BY 1),
+        |tri AS (SELECT e1.x AS a, e1.y AS b, e2.y AS c
+        |        FROM ed e1 JOIN ed e2 ON e1.y = e2.x
+        |                   JOIN ed e3 ON e3.x = e1.x AND e3.y = e2.y),
+        |cr AS (SELECT a AS node FROM tri UNION ALL
+        |       SELECT b FROM tri UNION ALL SELECT c FROM tri),
+        |t AS (SELECT node, count(*) AS n_tri FROM cr GROUP BY 1)
+        |SELECT t.node AS node, deg.deg, t.n_tri,
+        |  CAST(t.n_tri * 2 AS DOUBLE)
+        |    / CAST(deg.deg * (deg.deg - 1) AS DOUBLE) AS lcc
+        |FROM t JOIN deg ON t.node = deg.node
+        |WHERE deg.deg >= 2
+        |ORDER BY n_tri DESC, t.node ASC LIMIT 100""".stripMargin,
     "graph_triangles" ->
       """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
         |ed AS (SELECT DISTINCT a.pk AS x, b.pk AS y

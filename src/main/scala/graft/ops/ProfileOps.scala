@@ -102,10 +102,71 @@ object ProfileOps {
       .orderBy("l_returnflag")
   }
 
+  /** Data-quality expectations report: each rule yields one long-form
+    * row (rule, n_violations, n_checked) — the contract-check table an
+    * ingest gate publishes before promoting a drop. Single-table rules
+    * (nulls, ranges, duplicate keys) share ONE pruned scan per table and
+    * explode from a single aggregate row; cross-table rules are keyed
+    * joins — referential orphans as anti-joins on the foreign key,
+    * order-consistency as an equi-join — so every rule is a shuffle-
+    * keyed or scan-local pass, nothing driver-side, and the report
+    * unions a handful of 1-to-3-row frames. */
+  def dqChecks(spark: SparkSession, sfDir: String): DataFrame = {
+    val o  = Tables.orders(spark, sfDir)
+    val li = Tables.lineitem(spark, sfDir)
+    val c  = Tables.customer(spark, sfDir)
+    val orderRules = o
+      .agg(count(lit(1)).as("n"),
+        (count(lit(1)) - countDistinct(col("o_orderkey"))).as("dup_key"),
+        count(when(col("o_custkey").isNull, lit(1))).as("null_cust"),
+        count(when(col("o_totalprice") <= 0, lit(1))).as("bad_price"))
+      .select(explode(array(
+        struct(lit("orders_dup_orderkey").as("rule"),
+          col("dup_key").as("n_violations"), col("n").as("n_checked")),
+        struct(lit("orders_null_custkey").as("rule"),
+          col("null_cust").as("n_violations"), col("n").as("n_checked")),
+        struct(lit("orders_nonpositive_totalprice").as("rule"),
+          col("bad_price").as("n_violations"), col("n").as("n_checked"))))
+        .as("r"))
+      .select(col("r.rule"), col("r.n_violations"), col("r.n_checked"))
+    val lineRules = li
+      .agg(count(lit(1)).as("n"),
+        count(when(col("l_discount") < 0 || col("l_discount") > 1, lit(1)))
+          .as("bad_disc"),
+        count(when(col("l_extendedprice") <= 0, lit(1))).as("bad_price"))
+      .select(explode(array(
+        struct(lit("lineitem_discount_range").as("rule"),
+          col("bad_disc").as("n_violations"), col("n").as("n_checked")),
+        struct(lit("lineitem_nonpositive_extendedprice").as("rule"),
+          col("bad_price").as("n_violations"), col("n").as("n_checked"))))
+        .as("r"))
+      .select(col("r.rule"), col("r.n_violations"), col("r.n_checked"))
+    val orphanLi = li.join(o, li("l_orderkey") === o("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("n_violations"))
+      .crossJoin(li.agg(count(lit(1)).as("n_checked")))
+      .select(lit("lineitem_orphan_orderkey").as("rule"),
+        col("n_violations"), col("n_checked"))
+    val orphanO = o.join(c, o("o_custkey") === c("c_custkey"), "left_anti")
+      .agg(count(lit(1)).as("n_violations"))
+      .crossJoin(o.agg(count(lit(1)).as("n_checked")))
+      .select(lit("orders_orphan_custkey").as("rule"),
+        col("n_violations"), col("n_checked"))
+    val shipBefore = li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .agg(count(when(col("l_shipdate") < col("o_orderdate"), lit(1)))
+          .as("n_violations"),
+        count(lit(1)).as("n_checked"))
+      .select(lit("lineitem_ship_before_order").as("rule"),
+        col("n_violations"), col("n_checked"))
+    orderRules.unionAll(lineRules).unionAll(orphanLi).unionAll(orphanO)
+      .unionAll(shipBefore)
+      .orderBy("rule")
+  }
+
   val queries: Map[String, Q] = Map(
     "profile_table"    -> (profileTable _),
     "string_agg_group" -> (stringAggGroup _),
-    "regression_stats" -> (regressionStats _))
+    "regression_stats" -> (regressionStats _),
+    "dq_checks"        -> (dqChecks _))
 
   private def profileUnionSql: String =
     profiledCols.map { c =>
@@ -117,7 +178,43 @@ object ProfileOps {
          |FROM orders""".stripMargin
     }.mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
 
+  private val dqSql: String =
+    """SELECT 'orders_dup_orderkey' AS rule,
+      |  count(*) - count(DISTINCT o_orderkey) AS n_violations,
+      |  count(*) AS n_checked FROM orders
+      |UNION ALL
+      |SELECT 'orders_null_custkey',
+      |  count(CASE WHEN o_custkey IS NULL THEN 1 END), count(*) FROM orders
+      |UNION ALL
+      |SELECT 'orders_nonpositive_totalprice',
+      |  count(CASE WHEN o_totalprice <= 0 THEN 1 END), count(*) FROM orders
+      |UNION ALL
+      |SELECT 'lineitem_discount_range',
+      |  count(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 END), count(*)
+      |FROM lineitem
+      |UNION ALL
+      |SELECT 'lineitem_nonpositive_extendedprice',
+      |  count(CASE WHEN l_extendedprice <= 0 THEN 1 END), count(*) FROM lineitem
+      |UNION ALL
+      |SELECT 'lineitem_orphan_orderkey',
+      |  (SELECT count(*) FROM lineitem li
+      |   WHERE NOT EXISTS (SELECT 1 FROM orders o
+      |                     WHERE o.o_orderkey = li.l_orderkey)),
+      |  (SELECT count(*) FROM lineitem)
+      |UNION ALL
+      |SELECT 'orders_orphan_custkey',
+      |  (SELECT count(*) FROM orders o
+      |   WHERE NOT EXISTS (SELECT 1 FROM customer c
+      |                     WHERE c.c_custkey = o.o_custkey)),
+      |  (SELECT count(*) FROM orders)
+      |UNION ALL
+      |SELECT 'lineitem_ship_before_order',
+      |  count(CASE WHEN l_shipdate < o_orderdate THEN 1 END), count(*)
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |ORDER BY rule""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "dq_checks" -> dqSql,
     "regression_stats" ->
       """WITH s AS (
         |  SELECT l_returnflag, count(*) AS n,

@@ -94,10 +94,54 @@ object SeriesOps {
                 acc -> acc.best)""").as("longest_run"))
       .orderBy("user_id")
 
+  /** Exponentially-weighted moving average of per-user daily activity,
+    * over each user's last 7 active days. EWMA's textbook recurrence is
+    * sequential; the DYADIC restatement keeps it exact and parallel:
+    * α = 1/2 makes every weight a power of two, so the weighted sum
+    * Σ cₖ·2^(6−k) is pure LONG arithmetic (merge-order-free, no float
+    * accumulation), normalized by the sum of the weights actually
+    * present, with ONE IEEE division at the end — hash-identical in any
+    * engine. Seven lags share one window spec ⇒ one user-key exchange,
+    * one sort. */
+  def ewmaDaily(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(col("user_id"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("user_id").orderBy("d")
+    def lagK(k: Int) = if (k == 0) col("c") else lag(col("c"), k).over(w)
+    val num = (0 to 6).map(k => coalesce(lagK(k), lit(0L)) * lit(1L << (6 - k)))
+      .reduce(_ + _)
+    val den = (0 to 6).map(k =>
+        when(lagK(k).isNotNull, lit(1L << (6 - k))).otherwise(lit(0L)))
+      .reduce(_ + _)
+    daily
+      .select(col("user_id"), col("d"), col("c"),
+        (num.cast("double") / den.cast("double")).as("ewma"))
+      .orderBy("user_id", "d")
+  }
+
   val queries: Map[String, Q] = Map(
     "hopping_window" -> (hoppingWindow _),
     "time_gap_fill"  -> (timeGapFill _),
-    "gaps_islands"   -> (gapsIslands _))
+    "gaps_islands"   -> (gapsIslands _),
+    "ewma_daily"     -> (ewmaDaily _))
+
+  private val ewmaSql: String = {
+    val lags = (1 to 6).map(k => s"lag(c, $k) OVER w AS c$k").mkString(",\n|    ")
+    val num = "c * 64" +
+      (1 to 6).map(k => s" + coalesce(c$k, 0) * ${1L << (6 - k)}").mkString
+    val den = "64" +
+      (1 to 6).map(k => s" + CASE WHEN c$k IS NULL THEN 0 ELSE ${1L << (6 - k)} END")
+        .mkString
+    s"""WITH daily AS (SELECT user_id, CAST(ts AS DATE) AS d, count(*) AS c
+       |               FROM events GROUP BY 1, 2),
+       |l AS (SELECT user_id, d, c,
+       |    $lags
+       |  FROM daily WINDOW w AS (PARTITION BY user_id ORDER BY d))
+       |SELECT user_id, d, c,
+       |  CAST($num AS DOUBLE) / CAST($den AS DOUBLE) AS ewma
+       |FROM l ORDER BY user_id, d""".stripMargin
+  }
 
   val oracle: Map[String, String] = Map(
     "hopping_window" ->
@@ -125,6 +169,7 @@ object SeriesOps {
          |FROM grid g LEFT JOIN hourly
          |  ON g.h = hourly.h AND g.event_type = hourly.event_type
          |ORDER BY h, event_type""".stripMargin,
+    "ewma_daily" -> ewmaSql,
     "gaps_islands" ->
       """WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
         |i AS (SELECT user_id, d - CAST(row_number() OVER (

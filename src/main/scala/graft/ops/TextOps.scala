@@ -225,7 +225,56 @@ object TextOps {
       .orderBy(col("c2").desc, col("w1").asc, col("w2").asc)
   }
 
+  /** Unicode NFC normalization ahead of fingerprinting, via the native
+    * [[graft.functions.NfcNormalize]] expression (Spark has no builtin;
+    * a composed and a decomposed "é" must dedup-key identically). The
+    * fixture text is ASCII, so a decomposed ``" cafe" + U+0301`` suffix
+    * is appended to every document to force real composition work: NFC
+    * shortens each string by exactly one code point and the md5 of the
+    * normalized UTF-8 bytes must match DuckDB's `nfc_normalize` — two
+    * independent Unicode implementations (ICU-family JDK tables vs
+    * utf8proc) agreeing byte-for-byte. Pure narrow map, one scan. */
+  def unicodeNfc(spark: SparkSession, sfDir: String): DataFrame = {
+    val raw = concat(col("text"), lit(" cafe\u0301"))
+    val norm = graft.functions.TextFunctions.nfcNormalize(raw)
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), length(raw).as("len_raw"),
+        length(norm).as("len_nfc"),
+        md5(norm.cast("binary")).as("digest"))
+      .orderBy("doc_id")
+  }
+
+  /** Top-100 vocabulary with cumulative coverage — the "how big must V
+    * be" table a tokenizer build starts from. Token counting is the
+    * word-count shape (map-side combine on the token key); the top-100
+    * cut is a distributed TakeOrdered (per-partition heaps, never a
+    * global sort); only the 100 survivors pass through the ranking
+    * window (bounded single partition, post-limit). Coverage divides
+    * two exact longs — the cumulative sum over the deterministic
+    * (freq DESC, token ASC) total order — by the corpus token total. */
+  def vocabCoverage(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wc = Tables.documents(spark, sfDir)
+      .select(explode(tokens).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("freq"))
+    val total = wc.agg(sum(col("freq")).cast("long").as("total"))
+    val top = wc.orderBy(col("freq").desc, col("token").asc).limit(100)
+    val w = Window.orderBy(col("freq").desc, col("token").asc)
+    top
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("cum",
+        sum(col("freq")).over(w.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+      .crossJoin(broadcast(total))
+      .select(col("rank"), col("token"), col("freq"),
+        (col("cum").cast("double") / col("total").cast("double"))
+          .as("cum_share"))
+      .orderBy("rank")
+  }
+
   val queries: Map[String, Q] = Map(
+    "unicode_nfc"       -> (unicodeNfc _),
+    "vocab_coverage"    -> (vocabCoverage _),
     "tfidf_top_terms"   -> (tfidfTopTerms _),
     "bigram_lm"         -> (bigramLm _),
     "doc_shingle_sketch" -> (docShingleSketch _),
@@ -242,6 +291,27 @@ object TextOps {
   private val stopList = enStopwords.map(s => s"'$s'").mkString(", ")
 
   val oracle: Map[String, String] = Map(
+    "unicode_nfc" ->
+      """SELECT doc_id,
+        |  length(text || ' cafe' || chr(769)) AS len_raw,
+        |  length(nfc_normalize(text || ' cafe' || chr(769))) AS len_nfc,
+        |  md5(nfc_normalize(text || ' cafe' || chr(769))) AS digest
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "vocab_coverage" ->
+      """WITH wc AS (SELECT token, count(*) AS freq FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
+        |  GROUP BY 1),
+        |tot AS (SELECT CAST(sum(freq) AS BIGINT) AS total FROM wc),
+        |top AS (SELECT token, freq FROM wc
+        |        ORDER BY freq DESC, token ASC LIMIT 100),
+        |r AS (SELECT token, freq,
+        |        row_number() OVER (ORDER BY freq DESC, token ASC) AS rank,
+        |        sum(freq) OVER (ORDER BY freq DESC, token ASC
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |      FROM top)
+        |SELECT rank, token, freq,
+        |  CAST(cum AS DOUBLE) / CAST(total AS DOUBLE) AS cum_share
+        |FROM r CROSS JOIN tot ORDER BY rank""".stripMargin,
     "tfidf_top_terms" ->
       """WITH tf AS (SELECT doc_id, token, count(*) AS tf FROM (
         |    SELECT doc_id, unnest(string_split(text, ' ')) AS token
