@@ -215,4 +215,84 @@ class PlanAuditSpec extends SparkSpec {
     assert(cohortEx === 1, s"expected one cohort exchange, got $cohortEx in:\n$plan")
     assert(!plan.contains("Window"), s"cohort min fell back to a window pass:\n$plan")
   }
+
+  test("market_basket: pairs explode in-row off one reused basket exchange — no pair join") {
+    val plan = planOf("market_basket")
+    assert(!plan.contains("CartesianProduct"), s"cartesian pair join in:\n$plan")
+    // basket building is the only lineitem-keyed exchange that feeds pairs
+    // AND item counts (the second consumer must reuse, not re-shuffle)
+    assert(plan.contains("Generate explode(flatten(transform"),
+      s"pairs not generated in-row in:\n$plan")
+    assert(plan.contains("ReusedExchange"), s"basket exchange not reused in:\n$plan")
+    // no shuffle join on the order key (the self-join formulation's shape)
+    assert(!"SortMergeJoin \\[ok".r.findFirstIn(plan).isDefined,
+      s"pair space built by an order-key join in:\n$plan")
+  }
+
+  test("fuzzy_name_pairs: blocking is join-free — one masked-key exchange, in-row pairs") {
+    val plan = planOf("fuzzy_name_pairs")
+    assert(!plan.contains("Join"), s"blocked matcher planned a join in:\n$plan")
+    val keyEx = "- Exchange hashpartitioning\\(pos[^,]*, k".r.findAllIn(plan).length
+    assert(keyEx === 1, s"expected one (pos, key) exchange, got $keyEx in:\n$plan")
+    assert(plan.contains("levenshtein"), s"verify filter missing from:\n$plan")
+  }
+
+  test("brand_skyline: both window minimums ride ONE brand exchange") {
+    val plan = planOf("brand_skyline")
+    val hashEx = "- Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(hashEx === 1, s"expected one hash exchange, got $hashEx in:\n$plan")
+    val windows = "\\+- Window ".r.findAllIn(plan).length
+    assert(windows === 2, s"expected two window passes, got $windows in:\n$plan")
+    assert(!plan.contains("Join"), s"skyline fell back to a join in:\n$plan")
+  }
+
+  test("ewma_daily: all seven lags share one window pass") {
+    val plan = planOf("ewma_daily")
+    val windows = "\\+- Window ".r.findAllIn(plan).length
+    assert(windows === 1, s"expected one window pass, got $windows in:\n$plan")
+    val hashEx = "- Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(hashEx === 2, s"expected daily-agg + window exchanges, got $hashEx in:\n$plan")
+    assert(plan.contains("partial_"), s"daily counts not map-side combined in:\n$plan")
+  }
+
+  test("unicode_nfc: native expression keeps the narrow map in one codegen span") {
+    val plan = planOf("unicode_nfc")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"narrow map shuffled in:\n$plan")
+    assert(plan.contains("nfc_normalize"), s"native expression missing from:\n$plan")
+    assert(plan.contains("*(1) Project"), s"projection left codegen in:\n$plan")
+  }
+
+  test("vocab_coverage: top-100 cut is a distributed TakeOrdered, not a global sort") {
+    val plan = planOf("vocab_coverage")
+    assert(plan.contains("TakeOrderedAndProject(limit=100"),
+      s"top-k fell back to a global sort in:\n$plan")
+    val tokenEx = "- Exchange hashpartitioning\\(token".r.findAllIn(plan).length
+    assert(tokenEx === 1, s"token counts shuffled twice in:\n$plan")
+    assert(plan.contains("ReusedExchange"),
+      s"corpus total re-aggregated from scratch in:\n$plan")
+  }
+
+  test("exact_median_groups: both windows share one group-key exchange; nothing global") {
+    val plan = planOf("exact_median_groups")
+    val hashEx = "- Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(hashEx === 1, s"expected one hash exchange, got $hashEx in:\n$plan")
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"median funneled through one partition in:\n$plan")
+  }
+
+  test("yoy_growth: the year-lag window is calendar-month partitioned, never global") {
+    val plan = planOf("yoy_growth")
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"lag window funneled through one partition in:\n$plan")
+    // the window spec must carry a partition key (the derived month-of-year)
+    assert("windowspecdefinition\\(_w".r.findFirstIn(plan).isDefined,
+      s"lag window lost its partition spec in:\n$plan")
+  }
+
+  test("graph_local_cc never broadcasts the edge set or nests loops over it") {
+    val plan = planOf("graph_local_cc")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"nested-loop/cartesian join in:\n$plan")
+  }
 }
