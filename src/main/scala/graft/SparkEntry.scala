@@ -22,7 +22,8 @@ object SparkEntry {
       PipeOps.queries ++ Udx.queries ++ FileOps.queries ++ CurateOps.queries ++
       QualityOps.queries ++ MartOps.queries ++ WarehouseOps.queries ++
       GraphOps.queries ++ SeriesOps.queries ++ ProfileOps.queries ++
-      BehaviorOps.queries ++ RetailOps.queries ++ MatchOps.queries
+      BehaviorOps.queries ++ RetailOps.queries ++ MatchOps.queries ++
+      SqlOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -33,5 +34,6 @@ object SparkEntry {
       PipeOps.oracle ++ Udx.oracle ++ FileOps.oracle ++ CurateOps.oracle ++
       QualityOps.oracle ++ MartOps.oracle ++ WarehouseOps.oracle ++
       GraphOps.oracle ++ SeriesOps.oracle ++ ProfileOps.oracle ++
-      BehaviorOps.oracle ++ RetailOps.oracle ++ MatchOps.oracle
+      BehaviorOps.oracle ++ RetailOps.oracle ++ MatchOps.oracle ++
+      SqlOps.oracle
 }

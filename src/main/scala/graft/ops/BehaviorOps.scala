@@ -71,12 +71,40 @@ object BehaviorOps {
           (col("n_events") * col("n_events")).cast("double")).as("gini"))
       .orderBy("dow")
 
+  /** Exact per-segment mode (most frequent event type per ISO weekday)
+    * with a DETERMINISTIC tiebreak — `mode()` builtins leave ties
+    * unspecified, so both sides state the same count-then-rank
+    * formulation: grouped counts (map-side combined), then a
+    * row_number window over the tiny |segments|×|types| counts table.
+    * The heavy pass is the count; the ranking never touches raw rows. */
+  def modePerSegment(spark: SparkSession, sfDir: String): DataFrame = {
+    val counts = Tables.events(spark, sfDir)
+      .withColumn("dow", (weekday(col("ts")) + lit(1)).cast("long"))
+      .groupBy("dow", "event_type")
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("dow")
+      .orderBy(col("n").desc, col("event_type").asc)
+    counts.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("dow"), col("event_type").as("mode_type"), col("n"))
+      .orderBy("dow")
+  }
+
   val queries: Map[String, Q] = Map(
     "cohort_retention"  -> (cohortRetention _),
     "event_transitions" -> (eventTransitions _),
+    "mode_per_segment"  -> (modePerSegment _),
     "segment_gini"      -> (segmentGini _))
 
   val oracle: Map[String, String] = Map(
+    "mode_per_segment" ->
+      """WITH c AS (SELECT isodow(ts) AS dow, event_type, count(*) AS n
+        |           FROM events GROUP BY 1, 2),
+        |r AS (SELECT dow, event_type, n, row_number() OVER (
+        |        PARTITION BY dow ORDER BY n DESC, event_type ASC) AS rk
+        |      FROM c)
+        |SELECT dow, event_type AS mode_type, n
+        |FROM r WHERE rk = 1 ORDER BY dow""".stripMargin,
     "cohort_retention" ->
       """WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
         |w AS (SELECT user_id, d, min(d) OVER (PARTITION BY user_id) AS cohort

@@ -162,10 +162,45 @@ object ProfileOps {
       .orderBy("rule")
   }
 
+  /** Two-sample Welch z-test per segment (click vs purchase value by ISO
+    * weekday) — the experiment-readout query an A/B platform serves.
+    * Same mergeable-statistics contract as [[regressionStats]]: n, Σx,
+    * Σx² per (segment, arm) are exact decimal sums in ONE conditional
+    * grouped pass over the fact (never one pass per arm); mean,
+    * variance and z combine them in a fixed IEEE sequence both engines
+    * execute identically, so the doubles hash-match. */
+  def abTestZscore(spark: SparkSession, sfDir: String): DataFrame = {
+    val v = col("value").cast("decimal(18,2)")
+    def armAgg(arm: String, suffix: String): Seq[Column] = Seq(
+      count(when(col("event_type") === arm, lit(1))).as(s"n$suffix"),
+      sum(when(col("event_type") === arm, v)).cast("double").as(s"s$suffix"),
+      sum(when(col("event_type") === arm, v * v)).cast("double").as(s"ss$suffix"))
+    val aggs = armAgg("click", "1") ++ armAgg("purchase", "2")
+    def meanOf(s: String, n: String) = col(s) / col(n).cast("double")
+    def varOf(s: String, ss: String, n: String) =
+      (col(ss) - col(s) * col(s) / col(n).cast("double")) /
+        (col(n).cast("double") - lit(1.0))
+    Tables.events(spark, sfDir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .withColumn("dow", (weekday(col("ts")) + lit(1)).cast("long"))
+      .groupBy("dow")
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("m1", meanOf("s1", "n1"))
+      .withColumn("m2", meanOf("s2", "n2"))
+      .withColumn("v1", varOf("s1", "ss1", "n1"))
+      .withColumn("v2", varOf("s2", "ss2", "n2"))
+      .select(col("dow"), col("n1"), col("n2"), col("m1"), col("m2"),
+        ((col("m1") - col("m2")) /
+          sqrt(col("v1") / col("n1").cast("double") +
+            col("v2") / col("n2").cast("double"))).as("z"))
+      .orderBy("dow")
+  }
+
   val queries: Map[String, Q] = Map(
     "profile_table"    -> (profileTable _),
     "string_agg_group" -> (stringAggGroup _),
     "regression_stats" -> (regressionStats _),
+    "ab_test_zscore"   -> (abTestZscore _),
     "dq_checks"        -> (dqChecks _))
 
   private def profileUnionSql: String =
@@ -213,7 +248,31 @@ object ProfileOps {
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |ORDER BY rule""".stripMargin
 
+  private val abTestSql: String = {
+    def arm(a: String, i: Int) =
+      s"""count(CASE WHEN event_type = '$a' THEN 1 END) AS n$i,
+         |    CAST(SUM(CASE WHEN event_type = '$a'
+         |      THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS s$i,
+         |    CAST(SUM(CASE WHEN event_type = '$a'
+         |      THEN CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))
+         |      END) AS DOUBLE) AS ss$i""".stripMargin
+    s"""WITH s AS (
+       |  SELECT isodow(ts) AS dow,
+       |    ${arm("click", 1)},
+       |    ${arm("purchase", 2)}
+       |  FROM events WHERE event_type IN ('click', 'purchase') GROUP BY 1),
+       |t AS (SELECT dow, n1, n2,
+       |    s1 / CAST(n1 AS DOUBLE) AS m1, s2 / CAST(n2 AS DOUBLE) AS m2,
+       |    (ss1 - s1 * s1 / CAST(n1 AS DOUBLE)) / (CAST(n1 AS DOUBLE) - 1.0) AS v1,
+       |    (ss2 - s2 * s2 / CAST(n2 AS DOUBLE)) / (CAST(n2 AS DOUBLE) - 1.0) AS v2
+       |  FROM s)
+       |SELECT dow, n1, n2, m1, m2,
+       |  (m1 - m2) / sqrt(v1 / CAST(n1 AS DOUBLE) + v2 / CAST(n2 AS DOUBLE)) AS z
+       |FROM t ORDER BY dow""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "ab_test_zscore" -> abTestSql,
     "dq_checks" -> dqSql,
     "regression_stats" ->
       """WITH s AS (

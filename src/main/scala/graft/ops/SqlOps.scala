@@ -1,0 +1,47 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The SQL front door (SURVEY.md §2b Q1–Q8 surface via `spark.sql`):
+  * every registry query is DataFrame-declared, but a user of the engine
+  * must also be able to hand it ANSI SQL text — same Catalyst pipeline,
+  * same plans, zero translation layer. The query is the TPC-H Q1
+  * pricing summary restated with exact-decimal sums (the fixture money
+  * columns carry 2 decimal digits, so the DECIMAL casts are lossless
+  * and every aggregate is merge-order-free — see [[graft.Det]]).
+  */
+object SqlOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val q1Sql =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+      |    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+      |    * (1 - CAST(l_discount AS DECIMAL(18,2)))
+      |    * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** TPC-H Q1 pricing summary, submitted as SQL TEXT against a temp view
+    * — proving the textual surface: parse → analyze → same optimized
+    * plan the DataFrame API would produce (predicate pushdown, partial
+    * aggregation, the works). The oracle is the IDENTICAL string, so
+    * this also pins ANSI-compatibility of the dialect used. */
+  def sqlQ1Pricing(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.lineitem(spark, sfDir).createOrReplaceTempView("lineitem")
+    spark.sql(q1Sql)
+  }
+
+  val queries: Map[String, Q] = Map(
+    "sql_q1_pricing" -> (sqlQ1Pricing _))
+
+  val oracle: Map[String, String] = Map(
+    "sql_q1_pricing" -> q1Sql)
+}
