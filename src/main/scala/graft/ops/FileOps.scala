@@ -149,6 +149,58 @@ object FileOps {
       .orderBy("o_orderstatus")
   }
 
+  /** Fixed-width fixture: orders rendered as one fixed-width text line
+    * per row (the writer half lives here so the layout string is shared
+    * with the reader spec below). Idempotent behind the sink's own
+    * _SUCCESS marker, like the CSV/JSON twins. */
+  private[graft] val fixedWidthSpec =
+    "o_orderkey:0:12:long,o_custkey:12:12:long,o_orderstatus:24:1:string," +
+      "o_totalprice:25:14:double,o_orderpriority:39:15:string," +
+      "o_orderdate:54:19:timestamp"
+
+  private[graft] def materializeFixedWidthOrders(
+      spark: SparkSession, sfDir: String): String = {
+    val dir = cacheDir(spark, "fixedwidth", sfDir)
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(root, "_SUCCESS"))) {
+      Tables.orders(spark, sfDir)
+        .select(format_string("%12d%12d%1s%14.2f%-15s%19s",
+          col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"), col("o_orderpriority"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss")).as("value"))
+        .write.mode("overwrite").text(dir)
+    }
+    dir
+  }
+
+  /** Custom DataSource V2 ingest (O4 source breadth; the connector tier
+    * of the custom-operator ladder): orders round-tripped through the
+    * fixed-width format via [[graft.sources.FixedWidthDataSource]] —
+    * schema inferred from the layout option, one InputPartition per
+    * shard file, column pruning inside the reader (spec-pinned). The
+    * aggregate touches EVERY field (counts, exact-decimal money sum,
+    * key sums, min/max over the parsed timestamp and the padded string),
+    * and the oracle recomputes from the parquet table, so both the
+    * writer rendering and the reader parse sit under the hash gate. */
+  def fixedwidthScan(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = materializeFixedWidthOrders(spark, sfDir)
+    spark.read.format("graft.sources.FixedWidthDataSource")
+      .option("fields", fixedWidthSpec)
+      .option("path", dir)
+      .load()
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+        graft.Det.moneySum(col("o_totalprice")).as("sum_price"),
+        sum(col("o_orderkey")).as("sum_okey"),
+        sum(col("o_custkey")).as("sum_ckey"),
+        min(col("o_orderdate")).as("min_date"),
+        max(col("o_orderdate")).as("max_date"),
+        min(col("o_orderpriority")).as("min_prio"),
+        max(col("o_orderpriority")).as("max_prio"))
+      .orderBy("o_orderstatus")
+  }
+
   /** JSON-lines sink + source round-trip (the second text source format):
     * `part` egress to newline-delimited JSON, re-ingest with an explicit
     * schema (inference would re-read the data AND widen types), aggregate
@@ -259,6 +311,7 @@ object FileOps {
     "json_roundtrip"    -> (jsonRoundtrip _),
     "orc_roundtrip"     -> (orcRoundtrip _),
     "xml_roundtrip"     -> (xmlRoundtrip _),
+    "fixedwidth_scan"   -> (fixedwidthScan _),
     "partitioned_prune" -> (partitionedPrune _))
 
   val oracle: Map[String, String] = Map(
@@ -288,6 +341,14 @@ object FileOps {
       s"""SELECT s_nationkey, count(*) AS n_supps,
          |  ${graft.Det.sqlMoneySum("s_acctbal")} AS sum_bal
          |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
+    "fixedwidth_scan" ->
+      s"""SELECT o_orderstatus, count(*) AS n_orders,
+         |  ${graft.Det.sqlMoneySum("o_totalprice")} AS sum_price,
+         |  CAST(sum(o_orderkey) AS BIGINT) AS sum_okey,
+         |  CAST(sum(o_custkey) AS BIGINT) AS sum_ckey,
+         |  min(o_orderdate) AS min_date, max(o_orderdate) AS max_date,
+         |  min(o_orderpriority) AS min_prio, max(o_orderpriority) AS max_prio
+         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "partitioned_prune" ->
       s"""SELECT o_orderpriority, count(*) AS n_orders,
          |  ${graft.Det.sqlMoneySum("o_totalprice")} AS sum_price
