@@ -90,13 +90,49 @@ object BehaviorOps {
       .orderBy("dow")
   }
 
+  /** Rolling 7-day distinct active users (the DAU/WAU family): for each
+    * calendar day, how many distinct users were active in the trailing
+    * 7-day window. A `count(DISTINCT) OVER (RANGE 7 days)` window would
+    * re-scan each window per day; the scale shape is CONTRIBUTION
+    * EXPLODE — dedup (user, day) once, fan each active day out to the
+    * ≤7 window days it contributes to (bounded in-row `sequence`), and
+    * count distinct users per target day. Two key exchanges total
+    * ((user, day) dedup; day gather with map-side partial dedup), both
+    * on uniform keys, volume bounded at 7× the deduped user-days.
+    * Trailing-window semantics: head days see a partial history; days
+    * past the data's end are cut by the broadcast 1-row max-day bound. */
+  def rollingDau(spark: SparkSession, sfDir: String): DataFrame = {
+    val ud = Tables.events(spark, sfDir)
+      .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+    val mx = ud.agg(max(col("d")).as("mxd"))
+    ud.select(col("user_id"),
+        explode(expr("sequence(d, date_add(d, 6))")).as("day"))
+      .crossJoin(broadcast(mx))
+      .filter(col("day") <= col("mxd"))
+      .groupBy("day")
+      .agg(countDistinct(col("user_id")).as("dau7"))
+      .orderBy("day")
+  }
+
   val queries: Map[String, Q] = Map(
     "cohort_retention"  -> (cohortRetention _),
     "event_transitions" -> (eventTransitions _),
     "mode_per_segment"  -> (modePerSegment _),
+    "rolling_dau"       -> (rollingDau _),
     "segment_gini"      -> (segmentGini _))
 
   val oracle: Map[String, String] = Map(
+    "rolling_dau" ->
+      """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        |mx AS (SELECT max(d) AS mxd FROM ud),
+        |c AS (SELECT user_id,
+        |        CAST(unnest(generate_series(CAST(d AS TIMESTAMP),
+        |          CAST(d AS TIMESTAMP) + INTERVAL 6 DAY, INTERVAL 1 DAY)) AS DATE)
+        |          AS day
+        |      FROM ud)
+        |SELECT day, count(DISTINCT user_id) AS dau7
+        |FROM c CROSS JOIN mx WHERE day <= mxd
+        |GROUP BY day ORDER BY day""".stripMargin,
     "mode_per_segment" ->
       """WITH c AS (SELECT isodow(ts) AS dow, event_type, count(*) AS n
         |           FROM events GROUP BY 1, 2),

@@ -165,10 +165,42 @@ object GraphOps {
       .limit(100)
   }
 
+  /** Bounded-depth BFS: minimum hop count from a source node over the
+    * part↔supplier bipartite graph of [[graphPagerank]] (source = the
+    * smallest part node, derived by a 1-row aggregate so no id is
+    * hardcoded; depth 3). Each round is one equi-join of the CHECKPOINTED
+    * static edge table against the current frontier (only nodes first
+    * discovered last round expand) plus a min-combine on the node key —
+    * the textbook distributed-BFS shape: shuffle-partitioned on node
+    * ids, map-side min combine, per-round checkpoint to keep lineage
+    * linear, no driver state and no broadcast of the visited set. The
+    * oracle states the same fixpoint as a depth-bounded recursive CTE.
+    * Depth is a constant here; an unbounded variant loops until the
+    * frontier count hits zero, exactly like
+    * [[DedupOps.connectedComponents]]'s convergence signal. */
+  def graphBfsLevels(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk")).distinct()
+    val edges = li.select((col("pk") * 2).as("src"), (col("sk") * 2 + 1).as("dst"))
+      .unionAll(li.select((col("sk") * 2 + 1).as("src"), (col("pk") * 2).as("dst")))
+    val e = DedupOps.eagerCheckpoint(edges)
+    val dist0 = li.agg((min(col("pk")) * 2).as("node"))
+      .select(col("node"), lit(0).as("hop"))
+    val dist3 = (1 to 3).foldLeft(dist0) { (dist, h) =>
+      val next = e.join(dist.filter(col("hop") === h - 1),
+          e("src") === dist("node"))
+        .select(e("dst").as("node"), lit(h).as("hop"))
+      DedupOps.eagerCheckpoint(
+        dist.unionAll(next).groupBy("node").agg(min(col("hop")).as("hop")))
+    }
+    dist3.orderBy(col("hop").asc, col("node").asc)
+  }
+
   val queries: Map[String, Q] = Map(
-    "graph_triangles" -> (graphTriangles _),
-    "graph_local_cc"  -> (graphLocalCc _),
-    "graph_pagerank"  -> (graphPagerank _))
+    "graph_triangles"  -> (graphTriangles _),
+    "graph_local_cc"   -> (graphLocalCc _),
+    "graph_bfs_levels" -> (graphBfsLevels _),
+    "graph_pagerank"   -> (graphPagerank _))
 
   /** One unrolled PageRank iteration as a DuckDB CTE — arithmetic stated
     * step-for-step as the Spark side: quantize each contribution to
@@ -182,6 +214,18 @@ object GraphOps {
        |  FROM eo JOIN $prev ON eo.src = $prev.node GROUP BY dst)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "graph_bfs_levels" ->
+      """WITH RECURSIVE li AS (
+        |  SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk FROM lineitem),
+        |e AS (SELECT pk * 2 AS src, sk * 2 + 1 AS dst FROM li
+        |      UNION ALL SELECT sk * 2 + 1 AS src, pk * 2 AS dst FROM li),
+        |walk(node, hop) AS (
+        |  SELECT (SELECT min(pk) * 2 FROM li) AS node, 0 AS hop
+        |  UNION
+        |  SELECT e.dst, w.hop + 1
+        |  FROM walk w JOIN e ON e.src = w.node WHERE w.hop < 3)
+        |SELECT node, min(hop) AS hop FROM walk
+        |GROUP BY node ORDER BY hop ASC, node ASC""".stripMargin,
     "graph_pagerank" ->
       s"""WITH li AS (SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk FROM lineitem),
          |e AS (SELECT pk * 2 AS src, sk * 2 + 1 AS dst FROM li

@@ -1,0 +1,143 @@
+package graft.ops
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Information-retrieval operators over the `documents` corpus
+  * (SURVEY.md §2b Q25 adjunct): BM25 relevance ranking and inverted-index
+  * construction — the two core batch jobs of a search/retrieval data
+  * pipeline (score documents against a query; build the term→postings
+  * table the online index serves from).
+  *
+  * Scale design — BM25's corpus statistics (N, Σdl, per-term df) are ONE
+  * aggregate row however large the corpus, broadcast back over the fact:
+  * scoring is then a pure narrow map and the top-k is a distributed
+  * TakeOrdered, so the only shuffle in the whole query is the 1-row
+  * stats gather. The inverted index shuffles each (term, doc) posting
+  * exactly once on the term key with in-row dedup before the exchange.
+  *
+  * Float determinism across engines: `ln` is the one operation whose
+  * bit pattern is NOT pinned by IEEE-754 (libm differs between the JVM
+  * and DuckDB's C++ runtime by up to 1 ulp), so every idf is quantized
+  * to a 2⁻²⁰ binary grid — `floor(ln(x)·2²⁰)/2²⁰` — immediately after
+  * the log. The remaining arithmetic (one division per term, one per
+  * doc-length norm, three fixed-order additions) is plain IEEE ops on
+  * exact inputs, bit-identical in any engine and any merge order. The
+  * shared fragments below are spliced verbatim into BOTH the Spark
+  * `expr(...)` and the DuckDB oracle, so the two sides cannot drift.
+  */
+object IrOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Query terms, fixed order (idf contrast: df ≈ 394 / 382 / 25 at
+    * sf0.01 — `dup` is the rare, high-signal term). */
+  private val Terms = Seq("join", "vector", "dup")
+
+  /** BM25 idf with the 2⁻²⁰ grid quantization (see class doc). The grid
+    * constant is spelled `CAST(1048576 AS DOUBLE)` because a bare
+    * `1048576.0` literal is DECIMAL in Spark's dialect — the final
+    * division would silently run in rounded decimal arithmetic (it cost
+    * a 5.6e-10 hash mismatch before the cast pinned it to IEEE). */
+  private def idfSql(t: String): String =
+    s"floor(ln(1.0 + (CAST(n_docs - df_$t AS DOUBLE) + 0.5) / " +
+      s"(CAST(df_$t AS DOUBLE) + 0.5)) * CAST(1048576 AS DOUBLE)) / " +
+      "CAST(1048576 AS DOUBLE)"
+
+  /** Okapi tf component, k1 = 1.2, b = 0.75 (so k1+1 = 2.2, 1−b = 0.25). */
+  private def tfNormSql(t: String): String =
+    s"CAST(tf_$t AS DOUBLE) * 2.2 / (CAST(tf_$t AS DOUBLE) + " +
+      s"1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl))"
+
+  private def contribSql(t: String): String =
+    s"CASE WHEN tf_$t > 0 THEN (${idfSql(t)}) * (${tfNormSql(t)}) ELSE 0.0 END"
+
+  /** Left-associative fixed-order sum — identical grouping both engines. */
+  private val scoreSql: String = Terms.map(t => s"(${contribSql(t)})").mkString(" + ")
+
+  private val avgdlSql = "CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)"
+
+  /** BM25 ranking of the corpus against a 3-term query. Stage 1 computes
+    * per-doc lengths and term frequencies in-row (one scan, narrow);
+    * stage 2 gathers the 1-row corpus stats; stage 3 broadcasts them
+    * back and scores every doc in a narrow map; the final top-50 is a
+    * TakeOrdered, never a global sort. At 100 TB nothing but the 1-row
+    * stats ever crosses the network. */
+  def bm25Rank(spark: SparkSession, sfDir: String): DataFrame = {
+    val tfCols = Terms.map(t =>
+      expr(s"size(filter(toks, x -> x = '$t'))").cast("long").as(s"tf_$t"))
+    val base = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(Seq(col("doc_id"), size(col("toks")).cast("long").as("dl")) ++ tfCols: _*)
+    val statCols = Seq(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl")) ++
+      Terms.map(t => sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L)).as(s"df_$t"))
+    val stats = base.agg(statCols.head, statCols.tail: _*)
+    base.crossJoin(broadcast(stats))
+      .withColumn("avgdl", expr(avgdlSql))
+      .select(Seq(col("doc_id"), col("dl")) ++
+        Terms.map(t => col(s"tf_$t")) :+ expr(scoreSql).as("score"): _*)
+      .filter(col("score") > 0.0)
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(50)
+  }
+
+  /** Inverted-index construction: term → document frequency + the first
+    * 10 postings (sorted doc ids, '|'-joined so the row is flat and
+    * hash-comparable). Tokens are deduplicated IN-ROW (`array_distinct`)
+    * before the exchange, so the shuffle carries each (term, doc)
+    * posting once; `collect_set` + `sort_array` makes the posting list
+    * merge-order-free at any parallelism. For web-scale postings the
+    * truncation would ride [[graft.plans.TopKPerKey]] instead of
+    * collecting the full set — noted, same exchange shape. */
+  def invertedIndex(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("df"),
+        array_join(
+          expr("transform(slice(sort_array(collect_set(doc_id)), 1, 10), x -> CAST(x AS STRING))"),
+          "|").as("postings"))
+      .orderBy(col("df").desc, col("token").asc)
+
+  val queries: Map[String, Q] = Map(
+    "bm25_rank"      -> (bm25Rank _),
+    "inverted_index" -> (invertedIndex _))
+
+  val oracle: Map[String, String] = Map(
+    "bm25_rank" -> {
+      val tfSelects = Terms.map(t =>
+        s"len(list_filter(string_split(text, ' '), x -> x = '$t')) AS tf_$t")
+        .mkString(",\n        |  ")
+      val dfSelects = Terms.map(t =>
+        s"SUM(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END) AS df_$t")
+        .mkString(", ")
+      val tfCarry = Terms.map(t => s"tf_$t").mkString(", ")
+      val dfCarry = Terms.map(t => s"df_$t").mkString(", ")
+      s"""WITH base AS (
+        |  SELECT doc_id, len(string_split(text, ' ')) AS dl,
+        |  $tfSelects
+        |  FROM documents),
+        |stats AS (
+        |  SELECT count(*) AS n_docs, SUM(dl) AS sum_dl, $dfSelects FROM base),
+        |scored AS (
+        |  SELECT doc_id, dl, $tfCarry,
+        |    $scoreSql AS score
+        |  FROM (SELECT base.*, $avgdlSql AS avgdl, n_docs, $dfCarry
+        |        FROM base CROSS JOIN stats))
+        |SELECT doc_id, CAST(dl AS BIGINT) AS dl,
+        |  ${Terms.map(t => s"CAST(tf_$t AS BIGINT) AS tf_$t").mkString(", ")},
+        |  score
+        |FROM scored WHERE score > 0.0
+        |ORDER BY score DESC, doc_id ASC LIMIT 50""".stripMargin
+    },
+    "inverted_index" ->
+      """WITH td AS (
+        |  SELECT DISTINCT doc_id, token FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |    FROM documents) t)
+        |SELECT token, count(*) AS df,
+        |  array_to_string(list_sort(list(doc_id))[1:10], '|') AS postings
+        |FROM td GROUP BY token
+        |ORDER BY df DESC, token ASC""".stripMargin)
+}

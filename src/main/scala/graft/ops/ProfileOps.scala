@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Data-profiling and reporting utilities (Q20/Q28 family, SURVEY.md
@@ -196,11 +197,52 @@ object ProfileOps {
       .orderBy("dow")
   }
 
+  /** Robust outlier gate: per-priority median + MAD (median absolute
+    * deviation) on order totals, counting rows beyond 3×MAD — the
+    * heavy-tail-safe twin of the mean/σ gate (`outlier_zscore`), which a
+    * single extreme value cannot drag. Both medians use the exact
+    * two-middle-rows selection of `exact_median_groups` (deterministic
+    * tiebreaker, DECIMAL mean for the value median; the deviation median
+    * averages at most TWO doubles, where IEEE `+` is commutative, so it
+    * is merge-order-free without a decimal cast). Each median is one
+    * window pass on the segment key; the 5-row med/MAD tables broadcast
+    * back over the fact. Low-cardinality caveat and its two-phase
+    * global-rank fallback as documented on `exact_median_groups`. */
+  def madOutliers(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir).select(
+      col("o_orderpriority").as("p"), col("o_orderkey").as("k"),
+      col("o_totalprice").as("x"))
+    def twoMiddle(df: DataFrame, v: String, agg: Column, out: String) = {
+      val w = Window.partitionBy("p").orderBy(col(v).asc, col("k").asc)
+      df.withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("p")))
+        .filter(col("rn") === expr("(n + 1) div 2") ||
+          col("rn") === expr("(n + 2) div 2"))
+        .groupBy("p").agg(agg.as(out))
+    }
+    val med = twoMiddle(o, "x",
+      sum(col("x").cast("decimal(18,2)")).cast("double") /
+        count(lit(1)).cast("double"), "med")
+    val dev = o.join(broadcast(med), "p")
+      .withColumn("dev", abs(col("x") - col("med")))
+    val mad = twoMiddle(dev, "dev",
+      sum(col("dev")) / count(lit(1)).cast("double"), "mad")
+    dev.join(broadcast(mad), "p")
+      .groupBy("p")
+      .agg(count(lit(1)).as("n_rows"), max(col("med")).as("med"),
+        max(col("mad")).as("mad"),
+        sum(when(col("dev") > lit(3.0) * col("mad"), 1L).otherwise(0L))
+          .as("n_outliers"))
+      .withColumnRenamed("p", "o_orderpriority")
+      .orderBy("o_orderpriority")
+  }
+
   val queries: Map[String, Q] = Map(
     "profile_table"    -> (profileTable _),
     "string_agg_group" -> (stringAggGroup _),
     "regression_stats" -> (regressionStats _),
     "ab_test_zscore"   -> (abTestZscore _),
+    "mad_outliers"     -> (madOutliers _),
     "dq_checks"        -> (dqChecks _))
 
   private def profileUnionSql: String =
@@ -274,6 +316,33 @@ object ProfileOps {
   val oracle: Map[String, String] = Map(
     "ab_test_zscore" -> abTestSql,
     "dq_checks" -> dqSql,
+    "mad_outliers" ->
+      """WITH o AS (SELECT o_orderpriority AS p, o_orderkey AS k,
+        |                  o_totalprice AS x FROM orders),
+        |r1 AS (SELECT p, k, x,
+        |         row_number() OVER (PARTITION BY p ORDER BY x ASC, k ASC) AS rn,
+        |         count(*) OVER (PARTITION BY p) AS n
+        |       FROM o),
+        |med AS (SELECT p,
+        |          CAST(SUM(CAST(x AS DECIMAL(18,2))) AS DOUBLE)
+        |            / CAST(count(*) AS DOUBLE) AS med
+        |        FROM r1 WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+        |        GROUP BY p),
+        |d AS (SELECT o.p, o.k, abs(o.x - med.med) AS dev
+        |      FROM o JOIN med ON o.p = med.p),
+        |r2 AS (SELECT p, k, dev,
+        |         row_number() OVER (PARTITION BY p ORDER BY dev ASC, k ASC) AS rn,
+        |         count(*) OVER (PARTITION BY p) AS n
+        |       FROM d),
+        |mad AS (SELECT p, SUM(dev) / CAST(count(*) AS DOUBLE) AS mad
+        |        FROM r2 WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+        |        GROUP BY p)
+        |SELECT d.p AS o_orderpriority, count(*) AS n_rows,
+        |  max(med.med) AS med, max(mad.mad) AS mad,
+        |  CAST(SUM(CASE WHEN d.dev > 3.0 * mad.mad THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_outliers
+        |FROM d JOIN med ON d.p = med.p JOIN mad ON d.p = mad.p
+        |GROUP BY d.p ORDER BY d.p""".stripMargin,
     "regression_stats" ->
       """WITH s AS (
         |  SELECT l_returnflag, count(*) AS n,

@@ -39,9 +39,39 @@ object SqlOps {
     spark.sql(q1Sql)
   }
 
+  private val q3Sql =
+    """SELECT l_orderkey,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+      |    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+      |  o_orderdate, o_orderpriority
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+      |  AND l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+      |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
+      |LIMIT 10""".stripMargin
+
+  /** TPC-H Q3 shipping-priority shape as SQL text (o_orderpriority
+    * stands in for the fixture's missing o_shippriority): a three-table
+    * join with per-table predicates, grouped exact-decimal revenue, and
+    * a top-10. Catalyst plans it exactly as the DataFrame twin would —
+    * both scan filters pushed down, customer broadcast into orders, the
+    * one fact shuffle on the order key, TakeOrdered for the limit. */
+  def sqlQ3Shipping(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.customer(spark, sfDir).createOrReplaceTempView("customer")
+    Tables.orders(spark, sfDir).createOrReplaceTempView("orders")
+    Tables.lineitem(spark, sfDir).createOrReplaceTempView("lineitem")
+    spark.sql(q3Sql)
+  }
+
   val queries: Map[String, Q] = Map(
-    "sql_q1_pricing" -> (sqlQ1Pricing _))
+    "sql_q1_pricing"  -> (sqlQ1Pricing _),
+    "sql_q3_shipping" -> (sqlQ3Shipping _))
 
   val oracle: Map[String, String] = Map(
-    "sql_q1_pricing" -> q1Sql)
+    "sql_q1_pricing"  -> q1Sql,
+    "sql_q3_shipping" -> q3Sql)
 }

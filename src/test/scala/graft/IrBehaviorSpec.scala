@@ -1,0 +1,141 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Cross-checks for the IR / rolling-distinct / robust-stats / BFS /
+  * SQL-front-door operators beyond the DuckDB hash gate: each result is
+  * recomputed independently (driver-side Scala over the collected
+  * fixture, or the DataFrame twin of the SQL text) and compared exactly.
+  */
+class IrBehaviorSpec extends SparkSpec {
+
+  private def qln(x: Double): Double =
+    math.floor(math.log(x) * 1048576.0) / 1048576.0
+
+  test("bm25_rank equals a sequential BM25 recompute (same quantized ln)") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1)))
+    val terms = Seq("join", "vector", "dup")
+    val n = docs.length.toLong
+    val sumDl = docs.map(_._2.length.toLong).sum
+    val avgdl = sumDl.toDouble / n.toDouble
+    val dfT = terms.map(t => t -> docs.count(_._2.contains(t)).toLong).toMap
+    def idf(t: String): Double =
+      qln(1.0 + ((n - dfT(t)).toDouble + 0.5) / (dfT(t).toDouble + 0.5))
+    def contrib(t: String, tf: Long, dl: Long): Double =
+      if (tf == 0) 0.0
+      else idf(t) * (tf.toDouble * 2.2 /
+        (tf.toDouble + 1.2 * (0.25 + 0.75 * dl.toDouble / avgdl)))
+    val expected = docs.map { case (id, toks) =>
+      val dl = toks.length.toLong
+      val score = terms.map(t => contrib(t, toks.count(_ == t).toLong, dl))
+        .reduceLeft(_ + _)
+      (id, score)
+    }.filter(_._2 > 0.0).sortBy { case (id, s) => (-s, id) }.take(50)
+    val got = q("bm25_rank").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("score")))
+    assert(got.toSeq === expected.toSeq)
+  }
+
+  test("inverted_index: df and postings match a sequential rebuild") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1).distinct))
+    val byToken = docs.flatMap { case (id, ts) => ts.map(_ -> id) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val got = q("inverted_index").collect()
+    assert(got.map(_.getAs[String]("token")).toSet === byToken.keySet)
+    got.foreach { r =>
+      val exp = byToken(r.getAs[String]("token"))
+      assert(r.getAs[Long]("df") === exp.length.toLong)
+      assert(r.getAs[String]("postings") === exp.take(10).mkString("|"))
+    }
+    // sorted by df desc, token asc
+    val order = got.map(r => (-r.getAs[Long]("df"), r.getAs[String]("token")))
+    assert(order.toSeq === order.sortBy(identity).toSeq)
+  }
+
+  test("rolling_dau equals a per-day trailing-window distinct recount") {
+    val ud = Tables.events(spark, sf)
+      .select(col("user_id"), to_date(col("ts")).as("d")).distinct().collect()
+      .map(r => (r.getLong(0), r.getAs[java.sql.Date](1).toLocalDate))
+    val got = q("rolling_dau").collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val day = r.getAs[java.sql.Date]("day").toLocalDate
+      val exp = ud.filter { case (_, d) =>
+        !d.isAfter(day) && !d.isBefore(day.minusDays(6))
+      }.map(_._1).distinct.length.toLong
+      assert(r.getAs[Long]("dau7") === exp, s"day $day")
+    }
+    // span: min activity day .. max activity day, nothing outside
+    val days = got.map(_.getAs[java.sql.Date]("day").toLocalDate)
+    assert(days.min === ud.map(_._2).min(Ordering.by((d: java.time.LocalDate) => d.toEpochDay)))
+    assert(days.max === ud.map(_._2).max(Ordering.by((d: java.time.LocalDate) => d.toEpochDay)))
+  }
+
+  test("mad_outliers equals a sequential median/MAD recompute") {
+    val rows = Tables.orders(spark, sf)
+      .select("o_orderpriority", "o_orderkey", "o_totalprice").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    def twoMiddleMean(vs: Seq[Double], exactDecimal: Boolean): Double = {
+      val n = vs.length
+      val picks = Seq((n + 1) / 2, (n + 2) / 2).distinct.map(i => vs(i - 1))
+      if (exactDecimal)
+        picks.map(v => BigDecimal(v).setScale(2)).sum.toDouble / picks.length.toDouble
+      else picks.sum / picks.length.toDouble
+    }
+    val got = q("mad_outliers").collect()
+    assert(got.length === rows.map(_._1).distinct.length)
+    got.foreach { r =>
+      val p = r.getAs[String]("o_orderpriority")
+      val grp = rows.filter(_._1 == p)
+      val med = twoMiddleMean(
+        grp.sortBy(t => (t._3, t._2)).map(_._3).toSeq, exactDecimal = true)
+      val devs = grp.map(t => (math.abs(t._3 - med), t._2))
+      val mad = twoMiddleMean(devs.sortBy(identity).map(_._1).toSeq, exactDecimal = false)
+      assert(r.getAs[Long]("n_rows") === grp.length.toLong)
+      assert(r.getAs[Double]("med") === med, s"median of $p")
+      assert(r.getAs[Double]("mad") === mad, s"MAD of $p")
+      assert(r.getAs[Long]("n_outliers") ===
+        devs.count(_._1 > 3.0 * mad).toLong, s"outliers of $p")
+    }
+  }
+
+  test("graph_bfs_levels equals a sequential BFS over the collected graph") {
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = (li.map { case (p, s) => (p * 2, s * 2 + 1) } ++
+      li.map { case (p, s) => (s * 2 + 1, p * 2) })
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val src = li.map(_._1).min * 2
+    var dist = Map(src -> 0)
+    var frontier = Set(src)
+    for (h <- 1 to 3) {
+      val next = frontier.flatMap(adj.getOrElse(_, Set.empty)) -- dist.keySet
+      dist = dist ++ next.map(_ -> h)
+      frontier = next
+    }
+    val got = q("graph_bfs_levels").collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Int]("hop")).toMap
+    assert(got === dist)
+  }
+
+  test("sql_q3_shipping equals its DataFrame-API twin") {
+    val cutoff = lit(java.sql.Timestamp.valueOf("1998-06-01 00:00:00"))
+    val twin = Tables.customer(spark, sf)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .join(Tables.orders(spark, sf).filter(col("o_orderdate") < cutoff),
+        col("c_custkey") === col("o_custkey"))
+      .join(Tables.lineitem(spark, sf).filter(col("l_shipdate") > cutoff),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+      .agg(sum((col("l_extendedprice").cast("decimal(18,2)")) *
+        (lit(1) - col("l_discount").cast("decimal(18,2)")))
+        .cast("double").as("revenue"))
+      .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+      .orderBy(col("revenue").desc, col("o_orderdate").asc, col("l_orderkey").asc)
+      .limit(10)
+    assert(q("sql_q3_shipping").collect().toSeq === twin.collect().toSeq)
+  }
+}

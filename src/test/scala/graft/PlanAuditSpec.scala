@@ -295,4 +295,48 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
       s"nested-loop/cartesian join in:\n$plan")
   }
+
+  test("bm25_rank: scoring is a narrow map over broadcast stats; top-50 is TakeOrdered") {
+    val plan = planOf("bm25_rank")
+    // the ONLY data movement is the 1-row corpus-stats gather: the fact
+    // side is never hash-repartitioned, and no shuffle join appears
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"fact side repartitioned in:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"shuffle join in:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"), s"global sort for top-50 in:\n$plan")
+  }
+
+  test("inverted_index: postings build in exactly one token exchange") {
+    val plan = planOf("inverted_index")
+    val n = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(n === 1, s"expected 1 token exchange, got $n in:\n$plan")
+    assert(plan.contains("partial_"), s"no map-side partial collect in:\n$plan")
+  }
+
+  test("mad_outliers: med/MAD rejoin the fact via broadcast, never a shuffle join") {
+    val plan = planOf("mad_outliers")
+    assert(plan.contains("BroadcastHashJoin"), s"stats join not broadcast in:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"shuffle join in:\n$plan")
+  }
+
+  test("rolling_dau: bounded explode, broadcast day-bound, no shuffle join") {
+    val plan = planOf("rolling_dau")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"shuffle join in:\n$plan")
+    // the max-day bound is a 1-row broadcast (nested-loop over one row is fine)
+    assert(plan.contains("BroadcastNestedLoopJoin"), s"day bound not broadcast in:\n$plan")
+  }
+
+  test("sql_q3_shipping: SQL text gets the same physical treatment as the API") {
+    val plan = planOf("sql_q3_shipping")
+    assert(plan.contains("BroadcastHashJoin"), s"dimension join not broadcast in:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
+    val pushed = "PushedFilters: \\[([^\\r\\n]*)".r.findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(pushed.exists(_.contains("GreaterThan(l_shipdate")),
+      s"shipdate predicate not pushed to the lineitem scan: $pushed")
+    assert(pushed.exists(_.contains("EqualTo(c_mktsegment,BUILDING)")),
+      s"segment predicate not pushed to the customer scan: $pushed")
+  }
 }
