@@ -130,16 +130,60 @@ object CurateOps {
       .agg(count(lit(1)).as("n_sampled"))
       .orderBy("lang")
 
+  /** Deterministic negative sampling — the training-pair generator of
+    * recommendation / contrastive pipelines: for each supplier, draw
+    * pseudo-random candidate parts from a content hash (engine-portable
+    * md5 arithmetic, reproducible at ANY parallelism — no RNG state),
+    * then anti-join the observed positives so only true negatives
+    * survive. Scale shape: candidates generate map-side (a bounded ×10
+    * fan-out of the entity table); the positives table shuffles ONCE on
+    * the (supplier, part) key for the anti-join — the exact
+    * `decontaminate` topology, reused for label construction. Collision
+    * semantics (a candidate equal to a real positive) are resolved by
+    * the anti-join, identically in both engines. */
+  def negativeSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val positives = Tables.lineitem(spark, sfDir)
+      .select(col("l_suppkey"), col("l_partkey")).distinct()
+    val maxPk = Tables.part(spark, sfDir).agg(max(col("p_partkey")).as("max_pk"))
+    val cands = Tables.supplier(spark, sfDir)
+      .select(col("s_suppkey"))
+      .crossJoin(broadcast(maxPk))
+      .select(col("s_suppkey"), explode(sequence(lit(0), lit(9))).as("trial"),
+        col("max_pk"))
+      .select(col("s_suppkey"), col("trial").cast("long").as("trial"),
+        expr("1 + (CAST(conv(substr(md5(concat(CAST(s_suppkey AS STRING), '#', " +
+          "CAST(trial AS STRING))), 1, 15), 16, 10) AS BIGINT) % max_pk)")
+          .as("cand_pk"))
+    cands.join(positives,
+        cands("s_suppkey") === positives("l_suppkey") &&
+          cands("cand_pk") === positives("l_partkey"), "left_anti")
+      .orderBy("s_suppkey", "trial")
+  }
+
   val queries: Map[String, Q] = Map(
     "curation_pipeline"      -> (curationPipeline _),
     "train_val_split"        -> (trainValSplit _),
     "decontaminate"          -> (decontaminate _),
     "decontaminate_prefilter" -> (decontaminatePrefilter _),
+    "negative_sample"        -> (negativeSample _),
     "stratified_sample"      -> (stratifiedSample _))
 
   private val stopList = enStopwords.map(s => s"'$s'").mkString(", ")
 
   val oracle: Map[String, String] = Map(
+    "negative_sample" ->
+      """WITH pos AS (SELECT DISTINCT l_suppkey, l_partkey FROM lineitem),
+        |mx AS (SELECT max(p_partkey) AS max_pk FROM part),
+        |cand AS (
+        |  SELECT s_suppkey, CAST(t.i AS BIGINT) AS trial,
+        |    1 + (('0x' || substr(md5(CAST(s_suppkey AS VARCHAR) || '#' ||
+        |      CAST(t.i AS VARCHAR)), 1, 15))::BIGINT % max_pk) AS cand_pk
+        |  FROM supplier CROSS JOIN mx, unnest(range(0, 10)) AS t(i))
+        |SELECT c.s_suppkey, c.trial, c.cand_pk
+        |FROM cand c
+        |WHERE NOT EXISTS (SELECT 1 FROM pos
+        |  WHERE pos.l_suppkey = c.s_suppkey AND pos.l_partkey = c.cand_pk)
+        |ORDER BY s_suppkey, trial""".stripMargin,
     "curation_pipeline" ->
       s"""WITH gated AS (
          |  SELECT doc_id, source, md5(text) AS digest,

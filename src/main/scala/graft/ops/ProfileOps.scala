@@ -237,12 +237,51 @@ object ProfileOps {
       .orderBy("o_orderpriority")
   }
 
+  /** Winsorization: clamp each segment's account balances to its exact
+    * [P5, P95] rank boundaries and report the mean before/after — the
+    * standard outlier-robust preprocessing step before model features.
+    * Boundaries are VALUES AT EXACT RANKS (ceil(q·n) with a unique
+    * tiebreaker — no interpolation), so the clamped values are still
+    * members of the 2-decimal input domain and the winsorized mean stays
+    * an exact DECIMAL sum with one IEEE division. One window pass on the
+    * segment key finds both boundaries; the 5-row bounds table
+    * broadcasts back over the fact for the clamp — no second sort. The
+    * multiply `0.05 * n` runs in exact decimal in BOTH engines, so the
+    * rank selection cannot drift. Low-cardinality caveat and the
+    * two-phase global-rank fallback as documented on
+    * `exact_median_groups`. */
+  def winsorize(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir).select(
+      col("c_mktsegment").as("seg"), col("c_custkey").as("k"),
+      col("c_acctbal").as("x"))
+    val w = Window.partitionBy("seg").orderBy(col("x").asc, col("k").asc)
+    val bounds = c.withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("seg")))
+      .groupBy("seg")
+      .agg(max(when(col("rn") === expr("CAST(ceil(0.05 * n) AS BIGINT)"),
+          col("x"))).as("p05"),
+        max(when(col("rn") === expr("CAST(ceil(0.95 * n) AS BIGINT)"),
+          col("x"))).as("p95"))
+    c.join(broadcast(bounds), "seg")
+      .withColumn("wx", least(greatest(col("x"), col("p05")), col("p95")))
+      .groupBy("seg")
+      .agg(count(lit(1)).as("n_rows"), max(col("p05")).as("p05"),
+        max(col("p95")).as("p95"),
+        (sum(col("x").cast("decimal(18,2)")).cast("double") /
+          count(lit(1)).cast("double")).as("mean_raw"),
+        (sum(col("wx").cast("decimal(18,2)")).cast("double") /
+          count(lit(1)).cast("double")).as("mean_wins"))
+      .withColumnRenamed("seg", "c_mktsegment")
+      .orderBy("c_mktsegment")
+  }
+
   val queries: Map[String, Q] = Map(
     "profile_table"    -> (profileTable _),
     "string_agg_group" -> (stringAggGroup _),
     "regression_stats" -> (regressionStats _),
     "ab_test_zscore"   -> (abTestZscore _),
     "mad_outliers"     -> (madOutliers _),
+    "winsorize"        -> (winsorize _),
     "dq_checks"        -> (dqChecks _))
 
   private def profileUnionSql: String =
@@ -316,6 +355,25 @@ object ProfileOps {
   val oracle: Map[String, String] = Map(
     "ab_test_zscore" -> abTestSql,
     "dq_checks" -> dqSql,
+    "winsorize" ->
+      """WITH c AS (SELECT c_mktsegment AS seg, c_custkey AS k, c_acctbal AS x
+        |           FROM customer),
+        |r AS (SELECT seg, k, x,
+        |        row_number() OVER (PARTITION BY seg ORDER BY x ASC, k ASC) AS rn,
+        |        count(*) OVER (PARTITION BY seg) AS n
+        |      FROM c),
+        |b AS (SELECT seg,
+        |        max(CASE WHEN rn = CAST(ceil(0.05 * n) AS BIGINT) THEN x END) AS p05,
+        |        max(CASE WHEN rn = CAST(ceil(0.95 * n) AS BIGINT) THEN x END) AS p95
+        |      FROM r GROUP BY seg)
+        |SELECT c.seg AS c_mktsegment, count(*) AS n_rows,
+        |  max(b.p05) AS p05, max(b.p95) AS p95,
+        |  CAST(SUM(CAST(c.x AS DECIMAL(18,2))) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS mean_raw,
+        |  CAST(SUM(CAST(least(greatest(c.x, b.p05), b.p95) AS DECIMAL(18,2)))
+        |    AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_wins
+        |FROM c JOIN b ON c.seg = b.seg
+        |GROUP BY c.seg ORDER BY c_mktsegment""".stripMargin,
     "mad_outliers" ->
       """WITH o AS (SELECT o_orderpriority AS p, o_orderkey AS k,
         |                  o_totalprice AS x FROM orders),

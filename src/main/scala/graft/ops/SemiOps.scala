@@ -63,13 +63,54 @@ object SemiOps {
           / 1000000).as("sum_elems"))
       .orderBy("label")
 
+  /** MapType column surface (the remaining Spark SQL collection type):
+    * per-order line maps built with `map_from_entries`, then probed with
+    * `element_at` / `map_keys` / `size`. The fixture re-uses line
+    * numbers within an order (it is not TPC-H-strict), and Spark
+    * CORRECTLY refuses duplicate map keys — so lines pre-aggregate to
+    * one row per (order, linenumber) with `min(quantity)`, making the
+    * key set unique and the value choice deterministic in both engines.
+    * Every output is flat and order-insensitive — map iteration order
+    * never leaks (key lookups and a SORTED key join), so the
+    * collect_list build order under any parallelism yields identical
+    * rows. The oracle states the same semantics relationally
+    * (conditional aggregates over the deduped group) — maps are a
+    * Spark-side representation choice, not a new answer. */
+  def mapOps(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_orderkey"), col("l_linenumber"))
+      .agg(min(col("l_quantity")).as("q"))
+      .groupBy(col("l_orderkey"))
+      .agg(map_from_entries(
+        collect_list(struct(col("l_linenumber"), col("q")))).as("m"))
+      .select(col("l_orderkey"),
+        size(col("m")).cast("long").as("n_lines"),
+        element_at(col("m"), 1).as("qty_line1"),
+        element_at(col("m"), 2).as("qty_line2"),
+        array_join(expr("transform(sort_array(map_keys(m)), x -> CAST(x AS STRING))"),
+          ",").as("line_keys"))
+      .orderBy("l_orderkey")
+      .limit(100)
+
   val queries: Map[String, Q] = Map(
     "json_extract"      -> (jsonExtract _),
     "json_project"      -> (jsonProject _),
     "array_ops"         -> (arrayOps _),
+    "map_ops"           -> (mapOps _),
     "array_explode_agg" -> (arrayExplodeAgg _))
 
   val oracle: Map[String, String] = Map(
+    "map_ops" ->
+      """WITH d AS (
+        |  SELECT l_orderkey, l_linenumber, min(l_quantity) AS q
+        |  FROM lineitem GROUP BY l_orderkey, l_linenumber)
+        |SELECT l_orderkey,
+        |  count(*) AS n_lines,
+        |  max(CASE WHEN l_linenumber = 1 THEN q END) AS qty_line1,
+        |  max(CASE WHEN l_linenumber = 2 THEN q END) AS qty_line2,
+        |  array_to_string(list_sort(list(l_linenumber)), ',') AS line_keys
+        |FROM d GROUP BY l_orderkey
+        |ORDER BY l_orderkey LIMIT 100""".stripMargin,
     "json_extract" ->
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,

@@ -272,7 +272,58 @@ object TextOps {
       .orderBy("rank")
   }
 
+  /** PMI arithmetic shared verbatim by both engines: all four inputs are
+    * exact longs, the products stay far under 2⁵³ (exact in double), and
+    * the one libm op (`ln`) is quantized to the 2⁻²⁰ binary grid (the
+    * [[IrOps]] convention — JVM and DuckDB libm can differ by 1 ulp).
+    * The grid constant is CAST so Spark cannot parse it as DECIMAL. */
+  private val pmiSql =
+    "floor(ln(CAST(c2 AS DOUBLE) * CAST(n_bg AS DOUBLE) / " +
+      "(CAST(cf AS DOUBLE) * CAST(cl AS DOUBLE))) * CAST(1048576 AS DOUBLE)) / " +
+      "CAST(1048576 AS DOUBLE)"
+
+  /** Pointwise-mutual-information collocations: which bigrams occur far
+    * more than their unigram frequencies predict — the classic phrase /
+    * multi-word-expression miner a tokenizer-building pipeline runs.
+    * PMI = ln(p(w₁w₂) / (p(w₁·)·p(·w₂))) with both marginals and the
+    * total ROLLED UP from the bigram-counts table (vocab²-bounded), so
+    * the corpus is scanned once. Marginal join-backs are unhinted like
+    * [[bigramLm]]'s — vocabulary grows with the corpus, Catalyst/AQE
+    * broadcast while it fits and shuffle on the already-keyed token
+    * beyond that. A min-count gate (≥5) keeps the rare-pair noise PMI
+    * is notorious for out of the ranking. */
+  def pmiBigrams(spark: SparkSession, sfDir: String): DataFrame = {
+    val bg = Tables.documents(spark, sfDir)
+      .select(tokens.as("t"), (size(tokens) - 1).as("m"))
+      .filter(col("m") >= 1)
+      .select(explode(zip_with(
+        slice(col("t"), lit(1), col("m").cast("int")),
+        slice(col("t"), lit(2), col("m").cast("int")),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    // materialize the vocab²-bounded counts table ONCE: without it each
+    // derived table (marginals, total, the gated numerator) re-expands
+    // the lineage back to its own corpus scan — per-branch column
+    // pruning makes the subtrees differ, so exchange reuse cannot
+    // deduplicate them (the plan showed FOUR documents scans). After the
+    // checkpoint the corpus is read exactly once and every rollup rides
+    // the tiny table, which is the 100 TB shape.
+    val c2 = DedupOps.eagerCheckpoint(
+      bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2")))
+    val cf = c2.groupBy("w1").agg(sum("c2").cast("long").as("cf"))
+    val cl = c2.groupBy("w2").agg(sum("c2").cast("long").as("cl"))
+    val nbg = c2.agg(sum("c2").cast("long").as("n_bg"))
+    c2.filter(col("c2") >= 5)
+      .join(cf, "w1")
+      .join(cl, "w2")
+      .crossJoin(broadcast(nbg))
+      .select(col("w1"), col("w2"), col("c2"), expr(pmiSql).as("pmi"))
+      .orderBy(col("pmi").desc, col("w1").asc, col("w2").asc)
+      .limit(50)
+  }
+
   val queries: Map[String, Q] = Map(
+    "pmi_bigrams"       -> (pmiBigrams _),
     "unicode_nfc"       -> (unicodeNfc _),
     "vocab_coverage"    -> (vocabCoverage _),
     "tfidf_top_terms"   -> (tfidfTopTerms _),
@@ -291,6 +342,19 @@ object TextOps {
   private val stopList = enStopwords.map(s => s"'$s'").mkString(", ")
 
   val oracle: Map[String, String] = Map(
+    "pmi_bigrams" ->
+      s"""WITH bg AS (
+         |  SELECT tk[i] AS w1, tk[i + 1] AS w2 FROM (
+         |    SELECT string_split(text, ' ') AS tk FROM documents) t,
+         |    unnest(range(1, len(tk))) AS u(i)),
+         |c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
+         |cf AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS cf FROM c2 GROUP BY 1),
+         |cl AS (SELECT w2, CAST(sum(c2) AS BIGINT) AS cl FROM c2 GROUP BY 1),
+         |n AS (SELECT CAST(sum(c2) AS BIGINT) AS n_bg FROM c2)
+         |SELECT c2.w1, c2.w2, c2.c2, $pmiSql AS pmi
+         |FROM c2 JOIN cf USING (w1) JOIN cl USING (w2) CROSS JOIN n
+         |WHERE c2.c2 >= 5
+         |ORDER BY pmi DESC, w1 ASC, w2 ASC LIMIT 50""".stripMargin,
     "unicode_nfc" ->
       """SELECT doc_id,
         |  length(text || ' cafe' || chr(769)) AS len_raw,

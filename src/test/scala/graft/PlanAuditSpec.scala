@@ -329,6 +329,34 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("BroadcastNestedLoopJoin"), s"day bound not broadcast in:\n$plan")
   }
 
+  test("pmi_bigrams: corpus scanned once — marginals and total roll up from bigram counts") {
+    val plan = planOf("pmi_bigrams")
+    // the one corpus scan happens when the bigram-counts table
+    // materializes (eagerCheckpoint); the final plan must contain NO
+    // parquet re-scan — every branch rides the checkpointed counts
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans === 0, s"corpus re-scanned $scans times in:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
+  }
+
+  test("map_ops: pure two-level aggregation — no joins anywhere") {
+    val plan = planOf("map_ops")
+    assert(!plan.contains("Join"), s"unexpected join in:\n$plan")
+  }
+
+  test("negative_sample: positives excluded via an anti join, candidates map-side") {
+    val plan = planOf("negative_sample")
+    assert(plan.contains("LeftAnti"), s"no anti join in:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
+  }
+
+  test("winsorize: one segment window; bounds rejoin via broadcast") {
+    val plan = planOf("winsorize")
+    assert(plan.contains("BroadcastHashJoin"), s"bounds join not broadcast in:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"shuffle join in:\n$plan")
+  }
+
   test("sql_q3_shipping: SQL text gets the same physical treatment as the API") {
     val plan = planOf("sql_q3_shipping")
     assert(plan.contains("BroadcastHashJoin"), s"dimension join not broadcast in:\n$plan")
