@@ -201,6 +201,43 @@ object FileOps {
       .orderBy("o_orderstatus")
   }
 
+  /** Full DSv2 round-trip through the connector's OWN write path
+    * (BATCH_WRITE + TRUNCATE, `graft.sources.FixedWidthWriteBuilder`):
+    * orders egress via `df.write.format(...).mode("overwrite")` — each
+    * task streams one uniquely-named shard file, job commit drops the
+    * `_SUCCESS` marker the idempotence gate reuses — then re-ingest
+    * through the same connector's scan and aggregate by priority. The
+    * oracle recomputes from the source parquet, so writer rendering AND
+    * reader parsing sit under the hash gate together; the independent
+    * `format_string`-rendered fixture of [[fixedwidthScan]] keeps the
+    * reader honest against a non-connector writer (shared-bug guard). */
+  def fixedwidthRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = cacheDir(spark, "fixedwidth_dsv2", sfDir)
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(root, "_SUCCESS"))) {
+      Tables.orders(spark, sfDir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"), col("o_orderpriority"),
+          col("o_orderdate").cast("timestamp_ntz").as("o_orderdate"))
+        .write.format("graft.sources.FixedWidthDataSource")
+        .option("fields", fixedWidthSpec)
+        .mode("overwrite")
+        .save(dir)
+    }
+    spark.read.format("graft.sources.FixedWidthDataSource")
+      .option("fields", fixedWidthSpec)
+      .option("path", dir)
+      .load()
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        graft.Det.moneySum(col("o_totalprice")).as("sum_price"),
+        sum(col("o_orderkey")).as("sum_okey"),
+        min(col("o_orderdate")).as("min_date"),
+        max(col("o_orderdate")).as("max_date"))
+      .orderBy("o_orderpriority")
+  }
+
   /** JSON-lines sink + source round-trip (the second text source format):
     * `part` egress to newline-delimited JSON, re-ingest with an explicit
     * schema (inference would re-read the data AND widen types), aggregate
@@ -312,6 +349,7 @@ object FileOps {
     "orc_roundtrip"     -> (orcRoundtrip _),
     "xml_roundtrip"     -> (xmlRoundtrip _),
     "fixedwidth_scan"   -> (fixedwidthScan _),
+    "fixedwidth_roundtrip" -> (fixedwidthRoundtrip _),
     "partitioned_prune" -> (partitionedPrune _))
 
   val oracle: Map[String, String] = Map(
@@ -349,6 +387,12 @@ object FileOps {
          |  min(o_orderdate) AS min_date, max(o_orderdate) AS max_date,
          |  min(o_orderpriority) AS min_prio, max(o_orderpriority) AS max_prio
          |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "fixedwidth_roundtrip" ->
+      s"""SELECT o_orderpriority, count(*) AS n_orders,
+         |  ${graft.Det.sqlMoneySum("o_totalprice")} AS sum_price,
+         |  CAST(sum(o_orderkey) AS BIGINT) AS sum_okey,
+         |  min(o_orderdate) AS min_date, max(o_orderdate) AS max_date
+         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "partitioned_prune" ->
       s"""SELECT o_orderpriority, count(*) AS n_orders,
          |  ${graft.Det.sqlMoneySum("o_totalprice")} AS sum_price

@@ -12,9 +12,10 @@ import scala.collection.mutable.ArrayBuffer
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -73,6 +74,9 @@ object FixedWidth {
     }
   }
 
+  /** Nullable so ordinary (nullable-column) DataFrames pass the V2 write
+    * schema check; the format itself has no null encoding — the writer
+    * rejects null values at write time instead. */
   def schemaOf(fields: Seq[Field]): StructType =
     StructType(fields.map(f => StructField(f.name, f.tpe match {
       case "long"      => LongType
@@ -80,7 +84,35 @@ object FixedWidth {
       case "string"    => StringType
       case "timestamp" => TimestampNTZType
       case other       => throw new IllegalArgumentException(s"type $other")
-    }, nullable = false)))
+    }, nullable = true)))
+
+  /** Total line length: fields may leave gaps; gaps render as spaces. */
+  def lineLen(fields: Seq[Field]): Int = fields.map(f => f.start + f.len).max
+
+  /** Render one value into its field cell. Strings left-justify (parse
+    * strips the padding, keeps interior spaces); numerics/timestamps
+    * right-justify — both directions round-trip through [[parse]]
+    * because every rendering trims cleanly. Longs/doubles use the JVM
+    * canonical decimal strings (`Double.toString` round-trips exactly);
+    * timestamps render the NTZ micros as wall-clock text. */
+  def render(value: Any, f: Field): String = {
+    require(value != null, s"fixed-width field ${f.name} cannot encode NULL")
+    val s = f.tpe match {
+      case "string" => value.asInstanceOf[UTF8String].toString
+      case "long"   => value.asInstanceOf[Long].toString
+      case "double" => value.asInstanceOf[Double].toString
+      case "timestamp" =>
+        val micros = value.asInstanceOf[Long]
+        LocalDateTime.ofEpochSecond(
+          Math.floorDiv(micros, 1000000L),
+          (Math.floorMod(micros, 1000000L) * 1000L).toInt,
+          ZoneOffset.UTC).format(tsFormat)
+    }
+    require(s.length <= f.len,
+      s"value '$s' does not fit field ${f.name} (len ${f.len})")
+    if (f.tpe == "string") s.padTo(f.len, ' ')
+    else (" " * (f.len - s.length)) + s
+  }
 
   /** Parse one projected field out of a line. Strings keep interior
     * spaces but drop the padding; numerics trim both sides. */
@@ -101,17 +133,21 @@ object FixedWidth {
 }
 
 class FixedWidthTable(path: String, fieldsSpec: String)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead with SupportsWrite {
   require(path != null, "fixed-width source needs a 'path' option")
   private val fields = FixedWidth.parseSpec(fieldsSpec)
 
   override def name(): String = s"fixedwidth($path)"
   override def schema(): StructType = FixedWidth.schemaOf(fields)
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new FixedWidthScanBuilder(path, fields)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new FixedWidthWriteBuilder(path, fields, info.schema())
 }
 
 class FixedWidthScanBuilder(path: String, fields: Seq[FixedWidth.Field])
@@ -176,6 +212,98 @@ class FixedWidthReaderFactory(required: Seq[FixedWidth.Field])
       }
 
       override def close(): Unit = reader.close()
+    }
+  }
+}
+
+/** Write side of the connector (BATCH_WRITE + TRUNCATE): `overwrite`
+  * mode truncates driver-side before the factory ships, each task
+  * streams its partition into one uniquely-named shard file (so the
+  * layout a later scan sees is exactly the one-partition-per-file model
+  * the read side plans around), task commits are atomic at file
+  * granularity (abort deletes the task's own file), and the job commit
+  * drops a `_SUCCESS` marker — the same protocol shape as Spark's file
+  * sinks, small enough to audit. */
+class FixedWidthWriteBuilder(
+    path: String, fields: Seq[FixedWidth.Field], dfSchema: StructType)
+    extends WriteBuilder with SupportsTruncate {
+  private var doTruncate = false
+
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = new FixedWidthBatchWrite(
+      path, fields, dfSchema, doTruncate)
+  }
+}
+
+class FixedWidthBatchWrite(
+    path: String, fields: Seq[FixedWidth.Field], dfSchema: StructType,
+    truncate: Boolean) extends BatchWrite {
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(new Configuration())
+    if (truncate && fs.exists(root)) {
+      fs.listStatus(root).filter(_.isFile)
+        .foreach(s => fs.delete(s.getPath, false))
+    }
+    fs.mkdirs(root)
+    // splice df ordinals onto the layout fields once, driver-side
+    val ordinals = fields.map(f => dfSchema.fieldIndex(f.name))
+    new FixedWidthWriterFactory(path, fields, ordinals)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(new Configuration())
+    fs.create(new Path(root, "_SUCCESS"), true).close()
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = new Path(path).getFileSystem(new Configuration())
+    messages.collect { case FixedWidthCommit(file) =>
+      fs.delete(new Path(file), false)
+    }
+  }
+}
+
+case class FixedWidthCommit(file: String) extends WriterCommitMessage
+
+class FixedWidthWriterFactory(
+    path: String, fields: Seq[FixedWidth.Field], ordinals: Seq[Int])
+    extends DataWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
+    val file = new Path(path, f"part-$partitionId%05d-$taskId.fw")
+    val fs = file.getFileSystem(new Configuration())
+    val out = fs.create(file, true)
+    val width = FixedWidth.lineLen(fields)
+    val types = FixedWidth.schemaOf(fields).fields.map(_.dataType)
+
+    new DataWriter[InternalRow] {
+      override def write(row: InternalRow): Unit = {
+        val line = new Array[Char](width)
+        java.util.Arrays.fill(line, ' ')
+        fields.indices.foreach { i =>
+          val f = fields(i)
+          val cell = FixedWidth.render(row.get(ordinals(i), types(i)), f)
+          cell.getChars(0, f.len, line, f.start)
+        }
+        out.write((new String(line) + "\n").getBytes(StandardCharsets.UTF_8))
+      }
+
+      override def commit(): WriterCommitMessage = {
+        out.close()
+        FixedWidthCommit(file.toString)
+      }
+
+      override def abort(): Unit = {
+        out.close()
+        fs.delete(file, false)
+      }
+
+      override def close(): Unit = ()
     }
   }
 }

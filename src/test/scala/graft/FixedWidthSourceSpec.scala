@@ -52,4 +52,60 @@ class FixedWidthSourceSpec extends SparkSpec {
     assert(parts === files, s"expected $files partitions, got $parts")
     assert(parts >= 1)
   }
+
+  private def writeSrc() = Tables.orders(spark, sf)
+    .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      col("o_totalprice"), col("o_orderpriority"),
+      col("o_orderdate").cast("timestamp_ntz").as("o_orderdate"))
+
+  private def readFrom(path: String) = spark.read
+    .format("graft.sources.FixedWidthDataSource")
+    .option("fields", graft.ops.FileOps.fixedWidthSpec)
+    .option("path", path)
+    .load()
+
+  test("connector write path round-trips row-for-row and drops _SUCCESS") {
+    val wdir = java.nio.file.Files.createTempDirectory("fw_write_").toString
+    writeSrc().write.format("graft.sources.FixedWidthDataSource")
+      .option("fields", graft.ops.FileOps.fixedWidthSpec)
+      .mode("overwrite").save(wdir)
+    assert(new java.io.File(wdir, "_SUCCESS").exists, "no _SUCCESS marker")
+    val got = readFrom(wdir).orderBy("o_orderkey").collect()
+    val exp = writeSrc().orderBy("o_orderkey").collect()
+    assert(got.length === exp.length)
+    got.zip(exp).foreach { case (g, e) => assert(g === e) }
+    // shard layout: the scan plans one partition per written task file
+    // (skip "_" markers and the local-FS "."-hidden .crc sidecars, which
+    // Hadoop's listing hides from the reader too)
+    val files = new java.io.File(wdir).listFiles
+      .count(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    assert(readFrom(wdir).rdd.getNumPartitions === files)
+  }
+
+  test("overwrite truncates: a smaller second write fully replaces the first") {
+    val wdir = java.nio.file.Files.createTempDirectory("fw_trunc_").toString
+    writeSrc().write.format("graft.sources.FixedWidthDataSource")
+      .option("fields", graft.ops.FileOps.fixedWidthSpec)
+      .mode("overwrite").save(wdir)
+    val subset = writeSrc().filter(col("o_orderkey") % 7 === 0)
+    subset.write.format("graft.sources.FixedWidthDataSource")
+      .option("fields", graft.ops.FileOps.fixedWidthSpec)
+      .mode("overwrite").save(wdir)
+    assert(readFrom(wdir).count() === subset.count())
+  }
+
+  test("writer rejects a value wider than its field") {
+    val wdir = java.nio.file.Files.createTempDirectory("fw_reject_").toString
+    val bad = writeSrc().withColumn("o_orderpriority",
+      lit("THIS STRING IS FAR TOO LONG FOR ITS FIELD"))
+    val e = intercept[Exception] {
+      bad.write.format("graft.sources.FixedWidthDataSource")
+        .option("fields", graft.ops.FileOps.fixedWidthSpec)
+        .mode("overwrite").save(wdir)
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("does not fit field")),
+      s"unexpected failure: $e")
+  }
 }
