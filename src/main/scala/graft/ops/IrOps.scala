@@ -100,9 +100,68 @@ object IrOps {
           "|").as("postings"))
       .orderBy(col("df").desc, col("token").asc)
 
+  /** tf·idf weight; ln quantized to the 2⁻²⁰ grid (class doc). */
+  private val wSql =
+    "CAST(tf AS DOUBLE) * (floor(ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)) " +
+      "* CAST(1048576 AS DOUBLE)) / CAST(1048576 AS DOUBLE))"
+
+  /** Binary fixed-point quantization of a weight product: floor(x·2²⁰)
+    * as BIGINT — the exact-integer-sum trick that makes float SUMS
+    * merge-order-free (weights are ≥ 0, so floor is one well-defined
+    * rounding identical in every engine). */
+  private def q20(x: String): String =
+    s"CAST(FLOOR($x * CAST(1048576 AS DOUBLE)) AS BIGINT)"
+
+  private val deq20 = "CAST(1048576 AS DOUBLE)"
+
+  /** Sparse TF-IDF document-to-document cosine similarity — the SPARSE
+    * twin of the dense embedding pipeline (`embed_top_pairs`): candidate
+    * pairs come from a rare-term inverted index (df·5 ≤ N — the terms
+    * whose posting lists stay short under Zipf; common terms generate
+    * quadratic pair noise AND near-zero idf weight, so dropping them is
+    * both the scale move and the relevance move), then the full-vocab
+    * cosine is computed exactly for candidates only. Every float SUM
+    * (norms, dot products) is fixed-point-quantized to exact BIGINTs
+    * before aggregation, so the result is merge-order-free and
+    * hash-matches DuckDB; the remaining IEEE ops (one sqrt, two
+    * divisions, one multiply per pair) are bit-pinned. The weights table
+    * is checkpointed ONCE and feeds all four derivations (rare index,
+    * both join sides, norms) without re-scanning the corpus. */
+  def tfidfDocSim(spark: SparkSession, sfDir: String): DataFrame = {
+    val tf = Tables.documents(spark, sfDir)
+      .select(col("doc_id").as("d"), explode(split(col("text"), " ")).as("t"))
+      .groupBy("d", "t").agg(count(lit(1)).as("tf"))
+    val dfr = tf.groupBy("t").agg(count(lit(1)).as("df"))
+    val nd = Tables.documents(spark, sfDir).agg(count(lit(1)).as("n_docs"))
+    val w = DedupOps.eagerCheckpoint(
+      tf.join(dfr, "t").crossJoin(broadcast(nd))
+        .select(col("d"), col("t"), col("df"), col("n_docs"),
+          expr(wSql).as("w")))
+    val nrm = w.groupBy("d").agg(sum(expr(q20("w * w"))).as("sq"))
+      .select(col("d"), expr(s"sqrt(CAST(sq AS DOUBLE) / $deq20)").as("nrm"))
+    val rare = w.filter(col("df") * 5 <= col("n_docs")).select("d", "t")
+    val cand = rare.as("a").join(rare.as("b"),
+        col("a.t") === col("b.t") && col("a.d") < col("b.d"))
+      .select(col("a.d").as("d1"), col("b.d").as("d2")).distinct()
+    val w1 = w.select(col("d").as("d1"), col("t"), col("w").as("w1"))
+    val w2 = w.select(col("d").as("d2"), col("t"), col("w").as("w2"))
+    cand.join(w1, "d1").join(w2, Seq("d2", "t"))
+      .groupBy("d1", "d2").agg(sum(expr(q20("w1 * w2"))).as("qs"))
+      .select(col("d1"), col("d2"),
+        expr(s"CAST(qs AS DOUBLE) / $deq20").as("dot"))
+      .join(nrm.select(col("d").as("d1"), col("nrm").as("nrm1")), "d1")
+      .join(nrm.select(col("d").as("d2"), col("nrm").as("nrm2")), "d2")
+      .filter(col("nrm1") > 0.0 && col("nrm2") > 0.0)
+      .select(col("d1"), col("d2"), col("dot"),
+        expr("dot / (nrm1 * nrm2)").as("cos"))
+      .orderBy(col("cos").desc, col("d1").asc, col("d2").asc)
+      .limit(20)
+  }
+
   val queries: Map[String, Q] = Map(
     "bm25_rank"      -> (bm25Rank _),
-    "inverted_index" -> (invertedIndex _))
+    "inverted_index" -> (invertedIndex _),
+    "tfidf_doc_sim"  -> (tfidfDocSim _))
 
   val oracle: Map[String, String] = Map(
     "bm25_rank" -> {
@@ -131,6 +190,34 @@ object IrOps {
         |FROM scored WHERE score > 0.0
         |ORDER BY score DESC, doc_id ASC LIMIT 50""".stripMargin
     },
+    "tfidf_doc_sim" ->
+      s"""WITH tf AS (
+         |  SELECT doc_id AS d, token AS t, count(*) AS tf FROM (
+         |    SELECT doc_id, unnest(string_split(text, ' ')) AS token
+         |    FROM documents) x
+         |  GROUP BY 1, 2),
+         |dfr AS (SELECT t, count(*) AS df FROM tf GROUP BY 1),
+         |nd AS (SELECT count(*) AS n_docs FROM documents),
+         |w AS (SELECT d, tf.t, df, n_docs, $wSql AS w
+         |      FROM tf JOIN dfr ON tf.t = dfr.t CROSS JOIN nd),
+         |nrm AS (SELECT d,
+         |          sqrt(CAST(SUM(${q20("w * w")}) AS DOUBLE) / $deq20) AS nrm
+         |        FROM w GROUP BY 1),
+         |rare AS (SELECT d, t FROM w WHERE df * 5 <= n_docs),
+         |cand AS (SELECT DISTINCT a.d AS d1, b.d AS d2
+         |         FROM rare a JOIN rare b ON a.t = b.t AND a.d < b.d),
+         |dots AS (SELECT c.d1, c.d2,
+         |           CAST(SUM(${q20("w1.w * w2.w")}) AS DOUBLE) / $deq20 AS dot
+         |         FROM cand c
+         |         JOIN w w1 ON w1.d = c.d1
+         |         JOIN w w2 ON w2.d = c.d2 AND w2.t = w1.t
+         |         GROUP BY 1, 2)
+         |SELECT s.d1, s.d2, s.dot, s.dot / (n1.nrm * n2.nrm) AS cos
+         |FROM dots s
+         |JOIN nrm n1 ON n1.d = s.d1
+         |JOIN nrm n2 ON n2.d = s.d2
+         |WHERE n1.nrm > 0.0 AND n2.nrm > 0.0
+         |ORDER BY cos DESC, d1 ASC, d2 ASC LIMIT 20""".stripMargin,
     "inverted_index" ->
       """WITH td AS (
         |  SELECT DISTINCT doc_id, token FROM (

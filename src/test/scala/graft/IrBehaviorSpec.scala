@@ -121,6 +121,42 @@ class IrBehaviorSpec extends SparkSpec {
     assert(got === dist)
   }
 
+  test("tfidf_doc_sim equals a sequential sparse-cosine recompute") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1)))
+    val n = docs.length.toLong
+    val tf: Map[(Long, String), Long] = docs.flatMap { case (d, ts) =>
+      ts.groupBy(identity).map { case (t, xs) => ((d, t), xs.length.toLong) }
+    }.toMap
+    val dfT = tf.keys.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    def w(d: Long, t: String): Double =
+      tf.getOrElse((d, t), 0L).toDouble * qln(n.toDouble / dfT(t).toDouble)
+    def q20sum(xs: Seq[Double]): Double =
+      xs.map(x => math.floor(x * 1048576.0).toLong).sum.toDouble / 1048576.0
+    val nrm = docs.map { case (d, ts) =>
+      d -> math.sqrt(q20sum(ts.distinct.toSeq.map(t => { val x = w(d, t); x * x })))
+    }.toMap
+    val rare = dfT.filter { case (_, df) => df * 5 <= n }.keySet
+    val hasRare = docs.filter(_._2.exists(rare)).map(_._1)
+    val cands = for {
+      d1 <- hasRare; d2 <- hasRare
+      if d1 < d2 && docs.find(_._1 == d1).get._2.toSet
+        .intersect(docs.find(_._1 == d2).get._2.toSet).exists(rare)
+    } yield (d1, d2)
+    val expected = cands.map { case (d1, d2) =>
+      val shared = docs.find(_._1 == d1).get._2.distinct.toSeq
+        .filter(t => tf.contains((d2, t))).sorted
+      val dot = q20sum(shared.map(t => w(d1, t) * w(d2, t)))
+      (d1, d2, dot, dot / (nrm(d1) * nrm(d2)))
+    }.filter { case (d1, d2, _, _) => nrm(d1) > 0.0 && nrm(d2) > 0.0 }
+      .sortBy { case (d1, d2, _, c) => (-c, d1, d2) }.take(20)
+    val got = q("tfidf_doc_sim").collect().map(r =>
+      (r.getAs[Long]("d1"), r.getAs[Long]("d2"),
+        r.getAs[Double]("dot"), r.getAs[Double]("cos")))
+    assert(got.toSeq === expected.toSeq)
+    got.foreach { case (_, _, _, c) => assert(c >= 0.0 && c <= 1.0 + 1e-9) }
+  }
+
   test("sql_q3_shipping equals its DataFrame-API twin") {
     val cutoff = lit(java.sql.Timestamp.valueOf("1998-06-01 00:00:00"))
     val twin = Tables.customer(spark, sf)

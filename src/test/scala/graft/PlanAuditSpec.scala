@@ -357,6 +357,13 @@ class PlanAuditSpec extends SparkSpec {
       s"shuffle join in:\n$plan")
   }
 
+  test("tfidf_doc_sim: all four derivations ride the checkpointed weights — no re-scan") {
+    val plan = planOf("tfidf_doc_sim")
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans === 0, s"corpus re-scanned $scans times in:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
+  }
+
   test("sql_q3_shipping: SQL text gets the same physical treatment as the API") {
     val plan = planOf("sql_q3_shipping")
     assert(plan.contains("BroadcastHashJoin"), s"dimension join not broadcast in:\n$plan")
