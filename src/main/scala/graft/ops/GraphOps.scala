@@ -24,21 +24,25 @@ import org.apache.spark.sql.functions._
 object GraphOps {
   type Q = (SparkSession, String) => DataFrame
 
-  /** Triangle census of the part co-purchase graph: one row with node,
-    * edge and triangle counts. Edges are deduplicated (x < y) before
-    * counting, so multi-order co-purchases weigh once. */
-  def graphTriangles(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Shared basket-graph derivation for the triangle family: deduped
+    * co-purchase edges, undirected degrees, and the (degree, id)-
+    * oriented DAG. The basket self-join + distinct is the expensive
+    * stage and every consumer references it several times (degree,
+    * orientation, counts), so the edge list and the oriented list are
+    * CHECKPOINTED once — per-branch column pruning otherwise defeats
+    * exchange reuse and re-runs the pair join per reference (the same
+    * lesson as `pmi_bigrams`). Orientation's total order: (degree, id),
+    * ties on degree broken by id, so each triangle has exactly one edge
+    * between its two order-smallest nodes. */
+  private def basketGraph(spark: SparkSession, sfDir: String) = {
     val li = Tables.lineitem(spark, sfDir)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
-    val e = li.as("a").join(li.as("b"),
+    val e = DedupOps.eagerCheckpoint(li.as("a").join(li.as("b"),
         col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-      .select(col("a.pk").as("x"), col("b.pk").as("y")).distinct()
+      .select(col("a.pk").as("x"), col("b.pk").as("y")).distinct())
     val deg = e.select(col("x").as("node")).unionAll(e.select(col("y").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
-    // total order for orientation: (degree, id) — ties on degree broken
-    // by id, so the orientation is a DAG and each triangle has exactly
-    // one edge between its two order-smallest nodes
-    val oriented = e
+    val oriented = DedupOps.eagerCheckpoint(e
       .join(deg.withColumnRenamed("node", "x").withColumnRenamed("deg", "dx"), "x")
       .join(deg.withColumnRenamed("node", "y").withColumnRenamed("deg", "dy"), "y")
       .select(
@@ -46,7 +50,15 @@ object GraphOps {
           struct(col("x").as("u"), col("y").as("v")))
           .otherwise(struct(col("y").as("u"), col("x").as("v")))
           .as("o"))
-      .select(col("o.u").as("u"), col("o.v").as("v"))
+      .select(col("o.u").as("u"), col("o.v").as("v")))
+    (e, deg, oriented)
+  }
+
+  /** Triangle census of the part co-purchase graph: one row with node,
+    * edge and triangle counts. Edges are deduplicated (x < y) before
+    * counting, so multi-order co-purchases weigh once. */
+  def graphTriangles(spark: SparkSession, sfDir: String): DataFrame = {
+    val (e, deg, oriented) = basketGraph(spark, sfDir)
     // adjacency-intersection closing (instead of materializing the wedge
     // pair space and shuffle-joining it against the edge set): a triangle
     // {a,b,c} is counted exactly once, at the edge between its two
@@ -129,22 +141,7 @@ object GraphOps {
     * IEEE division of exact longs. Degree-1 nodes have no defined
     * coefficient and are filtered (both engines). */
   def graphLocalCc(spark: SparkSession, sfDir: String): DataFrame = {
-    val li = Tables.lineitem(spark, sfDir)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
-    val e = li.as("a").join(li.as("b"),
-        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-      .select(col("a.pk").as("x"), col("b.pk").as("y")).distinct()
-    val deg = e.select(col("x").as("node")).unionAll(e.select(col("y").as("node")))
-      .groupBy("node").agg(count(lit(1)).as("deg"))
-    val oriented = e
-      .join(deg.withColumnRenamed("node", "x").withColumnRenamed("deg", "dx"), "x")
-      .join(deg.withColumnRenamed("node", "y").withColumnRenamed("deg", "dy"), "y")
-      .select(
-        when(struct(col("dx"), col("x")) < struct(col("dy"), col("y")),
-          struct(col("x").as("u"), col("y").as("v")))
-          .otherwise(struct(col("y").as("u"), col("x").as("v")))
-          .as("o"))
-      .select(col("o.u").as("u"), col("o.v").as("v"))
+    val (_, deg, oriented) = basketGraph(spark, sfDir)
     val adj = oriented.groupBy("u").agg(collect_list(col("v")).as("nbrs"))
     val hits = oriented
       .join(adj.select(col("u"), col("nbrs").as("un")), Seq("u"))
