@@ -89,9 +89,54 @@ object Udx {
       .orderBy("custkey")
   }
 
+  /** Row type for the lineitem side of the typed cogroup. */
+  final case class LineRow(l_orderkey: Long, l_quantity: Double,
+      l_extendedprice: Double)
+
+  /** Typed `cogroup` — the remaining `KeyValueGroupedDataset` surface:
+    * both Datasets co-partition on the key in ONE shuffle each and the
+    * user function sees the two full iterators per key (reconciliation /
+    * interleaving / custom-merge logic that neither a join nor an
+    * aggregate expresses). Per-key state here is O(1) (running integer
+    * cents — merge-order-free, the typed twin of [[graft.Det]]), and
+    * orders missing from lineitem still emit (the LEFT JOIN semantics
+    * the oracle states). Scale note: cogroup ships whole groups like
+    * `mapGroups` — for purely aggregate-shaped per-key logic,
+    * [[typedAggPipeline]]'s `reduceGroups` (map-side partials) is the
+    * right tool; cogroup earns its shuffle only when the per-key logic
+    * needs both iterators. */
+  def typedCogroup(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val orders = Tables.orders(spark, sfDir)
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      .as[OrderRow]
+    val lines = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_quantity", "l_extendedprice")
+      .as[LineRow]
+    orders.groupByKey((o: OrderRow) => o.o_orderkey)
+      .cogroup(lines.groupByKey((l: LineRow) => l.l_orderkey)) {
+        (k: Long, os: Iterator[OrderRow], ls: Iterator[LineRow]) =>
+          val head = if (os.hasNext) Some(os.next()) else None
+          head match {
+            case None => Iterator.empty // lineitem key with no order row
+            case Some(o) =>
+              var n = 0L; var qtyCents = 0L; var priceCents = 0L
+              ls.foreach { l =>
+                n += 1
+                qtyCents += math.round(l.l_quantity * 100.0)
+                priceCents += math.round(l.l_extendedprice * 100.0)
+              }
+              Iterator((k, o.o_totalprice, n, qtyCents / 100.0, priceCents / 100.0))
+          }
+      }
+      .toDF("o_orderkey", "o_totalprice", "n_lines", "sum_qty", "sum_price")
+      .orderBy("o_orderkey")
+  }
+
   val queries: Map[String, Q] = Map(
     "udf_normalize"      -> (udfNormalize _),
     "udaf_weighted_mean" -> (udafWeightedMean _),
+    "typed_cogroup"      -> (typedCogroup _),
     "typed_agg_pipeline" -> (typedAggPipeline _))
 
   val oracle: Map[String, String] = Map(
@@ -111,5 +156,14 @@ object Udx {
       """SELECT o_custkey AS custkey, count(*) AS n_f,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
         |FROM orders WHERE o_orderstatus = 'F'
-        |GROUP BY 1 ORDER BY custkey""".stripMargin)
+        |GROUP BY 1 ORDER BY custkey""".stripMargin,
+    "typed_cogroup" ->
+      """SELECT o.o_orderkey, max(o.o_totalprice) AS o_totalprice,
+        |  count(l.l_orderkey) AS n_lines,
+        |  CAST(coalesce(SUM(CAST(l.l_quantity AS DECIMAL(18,2))), 0) AS DOUBLE)
+        |    AS sum_qty,
+        |  CAST(coalesce(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))), 0) AS DOUBLE)
+        |    AS sum_price
+        |FROM orders o LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |GROUP BY o.o_orderkey ORDER BY o_orderkey""".stripMargin)
 }

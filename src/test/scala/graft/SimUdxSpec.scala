@@ -192,4 +192,22 @@ class SimUdxSpec extends SparkSpec {
     val out = df.select(norm(col("text"))).collect()(0).getString(0)
     assert(out === "abc def")
   }
+
+  test("typed_cogroup equals the untyped left-join twin row-for-row") {
+    val twin = Tables.orders(spark, sf)
+      .join(Tables.lineitem(spark, sf),
+        col("l_orderkey") === col("o_orderkey"), "left_outer")
+      .groupBy("o_orderkey")
+      .agg(max(col("o_totalprice")).as("o_totalprice"),
+        count(col("l_orderkey")).as("n_lines"),
+        coalesce(sum(col("l_quantity").cast("decimal(18,2)")), lit(0))
+          .cast("double").as("sum_qty"),
+        coalesce(sum(col("l_extendedprice").cast("decimal(18,2)")), lit(0))
+          .cast("double").as("sum_price"))
+      .orderBy("o_orderkey")
+    val got = q("typed_cogroup").collect()
+    assert(got.toSeq === twin.collect().toSeq)
+    // cogroup keeps line-less orders (LEFT semantics): all orders present
+    assert(got.length === Tables.orders(spark, sf).count())
+  }
 }
