@@ -45,6 +45,19 @@ object StreamOps {
         col("event_type"))
       .agg(count(lit(1)).as("n"), graft.Det.moneySum(col("value")).as("sum_value"))
 
+  /** Streaming twin of `hopping_window` (SLIDING windows): each event
+    * lands in size/slide = 4 overlapping one-hour windows, so the state
+    * store carries ×4 window rows per key — still bounded, and the
+    * watermark retires each window the moment its end falls behind the
+    * clock. Same map-side Expand as the batch plan; no grid join. */
+  def hoppingCounts(spark: SparkSession, sfDir: String): DataFrame =
+    eventsStream(spark, sfDir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(
+        window(col("ts"), "1 hour", "15 minutes").getField("start").as("win_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), graft.Det.moneySum(col("value")).as("sum_value"))
+
   final case class EventIn(user_id: Long, ts: java.sql.Timestamp)
   final case class UserSessions(user_id: Long, n_sessions: Long, n_events: Long)
   final case class SessState(lastTsMicros: Long, nSessions: Long, nEvents: Long)

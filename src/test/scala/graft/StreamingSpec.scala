@@ -21,6 +21,21 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming sliding window equals the batch hopping_window result") {
+    val streamed = StreamOps.runToTable(
+      StreamOps.hoppingCounts(spark, sf), "stream_hopping", OutputMode.Complete())
+      .orderBy("win_start", "event_type")
+      .collect()
+    val batch = q("hopping_window").collect()
+    assert(streamed.length === batch.length)
+    streamed.zip(batch).foreach { case (s, b) =>
+      assert(s.getAs[java.sql.Timestamp]("win_start") === b.getAs[java.sql.Timestamp]("win_start"))
+      assert(s.getAs[String]("event_type") === b.getAs[String]("event_type"))
+      assert(s.getAs[Long]("n") === b.getAs[Long]("n"))
+      assert(s.getAs[Double]("sum_value") === b.getAs[Double]("sum_value"))
+    }
+  }
+
   test("streaming dedup equals the batch per-source distinct count") {
     val streamed = StreamOps.runToTable(
       StreamOps.dedupStream(spark, sf), "stream_dedup", OutputMode.Complete())
