@@ -90,6 +90,51 @@ object StreamOps {
       .mapGroupsWithState(GroupStateTimeout.NoTimeout)(update)
   }
 
+  final case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp, n_events: Long)
+  final case class OpenSess(startMicros: Long, lastMicros: Long, n: Long)
+
+  /** The OTHER custom-state slot — `flatMapGroupsWithState` (Append):
+    * unlike [[sessionizeStream]]'s one-row-per-key aggregate, this emits
+    * a ROW PER CLOSED SESSION as soon as a later event proves the
+    * 30-minute gap, while each user's still-open trailing session stays
+    * in state (only the open session's bounds are carried — O(1) state
+    * per key). This is the session-LOG shape (audit trails, billing
+    * records): an append-only event-derived fact stream, not a running
+    * aggregate. */
+  def sessionLogStream(spark: SparkSession, sfDir: String): Dataset[SessionOut] = {
+    import spark.implicits._
+    val gapMicros = 1800L * 1000000L
+
+    def update(userId: Long, events: Iterator[EventIn],
+        state: GroupState[OpenSess]): Iterator[SessionOut] = {
+      val sorted = events.map(e => e.ts.getTime * 1000L).toArray.sorted
+      var open = state.getOption
+      val closed = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+      sorted.foreach { t =>
+        open = open match {
+          case Some(o) if t - o.lastMicros <= gapMicros =>
+            Some(OpenSess(o.startMicros, t, o.n + 1))
+          case Some(o) =>
+            closed += SessionOut(userId,
+              new java.sql.Timestamp(o.startMicros / 1000L),
+              new java.sql.Timestamp(o.lastMicros / 1000L), o.n)
+            Some(OpenSess(t, t, 1L))
+          case None => Some(OpenSess(t, t, 1L))
+        }
+      }
+      open.foreach(state.update)
+      closed.iterator
+    }
+
+    eventsStream(spark, sfDir)
+      .select(col("user_id"), col("ts"))
+      .as[EventIn]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        OutputMode.Append(), GroupStateTimeout.NoTimeout)(update)
+  }
+
   /** Streaming source over the fixture documents table (same batch-peek
     * schema trick as [[eventsStream]]). */
   def documentsStream(spark: SparkSession, sfDir: String): DataFrame = {

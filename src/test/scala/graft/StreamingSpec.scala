@@ -36,6 +36,35 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("flatMapGroupsWithState session log equals the batch closed-session set") {
+    val streamed = StreamOps.runToTable(
+      StreamOps.sessionLogStream(spark, sf).toDF(),
+      "stream_session_log", OutputMode.Append())
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"),
+        r.getAs[java.sql.Timestamp]("session_start").getTime,
+        r.getAs[java.sql.Timestamp]("session_end").getTime,
+        r.getAs[Long]("n_events")))
+    // batch twin: fold each user's sorted events with the same 30-min gap
+    // rule; the trailing (still-open) session per user is NOT emitted by
+    // the stream, so drop it here too
+    val gapMs = 1800L * 1000L
+    val expected = Tables.events(spark, sf).select("user_id", "ts").collect()
+      .map(r => (r.getLong(0), r.getAs[java.sql.Timestamp](1).getTime))
+      .groupBy(_._1).toSeq.flatMap { case (u, evs) =>
+        val ts = evs.map(_._2).sorted
+        val sessions = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+        var start = ts.head; var last = ts.head; var n = 1L
+        ts.tail.foreach { t =>
+          if (t - last <= gapMs) { last = t; n += 1 }
+          else { sessions += ((u, start, last, n)); start = t; last = t; n = 1L }
+        }
+        sessions.toSeq // open trailing session intentionally excluded
+      }
+    assert(streamed.sorted.toSeq === expected.sorted.toSeq)
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming dedup equals the batch per-source distinct count") {
     val streamed = StreamOps.runToTable(
       StreamOps.dedupStream(spark, sf), "stream_dedup", OutputMode.Complete())
