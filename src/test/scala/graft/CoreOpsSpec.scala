@@ -88,4 +88,22 @@ class CoreOpsSpec extends SparkSpec {
     val have = Tables.orders(spark, sf).select(col("o_custkey").as("custkey"))
     assert(except.join(have, "custkey").count() === 0)
   }
+
+  test("Observation metrics ride a pipeline without a second scan (O12 monitoring)") {
+    // the observe() API is the Spark-native form of the reference's
+    // task-progress monitoring (Program.cs:397-425): metrics accumulate
+    // on the executors DURING the action, no extra pass over the data
+    val obs = org.apache.spark.sql.Observation("graft_obs")
+    val li = Tables.lineitem(spark, sf)
+      .observe(obs, count(lit(1)).as("n_rows"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+    val grouped = li.groupBy("l_returnflag").count().collect()
+    val metrics = obs.get
+    assert(metrics("n_rows") === Tables.lineitem(spark, sf).count())
+    assert(grouped.map(_.getAs[Long]("count")).sum === metrics("n_rows"))
+    val expectQty = Tables.lineitem(spark, sf)
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double"))
+      .collect()(0).getDouble(0)
+    assert(metrics("sum_qty") === expectQty)
+  }
 }
