@@ -84,13 +84,22 @@ object ProfileOps {
   def regressionStats(spark: SparkSession, sfDir: String): DataFrame = {
     val x = col("l_quantity").cast("decimal(18,2)")
     val y = col("l_extendedprice").cast("decimal(18,2)")
+    // decimal→double via an INTEGER-VALUED decimal: DuckDB's cast of a
+    // fractional-scale DECIMAL to DOUBLE divides in floating point (two
+    // roundings — observed 1 ulp off the correctly-rounded value on the
+    // 17-significant-digit Σy² at sf0.001), while Spark's BigDecimal
+    // path rounds once. Scaling to DECIMAL(38,0) first makes both
+    // engines do the same two steps: one correctly-rounded int→double
+    // conversion, then one IEEE division by the power of ten.
+    def exactD(s: Column, scale: Long): Column =
+      (s * lit(scale)).cast("decimal(38,0)").cast("double") / lit(scale.toDouble)
     Tables.lineitem(spark, sfDir)
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n"),
-        sum(x).cast("double").as("sxd"), sum(y).cast("double").as("syd"),
-        sum(x * y).cast("double").as("sxyd"),
-        sum(x * x).cast("double").as("sxxd"),
-        sum(y * y).cast("double").as("syyd"))
+        exactD(sum(x), 100L).as("sxd"), exactD(sum(y), 100L).as("syd"),
+        exactD(sum(x * y), 10000L).as("sxyd"),
+        exactD(sum(x * x), 10000L).as("sxxd"),
+        exactD(sum(y * y), 10000L).as("syyd"))
       .withColumn("nd", col("n").cast("double"))
       .withColumn("num", col("nd") * col("sxyd") - col("sxd") * col("syd"))
       .withColumn("den", col("nd") * col("sxxd") - col("sxd") * col("sxd"))
@@ -404,14 +413,19 @@ object ProfileOps {
     "regression_stats" ->
       """WITH s AS (
         |  SELECT l_returnflag, count(*) AS n,
-        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxd,
-        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syd,
-        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
-        |      * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxyd,
-        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
-        |      * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxxd,
-        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-        |      * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syyd
+        |    CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) * 100
+        |      AS DECIMAL(38,0)) AS DOUBLE) / 100.0 AS sxd,
+        |    CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 100
+        |      AS DECIMAL(38,0)) AS DOUBLE) / 100.0 AS syd,
+        |    CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+        |      * CAST(l_extendedprice AS DECIMAL(18,2))) * 10000
+        |      AS DECIMAL(38,0)) AS DOUBLE) / 10000.0 AS sxyd,
+        |    CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+        |      * CAST(l_quantity AS DECIMAL(18,2))) * 10000
+        |      AS DECIMAL(38,0)) AS DOUBLE) / 10000.0 AS sxxd,
+        |    CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |      * CAST(l_extendedprice AS DECIMAL(18,2))) * 10000
+        |      AS DECIMAL(38,0)) AS DOUBLE) / 10000.0 AS syyd
         |  FROM lineitem GROUP BY 1),
         |t AS (SELECT l_returnflag, n, CAST(n AS DOUBLE) AS nd,
         |        sxd, syd, sxyd, sxxd, syyd,
