@@ -10,6 +10,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * pricing summary restated with exact-decimal sums (the fixture money
   * columns carry 2 decimal digits, so the DECIMAL casts are lossless
   * and every aggregate is merge-order-free — see [[graft.Det]]).
+  *
+  * `sum_charge` (the scale-6 triple product) routes its decimal→double
+  * cast through an integer-valued DECIMAL(38,0): its unscaled sum tops
+  * 2⁵³ at sf0.1, where DuckDB's fractional-decimal cast double-rounds
+  * while Spark's rounds once (the regression_stats lesson — see
+  * [[ProfileOps.regressionStats]]).
   */
 object SqlOps {
   type Q = (SparkSession, String) => DataFrame
@@ -20,9 +26,10 @@ object SqlOps {
       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
       |    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
       |    * (1 - CAST(l_discount AS DECIMAL(18,2)))
-      |    * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+      |    * (1 + CAST(l_tax AS DECIMAL(18,2)))) * 1000000 AS DECIMAL(38,0))
+      |    AS DOUBLE) / CAST(1000000 AS DOUBLE) AS sum_charge,
       |  count(*) AS count_order
       |FROM lineitem
       |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
