@@ -59,6 +59,56 @@ object TimeOps {
       .orderBy("user_id", "session_id")
   }
 
+  /** Interval×interval OVERLAP join (temporal-DB workhorse; the
+    * containment twin is [[rangeJoinBinned]]): user session spans
+    * against a derived grid of 2-hour maintenance windows every 6 hours.
+    * The naive `s.start < w.end AND w.start < s.end` theta join is a
+    * per-key cross product; Spark-first both interval sets EXPLODE to
+    * their covered 1-hour bins (bounded: ≤2 bins/window, session bins
+    * bounded by the 30-min-gap rule), equi-join on the bin, then a
+    * residual strict-overlap filter + distinct collapse the
+    * multi-bin matches. All boundary arithmetic is exact epoch-micros
+    * LONGs (truncation to micros commutes with min/max, so the ns-
+    * precision source agrees across engines); overlap seconds are one
+    * integral division. The window grid derives from a 1-row bounds
+    * aggregate — nothing hardcoded, any data range works. */
+  def intervalOverlapJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val SixH = 21600000000L; val TwoH = 7200000000L; val OneH = 3600000000L
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    val sess = Tables.events(spark, sfDir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("is_new",
+        when(col("prev_ts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800L * 1000000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_id",
+        sum(col("is_new")).over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg(min(unix_micros(col("ts"))).as("s_us"),
+        max(unix_micros(col("ts"))).as("e_us"))
+    val bounds = Tables.events(spark, sfDir)
+      .agg(unix_micros(date_trunc("day", min(col("ts")))).as("d0"),
+        unix_micros(max(col("ts"))).as("mx"))
+    val wins = bounds
+      .select(col("d0"),
+        explode(expr(s"sequence(0, (mx - d0) div $SixH)")).as("window_id"))
+      .select(col("window_id"), (col("d0") + col("window_id") * SixH).as("ws_us"))
+      .withColumn("we_us", col("ws_us") + TwoH)
+    val sb = sess.select(col("user_id"), col("session_id"), col("s_us"), col("e_us"),
+      explode(expr(s"sequence(s_us div $OneH, e_us div $OneH)")).as("h"))
+    val wb = wins.select(col("window_id"), col("ws_us"), col("we_us"),
+      explode(expr(s"sequence(ws_us div $OneH, (we_us - 1) div $OneH)")).as("h"))
+    sb.join(wb, "h")
+      .filter(col("s_us") < col("we_us") && col("ws_us") < col("e_us"))
+      .select("user_id", "session_id", "window_id",
+        "s_us", "e_us", "ws_us", "we_us")
+      .distinct()
+      .select(col("user_id"), col("session_id"), col("window_id"),
+        expr("(least(e_us, we_us) - greatest(s_us, ws_us)) div 1000000")
+          .as("overlap_sec"))
+      .orderBy("user_id", "session_id", "window_id")
+  }
+
   /** As-of join — an operator Spark SQL lacks natively, composed
     * Spark-first (SURVEY.md §7 preference (a)): tag both streams, union,
     * and carry the most recent build-side row forward with a running
@@ -190,6 +240,7 @@ object TimeOps {
     "time_tumbling" -> (timeTumbling _),
     "sessionize"    -> (sessionize _),
     "session_spans" -> (sessionSpans _),
+    "interval_overlap_join" -> (intervalOverlapJoin _),
     "asof_join"     -> (asofJoin _),
     "range_join_binned" -> (rangeJoinBinned _),
     "latest_per_user" -> (latestPerUser _),
@@ -197,6 +248,38 @@ object TimeOps {
     "attribution_touch" -> (attributionTouch _))
 
   val oracle: Map[String, String] = Map(
+    "interval_overlap_join" ->
+      """WITH t AS (
+        |  SELECT user_id, ts, event_id,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_ts
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN prev_ts IS NULL
+        |           OR date_diff('microsecond', prev_ts, ts) > 1800000000
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM t),
+        |g AS (
+        |  SELECT user_id, ts,
+        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS session_id
+        |  FROM s),
+        |sess AS (
+        |  SELECT user_id, session_id,
+        |    epoch_us(min(ts)) AS s_us, epoch_us(max(ts)) AS e_us
+        |  FROM g GROUP BY 1, 2),
+        |b AS (SELECT epoch_us(date_trunc('day', min(ts))) AS d0,
+        |             epoch_us(max(ts)) AS mx FROM events),
+        |w AS (
+        |  SELECT CAST(t.i AS BIGINT) AS window_id,
+        |    d0 + t.i * 21600000000 AS ws_us,
+        |    d0 + t.i * 21600000000 + 7200000000 AS we_us
+        |  FROM b, unnest(range(0, (mx - d0) // 21600000000 + 1)) AS t(i))
+        |SELECT sess.user_id, sess.session_id, w.window_id,
+        |  (least(e_us, we_us) - greatest(s_us, ws_us)) // 1000000 AS overlap_sec
+        |FROM sess JOIN w ON s_us < we_us AND ws_us < e_us
+        |ORDER BY user_id, session_id, window_id""".stripMargin,
     "attribution_touch" ->
       """WITH t AS (
         |  SELECT event_type, value,

@@ -157,6 +157,42 @@ class IrBehaviorSpec extends SparkSpec {
     got.foreach { case (_, _, _, c) => assert(c >= 0.0 && c <= 1.0 + 1e-9) }
   }
 
+  test("interval_overlap_join equals the naive theta join on the small fixture") {
+    val rows = q("interval_overlap_join").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_id"),
+        r.getAs[Long]("window_id"), r.getAs[Long]("overlap_sec")))
+    // sequential recompute: sessions by 30-min gap fold, windows from the
+    // day-truncated min bound, then the quadratic overlap scan
+    val evs = Tables.events(spark, sf).select("user_id", "ts", "event_id").collect()
+      .map(r => (r.getLong(0), r.getAs[java.sql.Timestamp](1).getTime * 1000L, r.getLong(2)))
+    val sessions = evs.groupBy(_._1).toSeq.flatMap { case (u, es) =>
+      val ts = es.sortBy(e => (e._2, e._3)).map(_._2)
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+      var sid = 0L; var start = ts.head; var last = ts.head
+      ts.tail.foreach { t =>
+        if (t - last > 1800L * 1000000L) { sid += 1; out += ((u, sid, start, last)); start = t }
+        last = t
+      }
+      out += ((u, sid + 1, start, last))
+      // re-number from 1 (running-sum semantics): first emitted got sid+1=1 when no splits
+      out.zipWithIndex.map { case ((uu, _, s, e), i) => (uu, i + 1L, s, e) }
+    }
+    val d0 = {
+      val m = evs.map(_._2).min
+      m - java.lang.Math.floorMod(m, 86400L * 1000000L)
+    }
+    val mx = evs.map(_._2).max
+    val expected = for {
+      (u, sid, s, e) <- sessions
+      i <- 0L to ((mx - d0) / 21600000000L)
+      ws = d0 + i * 21600000000L
+      we = ws + 7200000000L
+      if s < we && ws < e
+    } yield (u, sid, i, (math.min(e, we) - math.max(s, ws)) / 1000000L)
+    assert(rows.sorted.toSeq === expected.sorted.toSeq)
+    assert(rows.nonEmpty)
+  }
+
   test("sql_q3_shipping equals its DataFrame-API twin") {
     val cutoff = lit(java.sql.Timestamp.valueOf("1998-06-01 00:00:00"))
     val twin = Tables.customer(spark, sf)

@@ -357,6 +357,16 @@ class PlanAuditSpec extends SparkSpec {
       s"shuffle join in:\n$plan")
   }
 
+  test("interval_overlap_join: bin equi-join, never a nested-loop theta join") {
+    val plan = planOf("interval_overlap_join")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
+    // the only nested-loop allowed is the 1-row bounds broadcast that
+    // seeds the window grid; the session⋈window match itself must be a
+    // hash/merge join on the bin key
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin") ||
+      plan.contains("BroadcastHashJoin"), s"no keyed join in:\n$plan")
+  }
+
   test("tfidf_doc_sim: all four derivations ride the checkpointed weights — no re-scan") {
     val plan = planOf("tfidf_doc_sim")
     val scans = "Scan parquet".r.findAllIn(plan).length
