@@ -114,11 +114,116 @@ object BehaviorOps {
       .orderBy("day")
   }
 
+  /** Shared quantized-ln fragment (the 2⁻²⁰ grid convention introduced
+    * for [[IrOps]] BM25 — see its class doc for why `ln` needs it and
+    * why the grid constant must be `CAST(1048576 AS DOUBLE)`): floored
+    * onto a binary grid immediately after the log, so the one libm op
+    * IEEE does not pin across engines is removed from every sum. */
+  private def qln(x: String): String =
+    s"CAST(FLOOR(LN(CAST($x AS DOUBLE)) * CAST(1048576 AS DOUBLE)) AS BIGINT)"
+
+  /** Per-segment Shannon entropy of the event-type mix — the
+    * information-theoretic twin of [[segmentGini]] (entropy is the
+    * diversity signal a data-mixing pipeline monitors per slice).
+    * Merge-order determinism: H = ln N − (Σ nᵢ·ln nᵢ)/N is restated
+    * with the quantized ln, so Σ nᵢ·qln(nᵢ) is EXACT LONG arithmetic
+    * (bounded: n·qln(n) < 6e5·2e7 ≈ 1e13 per cell at sf0.1, far under
+    * 2⁶³) and the only float steps are two final IEEE divisions both
+    * engines evaluate identically. Same two keyed aggregations as the
+    * Gini query: the raw-event exchange, then |segments|×|types|. */
+  def entropySegments(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .withColumn("dow", (weekday(col("ts")) + lit(1)).cast("long"))
+      .groupBy(col("dow"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("dow"))
+      .agg(sum(col("n")).as("n_events"),
+        sum(expr(s"n * ${qln("n")}")).as("sumq"))
+      .select(col("dow"), col("n_events"),
+        expr(s"CAST(${qln("n_events")} AS DOUBLE) / CAST(1048576 AS DOUBLE)" +
+          " - CAST(sumq AS DOUBLE)" +
+          " / (CAST(n_events AS DOUBLE) * CAST(1048576 AS DOUBLE))")
+          .as("entropy"))
+      .orderBy("dow")
+
+  /** χ² independence test of event type × ISO weekday — "is the event
+    * mix stable across days?", the drift test run over every categorical
+    * slice pair before a training-data refresh ships. One exchange over
+    * raw events builds the |dow|×|types| contingency table; marginals
+    * ride that ~35-row table as windows (never a second data pass) and
+    * the output is a single summary row.
+    *
+    * Float determinism: each cell's (O·N − R·C)²/(N·R·C) starts from
+    * EXACT integers (O·N ≤ 3.6e11 at sf0.1, exact in both int64 and
+    * double), runs the same left-associated IEEE multiply/divide chain
+    * in both engines, and is then floor-quantized to the 2⁻²⁰ grid so
+    * the cross-cell SUM is exact-integer (merge-order-free). */
+  def chi2TypeDow(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.events(spark, sfDir)
+      .withColumn("dow", (weekday(col("ts")) + lit(1)).cast("long"))
+      .groupBy(col("dow"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val term = "CAST(n * tot - rt * ct AS DOUBLE) * CAST(n * tot - rt * ct AS DOUBLE)" +
+      " / (CAST(tot AS DOUBLE) * CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE))"
+    c.withColumn("rt", sum(col("n")).over(Window.partitionBy("dow")))
+      .withColumn("ct", sum(col("n")).over(Window.partitionBy("event_type")))
+      .withColumn("tot", sum(col("n")).over(Window.partitionBy()))
+      .withColumn("q",
+        expr(s"CAST(FLOOR(($term) * CAST(1048576 AS DOUBLE)) AS BIGINT)"))
+      .agg(max(col("tot")).as("n_events"),
+        ((countDistinct(col("dow")) - 1) *
+          (countDistinct(col("event_type")) - 1)).as("dof"),
+        expr("CAST(SUM(q) AS DOUBLE) / CAST(1048576 AS DOUBLE)").as("chi2"))
+  }
+
+  /** Seasonal-baseline anomaly report: per (event type, calendar day),
+    * the day's total value against that type's same-weekday mean, and
+    * the TOP-3 days per type by that ratio — top-k rather than an
+    * absolute threshold because daily totals concentrate as volume
+    * grows (at sf0.1 no day strays 1.2× from its weekday baseline;
+    * a fixed 1.5× gate is non-vacuous only on small samples). The heavy
+    * pass is ONE exchange of raw events onto (type, day); baseline and
+    * ranking are windows over the resulting |types|×|days| daily table
+    * (~1.8k rows at any SF — calendar-bounded, so the query's shape
+    * past the first aggregate is SF-invariant).
+    *
+    * `value` doubles are floor-quantized to 2⁻²⁰ fixed point BEFORE
+    * summing (×2²⁰ is an exponent shift — exact; daily sums stay under
+    * 2⁵³), so both aggregation levels are exact-integer; the mean/ratio
+    * are a fixed two-division IEEE chain, making the rank ordering
+    * bit-stable across engines (date tiebreak for exact ratio ties). */
+  def seasonalAnomaly(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.events(spark, sfDir)
+      .select(col("event_type"), to_date(col("ts")).as("d"),
+        expr("CAST(FLOOR(value * CAST(1048576 AS DOUBLE)) AS BIGINT)").as("q"))
+      .groupBy(col("event_type"), col("d"))
+      .agg(sum(col("q")).as("s"))
+      .withColumn("dow", (weekday(col("d")) + lit(1)).cast("long"))
+    val w = Window.partitionBy("event_type", "dow")
+    daily
+      .withColumn("bs", sum(col("s")).over(w))
+      .withColumn("bn", count(lit(1)).over(w))
+      .withColumn("ratio", expr(
+        "CAST(s AS DOUBLE) / (CAST(bs AS DOUBLE) / CAST(bn AS DOUBLE))"))
+      .withColumn("rk", row_number().over(Window.partitionBy("event_type")
+        .orderBy(col("ratio").desc, col("d").asc)))
+      .filter(col("rk") <= 3)
+      .select(col("event_type"), col("d"), col("rk").cast("long").as("rk"),
+        expr("CAST(s AS DOUBLE) / CAST(1048576 AS DOUBLE)").as("actual"),
+        expr("CAST(bs AS DOUBLE) / CAST(bn AS DOUBLE) / CAST(1048576 AS DOUBLE)")
+          .as("baseline"),
+        col("ratio"))
+      .orderBy("event_type", "rk")
+  }
+
   val queries: Map[String, Q] = Map(
+    "chi2_type_dow"     -> (chi2TypeDow _),
     "cohort_retention"  -> (cohortRetention _),
+    "entropy_segments"  -> (entropySegments _),
     "event_transitions" -> (eventTransitions _),
     "mode_per_segment"  -> (modePerSegment _),
     "rolling_dau"       -> (rollingDau _),
+    "seasonal_anomaly"  -> (seasonalAnomaly _),
     "segment_gini"      -> (segmentGini _))
 
   val oracle: Map[String, String] = Map(
@@ -166,5 +271,57 @@ object BehaviorOps {
         |      FROM c GROUP BY 1)
         |SELECT dow, n_events,
         |  1.0 - CAST(sumsq AS DOUBLE) / CAST(n_events * n_events AS DOUBLE) AS gini
-        |FROM s ORDER BY dow""".stripMargin)
+        |FROM s ORDER BY dow""".stripMargin,
+    "entropy_segments" ->
+      s"""WITH c AS (SELECT isodow(ts) AS dow, event_type, count(*) AS n
+         |           FROM events GROUP BY 1, 2),
+         |s AS (SELECT dow, CAST(sum(n) AS BIGINT) AS n_events,
+         |             CAST(sum(n * ${qln("n")}) AS BIGINT) AS sumq
+         |      FROM c GROUP BY 1)
+         |SELECT dow, n_events,
+         |  CAST(${qln("n_events")} AS DOUBLE) / CAST(1048576 AS DOUBLE)
+         |  - CAST(sumq AS DOUBLE)
+         |    / (CAST(n_events AS DOUBLE) * CAST(1048576 AS DOUBLE)) AS entropy
+         |FROM s ORDER BY dow""".stripMargin,
+    "chi2_type_dow" ->
+      """WITH c AS (SELECT isodow(ts) AS dow, event_type, count(*) AS n
+        |           FROM events GROUP BY 1, 2),
+        |m AS (SELECT dow, event_type, n,
+        |        CAST(sum(n) OVER (PARTITION BY dow) AS BIGINT) AS rt,
+        |        CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT) AS ct,
+        |        CAST(sum(n) OVER () AS BIGINT) AS tot
+        |      FROM c)
+        |SELECT CAST(max(tot) AS BIGINT) AS n_events,
+        |  CAST((count(DISTINCT dow) - 1) * (count(DISTINCT event_type) - 1)
+        |    AS BIGINT) AS dof,
+        |  CAST(CAST(SUM(CAST(FLOOR((CAST(n * tot - rt * ct AS DOUBLE)
+        |      * CAST(n * tot - rt * ct AS DOUBLE)
+        |      / (CAST(tot AS DOUBLE) * CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)))
+        |      * CAST(1048576 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS DOUBLE)
+        |    / CAST(1048576 AS DOUBLE) AS chi2
+        |FROM m""".stripMargin,
+    "seasonal_anomaly" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS d,
+        |    CAST(sum(CAST(FLOOR(value * CAST(1048576 AS DOUBLE)) AS BIGINT))
+        |      AS BIGINT) AS s
+        |  FROM events GROUP BY 1, 2),
+        |w AS (SELECT event_type, d, s,
+        |    CAST(sum(s) OVER (PARTITION BY event_type, isodow(d)) AS BIGINT) AS bs,
+        |    CAST(count(*) OVER (PARTITION BY event_type, isodow(d)) AS BIGINT) AS bn
+        |  FROM daily),
+        |r AS (SELECT event_type, d, s, bs, bn,
+        |    CAST(s AS DOUBLE) / (CAST(bs AS DOUBLE) / CAST(bn AS DOUBLE)) AS ratio
+        |  FROM w),
+        |t AS (SELECT event_type, d, s, bs, bn, ratio,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY ratio DESC, d ASC) AS rk
+        |  FROM r)
+        |SELECT event_type, d, rk,
+        |  CAST(s AS DOUBLE) / CAST(1048576 AS DOUBLE) AS actual,
+        |  CAST(bs AS DOUBLE) / CAST(bn AS DOUBLE) / CAST(1048576 AS DOUBLE)
+        |    AS baseline,
+        |  ratio
+        |FROM t WHERE rk <= 3
+        |ORDER BY event_type, rk""".stripMargin)
 }

@@ -325,6 +325,28 @@ object CoreOps {
       .na.fill(0L)
       .orderBy("o_orderpriority")
 
+  /** Pivot with MULTIPLE measures per pivoted value (count + exact-decimal
+    * sum) — the wide-report shape [[pivotStatus]]'s single measure doesn't
+    * exercise. Explicit pivot values keep planning single-pass (no
+    * distinct-values pre-query); absent (priority, status) cells surface
+    * as NULL from the pivot and are coalesced to typed zeros identically
+    * in the oracle's FILTER restatement. Still one exchange on the
+    * groupBy key: the pivot widens columns, never rows. */
+  def pivotMulti(spark: SparkSession, sfDir: String): DataFrame = {
+    val piv = Tables.orders(spark, sfDir)
+      .groupBy("o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .as("total"))
+    def cnt(s: String) = coalesce(col(s"${s}_n"), lit(0L)).as(s"${s.toLowerCase}_n")
+    def tot(s: String) = coalesce(col(s"${s}_total").cast("double"),
+      expr("CAST(0 AS DOUBLE)")).as(s"${s.toLowerCase}_total")
+    piv.select(col("o_orderpriority"),
+        cnt("F"), tot("F"), cnt("O"), tot("O"), cnt("P"), tot("P"))
+      .orderBy("o_orderpriority")
+  }
+
   /** Q14 scalar-subquery pattern: orders above their customer's average
     * order value — decorrelated into an aggregate + equi-join on the
     * correlation key (exactly what Catalyst does to a correlated
@@ -401,6 +423,7 @@ object CoreOps {
     "date_funcs"      -> (dateFuncs _),
     "string_funcs"    -> (stringFuncs _),
     "pivot_status"    -> (pivotStatus _),
+    "pivot_multi"     -> (pivotMulti _),
     "above_customer_avg" -> (aboveCustomerAvg _),
     "unpivot_measures" -> (unpivotMeasures _),
     "set_union"       -> (setUnion _),
@@ -545,6 +568,21 @@ object CoreOps {
         |  count(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
         |  count(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
         |  count(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "pivot_multi" ->
+      """SELECT o_orderpriority,
+        |  count(*) FILTER (WHERE o_orderstatus = 'F') AS f_n,
+        |  COALESCE(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        |    FILTER (WHERE o_orderstatus = 'F') AS DOUBLE),
+        |    CAST(0 AS DOUBLE)) AS f_total,
+        |  count(*) FILTER (WHERE o_orderstatus = 'O') AS o_n,
+        |  COALESCE(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        |    FILTER (WHERE o_orderstatus = 'O') AS DOUBLE),
+        |    CAST(0 AS DOUBLE)) AS o_total,
+        |  count(*) FILTER (WHERE o_orderstatus = 'P') AS p_n,
+        |  COALESCE(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        |    FILTER (WHERE o_orderstatus = 'P') AS DOUBLE),
+        |    CAST(0 AS DOUBLE)) AS p_total
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "above_customer_avg" ->
       s"""WITH ca AS (

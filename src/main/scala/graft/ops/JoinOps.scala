@@ -176,7 +176,28 @@ object JoinOps {
       .orderBy("custkey")
   }
 
+  /** Null-safe equi-join (`<=>` / IS NOT DISTINCT FROM) — the join-family
+    * member Q13–Q16 don't cover: NULL keys MATCH each other instead of
+    * dropping. Keys are made nullable by NULLIF-ing one status value, the
+    * right side is the per-key summary of the same rows, and the per-key
+    * re-aggregation proves every row (null-keyed included) found its
+    * group row: n_orders == group_n on every output row. Planning-wise
+    * `<=>` still hashes on the key (null hashes like a value), so this
+    * stays a hash join, never a nested loop — same scale shape as any
+    * equi-join. Null sort position is spelled explicitly on both engines
+    * (Spark ASC defaults nulls-first, DuckDB nulls-last). */
+  def joinNullSafe(spark: SparkSession, sfDir: String): DataFrame = {
+    val keyed = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), nullif(col("o_orderstatus"), lit("P")).as("st"))
+    val summary = keyed.groupBy("st").agg(count(lit(1)).as("group_n"))
+    keyed.as("k").join(summary.as("s"), col("k.st") <=> col("s.st"))
+      .groupBy(col("k.st").as("st"))
+      .agg(count(lit(1)).as("n_orders"), max(col("group_n")).as("group_n"))
+      .orderBy(col("st").asc_nulls_first)
+  }
+
   val queries: Map[String, Q] = Map(
+    "join_null_safe"   -> (joinNullSafe _),
     "join_broadcast"   -> (joinBroadcast _),
     "join_bucketed"    -> (joinBucketed _),
     "join_skew_salted" -> (joinSkewSalted _),
@@ -189,6 +210,14 @@ object JoinOps {
   import Det.{sqlMoneySum, sqlMoneySum4}
 
   val oracle: Map[String, String] = Map(
+    "join_null_safe" ->
+      """WITH keyed AS (
+        |  SELECT o_orderkey, NULLIF(o_orderstatus, 'P') AS st FROM orders),
+        |summary AS (SELECT st, count(*) AS group_n FROM keyed GROUP BY st)
+        |SELECT k.st AS st, count(*) AS n_orders, max(s.group_n) AS group_n
+        |FROM keyed k JOIN summary s ON k.st IS NOT DISTINCT FROM s.st
+        |GROUP BY k.st
+        |ORDER BY st ASC NULLS FIRST""".stripMargin,
     "join_bucketed" ->
       s"""SELECT o_orderstatus, count(*) AS n_lines,
          |  ${sqlMoneySum4("l_extendedprice * (1 - l_discount)")} AS revenue

@@ -74,11 +74,42 @@ object SqlOps {
     spark.sql(q3Sql)
   }
 
+  private val q18Sql =
+    """SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+      |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total_price,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE o_orderkey IN (
+      |  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      |  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 300)
+      |GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
+      |ORDER BY total_price DESC, o_orderkey ASC
+      |LIMIT 100""".stripMargin
+
+  /** TPC-H Q18 large-volume-customer shape as SQL text — the IN-subquery
+    * + HAVING surface the first two front-door queries don't exercise.
+    * Catalyst rewrites the IN into a LEFT SEMI join on the order key
+    * (both fact inputs shuffle once on that key, the aggregate feeding
+    * the semi join keeps map-side partials), customer broadcasts, and
+    * the top-100 is TakeOrdered — no full sort. Quantity sums are
+    * lossless DECIMAL(18,2), so the HAVING threshold and the output
+    * sums are exact in both engines. */
+  def sqlQ18TopOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.customer(spark, sfDir).createOrReplaceTempView("customer")
+    Tables.orders(spark, sfDir).createOrReplaceTempView("orders")
+    Tables.lineitem(spark, sfDir).createOrReplaceTempView("lineitem")
+    spark.sql(q18Sql)
+  }
+
   val queries: Map[String, Q] = Map(
-    "sql_q1_pricing"  -> (sqlQ1Pricing _),
-    "sql_q3_shipping" -> (sqlQ3Shipping _))
+    "sql_q1_pricing"    -> (sqlQ1Pricing _),
+    "sql_q3_shipping"   -> (sqlQ3Shipping _),
+    "sql_q18_toporders" -> (sqlQ18TopOrders _))
 
   val oracle: Map[String, String] = Map(
-    "sql_q1_pricing"  -> q1Sql,
-    "sql_q3_shipping" -> q3Sql)
+    "sql_q1_pricing"    -> q1Sql,
+    "sql_q3_shipping"   -> q3Sql,
+    "sql_q18_toporders" -> q18Sql)
 }

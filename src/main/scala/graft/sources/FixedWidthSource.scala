@@ -14,7 +14,7 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownRequiredColumns, SupportsReportStatistics}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -32,6 +32,11 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - `SupportsPushDownRequiredColumns`: column PRUNING reaches the
   *    reader — unprojected fields are never even substring'd, the
   *    fixed-width analog of parquet's ReadSchema (spec-pinned);
+  *  - `SupportsReportStatistics`: the scan reports projected-size /
+  *    row-count estimates from the file listing, so Catalyst's join
+  *    planning sees the table's true size — a small fixed-width
+  *    dimension auto-broadcasts instead of forcing a fact shuffle
+  *    (spec-pinned);
   *  - `planInputPartitions`: one partition per data file, so a
   *    directory of N shards reads N-wide with zero shuffle — the
   *    reference's one-task-per-file model, recovered inside Spark's
@@ -161,25 +166,52 @@ class FixedWidthScanBuilder(path: String, fields: Seq[FixedWidth.Field])
     required = requiredSchema.fieldNames.toSeq.flatMap(byName.get)
   }
 
-  override def build(): Scan = new FixedWidthScan(path, required)
+  override def build(): Scan = new FixedWidthScan(path, fields, required)
 }
 
-class FixedWidthScan(path: String, required: Seq[FixedWidth.Field])
-    extends Scan with Batch {
+class FixedWidthScan(
+    path: String,
+    all: Seq[FixedWidth.Field],
+    required: Seq[FixedWidth.Field])
+    extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = FixedWidth.schemaOf(required)
   override def description(): String =
     s"FixedWidthScan(path=$path, fields=${required.map(_.name).mkString(",")})"
   override def toBatch: Batch = this
 
-  /** One InputPartition per data file — the listing is driver-side
+  /** Driver-side listing, shared by partition planning and statistics —
     * metadata only; bytes are first touched by executors. */
-  override def planInputPartitions(): Array[InputPartition] = {
+  private lazy val dataFiles = {
     val root = new Path(path)
     val fs = root.getFileSystem(new Configuration())
     fs.listStatus(root)
       .filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
       .sortBy(_.getPath.getName)
-      .map(s => FixedWidthFilePartition(s.getPath.toString): InputPartition)
+  }
+
+  /** One InputPartition per data file. */
+  override def planInputPartitions(): Array[InputPartition] =
+    dataFiles.map(s => FixedWidthFilePartition(s.getPath.toString): InputPartition)
+
+  /** `SupportsReportStatistics`: without it a DSv2 relation falls back to
+    * `spark.sql.defaultSizeInBytes` (effectively infinite), so a
+    * dimension table served by this connector would NEVER auto-broadcast
+    * and every join against it would shuffle the fact side — the single
+    * worst silent planning failure a custom source can cause at scale.
+    * Size = on-disk bytes scaled by the PROJECTED fraction of the line
+    * (pruning shrinks the estimate exactly as parquet's column stats
+    * would); rows = bytes over the line width (+1 newline). */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val lineBytes = FixedWidth.lineLen(all) + 1
+    private val totalBytes = dataFiles.map(_.getLen).sum
+    private val projBytes =
+      if (all == required) totalBytes
+      else totalBytes * math.max(1, required.map(_.len).sum) /
+        math.max(1, FixedWidth.lineLen(all))
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(math.max(1L, projBytes))
+    override def numRows(): java.util.OptionalLong =
+      java.util.OptionalLong.of(totalBytes / lineBytes)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

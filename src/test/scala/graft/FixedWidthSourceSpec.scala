@@ -94,6 +94,34 @@ class FixedWidthSourceSpec extends SparkSpec {
     assert(readFrom(wdir).count() === subset.count())
   }
 
+  test("scan reports statistics so a small fixed-width table auto-broadcasts") {
+    // stats contract first: size tracks the file bytes, rows the line count
+    val scan = read().queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b.scan
+    }.head.asInstanceOf[graft.sources.FixedWidthScan]
+    val stats = scan.estimateStatistics()
+    val expRows = Tables.orders(spark, sf).count()
+    assert(stats.numRows.getAsLong === expRows)
+    assert(stats.sizeInBytes.getAsLong > 0)
+    // and the planning consequence: joined UNHINTED against a fact table,
+    // the connector's size estimate (far under the 10 MB default
+    // threshold at this SF) lets Catalyst pick BroadcastHashJoin on the
+    // fixed-width side — before SupportsReportStatistics the relation
+    // reported defaultSizeInBytes and this plan degraded to a shuffle
+    val joined = Tables.lineitem(spark, sf)
+      .join(read().select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected auto-broadcast of the fixed-width side:\n$plan")
+    // pruning shrinks the size estimate (projected fraction of the line)
+    val pruned = read().select("o_orderkey").queryExecution.executedPlan
+      .collect { case b: BatchScanExec => b.scan }
+      .head.asInstanceOf[graft.sources.FixedWidthScan]
+    assert(pruned.estimateStatistics().sizeInBytes.getAsLong <
+      stats.sizeInBytes.getAsLong)
+  }
+
   test("writer rejects a value wider than its field") {
     val wdir = java.nio.file.Files.createTempDirectory("fw_reject_").toString
     val bad = writeSrc().withColumn("o_orderpriority",

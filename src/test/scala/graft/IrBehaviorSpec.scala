@@ -210,4 +210,83 @@ class IrBehaviorSpec extends SparkSpec {
       .limit(10)
     assert(q("sql_q3_shipping").collect().toSeq === twin.collect().toSeq)
   }
+
+  test("entropy_segments equals a sequential Shannon-entropy recompute") {
+    val rows = Tables.events(spark, sf)
+      .select(expr("CAST(weekday(ts) + 1 AS BIGINT)").as("dow"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val expected = rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (dow, es) =>
+      val n = es.length.toLong
+      val counts = es.groupBy(_._2).values.map(_.length.toLong)
+      val sumq = counts.map(c => c * math.floor(math.log(c.toDouble) * 1048576.0).toLong).sum
+      val h = math.floor(math.log(n.toDouble) * 1048576.0).toLong / 1048576.0 -
+        sumq.toDouble / (n.toDouble * 1048576.0)
+      (dow, n, h)
+    }
+    val got = q("entropy_segments").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got === expected)
+    // entropy is bounded by ln(|types|) and non-negative
+    got.foreach { case (_, _, h) =>
+      assert(h >= 0.0 && h <= math.log(16.0)) }
+  }
+
+  test("chi2_type_dow equals a sequential contingency-table recompute") {
+    val rows = Tables.events(spark, sf)
+      .select(expr("CAST(weekday(ts) + 1 AS BIGINT)").as("dow"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val cells = rows.groupBy(identity).map { case (k, v) => (k, v.length.toLong) }
+    val rt = rows.groupBy(_._1).map { case (k, v) => (k, v.length.toLong) }
+    val ct = rows.groupBy(_._2).map { case (k, v) => (k, v.length.toLong) }
+    val tot = rows.length.toLong
+    val sumQ = cells.map { case ((d, t), o) =>
+      val num = (o * tot - rt(d) * ct(t)).toDouble
+      math.floor(num * num / (tot.toDouble * rt(d).toDouble * ct(t).toDouble)
+        * 1048576.0).toLong
+    }.sum
+    val Array(row) = q("chi2_type_dow").collect()
+    assert(row.getLong(0) === tot)
+    assert(row.getLong(1) === (rt.size - 1).toLong * (ct.size - 1).toLong)
+    assert(row.getDouble(2) === sumQ.toDouble / 1048576.0)
+  }
+
+  test("seasonal_anomaly returns each type's top-3 ratio days, ratios consistent") {
+    val got = q("seasonal_anomaly").collect()
+    assert(got.nonEmpty)
+    got.groupBy(_.getString(0)).foreach { case (_, rows) =>
+      assert(rows.map(_.getLong(2)).sorted.toSeq === Seq(1L, 2L, 3L))
+      // ranked by descending ratio within each type
+      val byRk = rows.sortBy(_.getLong(2)).map(_.getDouble(5))
+      assert(byRk.sameElements(byRk.sorted.reverse))
+    }
+    got.foreach { r =>
+      val (actual, baseline, ratio) =
+        (r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      // ratio recomputed from the dequantized outputs agrees to the ulp
+      // tolerance the two extra divides introduce
+      assert(math.abs(ratio - actual / baseline) < 1e-9)
+      assert(ratio > 0.0 && baseline > 0.0 && actual > 0.0)
+    }
+  }
+
+  test("sql_q18_toporders equals its DataFrame-API twin") {
+    val bigOrders = Tables.lineitem(spark, sf)
+      .groupBy("l_orderkey")
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("sq"))
+      .filter(col("sq") > 300)
+      .select("l_orderkey")
+    val twin = Tables.customer(spark, sf)
+      .join(Tables.orders(spark, sf), col("c_custkey") === col("o_custkey"))
+      .join(Tables.lineitem(spark, sf)
+          .join(bigOrders, Seq("l_orderkey"), "left_semi"),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice")
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"), col("o_orderdate"),
+        col("o_totalprice").cast("decimal(18,2)").cast("double").as("total_price"),
+        col("sum_qty"))
+      .orderBy(col("total_price").desc, col("o_orderkey").asc)
+      .limit(100)
+    assert(q("sql_q18_toporders").collect().toSeq === twin.collect().toSeq)
+  }
 }

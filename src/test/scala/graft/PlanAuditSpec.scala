@@ -374,6 +374,56 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
   }
 
+  test("sql_q18_toporders: IN-subquery plans as semi join, customer broadcasts, top-100 is TakeOrdered") {
+    val plan = planOf("sql_q18_toporders")
+    assert(plan.contains("LeftSemi"), s"IN-subquery not decorrelated to a semi join in:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"customer join not broadcast in:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"), s"limit not TakeOrdered in:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
+  }
+
+  test("join_null_safe: <=> stays a hash-family join, never a nested loop") {
+    val plan = planOf("join_null_safe")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"null-safe join degenerated to a nested loop in:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin") ||
+      plan.contains("ShuffledHashJoin"), s"no keyed join in:\n$plan")
+  }
+
+  test("pivot_multi: two-level aggregate with partials at both, no row expand") {
+    val plan = planOf("pivot_multi")
+    // Spark plans pivot as (1) a grouped aggregate on the compound
+    // (group, pivot) key, then (2) a pivotfirst gather on the group key
+    // — both with map-side partials, so the raw volume crosses the wire
+    // pre-combined and the second exchange carries |groups|×|values|
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges === 2, s"expected the 2-level pivot shape, got $exchanges in:\n$plan")
+    assert(plan.contains("partial_count"), s"no map-side count partials in:\n$plan")
+    assert(plan.contains("partial_pivotfirst"), s"no map-side pivot partials in:\n$plan")
+    assert(!plan.contains("Expand"), s"pivot expanded rows in:\n$plan")
+  }
+
+  test("chi2_type_dow and entropy_segments scan events exactly once") {
+    for (name <- Seq("chi2_type_dow", "entropy_segments")) {
+      val plan = planOf(name)
+      val scans = "Scan parquet".r.findAllIn(plan).length
+      assert(scans === 1, s"$name scans events $scans times in:\n$plan")
+      assert(plan.contains("partial_"), s"$name lost map-side partials in:\n$plan")
+    }
+  }
+
+  test("seasonal_anomaly: baseline/rank windows ride the daily table, one raw-event exchange") {
+    val plan = planOf("seasonal_anomaly")
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans === 1, s"events scanned $scans times in:\n$plan")
+    // no window may repartition the raw (pre-aggregate) volume: every
+    // exchange below the first aggregate is on the daily table's keys
+    assert(!plan.contains("SinglePartition") ||
+      !"Exchange SinglePartition[^\\n]*\\n[^\\n]*Scan parquet".r.findFirstIn(plan).isDefined,
+      s"raw events funneled to one partition in:\n$plan")
+    assert(plan.contains("partial_"), s"daily aggregate lost map-side partials in:\n$plan")
+  }
+
   test("sql_q3_shipping: SQL text gets the same physical treatment as the API") {
     val plan = planOf("sql_q3_shipping")
     assert(plan.contains("BroadcastHashJoin"), s"dimension join not broadcast in:\n$plan")
