@@ -261,9 +261,9 @@ object TimeOps {
         |  FROM t),
         |g AS (
         |  SELECT user_id, ts,
-        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
-        |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |      AS session_id
+        |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |         AS BIGINT) AS session_id
         |  FROM s),
         |sess AS (
         |  SELECT user_id, session_id,
