@@ -294,6 +294,135 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Witness-returning intersection of two SORTED long arrays by the same
+  * two-pointer merge as [[SortedIntersectCount]] — the triangle-closing
+  * kernel of the graph family (adjacency lists are node ids). Spark's
+  * generic `array_intersect` builds a hash set per row pair; on the
+  * O(m^{3/2}) hits join of `graph_local_cc` that constant factor
+  * dominates the query. This is a primitive long/long merge inside
+  * whole-stage codegen, allocating exactly one result buffer per pair.
+  * Inputs must be sorted ascending and duplicate-free (callers sort the
+  * adjacency list ONCE at aggregation time, not per pair); output is
+  * sorted ascending — consumers (`explode`, `size`) are order-insensitive.
+  */
+case class SortedLongIntersect(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "sorted_long_intersect"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val nx = x.numElements()
+    val ny = y.numElements()
+    val buf = new Array[Long](math.min(nx, ny))
+    var i = 0
+    var j = 0
+    var c = 0
+    while (i < nx && j < ny) {
+      val xv = x.getLong(i)
+      val yv = y.getLong(j)
+      if (xv == yv) { buf(c) = xv; c += 1; i += 1; j += 1 }
+      else if (xv < yv) i += 1
+      else j += 1
+    }
+    val out = new Array[Long](c)
+    System.arraycopy(buf, 0, out, 0, c)
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val nx = ctx.freshName("nx")
+      val ny = ctx.freshName("ny")
+      val buf = ctx.freshName("buf")
+      val out = ctx.freshName("out")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val c = ctx.freshName("c")
+      val xv = ctx.freshName("xv")
+      val yv = ctx.freshName("yv")
+      s"""
+         |int $nx = $a.numElements();
+         |int $ny = $b.numElements();
+         |long[] $buf = new long[java.lang.Math.min($nx, $ny)];
+         |int $i = 0; int $j = 0; int $c = 0;
+         |while ($i < $nx && $j < $ny) {
+         |  long $xv = $a.getLong($i);
+         |  long $yv = $b.getLong($j);
+         |  if ($xv == $yv) { $buf[$c++] = $xv; $i++; $j++; }
+         |  else if ($xv < $yv) $i++;
+         |  else $j++;
+         |}
+         |long[] $out = new long[$c];
+         |System.arraycopy($buf, 0, $out, 0, $c);
+         |${ev.value} =
+         |  new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Count-only twin of [[SortedLongIntersect]] for consumers that never
+  * look at the witnesses (`graph_triangles`): same merge, zero
+  * allocation. */
+case class SortedLongIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "sorted_long_intersect_count"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val nx = x.numElements()
+    val ny = y.numElements()
+    var i = 0
+    var j = 0
+    var c = 0L
+    while (i < nx && j < ny) {
+      val xv = x.getLong(i)
+      val yv = y.getLong(j)
+      if (xv == yv) { c += 1; i += 1; j += 1 }
+      else if (xv < yv) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val nx = ctx.freshName("nx")
+      val ny = ctx.freshName("ny")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val c = ctx.freshName("c")
+      val xv = ctx.freshName("xv")
+      val yv = ctx.freshName("yv")
+      s"""
+         |int $nx = $a.numElements();
+         |int $ny = $b.numElements();
+         |int $i = 0; int $j = 0; long $c = 0L;
+         |while ($i < $nx && $j < $ny) {
+         |  long $xv = $a.getLong($i);
+         |  long $yv = $b.getLong($j);
+         |  if ($xv == $yv) { $c++; $i++; $j++; }
+         |  else if ($xv < $yv) $i++;
+         |  else $j++;
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Column-API front door for the native vector expressions. */
 object VectorFunctions {
   /** Exact sequential-fold dot product of two float/double array columns,
@@ -311,6 +440,16 @@ object VectorFunctions {
   def sortedIntersectCount(a: Column, b: Column): Column =
     ColumnBridge.column(
       SortedIntersectCount(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Witnesses common to two sorted, deduplicated long-array columns. */
+  def sortedLongIntersect(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      SortedLongIntersect(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Count-only twin of [[sortedLongIntersect]]. */
+  def sortedLongIntersectCount(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      SortedLongIntersectCount(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   /** Single-pass K-wide MinHash signature of a token-array column. */
   def minhashSig(tokens: Column, k: Int): Column =

@@ -210,4 +210,36 @@ class SimUdxSpec extends SparkSpec {
     // cogroup keeps line-less orders (LEFT semantics): all orders present
     assert(got.length === Tables.orders(spark, sf).count())
   }
+
+  test("SortedLongIntersect equals array_intersect on sorted distinct arrays") {
+    import spark.implicits._
+    // adversarial shapes: disjoint, contained, interleaved, empty, equal
+    val df = Seq(
+      (Seq(1L, 3L, 5L, 7L), Seq(2L, 4L, 6L)),
+      (Seq(1L, 2L, 3L, 4L, 5L), Seq(2L, 4L)),
+      (Seq(10L, 20L, 30L), Seq(5L, 10L, 25L, 30L, 40L)),
+      (Seq.empty[Long], Seq(1L, 2L)),
+      (Seq(1L, 2L, 3L), Seq(1L, 2L, 3L))).toDF("a", "b")
+    val mism = df.select(
+        VectorFunctions.sortedLongIntersect(col("a"), col("b")).as("native"),
+        array_intersect(col("a"), col("b")).as("generic"),
+        VectorFunctions.sortedLongIntersectCount(col("a"), col("b")).as("n"))
+      .filter(col("native") =!= col("generic") ||
+        col("n") =!= size(col("generic")).cast("long"))
+      .count()
+    assert(mism === 0)
+  }
+
+  test("SortedLongIntersect participates in whole-stage codegen") {
+    // a literal table constant-folds to LocalTableScan (no codegen span),
+    // so build the sorted arrays from a range scan
+    val df = spark.range(16)
+      .select(sequence(lit(0L), col("id") % 5).as("a"),
+        sequence(col("id") % 3, lit(6L)).as("b"))
+      .select(VectorFunctions.sortedLongIntersect(col("a"), col("b")).as("w"),
+        VectorFunctions.sortedLongIntersectCount(col("a"), col("b")).as("n"))
+    val codegen = df.queryExecution.executedPlan
+      .find(_.isInstanceOf[org.apache.spark.sql.execution.WholeStageCodegenExec])
+    assert(codegen.isDefined, s"no codegen span in:\n${df.queryExecution.executedPlan}")
+  }
 }
