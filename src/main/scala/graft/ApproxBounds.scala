@@ -54,7 +54,11 @@ object ApproxBounds {
       s""""$sfDir": {"approx_distinct_vs_count_distinct": $hllJson, "quantiles_approx_vs_quantiles": $pctJson}"""
     }
 
-    val json = sfDirs.map(entry).mkString("{\n", ",\n", "\n}\n")
+    // round + timestamp stamp: the artifact is re-generated each round's
+    // session, and the stamp proves WHICH round's code produced it
+    val round = sys.env.getOrElse("SPARK_GRAFT_ROUND", "unstamped")
+    val stamp = s""""round": "$round", "generated_at": "${java.time.Instant.now()}""""
+    val json = sfDirs.map(entry).mkString("{\n" + stamp + ",\n", ",\n", "\n}\n")
     Files.writeString(Paths.get("APPROX_BOUNDS.json"), json)
     println(json)
     spark.stop()

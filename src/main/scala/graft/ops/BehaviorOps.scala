@@ -153,17 +153,24 @@ object BehaviorOps {
     * ride that ~35-row table as windows (never a second data pass) and
     * the output is a single summary row.
     *
-    * Float determinism: each cell's (O·N − R·C)²/(N·R·C) starts from
-    * EXACT integers (O·N ≤ 3.6e11 at sf0.1, exact in both int64 and
-    * double), runs the same left-associated IEEE multiply/divide chain
-    * in both engines, and is then floor-quantized to the 2⁻²⁰ grid so
-    * the cross-cell SUM is exact-integer (merge-order-free). */
+    * Float determinism: each cell's (O·N − R·C)²/(N·R·C) is computed
+    * entirely in DOUBLE — every factor cast BEFORE the first multiply.
+    * Not in BIGINT: R·C reaches N², which wraps silently past 2⁶³ in
+    * Spark (non-ANSI) but raises in DuckDB, so an int64 numerator
+    * silently diverges from the oracle beyond ~3e9 events (≈sf500).
+    * Double multiplies are correctly-rounded IEEE in both engines, so
+    * the identical left-associated chain stays bit-equal at ANY scale
+    * (exact below 2⁵³, identically-rounded above). The result is then
+    * floor-quantized to the 2⁻²⁰ grid so the cross-cell SUM is
+    * exact-integer (merge-order-free). */
   def chi2TypeDow(spark: SparkSession, sfDir: String): DataFrame = {
     val c = Tables.events(spark, sfDir)
       .withColumn("dow", (weekday(col("ts")) + lit(1)).cast("long"))
       .groupBy(col("dow"), col("event_type"))
       .agg(count(lit(1)).as("n"))
-    val term = "CAST(n * tot - rt * ct AS DOUBLE) * CAST(n * tot - rt * ct AS DOUBLE)" +
+    val dev = "(CAST(n AS DOUBLE) * CAST(tot AS DOUBLE)" +
+      " - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE))"
+    val term = s"$dev * $dev" +
       " / (CAST(tot AS DOUBLE) * CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE))"
     c.withColumn("rt", sum(col("n")).over(Window.partitionBy("dow")))
       .withColumn("ct", sum(col("n")).over(Window.partitionBy("event_type")))
@@ -294,8 +301,11 @@ object BehaviorOps {
         |SELECT CAST(max(tot) AS BIGINT) AS n_events,
         |  CAST((count(DISTINCT dow) - 1) * (count(DISTINCT event_type) - 1)
         |    AS BIGINT) AS dof,
-        |  CAST(CAST(SUM(CAST(FLOOR((CAST(n * tot - rt * ct AS DOUBLE)
-        |      * CAST(n * tot - rt * ct AS DOUBLE)
+        |  CAST(CAST(SUM(CAST(FLOOR((
+        |      (CAST(n AS DOUBLE) * CAST(tot AS DOUBLE)
+        |        - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE))
+        |      * (CAST(n AS DOUBLE) * CAST(tot AS DOUBLE)
+        |        - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE))
         |      / (CAST(tot AS DOUBLE) * CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)))
         |      * CAST(1048576 AS DOUBLE)) AS BIGINT)) AS BIGINT) AS DOUBLE)
         |    / CAST(1048576 AS DOUBLE) AS chi2

@@ -200,7 +200,12 @@ class FixedWidthScan(
     * worst silent planning failure a custom source can cause at scale.
     * Size = on-disk bytes scaled by the PROJECTED fraction of the line
     * (pruning shrinks the estimate exactly as parquet's column stats
-    * would); rows = bytes over the line width (+1 newline). */
+    * would); rows = bytes over the line width (+1 for a \n terminator).
+    * The row count rounds UP so a final line missing its newline — legal
+    * for files written outside this connector's writer — still counts;
+    * CRLF line endings would overcount by ~lineLen/(lineLen+2) per row,
+    * acceptable for a planning-grade estimate (reads themselves split on
+    * actual newlines and are unaffected). */
   override def estimateStatistics(): Statistics = new Statistics {
     private val lineBytes = FixedWidth.lineLen(all) + 1
     private val totalBytes = dataFiles.map(_.getLen).sum
@@ -211,7 +216,7 @@ class FixedWidthScan(
     override def sizeInBytes(): java.util.OptionalLong =
       java.util.OptionalLong.of(math.max(1L, projBytes))
     override def numRows(): java.util.OptionalLong =
-      java.util.OptionalLong.of(totalBytes / lineBytes)
+      java.util.OptionalLong.of((totalBytes + lineBytes - 1) / lineBytes)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
