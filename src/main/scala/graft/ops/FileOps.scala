@@ -5,6 +5,7 @@ import java.nio.charset.StandardCharsets
 import graft.Tables
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Literal per-file ingest (SURVEY.md §1 data-model row, §7 checklist;
@@ -341,7 +342,92 @@ object FileOps {
       .orderBy("o_orderpriority")
   }
 
+  /** Compaction target in bytes. Fixture-scale 16 KiB so the packing
+    * logic exercises multiple bins per group at sf0.01; a production run
+    * sets 128–512 MiB (the usual parquet/HDFS block sweet spot) — the
+    * packing math is size-agnostic. */
+  private[graft] val CompactTarget = 16 * 1024L
+
+  /** Doc-id range width of one packing group: packing runs INSIDE a
+    * group, so the running-sum window is partitioned (32 parallel tasks
+    * at 32 groups), never one global ORDER BY funnel — the same
+    * "bin-pack within a partition" compromise Delta/Iceberg OPTIMIZE
+    * makes. Cost: at most one underfull tail shard per group. */
+  private[graft] val CompactGroupDocs = 1024L
+
+  /** Small-files compaction — the daily maintenance op of exactly the
+    * per-file-task pattern the reference embodies (`Program.cs:332-349`
+    * produces one output blob per task; a year of daily runs is millions
+    * of small files, and at 100 TB the NameNode/listing cost and
+    * per-file task overhead dominate any query over the corpus).
+    *
+    * Packing is DETERMINISTIC (so it is oracle-checkable): docs sort by
+    * doc_id within a doc_id-range group; a running byte total (window,
+    * partitioned by group — distributed) assigns each doc to shard
+    * `floor(bytes_before / target)`; each shard is rewritten as ONE file
+    * concatenating its docs in doc_id order. Content-preserving by
+    * construction — no doc bytes are altered, only re-grouped.
+    * Idempotent behind a `_SUCCESS` marker like every fixture dir. */
+  def materializeCompactFiles(spark: SparkSession, sfDir: String): String = {
+    val src = materializeDocFiles(spark, sfDir)
+    val dir = cacheDir(spark, "compact", sfDir)
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new Path(root, "_SUCCESS")
+    if (!fs.exists(marker)) {
+      fs.mkdirs(root)
+      val w = Window.partitionBy("grp").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.txt")
+        .load(src)
+        .select(
+          regexp_extract(input_file_name(), "doc_(\\d+)\\.txt", 1)
+            .cast("long").as("doc_id"),
+          col("content"), col("length").as("n_bytes"))
+        .withColumn("grp", floor(col("doc_id") / CompactGroupDocs))
+        .withColumn("bin", format_string("g%03d_b%03d", col("grp"),
+          (coalesce(sum(col("n_bytes")).over(w), lit(0L)) / CompactTarget)
+            .cast("long")))
+        .groupBy("bin")
+        .agg(sort_array(collect_list(struct(col("doc_id"), col("content"))))
+          .as("docs"))
+        .repartition(spark.sparkContext.defaultParallelism)
+        .foreachPartition { rows: Iterator[Row] =>
+          val p = new Path(dir)
+          val efs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+          rows.foreach { r =>
+            val out = efs.create(new Path(p, s"part_${r.getString(0)}.bin"), true)
+            try r.getSeq[Row](1).foreach(d => out.write(d.getAs[Array[Byte]](1)))
+            finally out.close()
+          }
+        }
+      fs.create(marker, true).close()
+    }
+    dir
+  }
+
+  /** Registry face of the compaction: RE-READS the compacted shards
+    * (binaryFile — the digest comes from the rewritten bytes, not from
+    * the plan that produced them) and emits per-shard byte count and
+    * content digest. The oracle recomputes both from the source
+    * `documents` parquet by replaying the same deterministic packing in
+    * SQL, so a single re-ordered, dropped, or altered byte anywhere in
+    * the rewrite fails the hash gate. */
+  def compactFiles(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = materializeCompactFiles(spark, sfDir)
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "part_*.bin")
+      .load(dir)
+      .select(
+        regexp_extract(input_file_name(), "part_(g\\d+_b\\d+)\\.bin", 1).as("bin"),
+        col("length").as("n_bytes"),
+        md5(col("content")).as("digest"))
+      .orderBy("bin")
+  }
+
   val queries: Map[String, Q] = Map(
+    "compact_files"     -> (compactFiles _),
     "file_ingest"       -> (fileIngest _),
     "file_shard_stats"  -> (fileShardStats _),
     "csv_roundtrip"     -> (csvRoundtrip _),
@@ -353,6 +439,25 @@ object FileOps {
     "partitioned_prune" -> (partitionedPrune _))
 
   val oracle: Map[String, String] = Map(
+    "compact_files" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, octet_length(encode(text)) AS nb,
+        |    doc_id // 1024 AS grp
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, text, grp,
+        |    COALESCE(CAST(sum(nb) OVER (PARTITION BY grp ORDER BY doc_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+        |      0) AS cum
+        |  FROM d),
+        |b AS (
+        |  SELECT format('g{:03d}_b{:03d}', grp, cum // 16384) AS bin,
+        |    doc_id, text
+        |  FROM c)
+        |SELECT bin,
+        |  CAST(sum(octet_length(encode(text))) AS BIGINT) AS n_bytes,
+        |  md5(string_agg(text, '' ORDER BY doc_id ASC)) AS digest
+        |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
     "file_ingest" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  md5(text) AS digest

@@ -60,4 +60,30 @@ class SinkSpec extends SparkSpec {
     assert(back.length === expect.length)
     back.zip(expect).foreach { case (a, b) => assert(a === b) }
   }
+
+  test("compact_files: shard count and sizes honor the bin-packing bounds") {
+    val shards = q("compact_files").collect()
+    val docs = Tables.documents(spark, sf)
+      .select(octet_length(col("text")).cast("long").as("nb"),
+        floor(col("doc_id") / ops.FileOps.CompactGroupDocs).as("grp"))
+      .groupBy("grp")
+      .agg(sum(col("nb")).as("bytes"), max(col("nb")).as("mx"))
+      .collect()
+    val target = ops.FileOps.CompactTarget
+    // per-group packing yields ceil(groupBytes/target) bins at most one
+    // underfull tail each; totals must be preserved exactly
+    val maxShards = docs.map(r => (r.getAs[Long]("bytes") + target - 1) / target).sum
+    assert(shards.length <= maxShards,
+      s"${shards.length} shards exceeds packing bound $maxShards")
+    assert(shards.map(_.getAs[Long]("n_bytes")).sum ===
+      docs.map(_.getAs[Long]("bytes")).sum, "compaction lost or grew bytes")
+    // a shard closes at the first doc crossing the target, so size is
+    // bounded by target + the largest doc in its group
+    val maxDoc = docs.map(_.getAs[Long]("mx")).max
+    shards.foreach { s =>
+      assert(s.getAs[Long]("n_bytes") <= target + maxDoc,
+        s"shard ${s.getString(0)} exceeds target+maxDoc") }
+    // compaction actually compacted: far fewer files than documents
+    assert(shards.length.toLong < Tables.documents(spark, sf).count() / 10)
+  }
 }
