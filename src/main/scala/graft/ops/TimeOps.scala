@@ -59,6 +59,37 @@ object TimeOps {
       .orderBy("user_id", "session_id")
   }
 
+  /** Q24 via the BUILT-IN `session_window` surface — the same 30-minute
+    * gap rule as [[sessionSpans]], but expressed as Spark's native
+    * session-window aggregate (one hash exchange on user_id, sessions
+    * assembled by the merging-window aggregate — no lag window pass).
+    * Output schema matches [[sessionSpans]]: the session index is the
+    * rank of the session's first event within the user, which equals the
+    * lag-formulation's running-sum id.
+    *
+    * Boundary semantics: `session_window` is HALF-OPEN — an event landing
+    * EXACTLY gap after its predecessor starts a NEW session, where the
+    * lag formulation's `diff > gap` keeps it. The oracle states the
+    * half-open rule (`>=`), so the gate verifies the native operator's
+    * actual contract; sub-microsecond fixture timestamps make exact-gap
+    * ties vanishingly unlikely, and the StreamingSpec twin pins
+    * streaming == batch on this same operator. */
+  def sessionWindowNative(spark: SparkSession, sfDir: String): DataFrame = {
+    val sessions = Tables.events(spark, sfDir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"),
+        min(unix_micros(col("ts"))).as("first_us"),
+        max(unix_micros(col("ts"))).as("last_us"))
+    sessions
+      .withColumn("session_id", row_number()
+        .over(Window.partitionBy("user_id").orderBy(col("first_us").asc))
+        .cast("long"))
+      .select(col("user_id"), col("session_id"), col("n_events"),
+        floor((col("last_us") - col("first_us")) / lit(1000000L))
+          .cast("long").as("span_sec"))
+      .orderBy("user_id", "session_id")
+  }
+
   /** Interval×interval OVERLAP join (temporal-DB workhorse; the
     * containment twin is [[rangeJoinBinned]]): user session spans
     * against a derived grid of 2-hour maintenance windows every 6 hours.
@@ -240,6 +271,7 @@ object TimeOps {
     "time_tumbling" -> (timeTumbling _),
     "sessionize"    -> (sessionize _),
     "session_spans" -> (sessionSpans _),
+    "session_window_native" -> (sessionWindowNative _),
     "interval_overlap_join" -> (intervalOverlapJoin _),
     "asof_join"     -> (asofJoin _),
     "range_join_binned" -> (rangeJoinBinned _),
@@ -364,6 +396,28 @@ object TimeOps {
         |  SELECT user_id, ts, event_id,
         |    CASE WHEN prev_ts IS NULL
         |           OR date_diff('microsecond', prev_ts, ts) > 1800000000
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM t),
+        |g AS (
+        |  SELECT user_id, ts,
+        |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |         AS BIGINT) AS session_id
+        |  FROM s)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  CAST(floor(date_diff('microsecond', min(ts), max(ts)) / 1000000) AS BIGINT) AS span_sec
+        |FROM g GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+    // session_window's half-open boundary: an event EXACTLY gap after its
+    // predecessor starts a new session, hence >= where session_spans has >
+    "session_window_native" ->
+      """WITH t AS (
+        |  SELECT user_id, ts, event_id,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_ts
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN prev_ts IS NULL
+        |           OR date_diff('microsecond', prev_ts, ts) >= 1800000000
         |         THEN 1 ELSE 0 END AS is_new
         |  FROM t),
         |g AS (

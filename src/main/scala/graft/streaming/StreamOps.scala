@@ -58,6 +58,20 @@ object StreamOps {
         col("event_type"))
       .agg(count(lit(1)).as("n"), graft.Det.moneySum(col("value")).as("sum_value"))
 
+  /** Streaming twin of `session_window_native`: the BUILT-IN
+    * session-window aggregate with the same 30-minute gap. In production
+    * this runs watermarked in append mode (a session emits once the
+    * watermark passes its close — O(1) state per open session per user);
+    * the spec drains the finite file source in complete mode so the
+    * final table equals the batch operator exactly. */
+  def sessionWindowCounts(spark: SparkSession, sfDir: String): DataFrame =
+    eventsStream(spark, sfDir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"),
+        min(unix_micros(col("ts"))).as("first_us"),
+        max(unix_micros(col("ts"))).as("last_us"))
+
   final case class EventIn(user_id: Long, ts: java.sql.Timestamp)
   final case class UserSessions(user_id: Long, n_sessions: Long, n_events: Long)
   final case class SessState(lastTsMicros: Long, nSessions: Long, nEvents: Long)

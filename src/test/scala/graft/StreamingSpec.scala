@@ -36,6 +36,29 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming session_window equals the batch session_window_native result") {
+    val streamed = StreamOps.runToTable(
+      StreamOps.sessionWindowCounts(spark, sf), "stream_session_window",
+      OutputMode.Complete())
+      .select(col("user_id"), col("n_events"),
+        ((col("last_us") - col("first_us")) / 1000000L).cast("long").as("span_sec"),
+        col("first_us"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val batchWithStart = q("session_window_native").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events"),
+        r.getAs[Long]("span_sec")))
+    // the batch face drops first_us for its session-index key; compare as
+    // multisets of (user, n_events, span) plus matching session counts
+    assert(streamed.size === batchWithStart.length)
+    val streamBag = streamed.toSeq.map(t => (t._1, t._2, t._3))
+      .groupBy(identity).view.mapValues(_.size).toMap
+    val batchBag = batchWithStart.toSeq
+      .groupBy(identity).view.mapValues(_.size).toMap
+    assert(streamBag === batchBag)
+  }
+
   test("flatMapGroupsWithState session log equals the batch closed-session set") {
     val streamed = StreamOps.runToTable(
       StreamOps.sessionLogStream(spark, sf).toDF(),
