@@ -95,18 +95,22 @@ object TimeOps {
     * against a derived grid of 2-hour maintenance windows every 6 hours.
     * The naive `s.start < w.end AND w.start < s.end` theta join is a
     * per-key cross product; Spark-first both interval sets EXPLODE to
-    * their covered 1-hour bins (bounded: ≤2 bins/window, session bins
-    * bounded by the 30-min-gap rule), equi-join on the bin, then a
-    * residual strict-overlap filter + distinct collapse the
-    * multi-bin matches. All boundary arithmetic is exact epoch-micros
+    * their covered bins, equi-join on the bin, then a residual
+    * strict-overlap filter + distinct collapse the multi-bin matches.
+    * The bin width comes from the DATA ([[overlapBinWidth]]: hour-
+    * rounded session-length P99, floor 1 h), so ≥99% of sessions land
+    * in ≤2 bins on any corpus — fan-out is bounded by construction,
+    * not by a fixture-tuned constant. All boundary arithmetic is exact epoch-micros
     * LONGs (truncation to micros commutes with min/max, so the ns-
     * precision source agrees across engines); overlap seconds are one
     * integral division. The window grid derives from a 1-row bounds
     * aggregate — nothing hardcoded, any data range works. */
-  def intervalOverlapJoin(spark: SparkSession, sfDir: String): DataFrame = {
-    val SixH = 21600000000L; val TwoH = 7200000000L; val OneH = 3600000000L
+  /** Session intervals (one row per 30-min-gap session with its exact
+    * epoch-micros bounds) — shared by [[intervalOverlapJoin]] and its
+    * fan-out spec. */
+  private[graft] def sessionIntervals(spark: SparkSession, sfDir: String): DataFrame = {
     val byUser = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
-    val sess = Tables.events(spark, sfDir)
+    Tables.events(spark, sfDir)
       .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
       .withColumn("is_new",
         when(col("prev_ts").isNull ||
@@ -117,6 +121,39 @@ object TimeOps {
       .groupBy("user_id", "session_id")
       .agg(min(unix_micros(col("ts"))).as("s_us"),
         max(unix_micros(col("ts"))).as("e_us"))
+  }
+
+  /** Bin width for the overlap join, DERIVED FROM THE DATA: the hour-
+    * rounded P99 of session length (floor 1 h). The RESULT is invariant
+    * to the width — bins only propose candidates; the residual strict-
+    * overlap filter and distinct fix the output — so this is purely a
+    * fan-out control: a corpus of day-long sessions gets day-scale bins
+    * (≈1 bin/interval) instead of exploding each session into 24+ hourly
+    * bins. The P99 is exact-integer and scale-safe: lengths quantize to
+    * whole SECONDS (ceil), so the cumulative-count window runs over at
+    * most max-session-seconds distinct values — bounded by the time
+    * domain, not the row count. Returns one row: `binw` (micros). */
+  private[graft] def overlapBinWidth(sess: DataFrame): DataFrame = {
+    val OneH = 3600000000L
+    val lens = sess.select(
+      expr("(e_us - s_us + 999999) div 1000000").as("len_s"))
+    val n1 = lens.agg(count(lit(1)).as("n"))
+    lens.groupBy("len_s").agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(
+        Window.orderBy(col("len_s").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(broadcast(n1))
+      .filter(col("cum") * 100 >= col("n") * 99)
+      .agg(min(col("len_s")).as("p99_s"))
+      .select(expr(
+        s"greatest($OneH, ((p99_s * 1000000 + $OneH - 1) div $OneH) * $OneH)")
+        .as("binw"))
+  }
+
+  def intervalOverlapJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val SixH = 21600000000L; val TwoH = 7200000000L
+    val sess = sessionIntervals(spark, sfDir)
+    val binw = broadcast(overlapBinWidth(sess))
     val bounds = Tables.events(spark, sfDir)
       .agg(unix_micros(date_trunc("day", min(col("ts")))).as("d0"),
         unix_micros(max(col("ts"))).as("mx"))
@@ -125,10 +162,12 @@ object TimeOps {
         explode(expr(s"sequence(0, (mx - d0) div $SixH)")).as("window_id"))
       .select(col("window_id"), (col("d0") + col("window_id") * SixH).as("ws_us"))
       .withColumn("we_us", col("ws_us") + TwoH)
-    val sb = sess.select(col("user_id"), col("session_id"), col("s_us"), col("e_us"),
-      explode(expr(s"sequence(s_us div $OneH, e_us div $OneH)")).as("h"))
-    val wb = wins.select(col("window_id"), col("ws_us"), col("we_us"),
-      explode(expr(s"sequence(ws_us div $OneH, (we_us - 1) div $OneH)")).as("h"))
+    val sb = sess.crossJoin(binw)
+      .select(col("user_id"), col("session_id"), col("s_us"), col("e_us"),
+        explode(expr("sequence(s_us div binw, e_us div binw)")).as("h"))
+    val wb = wins.crossJoin(binw)
+      .select(col("window_id"), col("ws_us"), col("we_us"),
+        explode(expr("sequence(ws_us div binw, (we_us - 1) div binw)")).as("h"))
     sb.join(wb, "h")
       .filter(col("s_us") < col("we_us") && col("ws_us") < col("e_us"))
       .select("user_id", "session_id", "window_id",

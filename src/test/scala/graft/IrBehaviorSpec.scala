@@ -193,6 +193,27 @@ class IrBehaviorSpec extends SparkSpec {
     assert(rows.nonEmpty)
   }
 
+  test("interval_overlap_join: data-derived bin width bounds the explode fan-out") {
+    val sess = ops.TimeOps.sessionIntervals(spark, sf)
+    val binw = ops.TimeOps.overlapBinWidth(sess).collect()(0).getAs[Long]("binw")
+    // width covers the P99 session length (hour-rounded, floor 1h) …
+    assert(binw >= 3600000000L)
+    assert(binw % 3600000000L === 0L)
+    val lens = sess.select((col("e_us") - col("s_us")).as("len"))
+      .collect().map(_.getLong(0)).sorted
+    val p99 = lens(math.min(lens.length - 1, math.ceil(lens.length * 0.99).toInt - 1))
+    assert(binw + 3600000000L >= p99,
+      s"binw $binw not within one hour-round of p99 $p99")
+    // … so ≥99% of intervals span ≤2 bins and the explode stays ~linear:
+    // average bins-per-session ≤ 2 + the ≤1% tail's maxLen/binw surplus
+    val bins = sess.select(
+        (col("e_us") / binw).cast("long") - (col("s_us") / binw).cast("long") + 1L)
+      .collect().map(_.getLong(0))
+    val avg = bins.sum.toDouble / bins.length
+    val tailBound = 2.0 + 0.01 * (lens.last.toDouble / binw + 1.0)
+    assert(avg <= tailBound, s"average bins/session $avg exceeds bound $tailBound")
+  }
+
   test("sql_q3_shipping equals its DataFrame-API twin") {
     val cutoff = lit(java.sql.Timestamp.valueOf("1998-06-01 00:00:00"))
     val twin = Tables.customer(spark, sf)
