@@ -160,7 +160,70 @@ object CurateOps {
       .orderBy("s_suppkey", "trial")
   }
 
+  /** Token-budget selection — the data-mix primitive: "fill N tokens
+    * with the highest-quality documents". Priority order is
+    * (quality DESC, doc_id ASC) over [[TextOps.qualityScore]]'s oracled
+    * score; the budget derives from the corpus (one tenth of total
+    * tokens), nothing hardcoded.
+    *
+    * Scale shape — the naive formulation is a GLOBAL running-sum window
+    * over the quality order: one partition holds the whole corpus. This
+    * is the two-phase equi-depth trick instead: (1) per-QUALITY-VALUE
+    * token totals (distributed groupBy; the 10⁻⁶-rounded score grid
+    * bounds the bucket count at ~10⁶ regardless of corpus size), (2) a
+    * cumulative window over those bounded buckets picks the fully-kept
+    * prefix and THE one boundary bucket, (3) only the boundary bucket's
+    * own docs run a doc_id-ordered running sum (window partitioned by
+    * quality — bounded by one bucket's population, not the corpus).
+    * Docs join their bucket on the quality key — a plain distributed
+    * equi-join. The quality-score derivation is checkpointed once; all
+    * three consumers (budget, buckets, doc join) reuse it. */
+  def tokenBudgetSelect(spark: SparkSession, sfDir: String): DataFrame = {
+    val q = DedupOps.eagerCheckpoint(TextOps.qualityScore(spark, sfDir))
+    val budget = q.agg(expr("CAST(sum(n_tokens) div 10 AS BIGINT)").as("budget"))
+    val buckets = q.groupBy("quality").agg(sum(col("n_tokens")).as("bt"))
+      .withColumn("cum_before", coalesce(sum(col("bt")).over(
+        Window.orderBy(col("quality").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val marked = q.join(buckets, "quality").crossJoin(broadcast(budget))
+    val fullKeep = marked
+      .filter(col("cum_before") + col("bt") <= col("budget"))
+      .select(col("doc_id"), col("n_tokens"), col("quality"))
+    val boundary = marked
+      .filter(col("cum_before") < col("budget") &&
+        col("cum_before") + col("bt") > col("budget"))
+      .withColumn("wb", coalesce(sum(col("n_tokens")).over(
+        Window.partitionBy("quality").orderBy(col("doc_id").asc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .filter(col("cum_before") + col("wb") < col("budget"))
+      .select(col("doc_id"), col("n_tokens"), col("quality"))
+    fullKeep.unionAll(boundary)
+      .orderBy(col("quality").desc, col("doc_id").asc)
+  }
+
+  /** Quality-threshold yield curve — the sweep a curation run does
+    * before picking a cutoff: for each observed quality decile, how many
+    * documents and tokens survive a `quality ≥ threshold` gate. One
+    * distributed groupBy onto ≤11 decile buckets, then a cumulative
+    * window over that constant-size table — the curve costs one scan at
+    * any corpus size. */
+  def qualityYieldCurve(spark: SparkSession, sfDir: String): DataFrame = {
+    val top = Window.orderBy(col("bucket").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    TextOps.qualityScore(spark, sfDir)
+      .select(floor(col("quality") * 10).cast("long").as("bucket"),
+        col("n_tokens"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("docs"), sum(col("n_tokens")).as("toks"))
+      .select((col("bucket").cast("double") / 10).as("threshold"),
+        sum(col("docs")).over(top).as("n_docs"),
+        sum(col("toks")).over(top).as("n_tokens"))
+      .orderBy("threshold")
+  }
+
   val queries: Map[String, Q] = Map(
+    "token_budget_select"    -> (tokenBudgetSelect _),
+    "quality_yield_curve"    -> (qualityYieldCurve _),
     "curation_pipeline"      -> (curationPipeline _),
     "train_val_split"        -> (trainValSplit _),
     "decontaminate"          -> (decontaminate _),
@@ -170,7 +233,50 @@ object CurateOps {
 
   private val stopList = enStopwords.map(s => s"'$s'").mkString(", ")
 
+  /** The quality-score derivation shared by the two budget oracles —
+    * textually identical to the `quality_score` oracle's CTE chain. */
+  private val qualitySql =
+    s"""t AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |    least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 50.0, 1.0) AS len_score,
+       |    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+       |      / len(string_split(text, ' ')) AS diversity,
+       |    CAST(len(list_filter(string_split(text, ' '),
+       |         x -> x IN ($stopList))) AS DOUBLE)
+       |      / len(string_split(text, ' ')) AS stop_ratio
+       |  FROM documents),
+       |q AS (
+       |  SELECT doc_id, n_tokens,
+       |    round((len_score + diversity + stop_ratio) / 3.0, 6) AS quality
+       |  FROM t)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "token_budget_select" ->
+      s"""WITH $qualitySql,
+         |b AS (SELECT CAST(sum(n_tokens) // 10 AS BIGINT) AS budget FROM q),
+         |c AS (
+         |  SELECT doc_id, n_tokens, quality,
+         |    COALESCE(CAST(sum(n_tokens) OVER (
+         |      ORDER BY quality DESC, doc_id ASC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+         |      0) AS cum
+         |  FROM q)
+         |SELECT doc_id, n_tokens, quality FROM c, b
+         |WHERE cum < budget
+         |ORDER BY quality DESC, doc_id ASC""".stripMargin,
+    "quality_yield_curve" ->
+      s"""WITH $qualitySql,
+         |d AS (
+         |  SELECT CAST(floor(quality * 10) AS BIGINT) AS bucket,
+         |    count(*) AS docs, CAST(sum(n_tokens) AS BIGINT) AS toks
+         |  FROM q GROUP BY 1)
+         |SELECT CAST(bucket AS DOUBLE) / 10 AS threshold,
+         |  CAST(sum(docs) OVER (ORDER BY bucket DESC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_docs,
+         |  CAST(sum(toks) OVER (ORDER BY bucket DESC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_tokens
+         |FROM d ORDER BY threshold ASC""".stripMargin,
     "negative_sample" ->
       """WITH pos AS (SELECT DISTINCT l_suppkey, l_partkey FROM lineitem),
         |mx AS (SELECT max(p_partkey) AS max_pk FROM part),

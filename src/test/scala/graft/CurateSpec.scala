@@ -52,4 +52,30 @@ class CurateSpec extends SparkSpec {
     val b = q("train_val_split").collect()
     assert(a.sameElements(b))
   }
+
+  test("token_budget_select fills the budget maximally in priority order") {
+    val sel = q("token_budget_select").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"),
+        r.getAs[Double]("quality")))
+    val all = q("quality_score").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"),
+        r.getAs[Double]("quality")))
+    val budget = all.map(_._2).sum / 10
+    val picked = sel.map(_._2).sum
+    val selIds = sel.map(_._1).toSet
+    val nextBest = all.filter(d => !selIds.contains(d._1))
+      .sortBy(d => (-d._3, d._1)).headOption
+    // keep-while-cum_before<budget semantics: once anything is excluded,
+    // the budget was reached, overshooting by at most the boundary doc
+    nextBest.foreach { _ =>
+      assert(picked >= budget, s"selected $picked under budget $budget")
+      val lastSel = sel.sortBy(d => (-d._3, d._1)).last
+      assert(picked - lastSel._2 < budget,
+        s"overshoot exceeds the boundary doc: $picked vs $budget") }
+    // selection is exactly the priority-order prefix: nothing unselected
+    // outranks a selected doc
+    import scala.math.Ordering.Implicits._
+    val worstSel = sel.map(d => (-d._3, d._1)).max
+    nextBest.foreach { d => assert((-d._3, d._1) > worstSel) }
+  }
 }
