@@ -47,6 +47,7 @@ object Bench {
     ops.FileOps.csvRoundtrip(spark, sfDir)  // eager CSV egress is fixture prep too
     ops.FileOps.jsonRoundtrip(spark, sfDir) // ... and the JSON twin
     ops.FileOps.materializeFixedWidthOrders(spark, sfDir) // fixed-width shards
+    ops.FileOps.materializeCompactFiles(spark, sfDir) // compacted shard corpus
     // local-iteration filter: SPARK_GRAFT_ONLY=a,b,c times just those
     // queries (the driver sets no filter and gets the full registry)
     val only = sys.env.get("SPARK_GRAFT_ONLY")

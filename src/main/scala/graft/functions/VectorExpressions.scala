@@ -308,6 +308,12 @@ case class SortedIntersectCount(left: Expression, right: Expression)
 case class SortedLongIntersect(left: Expression, right: Expression)
     extends BinaryExpression {
 
+  // analysis-time type gate: getLong over a non-long UnsafeArrayData
+  // would silently read garbage, so reject anything but array<long>
+  // (AbstractDataType is private[sql], hence the manual check)
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    VectorFunctions.requireLongArrays(prettyName, left, right)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "sorted_long_intersect"
 
@@ -373,6 +379,9 @@ case class SortedLongIntersect(left: Expression, right: Expression)
 case class SortedLongIntersectCount(left: Expression, right: Expression)
     extends BinaryExpression {
 
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    VectorFunctions.requireLongArrays(prettyName, left, right)
   override def dataType: DataType = LongType
   override def prettyName: String = "sorted_long_intersect_count"
 
@@ -425,6 +434,19 @@ case class SortedLongIntersectCount(left: Expression, right: Expression)
 
 /** Column-API front door for the native vector expressions. */
 object VectorFunctions {
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+
+  /** Shared analysis-time gate for the long-array merge kernels. */
+  private[functions] def requireLongArrays(
+      name: String, exprs: Expression*): TypeCheckResult = {
+    val bad = exprs.map(_.dataType).filterNot {
+      case ArrayType(LongType, _) => true
+      case _                      => false
+    }
+    if (bad.isEmpty) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$name requires array<bigint> inputs, got ${bad.mkString(", ")}")
+  }
   /** Exact sequential-fold dot product of two float/double array columns,
     * in DOUBLE, as a whole-stage-codegen native expression. */
   def vecDot(a: Column, b: Column): Column =

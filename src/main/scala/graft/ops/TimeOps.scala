@@ -67,13 +67,14 @@ object TimeOps {
     * rank of the session's first event within the user, which equals the
     * lag-formulation's running-sum id.
     *
-    * Boundary semantics: `session_window` is HALF-OPEN — an event landing
-    * EXACTLY gap after its predecessor starts a NEW session, where the
-    * lag formulation's `diff > gap` keeps it. The oracle states the
-    * half-open rule (`>=`), so the gate verifies the native operator's
-    * actual contract; sub-microsecond fixture timestamps make exact-gap
-    * ties vanishingly unlikely, and the StreamingSpec twin pins
-    * streaming == batch on this same operator. */
+    * Boundary semantics: `session_window`'s gap is INCLUSIVE — an event
+    * landing EXACTLY gap after its predecessor STAYS in the session,
+    * matching the lag formulation's `diff > gap` split rule exactly
+    * (pinned by a JoinWindowTimeSpec unit test with a constructed
+    * exact-gap pair — the fixture's sub-second timestamps can't exercise
+    * the tie). The oracle is therefore identical to `session_spans`',
+    * and the StreamingSpec twin pins streaming == batch on this same
+    * operator. */
   def sessionWindowNative(spark: SparkSession, sfDir: String): DataFrame = {
     val sessions = Tables.events(spark, sfDir)
       .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
@@ -152,7 +153,11 @@ object TimeOps {
 
   def intervalOverlapJoin(spark: SparkSession, sfDir: String): DataFrame = {
     val SixH = 21600000000L; val TwoH = 7200000000L
-    val sess = sessionIntervals(spark, sfDir)
+    // checkpointed: both the P99 bin-width aggregate and the bin explode
+    // consume the session derivation (events scan + per-user lag window);
+    // without it each consumer re-runs the derivation (exchange reuse
+    // doesn't survive the differing downstream pruning)
+    val sess = DedupOps.eagerCheckpoint(sessionIntervals(spark, sfDir))
     val binw = broadcast(overlapBinWidth(sess))
     val bounds = Tables.events(spark, sfDir)
       .agg(unix_micros(date_trunc("day", min(col("ts")))).as("d0"),
@@ -446,8 +451,8 @@ object TimeOps {
         |SELECT user_id, session_id, count(*) AS n_events,
         |  CAST(floor(date_diff('microsecond', min(ts), max(ts)) / 1000000) AS BIGINT) AS span_sec
         |FROM g GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
-    // session_window's half-open boundary: an event EXACTLY gap after its
-    // predecessor starts a new session, hence >= where session_spans has >
+    // session_window's gap boundary is INCLUSIVE (exact-gap events merge —
+    // pinned by spec), so the split rule is the same > as session_spans
     "session_window_native" ->
       """WITH t AS (
         |  SELECT user_id, ts, event_id,
@@ -456,7 +461,7 @@ object TimeOps {
         |s AS (
         |  SELECT user_id, ts, event_id,
         |    CASE WHEN prev_ts IS NULL
-        |           OR date_diff('microsecond', prev_ts, ts) >= 1800000000
+        |           OR date_diff('microsecond', prev_ts, ts) > 1800000000
         |         THEN 1 ELSE 0 END AS is_new
         |  FROM t),
         |g AS (

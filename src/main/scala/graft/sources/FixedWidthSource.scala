@@ -216,7 +216,10 @@ class FixedWidthScan(
     override def sizeInBytes(): java.util.OptionalLong =
       java.util.OptionalLong.of(math.max(1L, projBytes))
     override def numRows(): java.util.OptionalLong =
-      java.util.OptionalLong.of((totalBytes + lineBytes - 1) / lineBytes)
+      // ceiling PER FILE: a single pooled ceiling would still undercount
+      // when several files each miss their trailing newline
+      java.util.OptionalLong.of(
+        dataFiles.map(f => (f.getLen + lineBytes - 1) / lineBytes).sum)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

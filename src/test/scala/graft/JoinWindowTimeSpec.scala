@@ -151,4 +151,27 @@ class JoinWindowTimeSpec extends SparkSpec {
     val total = q("time_tumbling").agg(sum("n")).collect()(0).getLong(0)
     assert(total === Tables.events(spark, sf).count())
   }
+
+  test("session_window gap boundary is inclusive: an exact-gap event merges") {
+    // pins the boundary the session_window_native oracle depends on (its
+    // split rule is the lag formulation's strict >): user 1's second
+    // event lands EXACTLY 30 min after the first and MERGES; user 2's
+    // lands one microsecond past the gap and splits. The fixture's
+    // timestamps never hit the tie, so only this constructed pair
+    // distinguishes > from >=.
+    import spark.implicits._
+    val t0 = 1700000000000000L // epoch micros, arbitrary
+    val gap = 1800L * 1000000L
+    val df = Seq(
+      (1L, t0), (1L, t0 + gap),
+      (2L, t0), (2L, t0 + gap + 1L)).toDF("user_id", "us")
+      .select(col("user_id"), expr("timestamp_micros(us)").as("ts"))
+    val sessions = df
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .count()
+      .groupBy("user_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sessions(1L) === 1L, "exact-gap event must MERGE (inclusive gap)")
+    assert(sessions(2L) === 2L, "event past the gap must start a new session")
+  }
 }
