@@ -133,6 +133,32 @@ object TextOps {
         md5(concat_ws(" ", array_sort(array_distinct(tokens)))).as("fingerprint"))
       .orderBy("doc_id")
 
+  /** Sliding-window document chunking — the tokenize-and-chunk pass an
+    * LLM training pipeline runs before sequence packing: fixed 64-token
+    * chunks on a 48-token stride (16-token overlap so no boundary
+    * context is lost). Chunk count per doc is the closed form
+    * `1 + max(0, ceil((n−C)/S))` — exact integer arithmetic, identical
+    * in both engines — and each chunk row carries its token count and a
+    * content digest (md5 of the re-joined slice) rather than the chunk
+    * body, so the result set stays narrow. Pure narrow map: the explode
+    * fans out ≤ n/S chunks per doc with no shuffle until the final
+    * order-by; at 100 TB this is the map stage feeding a pack/shuffle
+    * stage, and the per-row work is one split + array slices. */
+  def chunkDocuments(spark: SparkSession, sfDir: String): DataFrame = {
+    val C = 64; val S = 48
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .withColumn("n", size(col("t")).cast("long"))
+      .withColumn("chunk_id",
+        explode(expr(s"sequence(0L, greatest(0L, (n - $C + $S - 1) div $S))")))
+      .select(col("doc_id"), col("chunk_id"),
+        least(lit(C.toLong), col("n") - col("chunk_id") * S).as("n_tokens"),
+        md5(concat_ws(" ",
+          slice(col("t"), (col("chunk_id") * S + 1).cast("int"), lit(C))))
+          .as("digest"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
   /** North-star rolling-shingle fingerprint (winnowing/MOSS family): the
     * document's 3-token shingles are hashed and the bottom-4 hashes form
     * the sketch — a fixed-size, order-sensitive signature whose collision
@@ -337,11 +363,25 @@ object TextOps {
     "lang_id"           -> (langId _),
     "quality_score"     -> (qualityScore _),
     "token_regex_count" -> (tokenRegexCount _),
+    "chunk_documents"   -> (chunkDocuments _),
     "doc_fingerprint"   -> (docFingerprint _))
 
   private val stopList = enStopwords.map(s => s"'$s'").mkString(", ")
 
   val oracle: Map[String, String] = Map(
+    "chunk_documents" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n, t, CAST(i.x AS BIGINT) AS chunk_id
+        |  FROM d, unnest(range(0, greatest(0, (n - 64 + 47) // 48) + 1)) AS i(x))
+        |SELECT doc_id, chunk_id,
+        |  CAST(least(64, n - chunk_id * 48) AS BIGINT) AS n_tokens,
+        |  md5(array_to_string(t[(chunk_id * 48 + 1):(chunk_id * 48 + 64)], ' '))
+        |    AS digest
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
     "pmi_bigrams" ->
       s"""WITH bg AS (
          |  SELECT tk[i] AS w1, tk[i + 1] AS w2 FROM (

@@ -161,4 +161,23 @@ class TextDedupSpec extends SparkSpec {
   test("ngram jaccard pairs respect the threshold") {
     assert(q("dedup_ngram_jaccard").filter(col("jaccard") < 0.9).count() === 0)
   }
+
+  test("chunk_documents tiles every document: full interior chunks, exact tail") {
+    val chunks = q("chunk_documents").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_id"),
+        r.getAs[Long]("n_tokens")))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    val docTokens = Tables.documents(spark, sf)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(chunks.keySet === docTokens.keySet, "every document is chunked")
+    chunks.foreach { case (doc, cs) =>
+      // contiguous ids from 0, every chunk before the last is full-width,
+      // and the last chunk's 48-stride offset + length lands exactly on
+      // the document's token count (total coverage, nothing clipped)
+      assert(cs.map(_._2) === (0L until cs.length).toSeq, s"doc $doc ids")
+      cs.init.foreach { c => assert(c._3 === 64L, s"doc $doc interior chunk") }
+      val last = cs.last
+      assert(last._2 * 48 + last._3 === docTokens(doc), s"doc $doc tail") }
+  }
 }
