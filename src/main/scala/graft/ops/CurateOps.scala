@@ -201,6 +201,34 @@ object CurateOps {
       .orderBy(col("quality").desc, col("doc_id").asc)
   }
 
+  /** Sequence packing — the step after [[TextOps.chunkDocuments]] in a
+    * training pipeline: pack the 64-token chunks into 256-token training
+    * sequences. Same distributed deterministic bin-packing as
+    * `compact_files` (the packing unit is tokens instead of bytes):
+    * chunks order by (doc_id, chunk_id) inside a doc_id-range group, a
+    * PARTITIONED running-token window assigns each chunk to sequence
+    * `floor(tokens_before / 256)`, and the output is one row per packed
+    * sequence with its chunk/doc/token tallies and fill ratio — the
+    * numbers a pipeline monitors for padding waste. No global sort
+    * funnel; at most one underfull tail sequence per group. */
+  def packSequences(spark: SparkSession, sfDir: String): DataFrame = {
+    val SeqTokens = 256L
+    val w = Window.partitionBy("grp").orderBy(col("doc_id").asc, col("chunk_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    TextOps.chunkGrid(spark, sfDir)
+      .withColumn("grp", floor(col("doc_id") / 256))
+      .withColumn("seq_id", format_string("g%03d_s%04d", col("grp"),
+        (coalesce(sum(col("n_tokens")).over(w), lit(0L)) / SeqTokens)
+          .cast("long")))
+      .groupBy("seq_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"))
+      .withColumn("fill_ratio",
+        col("n_tokens").cast("double") / lit(SeqTokens.toDouble))
+      .orderBy("seq_id")
+  }
+
   /** Quality-threshold yield curve — the sweep a curation run does
     * before picking a cutoff: for each observed quality decile, how many
     * documents and tokens survive a `quality ≥ threshold` gate. One
@@ -224,6 +252,7 @@ object CurateOps {
   val queries: Map[String, Q] = Map(
     "token_budget_select"    -> (tokenBudgetSelect _),
     "quality_yield_curve"    -> (qualityYieldCurve _),
+    "pack_sequences"         -> (packSequences _),
     "curation_pipeline"      -> (curationPipeline _),
     "train_val_split"        -> (trainValSplit _),
     "decontaminate"          -> (decontaminate _),
@@ -252,6 +281,32 @@ object CurateOps {
        |  FROM t)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "pack_sequences" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+        |  FROM documents),
+        |ch AS (
+        |  SELECT doc_id, CAST(i.x AS BIGINT) AS chunk_id,
+        |    CAST(least(64, n - CAST(i.x AS BIGINT) * 48) AS BIGINT) AS n_tokens,
+        |    doc_id // 256 AS grp
+        |  FROM d, unnest(range(0, greatest(0, (n - 64 + 47) // 48) + 1)) AS i(x)),
+        |s AS (
+        |  SELECT grp, doc_id, chunk_id, n_tokens,
+        |    COALESCE(CAST(sum(n_tokens) OVER (PARTITION BY grp
+        |      ORDER BY doc_id ASC, chunk_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+        |      0) AS cum
+        |  FROM ch),
+        |b AS (
+        |  SELECT format('g{:03d}_s{:04d}', grp, cum // 256) AS seq_id,
+        |    doc_id, n_tokens
+        |  FROM s)
+        |SELECT seq_id, count(*) AS n_chunks,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        |  CAST(sum(n_tokens) AS DOUBLE) / 256.0 AS fill_ratio
+        |FROM b GROUP BY seq_id ORDER BY seq_id""".stripMargin,
     "token_budget_select" ->
       s"""WITH $qualitySql,
          |b AS (SELECT CAST(sum(n_tokens) // 10 AS BIGINT) AS budget FROM q),

@@ -144,7 +144,10 @@ object TextOps {
     * fans out ≤ n/S chunks per doc with no shuffle until the final
     * order-by; at 100 TB this is the map stage feeding a pack/shuffle
     * stage, and the per-row work is one split + array slices. */
-  def chunkDocuments(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Chunk grid shared by [[chunkDocuments]] and
+    * [[CurateOps.packSequences]] — unordered (doc_id, chunk_id,
+    * n_tokens, digest) rows. */
+  private[ops] def chunkGrid(spark: SparkSession, sfDir: String): DataFrame = {
     val C = 64; val S = 48
     Tables.documents(spark, sfDir)
       .select(col("doc_id"), split(col("text"), " ").as("t"))
@@ -156,8 +159,10 @@ object TextOps {
         md5(concat_ws(" ",
           slice(col("t"), (col("chunk_id") * S + 1).cast("int"), lit(C))))
           .as("digest"))
-      .orderBy("doc_id", "chunk_id")
   }
+
+  def chunkDocuments(spark: SparkSession, sfDir: String): DataFrame =
+    chunkGrid(spark, sfDir).orderBy("doc_id", "chunk_id")
 
   /** North-star rolling-shingle fingerprint (winnowing/MOSS family): the
     * document's 3-token shingles are hashed and the bottom-4 hashes form

@@ -78,4 +78,26 @@ class CurateSpec extends SparkSpec {
     val worstSel = sel.map(d => (-d._3, d._1)).max
     nextBest.foreach { d => assert((-d._3, d._1) > worstSel) }
   }
+
+  test("pack_sequences conserves chunks/tokens and bounds sequence size") {
+    val seqs = q("pack_sequences").collect()
+    val chunks = q("chunk_documents").collect()
+    // conservation: every chunk and token lands in exactly one sequence
+    assert(seqs.map(_.getAs[Long]("n_chunks")).sum === chunks.length.toLong)
+    assert(seqs.map(_.getAs[Long]("n_tokens")).sum ===
+      chunks.map(_.getAs[Long]("n_tokens")).sum)
+    // a sequence closes at the first chunk crossing the target, so size
+    // is bounded by target + one chunk; fill_ratio restates n_tokens/256
+    seqs.foreach { s =>
+      val t = s.getAs[Long]("n_tokens")
+      assert(t <= 256 + 64, s"seq ${s.getString(0)} overshoots: $t")
+      assert(math.abs(s.getAs[Double]("fill_ratio") - t / 256.0) < 1e-12) }
+    // packing actually packs: a non-tail sequence spans one full 256-token
+    // boundary interval, so it holds at least 256 − 63 tokens (the
+    // boundary chunk of the PREVIOUS sequence can eat at most 63 into
+    // this one's interval); only the per-group tails may fall below
+    val grps = seqs.map(_.getString(0).takeWhile(_ != '_')).distinct.length
+    assert(seqs.count(_.getAs[Long]("n_tokens") < 256 - 63) <= grps,
+      "more underfull sequences than packing groups")
+  }
 }
