@@ -434,4 +434,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(pushed.exists(_.contains("EqualTo(c_mktsegment,BUILDING)")),
       s"segment predicate not pushed to the customer scan: $pushed")
   }
+
+  test("pack_sequences: the packing running-sum window is PARTITIONED, never a global funnel") {
+    val plan = planOf("pack_sequences")
+    val windows = "(?m)^\\s*[+:\\-\\s]*\\*?\\(?\\d*\\)?\\s*Window .*$".r
+      .findAllIn(plan).toList
+    assert(windows.nonEmpty, s"no Window operator in:\n$plan")
+    // every Window in the plan must carry a partition spec: the packing
+    // window is keyed by the doc-id-range group, so no stage funnels the
+    // whole chunk grid through one partition
+    windows.foreach { w =>
+      assert(w.contains("windowspecdefinition(grp"),
+        s"unpartitioned or mis-keyed packing window: $w") }
+    assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
+  }
 }
