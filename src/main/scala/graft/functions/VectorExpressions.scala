@@ -436,16 +436,22 @@ case class SortedLongIntersectCount(left: Expression, right: Expression)
 object VectorFunctions {
   import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 
-  /** Shared analysis-time gate for the long-array merge kernels. */
+  /** Shared analysis-time gate for the long-array merge kernels. The
+    * kernels read elements with `getLong`, which on a null slot of an
+    * UnsafeArrayData reads garbage rather than failing — so the gate
+    * must reject nullable-element arrays outright, not just non-long
+    * ones; a caller with `containsNull = true` fails analysis instead
+    * of silently producing wrong intersections. */
   private[functions] def requireLongArrays(
       name: String, exprs: Expression*): TypeCheckResult = {
     val bad = exprs.map(_.dataType).filterNot {
-      case ArrayType(LongType, _) => true
-      case _                      => false
+      case ArrayType(LongType, false) => true
+      case _                          => false
     }
     if (bad.isEmpty) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"$name requires array<bigint> inputs, got ${bad.mkString(", ")}")
+      s"$name requires array<bigint> inputs with non-null elements, " +
+        s"got ${bad.mkString(", ")}")
   }
   /** Exact sequential-fold dot product of two float/double array columns,
     * in DOUBLE, as a whole-stage-codegen native expression. */

@@ -103,8 +103,14 @@ object CurateOps {
         md5(concat_ws(" ", array_sort(array_distinct(toks)))))
     def bucketed(df: DataFrame): DataFrame =
       df.withColumn("bucket", substring(col("fingerprint"), 1, 4))
-    val corpus = bucketed(fp(Tables.documents(spark, sfDir)
-      .select(col("doc_id"), col("source"), col("text"))))
+    // checkpoint the fingerprinted+bucketed corpus: BOTH branches below
+    // (bucket-miss clean rows and bucket-hit survivors) consume it, and
+    // Catalyst reuses exchanges, not un-exchanged subplan computations —
+    // without the checkpoint the md5-of-sorted-distinct-tokens pass (the
+    // dominant scan+map cost at 100 TB) runs twice (GraphOps.scala lesson)
+    val corpus = DedupOps.eagerCheckpoint(bucketed(fp(
+      Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("source"), col("text")))))
     val evalFp = fp(Tables.documents(spark, sfDir).filter(col("doc_id") % 97 === 0)
       .select(col("text"))).select("fingerprint")
     val evalBuckets = bucketed(evalFp).select("bucket").distinct()

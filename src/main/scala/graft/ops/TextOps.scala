@@ -133,17 +133,6 @@ object TextOps {
         md5(concat_ws(" ", array_sort(array_distinct(tokens)))).as("fingerprint"))
       .orderBy("doc_id")
 
-  /** Sliding-window document chunking — the tokenize-and-chunk pass an
-    * LLM training pipeline runs before sequence packing: fixed 64-token
-    * chunks on a 48-token stride (16-token overlap so no boundary
-    * context is lost). Chunk count per doc is the closed form
-    * `1 + max(0, ceil((n−C)/S))` — exact integer arithmetic, identical
-    * in both engines — and each chunk row carries its token count and a
-    * content digest (md5 of the re-joined slice) rather than the chunk
-    * body, so the result set stays narrow. Pure narrow map: the explode
-    * fans out ≤ n/S chunks per doc with no shuffle until the final
-    * order-by; at 100 TB this is the map stage feeding a pack/shuffle
-    * stage, and the per-row work is one split + array slices. */
   /** Chunk grid shared by [[chunkDocuments]] and
     * [[CurateOps.packSequences]] — unordered (doc_id, chunk_id,
     * n_tokens, digest) rows. */

@@ -367,6 +367,17 @@ class PlanAuditSpec extends SparkSpec {
       plan.contains("BroadcastHashJoin"), s"no keyed join in:\n$plan")
   }
 
+  test("decontaminate_prefilter: both branches ride ONE checkpointed fingerprint pass") {
+    val plan = planOf("decontaminate_prefilter")
+    // the corpus fingerprint (md5 over sorted distinct tokens — the
+    // dominant scan+map cost at 100 TB) is checkpointed, so the final
+    // plan's only parquet scans are the two small eval-set branches;
+    // the corpus reappears as an ExistingRDD scan, computed once
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans <= 2, s"corpus fingerprint recomputed — $scans parquet scans in:\n$plan")
+    assert(plan.contains("ExistingRDD"), s"no checkpointed corpus in:\n$plan")
+  }
+
   test("tfidf_doc_sim: all four derivations ride the checkpointed weights — no re-scan") {
     val plan = planOf("tfidf_doc_sim")
     val scans = "Scan parquet".r.findAllIn(plan).length
