@@ -75,17 +75,68 @@ object FileOps {
       // the parquet scan is one compact partition — repartition so the
       // per-file writes spread across all executor threads instead of
       // running serially on one task (the round-1 compact-source lesson)
+      // executors rebuild the FS from the path URI's scheme plus the
+      // DRIVER's Hadoop conf (broadcast — a bare `new Configuration()`
+      // would drop driver-side fs settings such as object-store
+      // credentials on a real cluster)
+      val hconf = spark.sparkContext.broadcast(
+        new org.apache.spark.util.SerializableConfiguration(
+          spark.sparkContext.hadoopConfiguration))
       Tables.documents(spark, sfDir).select("doc_id", "text")
         .repartition(spark.sparkContext.defaultParallelism)
         .foreachPartition { rows: Iterator[Row] =>
-          // executor side: the FS comes from the path URI's scheme, so a
-          // scheme-qualified shared root (hdfs://, s3a://…) resolves to
-          // the same store the driver probed
           val p = new Path(dir)
-          val efs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+          val efs = p.getFileSystem(hconf.value.value)
           rows.foreach { r =>
             val out = efs.create(new Path(p, f"doc_${r.getLong(0)}%08d.txt"), true)
             try out.write(r.getString(1).getBytes(StandardCharsets.UTF_8))
+            finally out.close()
+          }
+        }
+      fs.create(marker, true).close()
+    }
+    dir
+  }
+
+  /** One GENUINE grayscale PNG per document row — the multimodal fixture.
+    * The image geometry and pixels are a deterministic function of the
+    * doc's UTF-8 bytes (width `(n mod 13)+4`, height `((n div 13) mod
+    * 11)+4`, pixel i = byte `i mod n` tiled row-major), so a decoder that
+    * returns the true raster is fully oracle-checkable: PNG is lossless
+    * and the fixture is ASCII, hence the decoded raster IS `repeat(text)`
+    * truncated to w·h bytes — SQL-expressible in DuckDB. Encoded with JDK
+    * `javax.imageio` (zero external deps), executor-written through the
+    * broadcast Hadoop conf like every fixture writer here. */
+  def materializeImageFiles(spark: SparkSession, sfDir: String): String = {
+    val dir = cacheDir(spark, "imgfiles", sfDir)
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new Path(root, "_SUCCESS")
+    if (!fs.exists(marker)) {
+      fs.mkdirs(root)
+      val hconf = spark.sparkContext.broadcast(
+        new org.apache.spark.util.SerializableConfiguration(
+          spark.sparkContext.hadoopConfiguration))
+      Tables.documents(spark, sfDir).select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .foreachPartition { rows: Iterator[Row] =>
+          val p = new Path(dir)
+          val efs = p.getFileSystem(hconf.value.value)
+          rows.foreach { r =>
+            val bytes = r.getString(1).getBytes(StandardCharsets.UTF_8)
+            val n = bytes.length
+            val w = (n % 13) + 4
+            val h = (n / 13) % 11 + 4
+            val img = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+            val raster = img.getRaster
+            var i = 0
+            while (i < w * h) {
+              raster.setSample(i % w, i / w, 0, bytes(i % n) & 0xff)
+              i += 1
+            }
+            val out = efs.create(new Path(p, f"img_${r.getLong(0)}%08d.png"), true)
+            try { javax.imageio.ImageIO.write(img, "png", out); () }
             finally out.close()
           }
         }
@@ -378,6 +429,9 @@ object FileOps {
       fs.mkdirs(root)
       val w = Window.partitionBy("grp").orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, -1)
+      val hconf = spark.sparkContext.broadcast(
+        new org.apache.spark.util.SerializableConfiguration(
+          spark.sparkContext.hadoopConfiguration))
       spark.read.format("binaryFile")
         .option("pathGlobFilter", "*.txt")
         .load(src)
@@ -395,7 +449,7 @@ object FileOps {
         .repartition(spark.sparkContext.defaultParallelism)
         .foreachPartition { rows: Iterator[Row] =>
           val p = new Path(dir)
-          val efs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+          val efs = p.getFileSystem(hconf.value.value)
           rows.foreach { r =>
             val out = efs.create(new Path(p, s"part_${r.getString(0)}.bin"), true)
             try r.getSeq[Row](1).foreach(d => out.write(d.getAs[Array[Byte]](1)))

@@ -7,15 +7,17 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing (north-star): media as opaque `binary`
   * columns with typed metadata, decoded/feature-extracted per partition.
   *
-  * The fixture corpus has no real image/audio bytes, so the *decoder* is a
-  * deterministic stub ([[FakeDecoder]]; the container has no codec libs) —
-  * but everything Spark-level is real and load-bearing: the decode path
-  * reads ACTUAL file bytes through the `binaryFile` source (the per-doc
-  * files materialized by [[FileOps.materializeDocFiles]]), carries them as
-  * a `binary` column, and decodes them per partition with the
-  * `mapPartitions` batch shape (decoder state constructed once per
-  * partition, streamed per row — exactly how a JNI/FFmpeg/JPEG decoder
-  * would be held). The metadata queries stay in columnar land.
+  * The decode path is REAL end to end: the fixture materializes genuine
+  * grayscale PNGs ([[FileOps.materializeImageFiles]] — JDK `javax.imageio`
+  * encode, zero external deps), the query reads their ACTUAL bytes through
+  * the `binaryFile` source, carries them as a `binary` column, and decodes
+  * them per partition with the `mapPartitions` batch shape (decoder state
+  * constructed once per partition, streamed per row — exactly how a
+  * JNI/FFmpeg codec would be held). PNG is lossless and the fixture's
+  * pixels are a deterministic function of the doc text, so the decoded
+  * width/height/raster-digest are fully oracle-checked in DuckDB — the
+  * gate catches a wrong pixel anywhere in encode→write→scan→decode.
+  * The metadata queries stay in columnar land.
   *
   * At 100 TB the decode stage is the classic CPU hot spot: it's a narrow
   * map (no shuffle), so it scales linearly with executors; the metadata
@@ -24,25 +26,24 @@ import org.apache.spark.sql.functions._
 object MultiModalOps {
   type Q = (SparkSession, String) => DataFrame
 
-  /** The stubbed media decode: deterministic pseudo-metadata from the raw
-    * bytes. A real build replaces `decode` with the actual codec call —
-    * the signature (bytes → width/height/channel-stat) is the contract. */
-  object FakeDecoder {
-    final case class Decoded(width: Int, height: Int, meanByte: Double)
-    /** Deterministic stand-in for an image decoder: shape from length,
-      * "pixel mean" from the byte stream. */
+  /** The real image decoder: PNG bytes → width/height/raster. Held
+    * per-partition (one `ImageIO` dispatch per task, not per row). */
+  object PngDecoder {
+    final case class Decoded(width: Int, height: Int, raster: Array[Byte])
     def decode(bytes: Array[Byte]): Decoded = {
-      val n = bytes.length
-      val w = (n % 64) + 16
-      val h = (n / 64) % 64 + 16
-      var s = 0L
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      val w = img.getWidth
+      val h = img.getHeight
+      val r = img.getRaster
+      val px = new Array[Byte](w * h)
       var i = 0
-      while (i < n) { s += bytes(i) & 0xff; i += 1 }
-      Decoded(w, h, if (n == 0) 0.0 else s.toDouble / n)
+      while (i < w * h) { px(i) = r.getSample(i % w, i / w, 0).toByte; i += 1 }
+      Decoded(w, h, px)
     }
   }
 
-  final case class MediaMeta(doc_id: Long, width: Long, height: Long, mean_byte: Double)
+  final case class MediaMeta(
+      doc_id: Long, width: Long, height: Long, px_digest: String, px_sum: Long)
 
   /** Columnar metadata over a binary media column — byte length and
     * content digest computed by codegen'd builtins; the binary column is
@@ -69,50 +70,59 @@ object MultiModalOps {
         col("content").as("media"))
   }
 
-  /** The decode stage: real file bytes → typed per-item features via
-    * `mapPartitions`, decoder instantiated once per partition.
-    * Oracle-checked: the fixture corpus is pure ASCII, so the file bytes
-    * ARE the text's code points and DuckDB recomputes the stub decoder's
-    * byte math from `documents.text` — which also re-proves the per-doc
-    * file round-trip. The ScalaTest spec additionally pins exact values. */
-  def mmDecodeStub(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Real PNG bytes → (doc_id, media): the image half of the fixture. */
+  private def imageBytes(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = FileOps.materializeImageFiles(spark, sfDir)
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.png")
+      .load(dir)
+      .select(regexp_extract(col("path"), "img_(\\d+)\\.png", 1).cast("long").as("doc_id"),
+        col("content").as("media"))
+  }
+
+  private def decoded(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    mediaBytes(spark, sfDir)
+    imageBytes(spark, sfDir)
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        // per-partition decoder setup would go here (codec handles, JNI)
+        // per-partition decoder scope: ImageIO's reader dispatch and any
+        // codec handles live here, constructed once per task
         it.map { case (id, bytes) =>
-          val d = FakeDecoder.decode(bytes)
-          MediaMeta(id, d.width.toLong, d.height.toLong, d.meanByte)
+          val d = PngDecoder.decode(bytes)
+          val md = java.security.MessageDigest.getInstance("MD5").digest(d.raster)
+          var s = 0L
+          var i = 0
+          while (i < d.raster.length) { s += d.raster(i) & 0xff; i += 1 }
+          MediaMeta(id, d.width.toLong, d.height.toLong,
+            md.map("%02x".format(_)).mkString, s)
         }
       }
       .toDF()
-      .orderBy("doc_id")
   }
 
-  /** Feature-extract + group: mean decoded "pixel" stat per source —
-    * the file-decoded features join back to the catalog table on the
-    * filename-derived key and feed a normal columnar aggregation. */
-  def mmFeatureAgg(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    val decoded = mediaBytes(spark, sfDir)
-      .as[(Long, Array[Byte])]
-      .mapPartitions(_.map { case (id, bytes) =>
-        val d = FakeDecoder.decode(bytes)
-        MediaMeta(id, d.width.toLong, d.height.toLong, d.meanByte)
-      })
-      .toDF()
+  /** The REAL decode stage: genuine PNG file bytes → decoded geometry +
+    * raster digest via `mapPartitions`, `javax.imageio` instantiated once
+    * per partition. Fully oracle-checked: PNG is lossless, the fixture
+    * pixels tile the doc's ASCII bytes row-major, so DuckDB reconstructs
+    * the exact raster string (`repeat(text)` truncated to w·h) and its
+    * md5/sum from `documents.text` — one wrong pixel anywhere in
+    * encode→write→scan→decode fails the hash gate. */
+  def mmDecode(spark: SparkSession, sfDir: String): DataFrame =
+    decoded(spark, sfDir).orderBy("doc_id")
+
+  /** Feature-extract + group: decoded-pixel stats per source — the
+    * file-decoded features join back to the catalog table on the
+    * filename-derived key and feed a normal columnar aggregation. All
+    * sums are exact integers (the Det doctrine: no merge-order-dependent
+    * float aggregation). */
+  def mmFeatureAgg(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir).select(col("doc_id"), col("source"))
-      .join(decoded, "doc_id")
+      .join(decoded(spark, sfDir), "doc_id")
       .groupBy("source")
       .agg(count(lit(1)).as("n_items"),
         sum(col("width")).cast("long").as("sum_width"),
-        // floor-scaled exact mean (the Det doctrine): round(avg(double))
-        // is merge-order dependent; integer sums are not
-        (sum(floor(col("mean_byte") * 1000000).cast("long")).cast("double")
-          / (count(lit(1)) * 1000000)).as("avg_mean_byte"))
+        sum(col("px_sum")).cast("long").as("sum_px"))
       .orderBy("source")
-  }
 
   /** The resize stage contract: media bytes → fixed-size thumbnail.
     * Stub semantics (no codec libs in the container): the byte stream is
@@ -191,41 +201,47 @@ object MultiModalOps {
 
   val queries: Map[String, Q] = Map(
     "mm_metadata"     -> (mmMetadata _),
-    "mm_decode_stub"  -> (mmDecodeStub _),
+    "mm_decode"       -> (mmDecode _),
     "mm_feature_agg"  -> (mmFeatureAgg _),
     "mm_resize"       -> (mmResize _),
     "mm_frame_sample" -> (mmFrameSample _))
 
-  /** Per-doc byte sums over the ASCII fixture: octet_length == length and
-    * ascii(char) == byte value, so the decoder stub's byte math mirrors
-    * into list arithmetic over the source text. Fixture-specific by
-    * design — oracles always are — and doubles as a file round-trip
-    * check (Spark reads the materialized FILES, the oracle the table). */
-  private val sqlByteSums =
-    """b AS (SELECT doc_id, octet_length(encode(text)) AS n,
-      |  list_sum(list_transform(range(1, length(text) + 1),
-      |    i -> ascii(substring(text, i, 1)))) AS s
-      |  FROM documents)""".stripMargin
+  /** The fixture raster, rebuilt in SQL: the PNG writer tiles the doc's
+    * ASCII bytes row-major over a w×h grid, so the decoded raster as a
+    * byte string is `repeat(text)` truncated to w·h — char == byte on the
+    * ASCII fixture, and md5-of-string == md5-of-bytes. Doubles as a PNG
+    * encode/decode round-trip check (Spark decodes the materialized
+    * FILES, the oracle recomputes from the table). */
+  private val sqlRaster =
+    """g AS (SELECT doc_id, text, octet_length(encode(text)) AS n,
+      |    (octet_length(encode(text)) % 13) + 4 AS w,
+      |    ((octet_length(encode(text)) // 13) % 11) + 4 AS h
+      |  FROM documents),
+      |r AS (SELECT doc_id, w, h,
+      |    substring(repeat(text, CAST((w * h + n - 1) // n AS INTEGER)),
+      |      1, w * h) AS raster
+      |  FROM g)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "mm_metadata" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  md5(text) AS digest
         |FROM documents ORDER BY doc_id""".stripMargin,
-    "mm_decode_stub" ->
-      s"""WITH $sqlByteSums
-         |SELECT doc_id, CAST((n % 64) + 16 AS BIGINT) AS width,
-         |  CAST((n // 64) % 64 + 16 AS BIGINT) AS height,
-         |  CAST(s AS DOUBLE) / n AS mean_byte
-         |FROM b ORDER BY doc_id""".stripMargin,
+    "mm_decode" ->
+      s"""WITH $sqlRaster
+         |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+         |  md5(raster) AS px_digest,
+         |  CAST(list_sum(list_transform(range(1, w * h + 1),
+         |    i -> ascii(substring(raster, CAST(i AS INTEGER), 1)))) AS BIGINT) AS px_sum
+         |FROM r ORDER BY doc_id""".stripMargin,
     "mm_feature_agg" ->
-      s"""WITH $sqlByteSums,
-         |d AS (SELECT doc_id, (n % 64) + 16 AS width,
-         |             CAST(s AS DOUBLE) / n AS mean_byte FROM b)
+      s"""WITH $sqlRaster,
+         |d AS (SELECT doc_id, w,
+         |  list_sum(list_transform(range(1, w * h + 1),
+         |    i -> ascii(substring(raster, CAST(i AS INTEGER), 1)))) AS px_sum FROM r)
          |SELECT source, count(*) AS n_items,
-         |  CAST(sum(width) AS BIGINT) AS sum_width,
-         |  CAST(sum(CAST(floor(mean_byte * 1000000) AS BIGINT)) AS DOUBLE)
-         |    / (count(*) * 1000000) AS avg_mean_byte
+         |  CAST(sum(w) AS BIGINT) AS sum_width,
+         |  CAST(sum(px_sum) AS BIGINT) AS sum_px
          |FROM documents JOIN d USING (doc_id)
          |GROUP BY source ORDER BY source""".stripMargin,
     "mm_resize" ->

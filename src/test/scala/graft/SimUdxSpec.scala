@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.VectorFunctions
-import graft.ops.MultiModalOps.FakeDecoder
+import graft.ops.MultiModalOps.PngDecoder
 import org.apache.spark.sql.functions._
 
 class SimUdxSpec extends SparkSpec {
@@ -124,18 +124,34 @@ class SimUdxSpec extends SparkSpec {
     assert(bad === 0)
   }
 
-  test("FakeDecoder is deterministic and mm_decode_stub matches it") {
-    val bytes = "hello world".getBytes("UTF-8")
-    val d1 = FakeDecoder.decode(bytes)
-    val d2 = FakeDecoder.decode(bytes)
-    assert(d1 === d2)
-    val row = q("mm_decode_stub").filter(col("doc_id") === 0).collect()(0)
+  test("PngDecoder round-trips the fixture encoding and mm_decode matches it") {
+    // unit: encode a known raster through the same javax.imageio path the
+    // fixture writer uses, decode it back, pixels must be IDENTICAL
+    // (PNG is lossless; this pins the writer↔decoder contract)
+    val w = 7; val h = 5
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val px = Array.tabulate(w * h)(i => ((i * 37 + 11) % 256).toByte)
+    for (i <- 0 until w * h) img.getRaster.setSample(i % w, i / w, 0, px(i) & 0xff)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val d = PngDecoder.decode(bos.toByteArray)
+    assert(d.width === w && d.height === h)
+    assert(d.raster.toSeq === px.toSeq)
+
+    // integration: the registered query's decoded geometry and pixel sum
+    // for doc 0 match the fixture formula computed directly from the text
+    val row = q("mm_decode").filter(col("doc_id") === 0).collect()(0)
     val text = Tables.documents(spark, sf).filter(col("doc_id") === 0)
       .collect()(0).getAs[String]("text")
-    val expect = FakeDecoder.decode(text.getBytes("UTF-8"))
-    assert(row.getAs[Long]("width") === expect.width.toLong)
-    assert(row.getAs[Long]("height") === expect.height.toLong)
-    assert(math.abs(row.getAs[Double]("mean_byte") - expect.meanByte) < 1e-12)
+    val bytes = text.getBytes("UTF-8")
+    val n = bytes.length
+    val ew = (n % 13) + 4
+    val eh = (n / 13) % 11 + 4
+    val esum = (0 until ew * eh).map(i => (bytes(i % n) & 0xff).toLong).sum
+    assert(row.getAs[Long]("width") === ew.toLong)
+    assert(row.getAs[Long]("height") === eh.toLong)
+    assert(row.getAs[Long]("px_sum") === esum)
   }
 
   test("mm_resize: thumbnail pinned to the Resizer contract on real bytes") {
@@ -228,6 +244,22 @@ class SimUdxSpec extends SparkSpec {
         col("n") =!= size(col("generic")).cast("long"))
       .count()
     assert(mism === 0)
+  }
+
+  test("SortedLongIntersect rejects nullable-element arrays at analysis time") {
+    // the kernels read with getLong, which on a null slot of an
+    // UnsafeArrayData silently reads garbage — the type gate must fail
+    // analysis for containsNull = true rather than produce wrong answers
+    val nullable = spark.range(4)
+      .select(array(col("id"), when(col("id") > 1, col("id"))).as("a"),
+        array(col("id")).as("b"))
+    assert(nullable.schema("a").dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType].containsNull)
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      nullable.select(
+        VectorFunctions.sortedLongIntersect(col("a"), col("b"))).collect()
+    }
+    assert(err.getMessage.contains("non-null"), err.getMessage)
   }
 
   test("SortedLongIntersect participates in whole-stage codegen") {
