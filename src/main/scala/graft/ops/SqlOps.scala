@@ -103,13 +103,42 @@ object SqlOps {
     spark.sql(q18Sql)
   }
 
+  private val q17Sql =
+    """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+      |  / CAST(7 AS DOUBLE) AS avg_yearly
+      |FROM lineitem
+      |JOIN part ON p_partkey = l_partkey
+      |WHERE p_brand = 'Brand#4'
+      |  AND CAST(l_quantity AS DOUBLE) < CAST(0.2 AS DOUBLE) * (
+      |    SELECT CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+      |      / COUNT(*)
+      |    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""".stripMargin
+
+  /** TPC-H Q17 small-quantity-order shape as SQL text (brand filter only
+    * — the fixture part table has no container column): the CORRELATED
+    * SCALAR SUBQUERY surface. Catalyst decorrelates the per-part average
+    * into a grouped aggregate joined back on the part key — never a
+    * per-row nested-loop re-execution; the plan spec pins the absence of
+    * nested loops. Determinism doctrine: the threshold is an exact
+    * DECIMAL sum cast once to DOUBLE then one IEEE division by the
+    * count, spelled identically in both engines — avg(DECIMAL) itself
+    * would be DECIMAL(22,6) in Spark but DOUBLE in DuckDB, and the
+    * strict `<` could flip on the differently-rounded boundary. */
+  def sqlQ17AvgYearly(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.part(spark, sfDir).createOrReplaceTempView("part")
+    Tables.lineitem(spark, sfDir).createOrReplaceTempView("lineitem")
+    spark.sql(q17Sql)
+  }
+
   val queries: Map[String, Q] = Map(
     "sql_q1_pricing"    -> (sqlQ1Pricing _),
     "sql_q3_shipping"   -> (sqlQ3Shipping _),
+    "sql_q17_avgyearly" -> (sqlQ17AvgYearly _),
     "sql_q18_toporders" -> (sqlQ18TopOrders _))
 
   val oracle: Map[String, String] = Map(
     "sql_q1_pricing"    -> q1Sql,
     "sql_q3_shipping"   -> q3Sql,
+    "sql_q17_avgyearly" -> q17Sql,
     "sql_q18_toporders" -> q18Sql)
 }

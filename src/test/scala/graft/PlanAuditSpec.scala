@@ -393,6 +393,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
   }
 
+  test("sql_q17_avgyearly: correlated scalar subquery decorrelates — no nested loop") {
+    val plan = planOf("sql_q17_avgyearly")
+    // the per-part average must become a grouped aggregate joined back on
+    // the part key, not a per-row subquery re-execution
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"correlated subquery not decorrelated in:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin") ||
+      plan.contains("ShuffledHashJoin"), s"no keyed join in:\n$plan")
+    assert("HashAggregate[^\\n]*l_partkey".r.findFirstIn(plan).isDefined,
+      s"no per-part aggregate for the threshold in:\n$plan")
+  }
+
   test("join_null_safe: <=> stays a hash-family join, never a nested loop") {
     val plan = planOf("join_null_safe")
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
