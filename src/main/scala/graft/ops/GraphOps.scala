@@ -214,11 +214,49 @@ object GraphOps {
     dist3.orderBy(col("hop").asc, col("node").asc)
   }
 
+  /** Safety cap for the convergence-driven BFS: far above any plausible
+    * diameter of the small-world basket graph (the fixture converges in
+    * single digits); the oracle's recursion guard uses the same bound so
+    * the two sides agree even on a pathological path graph. */
+  private val MaxBfsRounds = 50
+
+  /** Convergence-driven BFS — the unbounded twin of [[graphBfsLevels]]:
+    * expand until the FRONTIER (nodes first seen this round) is empty,
+    * the same drive-to-fixpoint signal as
+    * [[DedupOps.connectedComponents]]. Scale shape: each round joins the
+    * static checkpointed edge list against only the NEW frontier (not
+    * the whole distance table — the anti-join keeps re-expansion of
+    * settled nodes out of the shuffle), checkpoints the result to
+    * truncate lineage, and the driver holds nothing but the loop
+    * counter; rounds = graph diameter, each a keyed shuffle. */
+  def graphBfsConverged(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk")).distinct()
+    val edges = li.select((col("pk") * 2).as("src"), (col("sk") * 2 + 1).as("dst"))
+      .unionAll(li.select((col("sk") * 2 + 1).as("src"), (col("pk") * 2).as("dst")))
+    val e = DedupOps.eagerCheckpoint(edges)
+    var dist = DedupOps.eagerCheckpoint(
+      li.agg((min(col("pk")) * 2).as("node")).select(col("node"), lit(0).as("hop")))
+    var frontier = dist
+    var h = 0
+    while (frontier.limit(1).count() > 0 && h < MaxBfsRounds) {
+      h += 1
+      val next = e.join(frontier, e("src") === frontier("node"))
+        .select(e("dst").as("node"), lit(h).as("hop"))
+      frontier = DedupOps.eagerCheckpoint(
+        next.join(dist, Seq("node"), "left_anti")
+          .groupBy("node").agg(min(col("hop")).as("hop")))
+      dist = DedupOps.eagerCheckpoint(dist.unionAll(frontier))
+    }
+    dist.orderBy(col("hop").asc, col("node").asc)
+  }
+
   val queries: Map[String, Q] = Map(
-    "graph_triangles"  -> (graphTriangles _),
-    "graph_local_cc"   -> (graphLocalCc _),
-    "graph_bfs_levels" -> (graphBfsLevels _),
-    "graph_pagerank"   -> (graphPagerank _))
+    "graph_triangles"     -> (graphTriangles _),
+    "graph_local_cc"      -> (graphLocalCc _),
+    "graph_bfs_levels"    -> (graphBfsLevels _),
+    "graph_bfs_converged" -> (graphBfsConverged _),
+    "graph_pagerank"      -> (graphPagerank _))
 
   /** One unrolled PageRank iteration as a DuckDB CTE — arithmetic stated
     * step-for-step as the Spark side: quantize each contribution to
@@ -242,6 +280,18 @@ object GraphOps {
         |  UNION
         |  SELECT e.dst, w.hop + 1
         |  FROM walk w JOIN e ON e.src = w.node WHERE w.hop < 3)
+        |SELECT node, min(hop) AS hop FROM walk
+        |GROUP BY node ORDER BY hop ASC, node ASC""".stripMargin,
+    "graph_bfs_converged" ->
+      """WITH RECURSIVE li AS (
+        |  SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk FROM lineitem),
+        |e AS (SELECT pk * 2 AS src, sk * 2 + 1 AS dst FROM li
+        |      UNION ALL SELECT sk * 2 + 1 AS src, pk * 2 AS dst FROM li),
+        |walk(node, hop) AS (
+        |  SELECT (SELECT min(pk) * 2 FROM li) AS node, 0 AS hop
+        |  UNION
+        |  SELECT e.dst, w.hop + 1
+        |  FROM walk w JOIN e ON e.src = w.node WHERE w.hop < 50)
         |SELECT node, min(hop) AS hop FROM walk
         |GROUP BY node ORDER BY hop ASC, node ASC""".stripMargin,
     "graph_pagerank" ->

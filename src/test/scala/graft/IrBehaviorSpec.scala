@@ -121,6 +121,28 @@ class IrBehaviorSpec extends SparkSpec {
     assert(got === dist)
   }
 
+  test("graph_bfs_converged: depth-3 BFS is a prefix; frontier truly drained") {
+    val full = q("graph_bfs_converged").collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Int]("hop")).toMap
+    val bounded = q("graph_bfs_levels").collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Int]("hop")).toMap
+    // prefix property: the depth-bounded run IS the converged run cut at 3
+    assert(full.filter(_._2 <= 3) === bounded)
+    // convergence property: every edge out of a settled node leads to a
+    // node settled at most one hop later — no undiscovered neighbor left
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val edges = li.map { case (p, s) => (p * 2, s * 2 + 1) } ++
+      li.map { case (p, s) => (s * 2 + 1, p * 2) }
+    edges.foreach { case (a, b) =>
+      full.get(a).foreach { ha =>
+        assert(full.contains(b) && full(b) <= ha + 1,
+          s"neighbor $b of settled $a (hop $ha) not settled within ${ha + 1}")
+      }
+    }
+  }
+
   test("tfidf_doc_sim equals a sequential sparse-cosine recompute") {
     val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
       .map(r => (r.getLong(0), r.getString(1).split(" ", -1)))
