@@ -218,11 +218,12 @@ object CurateOps {
     * numbers a pipeline monitors for padding waste. No global sort
     * funnel; at most one underfull tail sequence per group. */
   def packSequences(spark: SparkSession, sfDir: String): DataFrame = {
-    val SeqTokens = 256L
+    val SeqTokens = graft.GraftConf.packSeqTokens(spark)
+    val GroupDocs = graft.GraftConf.packGroupDocs(spark)
     val w = Window.partitionBy("grp").orderBy(col("doc_id").asc, col("chunk_id").asc)
       .rowsBetween(Window.unboundedPreceding, -1)
     TextOps.chunkGrid(spark, sfDir)
-      .withColumn("grp", floor(col("doc_id") / 256))
+      .withColumn("grp", floor(col("doc_id") / GroupDocs))
       .withColumn("seq_id", format_string("g%03d_s%04d", col("grp"),
         (coalesce(sum(col("n_tokens")).over(w), lit(0L)) / SeqTokens)
           .cast("long")))

@@ -393,18 +393,22 @@ object FileOps {
       .orderBy("o_orderpriority")
   }
 
-  /** Compaction target in bytes. Fixture-scale 16 KiB so the packing
-    * logic exercises multiple bins per group at sf0.01; a production run
-    * sets 128–512 MiB (the usual parquet/HDFS block sweet spot) — the
-    * packing math is size-agnostic. */
-  private[graft] val CompactTarget = 16 * 1024L
+  /** Compaction target in bytes (`spark.graft.compact.targetBytes`,
+    * default 16 KiB so the packing logic exercises multiple bins per
+    * group at sf0.01; a production run sets 128–512 MiB — the usual
+    * parquet/HDFS block sweet spot — and the packing math is
+    * size-agnostic). */
+  private[graft] def compactTarget(spark: SparkSession): Long =
+    graft.GraftConf.compactTargetBytes(spark)
 
-  /** Doc-id range width of one packing group: packing runs INSIDE a
-    * group, so the running-sum window is partitioned (32 parallel tasks
-    * at 32 groups), never one global ORDER BY funnel — the same
-    * "bin-pack within a partition" compromise Delta/Iceberg OPTIMIZE
-    * makes. Cost: at most one underfull tail shard per group. */
-  private[graft] val CompactGroupDocs = 1024L
+  /** Doc-id range width of one packing group
+    * (`spark.graft.compact.groupDocs`): packing runs INSIDE a group, so
+    * the running-sum window is partitioned (32 parallel tasks at 32
+    * groups), never one global ORDER BY funnel — the same "bin-pack
+    * within a partition" compromise Delta/Iceberg OPTIMIZE makes. Cost:
+    * at most one underfull tail shard per group. */
+  private[graft] def compactGroupDocs(spark: SparkSession): Long =
+    graft.GraftConf.compactGroupDocs(spark)
 
   /** Small-files compaction — the daily maintenance op of exactly the
     * per-file-task pattern the reference embodies (`Program.cs:332-349`
@@ -421,7 +425,10 @@ object FileOps {
     * Idempotent behind a `_SUCCESS` marker like every fixture dir. */
   def materializeCompactFiles(spark: SparkSession, sfDir: String): String = {
     val src = materializeDocFiles(spark, sfDir)
-    val dir = cacheDir(spark, "compact", sfDir)
+    // cache keyed on the packing geometry too: a conf retune must land in
+    // a fresh dir, not reuse shards packed under the old constants
+    val dir = cacheDir(spark,
+      s"compact_t${compactTarget(spark)}_g${compactGroupDocs(spark)}", sfDir)
     val root = new Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val marker = new Path(root, "_SUCCESS")
@@ -439,9 +446,9 @@ object FileOps {
           regexp_extract(input_file_name(), "doc_(\\d+)\\.txt", 1)
             .cast("long").as("doc_id"),
           col("content"), col("length").as("n_bytes"))
-        .withColumn("grp", floor(col("doc_id") / CompactGroupDocs))
+        .withColumn("grp", floor(col("doc_id") / compactGroupDocs(spark)))
         .withColumn("bin", format_string("g%03d_b%03d", col("grp"),
-          (coalesce(sum(col("n_bytes")).over(w), lit(0L)) / CompactTarget)
+          (coalesce(sum(col("n_bytes")).over(w), lit(0L)) / compactTarget(spark))
             .cast("long")))
         .groupBy("bin")
         .agg(sort_array(collect_list(struct(col("doc_id"), col("content"))))

@@ -137,16 +137,17 @@ object TextOps {
     * [[CurateOps.packSequences]] — unordered (doc_id, chunk_id,
     * n_tokens, digest) rows. */
   private[ops] def chunkGrid(spark: SparkSession, sfDir: String): DataFrame = {
-    val C = 64; val S = 48
+    val C = graft.GraftConf.chunkTokens(spark)
+    val S = graft.GraftConf.chunkStride(spark)
     Tables.documents(spark, sfDir)
       .select(col("doc_id"), split(col("text"), " ").as("t"))
       .withColumn("n", size(col("t")).cast("long"))
       .withColumn("chunk_id",
         explode(expr(s"sequence(0L, greatest(0L, (n - $C + $S - 1) div $S))")))
       .select(col("doc_id"), col("chunk_id"),
-        least(lit(C.toLong), col("n") - col("chunk_id") * S).as("n_tokens"),
+        least(lit(C), col("n") - col("chunk_id") * S).as("n_tokens"),
         md5(concat_ws(" ",
-          slice(col("t"), (col("chunk_id") * S + 1).cast("int"), lit(C))))
+          slice(col("t"), (col("chunk_id") * S + 1).cast("int"), lit(C.toInt))))
           .as("digest"))
   }
 

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Proves the `spark.graft.*` conf actually steers the packing operators:
+  * the same query under a different geometry produces a different (and
+  * directionally correct) shard/sequence/chunk count. The registry
+  * oracles are written against the defaults, so each test restores the
+  * conf it touched. */
+class ConfParamSpec extends SparkSpec {
+
+  private def withConf[A](kvs: (String, String)*)(body: => A): A = {
+    try { kvs.foreach { case (k, v) => spark.conf.set(k, v) }; body }
+    finally kvs.foreach { case (k, _) => spark.conf.unset(k) }
+  }
+
+  test("chunk_documents: halving the chunk window doubles-ish the chunk count") {
+    val base = q("chunk_documents").count()
+    val fine = withConf(
+      "spark.graft.chunk.tokens" -> "32",
+      "spark.graft.chunk.stride" -> "24") { q("chunk_documents").count() }
+    assert(fine > base, s"finer grid not finer: $fine <= $base")
+    // stride halved → chunk grid ~2x; closed form keeps it within [1.5x, 3x]
+    assert(fine >= base * 3 / 2 && fine <= base * 3,
+      s"expected ~2x chunks, got $base -> $fine")
+    // conf restored: the registry geometry is back
+    assert(q("chunk_documents").count() === base)
+  }
+
+  test("pack_sequences: halving seqTokens yields more, fuller-bounded sequences") {
+    val base = q("pack_sequences").count()
+    val fine = withConf("spark.graft.pack.seqTokens" -> "128") {
+      val df = q("pack_sequences")
+      // fill ratio is still computed against the ACTIVE target
+      val over = df.filter(col("n_tokens") > 128 + 64).count()
+      assert(over === 0, s"$over sequences overflow the 128+chunk bound")
+      df.count()
+    }
+    assert(fine > base, s"smaller target not more sequences: $fine <= $base")
+  }
+
+  test("pack_sequences: smaller packing groups keep totals, change grouping") {
+    val baseTokens = q("pack_sequences").agg(sum("n_tokens")).collect()(0).getLong(0)
+    val (fineTokens, fineSeqs) = withConf("spark.graft.pack.groupDocs" -> "64") {
+      val df = q("pack_sequences")
+      (df.agg(sum("n_tokens")).collect()(0).getLong(0), df.count())
+    }
+    // conservation: regrouping never loses tokens
+    assert(fineTokens === baseTokens)
+    // more groups → more underfull tail sequences
+    assert(fineSeqs >= q("pack_sequences").count())
+  }
+
+  test("compact_files: halving targetBytes produces more shards, same bytes") {
+    val base = q("compact_files").collect()
+    val fine = withConf("spark.graft.compact.targetBytes" -> "8192") {
+      q("compact_files").collect()
+    }
+    assert(fine.length > base.length,
+      s"smaller shard target not more shards: ${fine.length} <= ${base.length}")
+    assert(fine.map(_.getAs[Long]("n_bytes")).sum ===
+      base.map(_.getAs[Long]("n_bytes")).sum, "retune lost or grew bytes")
+  }
+}

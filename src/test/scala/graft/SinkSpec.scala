@@ -65,11 +65,11 @@ class SinkSpec extends SparkSpec {
     val shards = q("compact_files").collect()
     val docs = Tables.documents(spark, sf)
       .select(octet_length(col("text")).cast("long").as("nb"),
-        floor(col("doc_id") / ops.FileOps.CompactGroupDocs).as("grp"))
+        floor(col("doc_id") / ops.FileOps.compactGroupDocs(spark)).as("grp"))
       .groupBy("grp")
       .agg(sum(col("nb")).as("bytes"), max(col("nb")).as("mx"))
       .collect()
-    val target = ops.FileOps.CompactTarget
+    val target = ops.FileOps.compactTarget(spark)
     // per-group packing yields ceil(groupBytes/target) bins at most one
     // underfull tail each; totals must be preserved exactly
     val maxShards = docs.map(r => (r.getAs[Long]("bytes") + target - 1) / target).sum
