@@ -210,9 +210,7 @@ object DedupOps {
     // One narrow-map pass computes the K-wide signature per document via
     // the native MinHashSig expression (no explode, no shuffle — the
     // earlier explode + 64-min-aggregate formulation shuffled |tokens|
-    // rows). Persisted because it feeds three plan branches (band hashing
-    // + both sides of pair verification); size is docs × (K+1) longs —
-    // a sliver of the corpus at any scale.
+    // rows).
     //
     // The explicit repartition matters: a compact source (here one small
     // parquet split; at scale, a handful of dense splits) would otherwise
@@ -224,6 +222,21 @@ object DedupOps {
       .repartition(spark.sparkContext.defaultParallelism)
       .select(col("doc_id"),
         graft.functions.VectorFunctions.minhashSig(toks, K).as("sig"))
+    // LSH runs at the UNIQUE-SIGNATURE level, one representative per
+    // distinct signature. Exact-duplicate families (boilerplate pages at
+    // corpus scale — the fixture's largest is 324 docs with one
+    // signature) collide in EVERY band, so a doc-level bucket join
+    // re-enumerates each member×member pair 16× into the candidate
+    // distinct — and because a pair's 16 collisions land in 16 different
+    // band partitions, map-side partial aggregation removes none of it.
+    // Measured on a ×10 corpus (ScaleStress r7): 469M-row distinct, 35×
+    // runtime for 10× data (exponent 1.55). Grouping first cuts the raw
+    // pair volume 3× at sf0.1 and restores ~linear scaling; member pairs
+    // are re-expanded AFTER verification, so the output is IDENTICAL
+    // row for row (within-group pairs carry est = 1.0 by construction).
+    val groups = sig.groupBy("sig")
+      .agg(min(col("doc_id")).as("rep"),
+        sort_array(collect_list(col("doc_id"))).as("members"))
       .persist()
     val r = K / BANDS
     val bandCols = (0 until BANDS).map { j =>
@@ -232,22 +245,23 @@ object DedupOps {
         .reduce(_ + _) + lit(j * BC(4) % P)
       (mixed % P).as(s"band$j")
     }
-    val bands = sig.select(col("doc_id") +: bandCols: _*)
-      .select(col("doc_id"),
+    val bands = groups.select(col("rep") +: bandCols: _*)
+      .select(col("rep"),
         posexplode(array((0 until BANDS).map(j => col(s"band$j")): _*))
           .as(Seq("band_idx", "band_hash")))
-    // Candidate generation: plain bucket self-join. The 64-bit band hash
-    // distributes buckets uniformly, so the sort-merge join's per-key
-    // groups stay moderate and the plain join measured 4× faster than the
-    // blocked [[PairEnum]] decomposition here (5.3s vs 22s at sf0.1/32
-    // threads). When a bucket degenerates (near-universal band), switch
-    // to PairEnum.blockedSelfJoinPairs — as simhashPairs does, where the
-    // 16-bit bands do produce giant buckets.
+    // Candidate generation: plain bucket self-join over representatives.
+    // The 64-bit band hash distributes buckets uniformly, so the
+    // sort-merge join's per-key groups stay moderate and the plain join
+    // measured 4× faster than the blocked [[PairEnum]] decomposition
+    // here (5.3s vs 22s at sf0.1/32 threads). When a bucket degenerates
+    // (near-universal band), switch to PairEnum.blockedSelfJoinPairs —
+    // as simhashPairs does, where the 16-bit bands do produce giant
+    // buckets.
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band_idx") === col("y.band_idx") &&
           col("x.band_hash") === col("y.band_hash") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+          col("x.rep") < col("y.rep"))
+      .select(col("x.rep").as("rep_a"), col("y.rep").as("rep_b"))
       .distinct()
     // Verify candidates by signature agreement (the unbiased MinHash
     // estimator of Jaccard): a native codegen'd array-compare per pair —
@@ -256,13 +270,30 @@ object DedupOps {
     // becomes the bottleneck on near-duplicate-heavy corpora.
     val est = graft.functions.VectorFunctions.arrayEqCount(col("sig_a"), col("sig_b"))
       .cast("double") / K
-    cand
-      .join(sig.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
-      .join(sig.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+    val crossPairs = cand
+      .join(groups.select(col("rep").as("rep_a"), col("sig").as("sig_a"),
+        col("members").as("members_a")), "rep_a")
+      .join(groups.select(col("rep").as("rep_b"), col("sig").as("sig_b"),
+        col("members").as("members_b")), "rep_b")
       .withColumn("est_jaccard", est)
       .filter(col("est_jaccard") >= 0.8)
-      .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
-      .orderBy("doc_a", "doc_b")
+      // expand back to doc pairs: groups partition the corpus, so no pair
+      // is emitted twice; member ids of different groups interleave, so
+      // the (a,b) order is re-normalized per pair
+      .select(explode(col("members_a")).as("da"), col("members_b"),
+        col("est_jaccard"))
+      .select(col("da"), explode(col("members_b")).as("db"), col("est_jaccard"))
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"), col("est_jaccard"))
+    // within-group pairs: identical signatures agree in every band and
+    // every slot — candidates with est exactly 1.0, enumerated in-row
+    // from the sorted member array (i < j keeps doc_a < doc_b)
+    val withinPairs = groups.filter(size(col("members")) > 1)
+      .select(posexplode(col("members")).as(Seq("ia", "doc_a")), col("members"))
+      .select(col("doc_a"), col("ia"), posexplode(col("members")).as(Seq("ib", "doc_b")))
+      .filter(col("ia") < col("ib"))
+      .select(col("doc_a"), col("doc_b"), lit(1.0).as("est_jaccard"))
+    crossPairs.unionAll(withinPairs).orderBy("doc_a", "doc_b")
   }
 
   // --- SimHash -------------------------------------------------------------

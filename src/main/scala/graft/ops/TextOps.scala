@@ -151,6 +151,18 @@ object TextOps {
           .as("digest"))
   }
 
+  /** Sliding-window document chunking — the tokenize-and-chunk pass an
+    * LLM training pipeline runs before sequence packing: fixed C-token
+    * chunks on an S-token stride (C−S token overlap so no boundary
+    * context is lost; C/S from `spark.graft.chunk.*`, default 64/48).
+    * Chunk count per doc is the closed form `1 + max(0, ceil((n−C)/S))`
+    * — exact integer arithmetic, identical in both engines — and each
+    * chunk row carries its token count and a content digest (md5 of the
+    * re-joined slice) rather than the chunk body, so the result set
+    * stays narrow. Pure narrow map: the explode fans out ≤ n/S chunks
+    * per doc with no shuffle until the final order-by; at 100 TB this is
+    * the map stage feeding a pack/shuffle stage, and the per-row work is
+    * one split + array slices. */
   def chunkDocuments(spark: SparkSession, sfDir: String): DataFrame =
     chunkGrid(spark, sfDir).orderBy("doc_id", "chunk_id")
 
