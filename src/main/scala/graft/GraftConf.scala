@@ -30,4 +30,29 @@ object GraftConf {
   /** Docs per independent compaction group (`compact_files`). */
   def compactGroupDocs(spark: SparkSession): Long =
     spark.conf.get("spark.graft.compact.groupDocs", "1024").toLong
+  /** Hyperplane count for the LSH-bucketed embedding ops (2^planes
+    * buckets). The bucket space is FIXED geometry: occupancy — and with
+    * it the in-bucket pair matrix — grows linearly with the corpus, so a
+    * deployment raises this ~log2(n) to hold occupancy constant (each
+    * extra plane costs one more dot product per vector and halves
+    * expected bucket size). */
+  def annPlanes(spark: SparkSession): Int =
+    spark.conf.get("spark.graft.ann.planes", "8").toInt
+  /** Centroid sampling modulus for the IVF quantizers: every Nth vector
+    * seeds a centroid, so at fixed N the centroid count — and the n×k
+    * assign cost — grows with the corpus. A deployment raises N
+    * proportionally with corpus size to hold k (and the broadcast set)
+    * constant. */
+  def annCentroidMod(spark: SparkSession): Long =
+    spark.conf.get("spark.graft.ann.centroidMod", "32").toLong
+  /** Absolute document-frequency ceiling for similarity CANDIDATE
+    * generation (`tfidf_doc_sim`). The relative `df ≤ n/5` rarity gate
+    * alone is not scale-safe: a single term sitting at the gate
+    * contributes (n/5)² candidate pairs — quadratic in the corpus — so
+    * candidate postings must also be absolutely bounded (the standard IR
+    * high-df prune). The default is transparent at every driver scale
+    * factor (the relative gate is tighter there); the ×10 ScaleStress
+    * corpus is where it starts carrying the load. */
+  def irSimMaxDf(spark: SparkSession): Long =
+    spark.conf.get("spark.graft.ir.simMaxDf", "256").toLong
 }

@@ -12,7 +12,9 @@ import org.apache.spark.sql.functions._
   * extrapolated from 600k rows; this measures the extrapolation. An
   * exponent well above 1 on a disjoint-union scale-up reveals a
   * super-linear engine overhead (global funnel, driver state, re-scan)
-  * that the small fixture can't show.
+  * that the small fixture can't show. Round 7's first run did exactly
+  * that: it caught dedup_minhash_lsh at exponent 1.55 (the
+  * identical-signature-family band blow-up fixed in DedupOps).
   *
   * Replica synthesis, per table:
   *  - `lineitem`: order/part/supp keys shifted by `i·(max+1)` — 10
@@ -23,26 +25,92 @@ import org.apache.spark.sql.functions._
   *    within-replica duplicate/similarity structure and a 10× vocab —
   *    LSH bucket count grows 10×, bucket sizes stay, pair space per
   *    bucket stays (the honest volume-not-density scale-up).
+  *  - `events`: event_id/user_id shifted, timestamps untouched — each
+  *    replica keeps every user's session/interval structure exactly;
+  *    disjoint users make the per-user window/join models linear.
+  *  - `embeddings`: vec_id shifted; for i>0 each vector is multiplied
+  *    elementwise by a replica-specific deterministic ±1 mask. A
+  *    diagonal ±1 matrix is orthogonal, so WITHIN-replica cosines (and
+  *    norms) are preserved EXACTLY — every replica has the original
+  *    similarity structure — while cross-replica similarities are
+  *    sign-scrambled toward zero: the embedding-space analogue of the
+  *    token-suffix trick.
   *
-  * Usage: runMain graft.ScaleStress [smallDir] [factor] [outJson]
+  * GEOMETRY-CAPPED operators (fixed bucket space / seed rate) are timed
+  * on the big corpus at their DOCUMENTED scale-path conf — e.g.
+  * `spark.graft.ann.planes` +log2(factor) so expected bucket occupancy
+  * is held constant, `spark.graft.ann.centroidMod` ×factor so the
+  * centroid count (and the n×k assign cost) is held constant. That is
+  * the "as deployed at 10×" measurement: the knob IS the design, and the
+  * audit proves turning it restores the linear model. The JSON records
+  * the conf used for each big-corpus run.
+  *
+  * Usage: runMain graft.ScaleStress [smallDir] [factor] [outJson] [q1,q2,...]
+  * The optional 4th arg restricts the audit to a comma-separated subset —
+  * used for the ×100 two-decade spot check of the cheap linear family
+  * (running every heavyweight at ×100 would take hours on one box).
   */
 object ScaleStress {
 
-  private val Heavies: Seq[(String, String, Double)] = Seq(
-    // (query, documented cost model, model exponent = upper bound on the
-    //  observed exponent under a disjoint-union scale-up + noise slack)
-    ("graph_triangles", "m^1.5 wedge volume; disjoint union => ~linear", 1.5),
-    ("graph_local_cc", "m^1.5 wedge volume; disjoint union => ~linear", 1.5),
-    ("graph_pagerank", "3 x (m join + agg); linear", 1.2),
-    ("dedup_minhash_lsh", "n signatures + bucket-local pairs; linear", 1.2),
-    ("dedup_clusters", "pairs + O(log d) CC rounds; ~linear", 1.3),
-    ("dedup_containment", "PPJoin prefix candidates; ~linear", 1.3),
-    ("token_budget_select", "2-phase bucket prefix; linear", 1.2))
+  private case class Heavy(
+      name: String,
+      model: String,
+      // upper bound on the observed exponent under a disjoint-union
+      // scale-up + noise slack
+      bound: Double,
+      // documented scale-path conf applied while timing the BIG corpus
+      // (empty = same conf both scales)
+      bigConf: Map[String, String] = Map.empty)
+
+  private val Heavies: Seq[Heavy] = Seq(
+    // graph family over lineitem co-purchase edges
+    Heavy("graph_triangles", "m^1.5 wedge volume; disjoint union => ~linear", 1.5),
+    Heavy("graph_local_cc", "m^1.5 wedge volume; disjoint union => ~linear", 1.5),
+    Heavy("graph_pagerank", "3 x (m join + agg); linear", 1.2),
+    Heavy("graph_bfs_levels", "3 rounds x (frontier join + min agg); linear", 1.2),
+    Heavy("graph_bfs_converged",
+      "rounds-to-drain x (frontier join); depth set per component => linear", 1.3),
+    // text dedup family over documents
+    Heavy("dedup_minhash_lsh",
+      "n signatures + bucket-local pairs; linear WITH shuffle partitions " +
+        "sized to data (the band-pair distinct is the engine's largest " +
+        "shuffle; at fixed partition count its per-partition volume grows " +
+        "with the corpus and spills)", 1.2,
+      bigConf = Map("spark.sql.shuffle.partitions" -> "320")),
+    Heavy("dedup_simhash_pairs",
+      "n signatures + 4x16-bit band pairs at sig level; ~linear until " +
+        "occupancy n/2^16 dominates (band space is the documented cap)", 1.4),
+    Heavy("dedup_clusters", "pairs + O(log d) CC rounds; ~linear", 1.3),
+    Heavy("dedup_containment", "PPJoin prefix candidates; ~linear", 1.3),
+    Heavy("dedup_ngram_jaccard", "shingle postings join; disjoint vocab => linear", 1.3),
+    Heavy("dup_ngram_spans", "shingle postings join + span agg; linear", 1.3),
+    Heavy("decontaminate_prefilter", "fingerprint hash anti-join; linear", 1.2),
+    // curation / IR over documents
+    Heavy("token_budget_select", "2-phase bucket prefix; linear", 1.2),
+    Heavy("pack_sequences", "per-group running-sum packing; linear", 1.2),
+    Heavy("tfidf_doc_sim",
+      "rare-term postings join + global top-20 TakeOrdered; ~linear", 1.4),
+    // time/session family over events (disjoint users)
+    Heavy("sessionize", "per-user lag window; linear", 1.2),
+    Heavy("interval_overlap_join",
+      "binned candidate join, data-derived bin width; ~linear", 1.3),
+    // embedding family; geometry-capped ops carry their scale-path conf
+    Heavy("ann_topk_brute", "fixed query set x n corpus dots; linear", 1.2),
+    Heavy("embed_dedup_clusters",
+      "bucket-local pairs + CC; linear AT CONSTANT OCCUPANCY — big corpus " +
+        "runs ann.planes+log2(factor), the documented scale path", 1.4,
+      bigConf = Map("spark.graft.ann.planes" -> "11")),
+    Heavy("ann_ivf_kmeans",
+      "2 Lloyd rounds x n x k dots; linear AT CONSTANT k — big corpus runs " +
+        "ann.centroidMod x factor, the documented scale path", 1.3,
+      bigConf = Map("spark.graft.ann.centroidMod" -> "320")))
 
   def main(args: Array[String]): Unit = {
     val small = args.headOption.getOrElse("/root/testdata/sf0.1")
     val factor = args.lift(1).map(_.toInt).getOrElse(10)
     val outJson = args.lift(2).getOrElse("SCALE_r7.json")
+    val only = args.lift(3).map(_.split(",").map(_.trim).toSet)
+    val heavies = only.fold(Heavies)(f => Heavies.filter(h => f(h.name)))
     val spark = SparkSession.builder()
       .withExtensions(new graft.plans.GraftExtensions)
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
@@ -57,38 +125,47 @@ object ScaleStress {
 
     val big = synthesize(spark, small, factor)
 
-    // warm the JVM + both table caches before any timed run
+    // warm the JVM + table caches before any timed run
     SparkEntry.queries("global_agg")(spark, small).collect()
-    spark.read.parquet(s"$big/lineitem.parquet").count()
-    spark.read.parquet(s"$big/documents.parquet").count()
-
-    def time(name: String, dir: String): Double = {
-      // min-of-2: the shared box stalls arbitrary runs; only the floor is
-      // meaningful (NOTES_r02 doctrine)
-      (1 to 2).map { _ =>
-        val t0 = System.nanoTime()
-        SparkEntry.queries(name)(spark, dir).collect()
-        (System.nanoTime() - t0) / 1e9
-      }.min
+    Seq("lineitem", "documents", "events", "embeddings").foreach { t =>
+      spark.read.parquet(s"$big/$t.parquet").count()
     }
 
-    val rows = Heavies.map { case (name, model, bound) =>
-      val tSmall = time(name, small)
-      val tBig = time(name, big)
+    def time(name: String, dir: String, conf: Map[String, String]): Double = {
+      conf.foreach { case (k, v) => spark.conf.set(k, v) }
+      try {
+        // min-of-2: the shared box stalls arbitrary runs; only the floor
+        // is meaningful (NOTES_r02 doctrine)
+        (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          SparkEntry.queries(name)(spark, dir).collect()
+          (System.nanoTime() - t0) / 1e9
+        }.min
+      } finally conf.keys.foreach(spark.conf.unset)
+    }
+
+    val rows = heavies.map { h =>
+      val tSmall = time(h.name, small, Map.empty)
+      val tBig = time(h.name, big, h.bigConf)
       val ratio = tBig / tSmall
       val exponent = math.log(ratio) / math.log(factor.toDouble)
-      println(f"[scale] $name%-22s small=$tSmall%7.2fs big=$tBig%7.2fs " +
-        f"ratio=$ratio%6.2f exp=$exponent%5.2f bound=$bound%.1f")
-      (name, tSmall, tBig, ratio, exponent, model, bound)
+      println(f"[scale] ${h.name}%-24s small=$tSmall%7.2fs big=$tBig%7.2fs " +
+        f"ratio=$ratio%6.2f exp=$exponent%5.2f bound=${h.bound}%.1f" +
+        (if (h.bigConf.nonEmpty) s" bigConf=${h.bigConf.mkString(",")}" else ""))
+      (h, tSmall, tBig, ratio, exponent)
     }
 
-    val qJson = rows.map { case (n, ts, tb, r, e, m, b) =>
-      s""""$n":{"t_small_sec":${f"$ts%.3f"},"t_big_sec":${f"$tb%.3f"},""" +
+    val qJson = rows.map { case (h, ts, tb, r, e) =>
+      val confJson =
+        if (h.bigConf.isEmpty) ""
+        else h.bigConf.map { case (k, v) => s""""$k":"$v"""" }
+          .mkString(""","big_conf":{""", ",", "}")
+      s""""${h.name}":{"t_small_sec":${f"$ts%.3f"},"t_big_sec":${f"$tb%.3f"},""" +
         s""""ratio":${f"$r%.3f"},"exponent":${f"$e%.3f"},""" +
-        s""""model":"$m","model_exponent_bound":$b,""" +
-        s""""within_model":${e <= b}}"""
+        s""""model":"${h.model}","model_exponent_bound":${h.bound},""" +
+        s""""within_model":${e <= h.bound}$confJson}"""
     }.mkString(",")
-    val nOver = rows.count { case (_, _, _, _, e, _, b) => e > b }
+    val nOver = rows.count { case (h, _, _, _, e) => e > h.bound }
     val json = s"""{"sf_small":"$small","factor":$factor,""" +
       s""""queries":{$qJson},"n_over_model":$nOver}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(outJson),
@@ -131,6 +208,32 @@ object ScaleStress {
     }.reduce(_ unionAll _)
       .repartition(32)
       .write.mode("overwrite").parquet(s"$dst/documents.parquet")
+
+    // events: ts is read as raw nanos (legacy conf) and written back as
+    // plain INT64 — exactly the shape Tables.events normalizes
+    val ev = spark.read.parquet(s"$small/events.parquet")
+    val Array(eidMax, uidMax) = ev.agg(max("event_id"), max("user_id"))
+      .collect()(0).toSeq.map(_.asInstanceOf[Long] + 1).toArray
+    (0 until factor).map { i =>
+      ev.withColumn("event_id", col("event_id") + lit(i * eidMax))
+        .withColumn("user_id", col("user_id") + lit(i * uidMax))
+    }.reduce(_ unionAll _)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$dst/events.parquet")
+
+    val emb = spark.read.parquet(s"$small/embeddings.parquet")
+    val vidMax = emb.agg(max("vec_id")).collect()(0).getLong(0) + 1
+    (0 until factor).map { i =>
+      val shifted = emb.withColumn("vec_id", col("vec_id") + lit(i * vidMax))
+      if (i == 0) shifted
+      else shifted.withColumn("embedding",
+        // deterministic per-(replica, dimension) ±1 mask — orthogonal, so
+        // within-replica cosine structure is exact; float × ±1 is exact
+        transform(col("embedding"),
+          (x, k) => when(pmod(hash(k, lit(i)), lit(2)) === 0, x).otherwise(-x)))
+    }.reduce(_ unionAll _)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
 
     marker.createNewFile()
     dst

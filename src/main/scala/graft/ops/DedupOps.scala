@@ -323,18 +323,43 @@ object DedupOps {
     // same compact-source parallelism rationale as in minhashLsh
     val sh = simhashSigs(spark, sfDir)
       .repartition(spark.sparkContext.defaultParallelism)
-    val bands = sh.select(col("doc_id"), col("simhash64"),
+    // Banding runs at the UNIQUE-SIGNATURE level for the same reason
+    // minhashLsh does: an identical-signature family (exact-dup
+    // boilerplate) collides in all 4 bands, so doc-level banding
+    // re-enumerates each member×member pair 4× into the candidate
+    // distinct — volume quadratic in the largest family, and the 4
+    // collisions land in different shuffle partitions so map-side
+    // aggregation can't reduce it. One representative per distinct
+    // signature goes through banding; member pairs are re-expanded
+    // after the Hamming verify (within-family pairs have distance 0 by
+    // construction, cross-family pairs all share their reps' distance).
+    val groups = sh.groupBy("simhash64")
+      .agg(min(col("doc_id")).as("rep"),
+        sort_array(collect_list(col("doc_id"))).as("members"))
+      .persist()
+    val bands = groups.select(col("rep"), col("simhash64"),
       posexplode(array((0 until 4).map(j =>
         expr(s"shiftright(simhash64, ${16 * j}) & 65535")): _*)).as(Seq("band_idx", "band_val")))
-    PairEnum.blockedSelfJoinPairs(
-        bands, Seq("band_idx", "band_val"), "doc_id", Seq("simhash64"))
-      .select(col("a_doc_id").as("doc_a"), col("b_doc_id").as("doc_b"),
+    val repPairs = PairEnum.blockedSelfJoinPairs(
+        bands, Seq("band_idx", "band_val"), "rep", Seq("simhash64"))
+      .select(col("a_rep").as("rep_a"), col("b_rep").as("rep_b"),
         col("a_simhash64").as("sh_a"), col("b_simhash64").as("sh_b"))
       .distinct()
       .withColumn("hamming", expr("bit_count(sh_a ^ sh_b)").cast("long"))
       .filter(col("hamming") <= 8)
-      .select(col("doc_a"), col("doc_b"), col("hamming"))
-      .orderBy("doc_a", "doc_b")
+    val crossPairs = repPairs
+      .join(groups.select(col("rep").as("rep_a"), col("members").as("members_a")), "rep_a")
+      .join(groups.select(col("rep").as("rep_b"), col("members").as("members_b")), "rep_b")
+      .select(explode(col("members_a")).as("da"), col("members_b"), col("hamming"))
+      .select(col("da"), explode(col("members_b")).as("db"), col("hamming"))
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"), col("hamming"))
+    val withinPairs = groups.filter(size(col("members")) > 1)
+      .select(posexplode(col("members")).as(Seq("ia", "doc_a")), col("members"))
+      .select(col("doc_a"), col("ia"), posexplode(col("members")).as(Seq("ib", "doc_b")))
+      .filter(col("ia") < col("ib"))
+      .select(col("doc_a"), col("doc_b"), lit(0L).as("hamming"))
+    crossPairs.unionAll(withinPairs).orderBy("doc_a", "doc_b")
   }
 
   // --- Clustering ----------------------------------------------------------

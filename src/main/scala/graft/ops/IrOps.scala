@@ -139,7 +139,13 @@ object IrOps {
           expr(wSql).as("w")))
     val nrm = w.groupBy("d").agg(sum(expr(q20("w * w"))).as("sq"))
       .select(col("d"), expr(s"sqrt(CAST(sq AS DOUBLE) / $deq20)").as("nrm"))
-    val rare = w.filter(col("df") * 5 <= col("n_docs")).select("d", "t")
+    // candidate gate: relative rarity AND an absolute df ceiling — the
+    // relative gate alone admits (n/5)²-pair postings as the corpus
+    // grows (see GraftConf.irSimMaxDf); similarity WEIGHTS still use
+    // every term, only candidate generation is pruned
+    val rare = w.filter(col("df") * 5 <= col("n_docs") &&
+        col("df") <= lit(graft.GraftConf.irSimMaxDf(spark)))
+      .select("d", "t")
     val cand = rare.as("a").join(rare.as("b"),
         col("a.t") === col("b.t") && col("a.d") < col("b.d"))
       .select(col("a.d").as("d1"), col("b.d").as("d2")).distinct()
@@ -203,7 +209,7 @@ object IrOps {
          |nrm AS (SELECT d,
          |          sqrt(CAST(SUM(${q20("w * w")}) AS DOUBLE) / $deq20) AS nrm
          |        FROM w GROUP BY 1),
-         |rare AS (SELECT d, t FROM w WHERE df * 5 <= n_docs),
+         |rare AS (SELECT d, t FROM w WHERE df * 5 <= n_docs AND df <= 256),
          |cand AS (SELECT DISTINCT a.d AS d1, b.d AS d2
          |         FROM rare a JOIN rare b ON a.t = b.t AND a.d < b.d),
          |dots AS (SELECT c.d1, c.d2,

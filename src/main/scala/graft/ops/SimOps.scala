@@ -91,9 +91,11 @@ object SimOps {
     * exactly into the SQL oracle.
     *
     * Geometry is parameterized: 2^nplanes buckets, so expected occupancy
-    * is n/2^nplanes — at larger corpora raise `nplanes` (the signature is
-    * one more dot product per plane, the SQL mirror is generated from the
-    * same constants). The oracle query pins the default geometry. */
+    * is n/2^nplanes — at larger corpora raise `spark.graft.ann.planes`
+    * (the signature is one more dot product per plane, the SQL mirror is
+    * generated from the same constants). The oracle query pins the
+    * default geometry; ScaleStress times the ×10 corpus at the
+    * scale-path geometry to prove the knob restores linear cost. */
   val DefaultPlanes = 8
   private val DIM = 64
   private def planeVal(j: Int, d: Int): Double =
@@ -115,7 +117,7 @@ object SimOps {
     * Fully oracle-checked: the planes are literal constants interpolated
     * into the DuckDB SQL, so both engines compute identical signatures. */
   def annLshBucket(spark: SparkSession, sfDir: String): DataFrame =
-    annLshBucketG(spark, sfDir, DefaultPlanes)
+    annLshBucketG(spark, sfDir, graft.GraftConf.annPlanes(spark))
 
   /** Vectors + their `nplanes`-bit hyperplane signature bucket — the
     * shared head of every LSH-routed operator below. */
@@ -170,7 +172,7 @@ object SimOps {
     * Fully oracle-checked: neighbor-bucket enumeration is `xor(bucket,
     * 2^j)` over the same literal plane constants in both engines. */
   def annLshMultiprobe(spark: SparkSession, sfDir: String): DataFrame = {
-    val nplanes = DefaultPlanes
+    val nplanes = graft.GraftConf.annPlanes(spark)
     val bucketed = bucketVecs(spark, sfDir, nplanes)
     val probes = bucketed.select(col("vec_id"), col("embedding"), col("nrm"),
       explode(array(col("bucket") +:
@@ -214,7 +216,7 @@ object SimOps {
   val ClusterCosThreshold = 0.3
 
   def embedDedupClusters(spark: SparkSession, sfDir: String): DataFrame = {
-    val bucketed = bucketVecs(spark, sfDir, DefaultPlanes)
+    val bucketed = bucketVecs(spark, sfDir, graft.GraftConf.annPlanes(spark))
     val pairs = DedupOps.eagerCheckpoint(
       PairEnum.blockedSelfJoinPairs(bucketed, Seq("bucket"), "vec_id",
           Seq("embedding", "nrm"))
@@ -251,7 +253,7 @@ object SimOps {
     * arithmetic mirrored in the SQL. */
   def annIvfProbe(spark: SparkSession, sfDir: String): DataFrame = {
     val v = withNorm(Tables.embeddings(spark, sfDir))
-    val cents = v.filter(col("vec_id") % 32 === 0)
+    val cents = v.filter(col("vec_id") % graft.GraftConf.annCentroidMod(spark) === 0)
       .select(col("vec_id").as("cent_id"), col("embedding").as("ce"), col("nrm").as("cn"))
     // assign every vector (and hence every query) to its nearest centroid
     val wAssign = Window.partitionBy("vec_id")
@@ -295,7 +297,7 @@ object SimOps {
     * partial aggregates. Empty cells drop out (k shrinks), which Lloyd
     * tolerates. */
   def kmeansFit(v: DataFrame, iters: Int): DataFrame = {
-    val init = v.filter(col("vec_id") % 32 === 0)
+    val init = v.filter(col("vec_id") % graft.GraftConf.annCentroidMod(v.sparkSession) === 0)
       .select(col("vec_id").as("cent_id"),
         transform(col("embedding"), _.cast("double")).as("ce"))
     (1 to iters).foldLeft(init) { (cents, _) =>

@@ -51,6 +51,43 @@ class ConfParamSpec extends SparkSpec {
     assert(fineSeqs >= q("pack_sequences").count())
   }
 
+  test("ann.planes: two more planes quarter-ish the expected bucket occupancy") {
+    val base = q("ann_lsh_bucket")
+    val baseBuckets = base.select("bucket").distinct().count()
+    val n = base.count()
+    withConf("spark.graft.ann.planes" -> "10") {
+      val fine = q("ann_lsh_bucket")
+      assert(fine.count() === n, "retune changed the output row count")
+      val fineBuckets = fine.select("bucket").distinct().count()
+      // 4x the bucket space; occupied-bucket count must strictly grow
+      // (the fixture has far more vectors than 2^10 buckets)
+      assert(fineBuckets > baseBuckets,
+        s"more planes not more buckets: $fineBuckets <= $baseBuckets")
+    }
+    assert(q("ann_lsh_bucket").select("bucket").distinct().count() === baseBuckets)
+  }
+
+  test("ann.centroidMod: a larger modulus shrinks the fitted centroid set") {
+    val v = Tables.embeddings(spark, sf).withColumn("nrm",
+      graft.functions.VectorFunctions.vecDot(col("embedding"), col("embedding")))
+    val baseK = ops.SimOps.kmeansFit(v, iters = 1).count()
+    val coarseK = withConf("spark.graft.ann.centroidMod" -> "128") {
+      ops.SimOps.kmeansFit(v, iters = 1).count()
+    }
+    // 4x the modulus → ~1/4 the seeds; Lloyd can only merge cells, so the
+    // fitted count is bounded by the seed count
+    assert(coarseK < baseK, s"larger modulus not fewer centroids: $coarseK >= $baseK")
+    assert(coarseK <= baseK / 2, s"expected ~k/4, got $baseK -> $coarseK")
+  }
+
+  test("ir.simMaxDf: a df ceiling of 1 empties the candidate set") {
+    assert(q("tfidf_doc_sim").count() > 0)
+    withConf("spark.graft.ir.simMaxDf" -> "1") {
+      // df = 1 postings cannot pair two documents
+      assert(q("tfidf_doc_sim").count() === 0)
+    }
+  }
+
   test("compact_files: halving targetBytes produces more shards, same bytes") {
     val base = q("compact_files").collect()
     val fine = withConf("spark.graft.compact.targetBytes" -> "8192") {
