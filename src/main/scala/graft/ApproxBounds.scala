@@ -29,6 +29,10 @@ object ApproxBounds {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Driver-generated fixtures carry naive (isAdjustedToUTC=false) parquet
+      // timestamps; read them as TIMESTAMP (session tz = UTC), not NTZ, so
+      // unix_micros/window arithmetic keeps the semantics every oracle pins.
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

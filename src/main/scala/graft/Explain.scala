@@ -19,6 +19,10 @@ object Explain {
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.adaptive.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Driver-generated fixtures carry naive (isAdjustedToUTC=false) parquet
+      // timestamps; read them as TIMESTAMP (session tz = UTC), not NTZ, so
+      // unix_micros/window arithmetic keeps the semantics every oracle pins.
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
