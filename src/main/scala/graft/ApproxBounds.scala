@@ -55,7 +55,19 @@ object ApproxBounds {
       val pctJson = pct.map { case (k, a, e) =>
         f"""{"field":"$k","approx":$a%.4f,"exact":$e%.4f,"rel_err":${relErr(a, e)}%.6f,"bound":0.01,"pass":${relErr(a, e) <= 0.01}}"""
       }.mkString("[", ",", "]")
-      s""""$sfDir": {"approx_distinct_vs_count_distinct": $hllJson, "quantiles_approx_vs_quantiles": $pctJson}"""
+      // DataSketches HLL tier: per-group + merged estimates vs exact
+      // distincts, plus the exact mergeability equality (see SketchOps).
+      val skRows = SparkEntry.queries("hll_sketch_union")(spark, sfDir).collect()
+        .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("approx_users")).toMap
+      val ev = Tables.events(spark, sfDir)
+      val exactPer = ev.groupBy("event_type").agg(countDistinct(col("user_id")).as("n"))
+        .collect().map(r => r.getAs[String]("event_type") -> r.getAs[Long]("n")).toMap
+      val exactAllU = ev.select("user_id").distinct().count()
+      val skJson = (exactPer.toSeq.sortBy(_._1) :+ ("__ALL__", exactAllU)).map { case (t, e) =>
+        val a = skRows(t).toDouble
+        f"""{"field":"$t","approx":${a.toLong},"exact":$e,"rel_err":${relErr(a, e.toDouble)}%.6f,"bound":0.05,"pass":${relErr(a, e.toDouble) <= 0.05}}"""
+      }.mkString("[", ",", "]")
+      s""""$sfDir": {"approx_distinct_vs_count_distinct": $hllJson, "quantiles_approx_vs_quantiles": $pctJson, "hll_sketch_union_vs_exact": $skJson}"""
     }
 
     // round + timestamp stamp: the artifact is re-generated each round's

@@ -34,6 +34,7 @@ object Bench {
       .withExtensions(new graft.plans.GraftExtensions)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // Driver-generated fixtures carry naive (isAdjustedToUTC=false) parquet
       // timestamps; read them as TIMESTAMP (session tz = UTC), not NTZ, so

@@ -18,6 +18,7 @@ object Explain {
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.adaptive.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // Driver-generated fixtures carry naive (isAdjustedToUTC=false) parquet
       // timestamps; read them as TIMESTAMP (session tz = UTC), not NTZ, so

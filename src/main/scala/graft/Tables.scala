@@ -27,10 +27,12 @@ object Tables {
   def documents(spark: SparkSession, sfDir: String): DataFrame  = spark.read.parquet(p(sfDir, "documents"))
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = spark.read.parquet(p(sfDir, "embeddings"))
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS); Spark has no nanosecond
-    * timestamp type. Read nanos as raw longs (legacy conf) and truncate to
-    * microseconds — the identical truncation DuckDB applies when it loads
-    * the same file — so oracle comparisons stay exact. If a future Spark
+  /** Historically the driver wrote `events.ts` as parquet TIMESTAMP(NANOS)
+    * (current fixtures write microseconds — the LongType branch below is
+    * the compatibility net); Spark has no nanosecond timestamp type. Read
+    * nanos as raw longs (legacy conf) and truncate to microseconds — the
+    * identical truncation DuckDB applies when it loads the same file — so
+    * oracle comparisons stay exact. If a future Spark
     * reads NANOS natively the schema check falls through untouched.
     *
     * The conf set is deliberately NOT restored: the parquet reader

@@ -92,12 +92,51 @@ object SemiOps {
       .orderBy("l_orderkey")
       .limit(100)
 
+  /** Spark 4 VARIANT front door (the modern semi-structured column type:
+    * binary-encoded, shredded-scan-ready — the representation a 100-TB
+    * lake would store instead of JSON text, since typed-path access skips
+    * re-parsing the string per query). The query builds a NESTED document
+    * from real fixture columns (`to_json(struct(...))` — object, nested
+    * object, array), parses it to VARIANT once, then extracts typed
+    * paths with `variant_get` / `try_variant_get`:
+    *
+    *   - `$.meta.type` as string and `$.meta.k` as long — nested-object
+    *     navigation with typed extraction;
+    *   - `$.vals[1]` as double — array indexing (doubles survive the
+    *     JSON round-trip exactly: Jackson writes shortest-round-trip
+    *     decimal, and the variant decimal→double cast rounds back to the
+    *     identical IEEE value);
+    *   - `try_variant_get($.meta, long)` — an OBJECT can never cast to a
+    *     numeric, so the try_ form yields NULL (never an error) on every
+    *     row, pinning the error-safe cast semantics;
+    *   - `$.meta.missing` — an absent path is SQL NULL.
+    *
+    * The oracle states the same values straight from the base columns —
+    * the VARIANT encode/decode round-trip must be value-transparent, which
+    * is exactly the property worth pinning. */
+  def variantExtract(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select(col("event_id"),
+        parse_json(to_json(struct(
+          col("event_id").as("id"),
+          struct(col("event_type").as("type"),
+            get_json_object(col("props"), "$.k").cast("long").as("k")).as("meta"),
+          array(col("value"), col("value") * 2).as("vals")))).as("v"))
+      .select(col("event_id"),
+        variant_get(col("v"), "$.meta.type", "string").as("vtype"),
+        variant_get(col("v"), "$.meta.k", "long").as("k"),
+        variant_get(col("v"), "$.vals[1]", "double").as("second_val"),
+        try_variant_get(col("v"), "$.meta", "long").as("bad_cast"),
+        variant_get(col("v"), "$.meta.missing", "string").as("missing"))
+      .orderBy("event_id")
+
   val queries: Map[String, Q] = Map(
     "json_extract"      -> (jsonExtract _),
     "json_project"      -> (jsonProject _),
     "array_ops"         -> (arrayOps _),
     "map_ops"           -> (mapOps _),
-    "array_explode_agg" -> (arrayExplodeAgg _))
+    "array_explode_agg" -> (arrayExplodeAgg _),
+    "variant_extract"   -> (variantExtract _))
 
   val oracle: Map[String, String] = Map(
     "map_ops" ->
@@ -130,5 +169,12 @@ object SemiOps {
         |  CAST(CAST(sum(CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT)
         |       AS DOUBLE) / 1000000 AS sum_elems
         |FROM (SELECT label, unnest(embedding) AS x FROM embeddings) t
-        |GROUP BY label ORDER BY label""".stripMargin)
+        |GROUP BY label ORDER BY label""".stripMargin,
+    "variant_extract" ->
+      """SELECT event_id, event_type AS vtype,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        |  value * 2 AS second_val,
+        |  CAST(NULL AS BIGINT) AS bad_cast,
+        |  CAST(NULL AS VARCHAR) AS missing
+        |FROM events ORDER BY event_id""".stripMargin)
 }

@@ -130,15 +130,55 @@ object SqlOps {
     spark.sql(q17Sql)
   }
 
+  private val q20Sql =
+    """SELECT s_suppkey, s_name
+      |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      |WHERE n_name = 'NATION_7' AND s_suppkey IN (
+      |  SELECT ps.suppkey FROM (
+      |    SELECT l_suppkey AS suppkey, l_partkey AS partkey,
+      |      SUM(CAST(l_quantity AS DECIMAL(18,2))) AS shipped97
+      |    FROM lineitem
+      |    WHERE l_partkey IN (
+      |        SELECT p_partkey FROM part WHERE p_name LIKE 'cold%')
+      |      AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      |    GROUP BY l_suppkey, l_partkey) ps
+      |  WHERE ps.shipped97 > CAST(0.5 AS DECIMAL(2,1)) * (
+      |    SELECT SUM(CAST(l2.l_quantity AS DECIMAL(18,2)))
+      |    FROM lineitem l2
+      |    WHERE l2.l_suppkey = ps.suppkey AND l2.l_partkey = ps.partkey))
+      |ORDER BY s_name, s_suppkey""".stripMargin
+
+  /** TPC-H Q20 potential-part-promotion shape as SQL text (the fixture has
+    * no partsupp table, so the per-(part,supplier) supply relation is the
+    * grouped lineitem itself — same join graph, same subquery nesting):
+    * an IN whose subquery's WHERE carries a CORRELATED scalar subquery
+    * with a TWO-COLUMN correlation, nested inside another IN. This is the
+    * decorrelation case Q17/Q18 don't reach — Catalyst must rewrite the
+    * inner correlated aggregate into a grouped join on BOTH correlation
+    * keys, then fold the outer IN into a semi-join chain; the plan spec
+    * pins the absence of nested-loop re-execution. All thresholds are
+    * exact DECIMAL products (0.5 is DECIMAL(2,1), lossless ×2 digits), so
+    * the strict `>` can't flip between engines. */
+  def sqlQ20PromoSupp(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.supplier(spark, sfDir).createOrReplaceTempView("supplier")
+    Tables.nation(spark, sfDir).createOrReplaceTempView("nation")
+    Tables.part(spark, sfDir).createOrReplaceTempView("part")
+    Tables.lineitem(spark, sfDir).createOrReplaceTempView("lineitem")
+    spark.sql(q20Sql)
+  }
+
   val queries: Map[String, Q] = Map(
     "sql_q1_pricing"    -> (sqlQ1Pricing _),
     "sql_q3_shipping"   -> (sqlQ3Shipping _),
     "sql_q17_avgyearly" -> (sqlQ17AvgYearly _),
-    "sql_q18_toporders" -> (sqlQ18TopOrders _))
+    "sql_q18_toporders" -> (sqlQ18TopOrders _),
+    "sql_q20_promosupp" -> (sqlQ20PromoSupp _))
 
   val oracle: Map[String, String] = Map(
     "sql_q1_pricing"    -> q1Sql,
     "sql_q3_shipping"   -> q3Sql,
     "sql_q17_avgyearly" -> q17Sql,
-    "sql_q18_toporders" -> q18Sql)
+    "sql_q18_toporders" -> q18Sql,
+    "sql_q20_promosupp" -> q20Sql)
 }

@@ -19,7 +19,13 @@ class FixedWidthSourceSpec extends SparkSpec {
   test("round-trips every column of orders with full fidelity") {
     val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
       "o_totalprice", "o_orderpriority", "o_orderdate")
-    val got = read().select(cols.map(col): _*)
+    // The text format is timezone-less, so the connector reads timestamps
+    // as TIMESTAMP_NTZ by design; the parquet side reads as session-tz
+    // TIMESTAMP (UTC). Cast NTZ→LTZ (exact under the pinned UTC session)
+    // so fidelity is compared on values, not on the two timestamp flavors.
+    val got = read()
+      .withColumn("o_orderdate", col("o_orderdate").cast("timestamp"))
+      .select(cols.map(col): _*)
       .orderBy("o_orderkey").collect()
     val expected = Tables.orders(spark, sf).select(cols.map(col): _*)
       .orderBy("o_orderkey").collect()

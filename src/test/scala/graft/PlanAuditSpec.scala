@@ -405,6 +405,18 @@ class PlanAuditSpec extends SparkSpec {
       s"no per-part aggregate for the threshold in:\n$plan")
   }
 
+  test("sql_q20_promosupp: two-key correlated subquery under nested IN decorrelates — no nested loop") {
+    val plan = planOf("sql_q20_promosupp")
+    // the per-(part,supplier) total must become a grouped aggregate joined
+    // back on BOTH correlation keys; the INs fold into semi joins
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"correlated subquery not decorrelated in:\n$plan")
+    assert(plan.contains("LeftSemi"), s"IN-subquery not a semi join in:\n$plan")
+    assert("HashAggregate[^\\n]*l_suppkey[^\\n]*l_partkey".r.findFirstIn(plan).isDefined ||
+      "HashAggregate[^\\n]*l_partkey[^\\n]*l_suppkey".r.findFirstIn(plan).isDefined,
+      s"no (supp,part)-grouped aggregate for the threshold in:\n$plan")
+  }
+
   test("join_null_safe: <=> stays a hash-family join, never a nested loop") {
     val plan = planOf("join_null_safe")
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
