@@ -58,9 +58,16 @@ object ScaleStress {
       // upper bound on the observed exponent under a disjoint-union
       // scale-up + noise slack
       bound: Double,
-      // documented scale-path conf applied while timing the BIG corpus
-      // (empty = same conf both scales)
-      bigConf: Map[String, String] = Map.empty)
+      // documented scale-path conf applied while timing the BIG corpus,
+      // as a function of the scale factor (empty = same conf both scales)
+      bigConf: Int => Map[String, String] = _ => Map.empty)
+
+  // The knobs ARE the design: partitions sized to data, LSH planes
+  // +log2(factor) for constant bucket occupancy, IVF centroid modulus
+  // ×factor for constant centroid count. Deriving them from the factor
+  // keeps the ×10 audit and the ×100 spot check on the same formula.
+  private def dataSizedPartitions(factor: Int) =
+    Map("spark.sql.shuffle.partitions" -> (32 * factor).toString)
 
   private val Heavies: Seq[Heavy] = Seq(
     // graph family over lineitem co-purchase edges
@@ -76,7 +83,7 @@ object ScaleStress {
         "sized to data (the band-pair distinct is the engine's largest " +
         "shuffle; at fixed partition count its per-partition volume grows " +
         "with the corpus and spills)", 1.2,
-      bigConf = Map("spark.sql.shuffle.partitions" -> "320")),
+      bigConf = dataSizedPartitions),
     Heavy("dedup_simhash_pairs",
       "n signatures + 4x16-bit band pairs at sig level; ~linear until " +
         "occupancy n/2^16 dominates (band space is the documented cap)", 1.4),
@@ -99,11 +106,12 @@ object ScaleStress {
     Heavy("embed_dedup_clusters",
       "bucket-local pairs + CC; linear AT CONSTANT OCCUPANCY — big corpus " +
         "runs ann.planes+log2(factor), the documented scale path", 1.4,
-      bigConf = Map("spark.graft.ann.planes" -> "11")),
+      bigConf = f => Map("spark.graft.ann.planes" ->
+        (8 + math.ceil(math.log(f.toDouble) / math.log(2)).toInt).toString)),
     Heavy("ann_ivf_kmeans",
       "2 Lloyd rounds x n x k dots; linear AT CONSTANT k — big corpus runs " +
         "ann.centroidMod x factor, the documented scale path", 1.3,
-      bigConf = Map("spark.graft.ann.centroidMod" -> "320")))
+      bigConf = f => Map("spark.graft.ann.centroidMod" -> (32 * f).toString)))
 
   def main(args: Array[String]): Unit = {
     val small = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -139,37 +147,49 @@ object ScaleStress {
       conf.foreach { case (k, v) => spark.conf.set(k, v) }
       try {
         // min-of-2: the shared box stalls arbitrary runs; only the floor
-        // is meaningful (NOTES_r02 doctrine)
+        // is meaningful (NOTES_r02 doctrine).
+        // Materialize via count(), not collect(): the audit measures
+        // ENGINE throughput, and a pair-heavy query's big-corpus output
+        // (dedup_minhash_lsh at ×100: 302M rows) would OOM the driver
+        // buffering rows — a harness artifact a real pipeline (which
+        // writes results out) never pays. count() executes every stage
+        // except the output presentation sort, which EliminateSorts
+        // drops — deliberately: a global orderBy's range-sampling pass
+        // re-executes the whole pipeline, so timing it would DOUBLE the
+        // measured work (and its shuffle files exceed this box's disk at
+        // ×100). Both scales are timed the same way, so the exponent is
+        // unaffected by the choice.
         (1 to 2).map { _ =>
           val t0 = System.nanoTime()
-          SparkEntry.queries(name)(spark, dir).collect()
+          SparkEntry.queries(name)(spark, dir).count()
           (System.nanoTime() - t0) / 1e9
         }.min
       } finally conf.keys.foreach(spark.conf.unset)
     }
 
     val rows = heavies.map { h =>
+      val bigConf = h.bigConf(factor)
       val tSmall = time(h.name, small, Map.empty)
-      val tBig = time(h.name, big, h.bigConf)
+      val tBig = time(h.name, big, bigConf)
       val ratio = tBig / tSmall
       val exponent = math.log(ratio) / math.log(factor.toDouble)
       println(f"[scale] ${h.name}%-24s small=$tSmall%7.2fs big=$tBig%7.2fs " +
         f"ratio=$ratio%6.2f exp=$exponent%5.2f bound=${h.bound}%.1f" +
-        (if (h.bigConf.nonEmpty) s" bigConf=${h.bigConf.mkString(",")}" else ""))
-      (h, tSmall, tBig, ratio, exponent)
+        (if (bigConf.nonEmpty) s" bigConf=${bigConf.mkString(",")}" else ""))
+      (h, bigConf, tSmall, tBig, ratio, exponent)
     }
 
-    val qJson = rows.map { case (h, ts, tb, r, e) =>
+    val qJson = rows.map { case (h, bigConf, ts, tb, r, e) =>
       val confJson =
-        if (h.bigConf.isEmpty) ""
-        else h.bigConf.map { case (k, v) => s""""$k":"$v"""" }
+        if (bigConf.isEmpty) ""
+        else bigConf.map { case (k, v) => s""""$k":"$v"""" }
           .mkString(""","big_conf":{""", ",", "}")
       s""""${h.name}":{"t_small_sec":${f"$ts%.3f"},"t_big_sec":${f"$tb%.3f"},""" +
         s""""ratio":${f"$r%.3f"},"exponent":${f"$e%.3f"},""" +
         s""""model":"${h.model}","model_exponent_bound":${h.bound},""" +
         s""""within_model":${e <= h.bound}$confJson}"""
     }.mkString(",")
-    val nOver = rows.count { case (h, _, _, _, e) => e > h.bound }
+    val nOver = rows.count { case (h, _, _, _, _, e) => e > h.bound }
     val json = s"""{"sf_small":"$small","factor":$factor,""" +
       s""""queries":{$qJson},"n_over_model":$nOver}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(outJson),

@@ -270,13 +270,22 @@ object DedupOps {
     // becomes the bottleneck on near-duplicate-heavy corpora.
     val est = graft.functions.VectorFunctions.arrayEqCount(col("sig_a"), col("sig_b"))
       .cast("double") / K
-    val crossPairs = cand
-      .join(groups.select(col("rep").as("rep_a"), col("sig").as("sig_a"),
-        col("members").as("members_a")), "rep_a")
-      .join(groups.select(col("rep").as("rep_b"), col("sig").as("sig_b"),
-        col("members").as("members_b")), "rep_b")
+    // Verification carries ONLY the two signatures (the payload the
+    // estimator needs) through the candidate stream. Member arrays are
+    // attached AFTER the ≥0.8 filter: candidates outnumber verified pairs
+    // ~500× on a dense corpus (×100 audit: 1.26e9 candidates), so
+    // attaching the per-family member payload before the filter would
+    // push candidate_volume × |members| bytes through the two largest
+    // shuffles of the whole engine for rows that are about to be dropped.
+    val verified = cand
+      .join(groups.select(col("rep").as("rep_a"), col("sig").as("sig_a")), "rep_a")
+      .join(groups.select(col("rep").as("rep_b"), col("sig").as("sig_b")), "rep_b")
       .withColumn("est_jaccard", est)
       .filter(col("est_jaccard") >= 0.8)
+      .select("rep_a", "rep_b", "est_jaccard")
+    val crossPairs = verified
+      .join(groups.select(col("rep").as("rep_a"), col("members").as("members_a")), "rep_a")
+      .join(groups.select(col("rep").as("rep_b"), col("members").as("members_b")), "rep_b")
       // expand back to doc pairs: groups partition the corpus, so no pair
       // is emitted twice; member ids of different groups interleave, so
       // the (a,b) order is re-normalized per pair

@@ -173,6 +173,28 @@ object StreamOps {
       .groupBy("source")
       .agg(count(lit(1)).as("n_distinct_docs"))
 
+  /** The BOUNDED-STATE production dedup form [[dedupStream]]'s doc
+    * points at: `dropDuplicatesWithinWatermark` over event time. The
+    * fixture events table DOES carry event time (`ts`), so this twin
+    * simulates at-least-once delivery by unioning two replicas of the
+    * same file stream — every event arrives (at least) twice — and
+    * dedups on `event_id` under a 1-hour watermark. Unlike plain
+    * streaming `dropDuplicates` (state grows with all-time distinct
+    * keys), state here is evicted as the watermark passes, so a
+    * continuous deployment holds only ~1 hour of keys — the O(window)
+    * state budget that survives an unbounded stream. The finite replay
+    * drains in one micro-batch (watermark still at epoch), so every
+    * duplicate is in-state and the result equals the batch per-type
+    * counts exactly — asserted in StreamingSpec. */
+  def dedupWithinWatermarkStream(spark: SparkSession, sfDir: String): DataFrame =
+    eventsStream(spark, sfDir)
+      .unionAll(eventsStream(spark, sfDir))
+      .select(col("event_id"), col("ts"), col("event_type"))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"))
+
   /** Static per-user profile (batch side of the stream-static join):
     * historical event count and spend per user — the precomputed
     * dimension a serving pipeline joins onto live traffic. */

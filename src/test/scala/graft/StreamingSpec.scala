@@ -88,6 +88,24 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("watermarked dedup removes duplicated arrivals: counts equal the batch per-type counts") {
+    // the stream unions two replicas of the file source (at-least-once
+    // delivery); dropDuplicatesWithinWatermark must collapse them back to
+    // exactly the batch cardinality per event type
+    val streamed = StreamOps.runToTable(
+      StreamOps.dedupWithinWatermarkStream(spark, sf),
+      "stream_dedup_wm", OutputMode.Complete())
+      .orderBy("event_type").collect()
+    val batch = Tables.events(spark, sf)
+      .groupBy("event_type").agg(count(lit(1)).as("n"))
+      .orderBy("event_type").collect()
+    assert(streamed.length === batch.length)
+    streamed.zip(batch).foreach { case (s, b) =>
+      assert(s.getAs[String]("event_type") === b.getAs[String]("event_type"))
+      assert(s.getAs[Long]("n") === b.getAs[Long]("n"))
+    }
+  }
+
   test("streaming dedup equals the batch per-source distinct count") {
     val streamed = StreamOps.runToTable(
       StreamOps.dedupStream(spark, sf), "stream_dedup", OutputMode.Complete())
