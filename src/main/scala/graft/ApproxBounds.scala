@@ -67,7 +67,41 @@ object ApproxBounds {
         val a = skRows(t).toDouble
         f"""{"field":"$t","approx":${a.toLong},"exact":$e,"rel_err":${relErr(a, e.toDouble)}%.6f,"bound":0.05,"pass":${relErr(a, e.toDouble) <= 0.05}}"""
       }.mkString("[", ",", "]")
-      s""""$sfDir": {"approx_distinct_vs_count_distinct": $hllJson, "quantiles_approx_vs_quantiles": $pctJson, "hll_sketch_union_vs_exact": $skJson}"""
+      // KLL tier: the sketch bounds RANK, not value, so the recorded
+      // error is the normalized-rank distance of each estimated quantile
+      // from its target rank in the exact sort (k=800 → ~0.25% one-sided).
+      val li = Tables.lineitem(spark, sfDir)
+        .select(col("l_returnflag"), col("l_extendedprice").cast("double").as("v"))
+      val kllRows = SparkEntry.queries("kll_quantile_merge")(spark, sfDir).collect()
+      val kllJson = kllRows.flatMap { r =>
+        val slice = r.getAs[String]("slice")
+        val pop = if (slice == "__ALL__") li else li.filter(col("l_returnflag") === slice)
+        val n = pop.count().toDouble
+        Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99).map { case (c, p) =>
+          val v = r.getAs[Double](c)
+          val rankErr = math.abs(pop.filter(col("v") <= v).count() / n - p)
+          f"""{"field":"$slice.$c","approx":$v%.4f,"rank_err":$rankErr%.6f,"bound":0.01,"pass":${rankErr <= 0.01}}"""
+        }
+      }.mkString("[", ",", "]")
+      // Theta tier: set-algebra estimates vs exact distinct set ops at
+      // the (user, day) grain (the grain where the populations differ).
+      val thetaRow = SparkEntry.queries("theta_user_set_ops")(spark, sfDir).collect()(0)
+      val userDay = (col("user_id") * lit(100000L) +
+        (unix_micros(col("ts")) / lit(86400000000L)).cast("long")).as("ud")
+      def userDays(t: String) = ev.filter(col("event_type") === t)
+        .select(userDay).distinct()
+      val (ca, cb) = (userDays("click").cache(), userDays("purchase").cache())
+      val thetaExact = Seq(
+        ("click_user_days", ca.count()), ("purchase_user_days", cb.count()),
+        ("union_user_days", ca.union(cb).distinct().count()),
+        ("intersect_user_days", ca.intersect(cb).count()),
+        ("click_only_user_days", ca.except(cb).count()))
+      val thetaJson = thetaExact.map { case (c, e) =>
+        val a = thetaRow.getAs[Long](c).toDouble
+        f"""{"field":"$c","approx":${a.toLong},"exact":$e,"rel_err":${relErr(a, e.toDouble)}%.6f,"bound":0.05,"pass":${relErr(a, e.toDouble) <= 0.05}}"""
+      }.mkString("[", ",", "]")
+      ca.unpersist(); cb.unpersist()
+      s""""$sfDir": {"approx_distinct_vs_count_distinct": $hllJson, "quantiles_approx_vs_quantiles": $pctJson, "hll_sketch_union_vs_exact": $skJson, "kll_quantile_merge_rank_err": $kllJson, "theta_user_set_ops_vs_exact": $thetaJson}"""
     }
 
     // round + timestamp stamp: the artifact is re-generated each round's

@@ -152,13 +152,17 @@ object ScaleStress {
         // ENGINE throughput, and a pair-heavy query's big-corpus output
         // (dedup_minhash_lsh at ×100: 302M rows) would OOM the driver
         // buffering rows — a harness artifact a real pipeline (which
-        // writes results out) never pays. count() executes every stage
-        // except the output presentation sort, which EliminateSorts
-        // drops — deliberately: a global orderBy's range-sampling pass
-        // re-executes the whole pipeline, so timing it would DOUBLE the
-        // measured work (and its shuffle files exceed this box's disk at
-        // ×100). Both scales are timed the same way, so the exponent is
-        // unaffected by the choice.
+        // writes results out) never pays. Under count() EliminateSorts
+        // drops the output presentation sort — deliberately: a global
+        // orderBy's range-sampling pass re-executes the whole pipeline,
+        // so timing it would DOUBLE the measured work (and its shuffle
+        // files exceed this box's disk at ×100). Catalyst column pruning
+        // under count() can ALSO drop trailing projection expressions
+        // and unreferenced aggregate value expressions (only group keys
+        // feed the cardinality), so absolute times can understate full
+        // query work — and are NOT comparable to the collect()-measured
+        // SCALE_r7* artifacts. The exponent is unaffected either way:
+        // both scales are timed identically.
         (1 to 2).map { _ =>
           val t0 = System.nanoTime()
           SparkEntry.queries(name)(spark, dir).count()

@@ -130,13 +130,41 @@ object SemiOps {
         variant_get(col("v"), "$.meta.missing", "string").as("missing"))
       .orderBy("event_id")
 
+  /** VARIANT over the RAW fixture JSON: `variant_extract` above parses
+    * engine-constructed `to_json(struct(...))` text — JSON the engine's
+    * own writer shaped. This twin feeds `parse_json` the driver-written
+    * `events.props` string directly, so the VARIANT parser is pinned
+    * against bytes the engine never touched (round-8 verdict,
+    * worth-adding #2). Extractions:
+    *
+    *   - `$.k` as long — the typed-path read every other props query
+    *     does with `get_json_object` string re-parsing;
+    *   - `$.k` as string — the variant numeric→string cast must render
+    *     the same digits the source text carried;
+    *   - `try_variant_get($, long)` — the root is an OBJECT, so the try_
+    *     cast yields NULL on every row (error-safe semantics);
+    *   - `$.absent` — missing path is SQL NULL.
+    *
+    * The oracle restates all four straight from
+    * `json_extract_string(props, ...)`. */
+  def variantRawProps(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select(col("event_id"), parse_json(col("props")).as("v"))
+      .select(col("event_id"),
+        variant_get(col("v"), "$.k", "long").as("k"),
+        variant_get(col("v"), "$.k", "string").as("k_str"),
+        try_variant_get(col("v"), "$", "long").as("root_cast"),
+        variant_get(col("v"), "$.absent", "string").as("missing"))
+      .orderBy("event_id")
+
   val queries: Map[String, Q] = Map(
     "json_extract"      -> (jsonExtract _),
     "json_project"      -> (jsonProject _),
     "array_ops"         -> (arrayOps _),
     "map_ops"           -> (mapOps _),
     "array_explode_agg" -> (arrayExplodeAgg _),
-    "variant_extract"   -> (variantExtract _))
+    "variant_extract"   -> (variantExtract _),
+    "variant_raw_props" -> (variantRawProps _))
 
   val oracle: Map[String, String] = Map(
     "map_ops" ->
@@ -175,6 +203,13 @@ object SemiOps {
         |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
         |  value * 2 AS second_val,
         |  CAST(NULL AS BIGINT) AS bad_cast,
+        |  CAST(NULL AS VARCHAR) AS missing
+        |FROM events ORDER BY event_id""".stripMargin,
+    "variant_raw_props" ->
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        |  json_extract_string(props, '$.k') AS k_str,
+        |  CAST(NULL AS BIGINT) AS root_cast,
         |  CAST(NULL AS VARCHAR) AS missing
         |FROM events ORDER BY event_id""".stripMargin)
 }

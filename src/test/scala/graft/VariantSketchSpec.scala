@@ -41,7 +41,7 @@ class VariantSketchSpec extends SparkSpec {
     }
   }
 
-  test("hll_sketch_union: per-group within 5%% of exact; merged == direct-build estimate") {
+  test("hll_sketch_union: per-group within 5% of exact; merged == direct-build estimate") {
     val out = q("hll_sketch_union").collect()
       .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("approx_users")).toMap
     val ev = Tables.events(spark, sf)
