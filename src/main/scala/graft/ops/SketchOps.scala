@@ -42,7 +42,7 @@ import org.apache.spark.sql.functions._
 object SketchOps {
   type Q = (SparkSession, String) => DataFrame
 
-  private val LgK = 12
+  private[graft] val LgK = 12
   private val KllK = 800
 
   def hllUserSketches(spark: SparkSession, sfDir: String): DataFrame = {

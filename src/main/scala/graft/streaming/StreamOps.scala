@@ -318,8 +318,10 @@ object StreamOps {
     * watermark off epoch). Idempotent behind a `_SUCCESS` marker; the
     * staged dir lives under [[graft.ops.FileOps.filesRoot]]. */
   def stageTimeOrderedEventFiles(spark: SparkSession, sfDir: String,
-      nFiles: Int): String = {
+      nFiles: Int,
+      cols: Seq[String] = Seq("event_id", "ts", "event_type")): String = {
     val dir = s"${graft.ops.FileOps.filesRoot(spark)}/graft_stream_stage_${nFiles}_" +
+      cols.mkString("").replaceAll("[^A-Za-z0-9]", "").hashCode.toHexString + "_" +
       sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -327,7 +329,7 @@ object StreamOps {
     if (fs.exists(marker)) return dir
     fs.mkdirs(root)
     val ev = graft.Tables.events(spark, sfDir)
-      .select(col("event_id"), col("ts"), col("event_type"))
+      .select(cols.map(col): _*)
     val Array(lo, hi) = ev
       .agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts"))))
       .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
@@ -368,5 +370,58 @@ object StreamOps {
       .dropDuplicatesWithinWatermark("event_id")
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"))
+  }
+
+  /** Streaming sketch maintenance — the day-over-day distinct-user
+    * pipeline the batch sketch tier ([[graft.ops.SketchOps.hllSketchPersist]])
+    * and the multi-batch replay ([[stageTimeOrderedEventFiles]]) compose
+    * into. Events replay one time-slice file per micro-batch;
+    * `foreachBatch` builds the batch's per-type HLL sketches and
+    * union-merges them into a persisted parquet sketch store via the
+    * same atomic generation swap as [[upsertMergeRun]]. The stream is
+    * STATELESS — no watermark, no state store; the only carried state is
+    * the ~4 KB-per-type sketch table on disk — and no batch's raw rows
+    * are ever rescanned after its trigger completes. The staged files
+    * hold each slice TWICE (at-least-once delivery), which the pipeline
+    * absorbs for free: HLL insertion is idempotent, so replayed rows
+    * cannot move any estimate — the robustness property that makes
+    * sketch stores safer warehouse state than additive counters (compare
+    * [[upsertMergeRun]], whose sums would double). Returns the final
+    * per-type + `__ALL__` estimates, EXACTLY equal to the one-shot
+    * [[graft.ops.SketchOps.hllUserSketches]] because register-wise max
+    * is associative and commutative across any batch slicing
+    * (StreamingSpec pins the equality). */
+  def hllSketchMaintainRun(spark: SparkSession, sfDir: String): DataFrame = {
+    val staged = stageTimeOrderedEventFiles(spark, sfDir, 4,
+      Seq("event_id", "ts", "event_type", "user_id"))
+    val schema = spark.read.parquet(staged).schema
+    val stateRoot = java.nio.file.Files.createTempDirectory("graft_hll_maint")
+    @volatile var current: Option[String] = None
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "b*.parquet")
+      .parquet(staged)
+    val q = stream.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      val delta = batch.groupBy(col("event_type"))
+        .agg(hll_sketch_agg(col("user_id"), lit(graft.ops.SketchOps.LgK)).as("sk"))
+      val merged = current match {
+        case None => delta
+        case Some(dir) => spark.read.parquet(dir).unionByName(delta)
+          .groupBy(col("event_type"))
+          .agg(hll_union_agg(col("sk"), lit(false)).as("sk"))
+      }
+      val out = stateRoot.resolve(s"gen_$id").toString
+      merged.write.mode("overwrite").parquet(out)
+      current = Some(out)
+    }.start()
+    try q.processAllAvailable() finally q.stop()
+    val sk = spark.read.parquet(current.getOrElse(
+      sys.error(s"no micro-batch ran over $staged")))
+    val per = sk.select(col("event_type"),
+      hll_sketch_estimate(col("sk")).as("approx_users"))
+    val all = sk.agg(hll_union_agg(col("sk"), lit(false)).as("sk"))
+      .select(lit("__ALL__").as("event_type"),
+        hll_sketch_estimate(col("sk")).as("approx_users"))
+    per.unionByName(all).orderBy("event_type")
   }
 }

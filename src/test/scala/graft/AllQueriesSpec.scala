@@ -10,13 +10,38 @@ package graft
   */
 class AllQueriesSpec extends SparkSpec {
 
+  /** Queries whose VALUES carry library-internal RNG that no seed
+    * reaches: DataSketches KLL compaction decides keep-odd/keep-even via
+    * an unseeded java.util.Random (verified in datasketches-java 6.2.0),
+    * so once n > k two builds of the same sketch may differ by up to the
+    * rank error. For these the gate checks shape + keys exactly and
+    * numeric cells within 2% relative — k=800 gives ~0.25% one-sided
+    * normalized rank error (≈5 value-steps on the fixture's price grid),
+    * so 2% is ≳8σ while still catching any real nondeterminism (a
+    * partitioning-order bug shifts quantiles far more). The driver's
+    * check for these rows-only queries is count-based, so the weaker
+    * cell comparison here is not masking an oracle. */
+  private val RngBySemantics = Set("kll_quantile_merge")
+
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name: executes and is run-to-run deterministic at sf0.001") {
       val a = fn(spark, sf).collect()
       val b = fn(spark, sf).collect()
       assert(a.length === b.length, s"$name row count varies between runs")
       a.zip(b).zipWithIndex.foreach { case ((ra, rb), i) =>
-        assert(ra === rb, s"$name row $i differs between runs")
+        if (RngBySemantics(name)) {
+          assert(ra.length === rb.length, s"$name row $i arity differs")
+          (0 until ra.length).foreach { j =>
+            (ra.get(j), rb.get(j)) match {
+              case (x: java.lang.Number, y: java.lang.Number) =>
+                val (xv, yv) = (x.doubleValue(), y.doubleValue())
+                assert(math.abs(xv - yv) <= 0.02 * math.max(math.abs(xv), 1e-9),
+                  s"$name row $i col $j beyond sketch rank-error band: $xv vs $yv")
+              case (x, y) =>
+                assert(x === y, s"$name row $i col $j differs between runs")
+            }
+          }
+        } else assert(ra === rb, s"$name row $i differs between runs")
       }
       assert(fn(spark, sf).schema.fields.nonEmpty)
     }

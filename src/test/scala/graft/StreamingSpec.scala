@@ -230,4 +230,23 @@ class StreamingSpec extends SparkSpec {
         b.getAs[java.math.BigDecimal]("open_spend"))
     }
   }
+
+  test("foreachBatch incremental HLL maintenance equals the one-shot sketch build") {
+    // streaming sketch maintenance (round-8 verdict, next-round #8):
+    // per-batch sketches union-merged into a persisted store, one
+    // time-slice file per trigger, each slice delivered TWICE. Register-
+    // wise max is associative/commutative and insertion is idempotent,
+    // so the final estimates must EXACTLY equal the one-shot build over
+    // the raw table — across any slicing and despite the duplicates.
+    val streamed = StreamOps.hllSketchMaintainRun(spark, sf)
+      .orderBy("event_type").collect()
+    val batch = graft.ops.SketchOps.hllUserSketches(spark, sf)
+      .orderBy("event_type").collect()
+    assert(streamed.length === batch.length)
+    assert(streamed.length >= 2) // at least one event_type + __ALL__
+    streamed.zip(batch).foreach { case (s, b) =>
+      assert(s.getAs[String]("event_type") === b.getAs[String]("event_type"))
+      assert(s.getAs[Long]("approx_users") === b.getAs[Long]("approx_users"))
+    }
+  }
 }
