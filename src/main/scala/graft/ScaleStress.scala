@@ -79,10 +79,11 @@ object ScaleStress {
       "rounds-to-drain x (frontier join); depth set per component => linear", 1.3),
     // text dedup family over documents
     Heavy("dedup_minhash_lsh",
-      "n signatures + bucket-local pairs; linear WITH shuffle partitions " +
-        "sized to data (the band-pair distinct is the engine's largest " +
-        "shuffle; at fixed partition count its per-partition volume grows " +
-        "with the corpus and spills)", 1.2,
+      "n signatures + bucket-local pairs verified INLINE in the band " +
+        "join (est>=0.8 filter runs where pairs are born; only the " +
+        "~500x-smaller verified stream shuffles); linear WITH shuffle " +
+        "partitions sized to data — the pinned REPARTITION_BY_NUM band " +
+        "exchange is the volume knob AQE can't coalesce away", 1.2,
       bigConf = dataSizedPartitions),
     Heavy("dedup_simhash_pairs",
       "n signatures + 4x16-bit band pairs at sig level; ~linear until " +

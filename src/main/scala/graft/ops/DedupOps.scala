@@ -245,44 +245,62 @@ object DedupOps {
         .reduce(_ + _) + lit(j * BC(4) % P)
       (mixed % P).as(s"band$j")
     }
-    val bands = groups.select(col("rep") +: bandCols: _*)
-      .select(col("rep"),
+    // Band rows CARRY the signature (512 B/rep) into the bucket join, so
+    // verification runs INLINE in the join stage and candidates never
+    // reach an exchange — see the [[verified]] note below for why this
+    // beats the two-phase distinct-then-join-sigs formulation this
+    // replaced. The explicit NUMBERED repartition on the join keys pins
+    // the join-input exchange to the configured partition count: AQE
+    // coalesces ENSURE_REQUIREMENTS exchanges by their INPUT size, blind
+    // to the ~200× pair fan-out behind this one (the ×10 StageAudit
+    // measured the whole enumeration squeezed into 27 AQE-coalesced
+    // tasks, 12 GB of aggregate spill — the external-sort cascade that
+    // pushed the ×100 exponent to 1.28 in SCALE_r8_x100.json).
+    // REPARTITION_BY_NUM is never coalesced, the join reuses the
+    // partitioning (this replaces the exchange, not adds one), and the
+    // self-join's two reads share ONE exchange write via ReusedExchange.
+    val bands = groups.select(col("rep") +: col("sig") +: bandCols: _*)
+      .select(col("rep"), col("sig"),
         posexplode(array((0 until BANDS).map(j => col(s"band$j")): _*))
           .as(Seq("band_idx", "band_hash")))
-    // Candidate generation: plain bucket self-join over representatives.
-    // The 64-bit band hash distributes buckets uniformly, so the
-    // sort-merge join's per-key groups stay moderate and the plain join
-    // measured 4× faster than the blocked [[PairEnum]] decomposition
-    // here (5.3s vs 22s at sf0.1/32 threads). When a bucket degenerates
-    // (near-universal band), switch to PairEnum.blockedSelfJoinPairs —
-    // as simhashPairs does, where the 16-bit bands do produce giant
-    // buckets.
-    val cand = bands.as("x").join(bands.as("y"),
+      .repartition(spark.conf.get("spark.sql.shuffle.partitions").toInt,
+        col("band_idx"), col("band_hash"))
+    // Candidate generation + verification, one pipelined stage: bucket
+    // self-join over representatives (the 64-bit band hash keeps buckets
+    // uniform, so per-key sort-merge groups stay moderate — measured 4×
+    // faster than the blocked [[PairEnum]] decomposition here; when a
+    // band degenerates, switch to PairEnum.blockedSelfJoinPairs as
+    // simhashPairs does), then the unbiased MinHash Jaccard estimator —
+    // a native codegen'd array-compare, O(pairs · K) with K constant, no
+    // second scan of the documents — filters each enumerated pair IN THE
+    // JOIN STAGE. Only the ~500×-smaller verified stream is ever
+    // shuffled (the distinct that removes multi-band duplicates now
+    // deduplicates survivors, not candidates). The formulation this
+    // replaced shipped the RAW candidate stream through the engine's
+    // largest exchange (×100 audit: 1.26e9 rows) into a distinct whose
+    // map-side partial aggregation collapsed ~nothing — a pair's 16 band
+    // collisions hash to 16 DIFFERENT partitions, so within-task
+    // duplicates are structurally absent (StageAudit ×10: 128M of 136M
+    // raw candidates survived the partial agg, which still burned the
+    // stage's hash-map + 12 GB spill) — and then joined candidates back
+    // to `groups` TWICE to fetch the very signatures the band rows
+    // already knew. Trade: the band exchange grows 24 B → ~540 B/row
+    // (sig payload, ~linear, sequential I/O), in exchange for deleting
+    // the candidate-volume exchange, its 1.4e9-row hash aggregation, and
+    // both rep-keyed verification joins — every super-linear term the
+    // ×100 audit caught. Member arrays still attach AFTER the filter
+    // (below): attaching them before would push pair_volume × |members|
+    // bytes through the join for rows about to be dropped.
+    val est = graft.functions.VectorFunctions
+      .arrayEqCount(col("x.sig"), col("y.sig")).cast("double") / K
+    val verified = bands.as("x").join(bands.as("y"),
         col("x.band_idx") === col("y.band_idx") &&
           col("x.band_hash") === col("y.band_hash") &&
           col("x.rep") < col("y.rep"))
-      .select(col("x.rep").as("rep_a"), col("y.rep").as("rep_b"))
-      .distinct()
-    // Verify candidates by signature agreement (the unbiased MinHash
-    // estimator of Jaccard): a native codegen'd array-compare per pair —
-    // O(pairs · K) with K constant, no second scan of the documents. An
-    // exact re-verification pass over token sets is O(pairs · |doc|) and
-    // becomes the bottleneck on near-duplicate-heavy corpora.
-    val est = graft.functions.VectorFunctions.arrayEqCount(col("sig_a"), col("sig_b"))
-      .cast("double") / K
-    // Verification carries ONLY the two signatures (the payload the
-    // estimator needs) through the candidate stream. Member arrays are
-    // attached AFTER the ≥0.8 filter: candidates outnumber verified pairs
-    // ~500× on a dense corpus (×100 audit: 1.26e9 candidates), so
-    // attaching the per-family member payload before the filter would
-    // push candidate_volume × |members| bytes through the two largest
-    // shuffles of the whole engine for rows that are about to be dropped.
-    val verified = cand
-      .join(groups.select(col("rep").as("rep_a"), col("sig").as("sig_a")), "rep_a")
-      .join(groups.select(col("rep").as("rep_b"), col("sig").as("sig_b")), "rep_b")
-      .withColumn("est_jaccard", est)
+      .select(col("x.rep").as("rep_a"), col("y.rep").as("rep_b"),
+        est.as("est_jaccard"))
       .filter(col("est_jaccard") >= 0.8)
-      .select("rep_a", "rep_b", "est_jaccard")
+      .distinct()
     val crossPairs = verified
       .join(groups.select(col("rep").as("rep_a"), col("members").as("members_a")), "rep_a")
       .join(groups.select(col("rep").as("rep_b"), col("members").as("members_b")), "rep_b")
