@@ -23,7 +23,8 @@ object SparkEntry {
       QualityOps.queries ++ MartOps.queries ++ WarehouseOps.queries ++
       GraphOps.queries ++ SeriesOps.queries ++ ProfileOps.queries ++
       BehaviorOps.queries ++ RetailOps.queries ++ MatchOps.queries ++
-      SqlOps.queries ++ IrOps.queries ++ SketchOps.queries
+      SqlOps.queries ++ IrOps.queries ++ SketchOps.queries ++
+      LayoutOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -35,5 +36,6 @@ object SparkEntry {
       QualityOps.oracle ++ MartOps.oracle ++ WarehouseOps.oracle ++
       GraphOps.oracle ++ SeriesOps.oracle ++ ProfileOps.oracle ++
       BehaviorOps.oracle ++ RetailOps.oracle ++ MatchOps.oracle ++
-      SqlOps.oracle ++ IrOps.oracle ++ SketchOps.oracle
+      SqlOps.oracle ++ IrOps.oracle ++ SketchOps.oracle ++
+      LayoutOps.oracle
 }

@@ -29,6 +29,24 @@ case class DotProduct(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "vec_dot"
 
+  /** Element access below dispatches only on Float vs Double — any other
+    * element type would read the unsafe buffer at the wrong width and
+    * yield garbage doubles (observed: array<bigint> from Spark's
+    * BIGINT-returning floor() silently scored every pair NaN). Reject at
+    * analysis time instead. */
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val bad = Seq(left, right).map(_.dataType).filterNot {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _                                    => false
+    }
+    if (bad.isEmpty)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<float|double> inputs, got ${bad.mkString(", ")}")
+  }
+
   private def elemType(e: Expression): DataType =
     e.dataType.asInstanceOf[ArrayType].elementType
 

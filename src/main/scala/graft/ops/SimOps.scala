@@ -457,7 +457,76 @@ object SimOps {
       .orderBy("vec_id")
   }
 
+  // --- Scalar-quantized (int8) ANN -----------------------------------------
+
+  /** Per-element int8 quantizer: clamp to [-1, 1], scale by 127, round
+    * half-up via `floor(x·127 + 0.5)` — spelled with floor (not `round`)
+    * so Spark and DuckDB share ONE rounding definition. The result stays
+    * an ARRAY<DOUBLE> of integral values: the dot-product arithmetic is
+    * then exact integer math inside the double mantissa (|q| ≤ 127, 64
+    * dims → |dot| ≤ 127²·64 ≈ 2²⁰ ≪ 2⁵³), so the oracle compare is
+    * bit-exact. The PRODUCTION layout packs these into 64-byte binary —
+    * 4× less scan bandwidth and cache than float32 — but the integral
+    * doubles here keep the whole path inside the codegen'd
+    * [[graft.functions.DotProduct]] kernel and the SQL oracle. */
+  private def sq8(c: Column): Column =
+    transform(c, x =>
+      // Spark's floor() yields BIGINT — cast back to DOUBLE so the array
+      // element type matches DotProduct's float/double contract (and
+      // DuckDB's floor, which is already DOUBLE)
+      floor(greatest(lit(-1.0), least(lit(1.0), x.cast("double"))) * 127.0 + 0.5)
+        .cast("double"))
+
+  /** Scalar-quantized ANN with exact rerank — the third index tier next
+    * to LSH and IVF, and the one production vector stores reach for
+    * first (int8 SQ is FAISS's `SQ8` / Lucene's `int8_hnsw` default):
+    * score ALL candidates with the cheap int8 dot product (4× less
+    * memory traffic than float32, exact integer compares), keep the
+    * top-20 per query, then rerank only those 20 with full-precision
+    * cosine and emit the top-5.
+    *
+    * Scale shape: identical join/window skeleton to [[annTopkBrute]] —
+    * broadcast the 10 query rows, one narrow shuffle for the per-query
+    * window top-k, never a global sort — but at 100 TB the scored column
+    * scan moves 4× fewer bytes and the full-precision vectors are only
+    * touched for 20 rows per query (late materialization: the rerank
+    * carries the float embedding through the candidate cut rather than
+    * re-joining the corpus). Quantization error changes WHICH candidates
+    * make the int8 cut (recall, spec-measured vs the brute-force truth)
+    * but the emitted cosines are exact full-precision values.
+    *
+    * Fully oracled: quantization, candidate cut, and rerank are all
+    * deterministic closed-form expressions restated in DuckDB list
+    * algebra. */
+  def annSq8(spark: SparkSession, sfDir: String): DataFrame = {
+    val v = withNorm(Tables.embeddings(spark, sfDir))
+      .withColumn("q8", sq8(col("embedding")))
+      .select("vec_id", "embedding", "nrm", "q8")
+    val q = v.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("nrm").as("qn"), col("q8").as("qq8"))
+    val scored = broadcast(q).join(v, col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("qe"), col("qn"), col("embedding"), col("nrm"),
+        dot(col("qq8"), col("q8")).as("q8score"))
+    val wq = Window.partitionBy("query_id")
+      .orderBy(col("q8score").desc, col("neighbor_id").asc)
+    val candidates = scored
+      .withColumn("crnk", row_number().over(wq))
+      .filter(col("crnk") <= 20)
+    val wr = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    candidates
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("qe"), col("embedding")) / sqrt(col("qn") * col("nrm"))).as("cos"))
+      .withColumn("rnk", row_number().over(wr).cast("long"))
+      .filter(col("rnk") <= 5)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"), col("cos"))
+      .orderBy("query_id", "rnk")
+  }
+
   val queries: Map[String, Q] = Map(
+    "ann_sq8"              -> (annSq8 _),
     "embed_knn_classify"   -> (embedKnnClassify _),
     "embed_top_pairs"      -> (embedTopPairs _),
     "ann_topk_brute"       -> (annTopkBrute _),
@@ -625,6 +694,33 @@ object SimOps {
          |    ${sqlDot("a.d", "b.d")} / sqrt(a.nrm * b.nrm) AS cos
          |  FROM n a JOIN n b ON a.vec_id < b.vec_id) t
          |ORDER BY cos DESC, vec_a ASC, vec_b ASC LIMIT 20""".stripMargin,
+    "ann_sq8" ->
+      s"""WITH v AS ($sqlVec),
+         |n AS (SELECT vec_id, d, ${sqlDot("d", "d")} AS nrm,
+         |  list_transform(d, x -> floor(greatest(-1.0, least(1.0, x)) * 127.0 + 0.5)) AS q8
+         |  FROM v),
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+         |    q.d AS qd, q.nrm AS qn, x.d AS xd, x.nrm AS xn,
+         |    ${sqlDot("q.q8", "x.q8")} AS q8score
+         |  FROM n q JOIN n x ON q.vec_id < 10 AND x.vec_id <> q.vec_id),
+         |cand AS (
+         |  SELECT * FROM (
+         |    SELECT query_id, neighbor_id, qd, qn, xd, xn,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY q8score DESC, neighbor_id ASC) AS crnk
+         |    FROM scored) t WHERE crnk <= 20),
+         |rer AS (
+         |  SELECT query_id, neighbor_id,
+         |    ${sqlDot("qd", "xd")} / sqrt(qn * xn) AS cos
+         |  FROM cand),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, cos,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |         ORDER BY cos DESC, neighbor_id ASC) AS BIGINT) AS rnk
+         |  FROM rer)
+         |SELECT query_id, rnk, neighbor_id, cos
+         |FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
     "ann_topk_brute" ->
       s"""WITH v AS ($sqlVec),
          |n AS (SELECT vec_id, d, ${sqlDot("d", "d")} AS nrm FROM v),

@@ -213,12 +213,60 @@ object SqlOps {
     spark.sql(q22Sql)
   }
 
+  private val q21Sql =
+    """SELECT s_name, COUNT(*) AS numwait
+      |FROM supplier
+      |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+      |JOIN orders ON o_orderkey = l1.l_orderkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |WHERE o_orderstatus = 'F'
+      |  AND l1.l_returnflag = 'R'
+      |  AND n_regionkey IN (0, 2)
+      |  AND EXISTS (
+      |    SELECT 1 FROM lineitem l2
+      |    WHERE l2.l_orderkey = l1.l_orderkey
+      |      AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (
+      |    SELECT 1 FROM lineitem l3
+      |    WHERE l3.l_orderkey = l1.l_orderkey
+      |      AND l3.l_suppkey <> l1.l_suppkey
+      |      AND l3.l_returnflag = 'R')
+      |GROUP BY s_name
+      |ORDER BY numwait DESC, s_name
+      |LIMIT 100""".stripMargin
+
+  /** TPC-H Q21 suppliers-who-kept-orders-waiting shape as SQL text (the
+    * fixture lineitem has no commit/receipt dates, so "delivered late"
+    * becomes the lineitem-intrinsic `l_returnflag = 'R'`, and the
+    * nation filter widens to two regions so the fixture returns rows at
+    * every SF — same join graph, same subquery nesting): the
+    * DOUBLE-CORRELATED EXISTS + NOT EXISTS surface, each subquery
+    * correlated on the order key AND carrying a NON-EQUI residual
+    * (`l_suppkey <>`) against the outer row. This is the decorrelation
+    * family Q17/Q18/Q20/Q22 don't reach: Catalyst must rewrite EXISTS
+    * into a LEFT SEMI and NOT EXISTS into a LEFT ANTI hash join, both
+    * keyed on `l_orderkey` with the supplier inequality folded into the
+    * join CONDITION (not a post-filter — an anti join filtered after the
+    * fact would be wrong), never a per-outer-row nested-loop
+    * re-execution. The plan spec pins both join types and the absence of
+    * nested loops. `numwait` is an exact COUNT, so the oracle compare is
+    * integer-exact; ties order by (numwait DESC, s_name) so the top-100
+    * cut is deterministic in both engines. */
+  def sqlQ21Waiting(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.supplier(spark, sfDir).createOrReplaceTempView("supplier")
+    Tables.nation(spark, sfDir).createOrReplaceTempView("nation")
+    Tables.orders(spark, sfDir).createOrReplaceTempView("orders")
+    Tables.lineitem(spark, sfDir).createOrReplaceTempView("lineitem")
+    spark.sql(q21Sql)
+  }
+
   val queries: Map[String, Q] = Map(
     "sql_q1_pricing"    -> (sqlQ1Pricing _),
     "sql_q3_shipping"   -> (sqlQ3Shipping _),
     "sql_q17_avgyearly" -> (sqlQ17AvgYearly _),
     "sql_q18_toporders" -> (sqlQ18TopOrders _),
     "sql_q20_promosupp" -> (sqlQ20PromoSupp _),
+    "sql_q21_waiting"   -> (sqlQ21Waiting _),
     "sql_q22_nourgent"  -> (sqlQ22NoUrgent _))
 
   val oracle: Map[String, String] = Map(
@@ -227,5 +275,6 @@ object SqlOps {
     "sql_q17_avgyearly" -> q17Sql,
     "sql_q18_toporders" -> q18Sql,
     "sql_q20_promosupp" -> q20Sql,
+    "sql_q21_waiting"   -> q21Sql,
     "sql_q22_nourgent"  -> q22Sql)
 }

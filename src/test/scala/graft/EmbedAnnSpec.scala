@@ -54,6 +54,24 @@ class EmbedAnnSpec extends SparkSpec {
       "a vector with a same-bucket neighbor lost it under multiprobe")
   }
 
+  test("ann_sq8: int8 candidate cut preserves top-5 recall vs exact brute force, cosines full-precision") {
+    // ground truth: the exact top-5 from the brute-force query
+    val brute = q("ann_topk_brute").select("query_id", "neighbor_id", "cos").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val sq = q("ann_sq8").select("query_id", "neighbor_id", "cos").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // recall@5: int8 scores decide only WHICH 20 candidates are reranked;
+    // with 8-bit resolution on unit-scale values the true top-5 should
+    // essentially always survive a 4x-deep candidate cut
+    val recall = brute.keys.count(sq.contains).toDouble / brute.size
+    assert(recall >= 0.9, s"sq8 recall@5 vs brute force = $recall")
+    // exactness: every emitted cosine is the FULL-PRECISION value — the
+    // rerank never uses quantized arithmetic, so shared (query, neighbor)
+    // pairs carry bit-identical cosines
+    sq.foreach { case (k, c) =>
+      brute.get(k).foreach(bc => assert(bc === c, s"rerank cosine not exact for $k")) }
+  }
+
   test("pq_encode matches a driver-side brute-force argmin encode") {
     val rows = q("pq_encode").collect()
     val vecs = Tables.embeddings(spark, sf)

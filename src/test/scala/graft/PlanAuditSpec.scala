@@ -436,6 +436,23 @@ class PlanAuditSpec extends SparkSpec {
       s"scalar threshold not a subquery broadcast in:\n$plan")
   }
 
+  test("sql_q21_waiting: EXISTS/NOT EXISTS with non-equi residuals plan as semi/anti hash joins — no nested loop") {
+    val plan = planOf("sql_q21_waiting")
+    // both correlated subqueries must decorrelate into hash-family joins
+    // keyed on l_orderkey, with the `l_suppkey <>` inequality carried as
+    // the join's residual CONDITION — never a per-outer-row
+    // BroadcastNestedLoopJoin re-execution of lineitem
+    assert(plan.contains("LeftSemi"), s"EXISTS not a semi join in:\n$plan")
+    assert(plan.contains("LeftAnti"), s"NOT EXISTS not an anti join in:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"correlated EXISTS not decorrelated in:\n$plan")
+    // the supplier-inequality residual must ride the join itself
+    assert("(LeftSemi|LeftAnti)[^\\n]*NOT[^\\n]*l_suppkey".r.findFirstIn(plan).isDefined ||
+      "(LeftSemi|LeftAnti)[^\\n]*l_suppkey[^\\n]*(!=|NOT)".r.findFirstIn(plan).isDefined,
+      s"suppkey inequality not in the join condition in:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"), s"limit not TakeOrdered in:\n$plan")
+  }
+
   test("join_null_safe: <=> stays a hash-family join, never a nested loop") {
     val plan = planOf("join_null_safe")
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
