@@ -487,7 +487,55 @@ object FileOps {
       .orderBy("bin")
   }
 
+  /** DYNAMIC partition pruning — the runtime twin of
+    * [[partitionedPrune]]'s listing-time static prune. Here the fact's
+    * partition filter is NOT knowable at plan time: the fact (the
+    * hive-partitioned orders copy) joins a tiny dim on the PARTITION
+    * column, and the selective predicate lives on the dim's OTHER
+    * attribute (`tier = 'closed'`). Catalyst inserts a
+    * `dynamicpruningexpression` into the fact scan's PartitionFilters:
+    * the dim's broadcast result is REUSED as an IN-filter over partition
+    * values, so only the matching partition directories are ever listed
+    * and read. At 100 TB this is the bread-and-butter star-join shape —
+    * date-partitioned fact × filtered date dim — where the scan cost is
+    * the PRUNED volume, not the table size. DppSpec pins both the plan
+    * shape and the measured decode (scan numOutputRows = one partition's
+    * rows). Oracle: the dim restated as a VALUES CTE. */
+  def dppJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = cacheDir(spark, "orderspart", sfDir)
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(root, "_SUCCESS"))) {
+      Tables.orders(spark, sfDir)
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+          col("o_orderstatus"))
+        .write.mode("overwrite").partitionBy("o_orderstatus").parquet(dir)
+    }
+    // the dim must be a real datasource: an in-memory LocalRelation gets
+    // its filter constant-folded away before the PartitionPruning rule
+    // looks for a selective predicate, and DPP silently never fires
+    // (observed) — exactly how a real deployment's date dim behaves
+    // (it IS a table)
+    val dimDir = cacheDir(spark, "orderdim", sfDir)
+    val dimRoot = new Path(dimDir)
+    if (!fs.exists(new Path(dimRoot, "_SUCCESS"))) {
+      import spark.implicits._
+      Seq(("F", "closed"), ("O", "open"), ("P", "open"))
+        .toDF("status", "tier")
+        .coalesce(1).write.mode("overwrite").parquet(dimDir)
+    }
+    val dim = spark.read.parquet(dimDir)
+    spark.read.parquet(dir)
+      .join(dim.filter(col("tier") === "closed"),
+        col("o_orderstatus") === col("status"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        graft.Det.moneySum(col("o_totalprice")).as("sum_price"))
+      .orderBy("o_orderpriority")
+  }
+
   val queries: Map[String, Q] = Map(
+    "dpp_join"          -> (dppJoin _),
     "compact_files"     -> (compactFiles _),
     "file_ingest"       -> (fileIngest _),
     "file_shard_stats"  -> (fileShardStats _),
@@ -563,5 +611,13 @@ object FileOps {
       s"""SELECT o_orderpriority, count(*) AS n_orders,
          |  ${graft.Det.sqlMoneySum("o_totalprice")} AS sum_price
          |FROM orders WHERE o_orderstatus = 'F'
+         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "dpp_join" ->
+      s"""WITH dim(status, tier) AS (
+         |  VALUES ('F', 'closed'), ('O', 'open'), ('P', 'open'))
+         |SELECT o_orderpriority, count(*) AS n_orders,
+         |  ${graft.Det.sqlMoneySum("o_totalprice")} AS sum_price
+         |FROM orders JOIN dim ON o_orderstatus = dim.status
+         |WHERE dim.tier = 'closed'
          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
 }

@@ -176,14 +176,61 @@ object SketchOps {
         .as("click_only_user_days"))
   }
 
+  /** Mergeable heavy hitters — the frequent-items member of the sketch
+    * family ([[graft.functions.FrequencyFunctions]], custom
+    * `TypedImperativeAggregate` over DataSketches `ItemsSketch` since
+    * Spark has no built-in FI surface): per-source token sketches are
+    * built in one pass (a few KB each — the persistable slice state),
+    * union-merged, and the merged sketch's NO_FALSE_NEGATIVES item list
+    * becomes the CANDIDATE set — provably a superset of every token
+    * whose true count exceeds the sketch's error bound. Candidates are
+    * then verified with EXACT counts (a broadcast semi-join — the
+    * decontaminate_prefilter pattern applied to heavy hitters), so the
+    * emitted top-20 is deterministic and fully ORACLED even though
+    * sketch internals vary with merge order. FrequencySpec pins the
+    * determinism PRECONDITION (merged maxError ≪ the 20th exact count)
+    * rather than assuming it.
+    *
+    * vs [[QualityOps.heavyHitters]]: that is one-shot Misra–Gries over
+    * the whole corpus; this is the same guarantee in MERGEABLE form —
+    * yesterday's slice sketch is never rebuilt, and any slice roll-up
+    * is a KB-sized merge. */
+  def fiTopkMerge(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.FrequencyFunctions._
+    val m = FiMaxMap
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("source"), explode(split(col("text"), " ")).as("token"))
+    val perSource = toks.groupBy("source")
+      .agg(fiSketchAgg(col("token"), m).as("sk"))
+    val merged = perSource.agg(fiUnionAgg(col("sk"), m).as("sk"))
+    val cand = merged
+      .select(explode(fiSketchItems(col("sk"))).as("token"))
+    toks.join(broadcast(cand), "token")
+      .groupBy("token")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token").asc)
+      .limit(20)
+  }
+
+  private[graft] val FiMaxMap = 1024
+
   val queries: Map[String, Q] = Map(
     "hll_sketch_union" -> (hllUserSketches _),
     "hll_sketch_persist" -> (hllSketchPersist _),
     "kll_quantile_merge" -> (kllQuantileMerge _),
-    "theta_user_set_ops" -> (thetaUserSetOps _))
+    "theta_user_set_ops" -> (thetaUserSetOps _),
+    "fi_topk_merge" -> (fiTopkMerge _))
 
-  // Approximate by semantics — no DuckDB hash oracle (rows-only check);
-  // bounded against the exact twins in APPROX_BOUNDS.json and
-  // SketchTierSpec / VariantSketchSpec.
-  val oracle: Map[String, String] = Map.empty
+  // The DataSketches tiers are approximate by semantics — no DuckDB hash
+  // oracle (rows-only check); bounded against the exact twins in
+  // APPROX_BOUNDS.json and SketchTierSpec / VariantSketchSpec. The
+  // frequent-items tier is the exception: its sketch only NOMINATES
+  // candidates and exact counts decide, so it hash-oracles like any
+  // deterministic query.
+  val oracle: Map[String, String] = Map(
+    "fi_topk_merge" ->
+      """WITH tk AS (
+        |  SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |SELECT token, count(*) AS n FROM tk
+        |GROUP BY token ORDER BY n DESC, token ASC LIMIT 20""".stripMargin)
 }
