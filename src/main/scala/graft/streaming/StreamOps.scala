@@ -238,6 +238,41 @@ object StreamOps {
       .select(col("user_id"), col("click_ts"), col("purchase_ts"))
   }
 
+  /** LEFT OUTER stream-stream join over the multi-batch replay — the
+    * outer twin of [[purchaseAfterClick]], and semantically the harder
+    * half: a MATCHED (click, purchase) pair emits the moment the
+    * purchase arrives, but a click with NO purchase can only emit its
+    * null row when the watermark proves no matching purchase can still
+    * arrive — i.e. when the click's 30-minute join window falls entirely
+    * below the watermark and its state row is EVICTED. Null emission IS
+    * state expiry, which is why outer stream-stream joins require the
+    * watermark + time-interval condition that inner joins merely benefit
+    * from. Operational corollary (spec-pinned): when the source drains,
+    * the final watermark stops at max(ts) − delay, so the trailing
+    * clicks' null rows are NOT yet emitted — a drained stream is not a
+    * finished one. At 100 TB this join is the attribution workhorse:
+    * state is O(window), keyed by user, sharded by the state store. */
+  def clickPurchaseOuterReplay(spark: SparkSession, stagedDir: String): DataFrame = {
+    val schema = spark.read.parquet(stagedDir).schema
+    val base = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stagedDir)
+    val clicks = base.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = base.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "1 hour")
+    clicks.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"),
+      "leftOuter")
+      .select(col("user_id"), col("click_id"), col("click_ts"),
+        col("purchase_ts"))
+  }
+
   /** Streaming twin of [[graft.ops.WarehouseOps.mergeUpsert]]: incremental
     * MERGE via `foreachBatch` — the canonical streaming-warehouse-
     * maintenance pattern. The order fixture is split into 4 files and

@@ -213,6 +213,57 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("LEFT OUTER stream-stream join: matches emit on arrival, null rows emit on state expiry, equals batch below the watermark") {
+    val staged = StreamOps.stageTimeOrderedEventFiles(spark, sf, 8,
+      Seq("event_id", "ts", "user_id", "event_type"))
+    val stream = StreamOps.clickPurchaseOuterReplay(spark, staged)
+    val query = stream.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("stream_outer_join").start()
+    val finalWatermark =
+      try {
+        query.processAllAvailable()
+        java.time.Instant.parse(
+          query.lastProgress.eventTime.get("watermark")).toEpochMilli * 1000L
+      } finally query.stop()
+    val streamed = spark.table("stream_outer_join")
+
+    // batch twin of the same join
+    val ev = Tables.events(spark, sf)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"))
+    val batch = clicks.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"),
+      "leftOuter")
+      .select(col("user_id"), col("click_id"), col("click_ts"), col("purchase_ts"))
+
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(1), Option(r.get(3)).map(_.toString).getOrElse("<null>"))
+
+    // MATCHED pairs emit the moment the purchase arrives — no watermark
+    // latency, so the full matched sets are equal even at the tail
+    val gotMatched = streamed.filter(col("purchase_ts").isNotNull).collect().map(key).toSet
+    val wantMatched = batch.filter(col("purchase_ts").isNotNull).collect().map(key).toSet
+    assert(gotMatched === wantMatched)
+
+    // NULL rows emit only when the click's join window falls below the
+    // final watermark (read from the query's own progress — max ts − 1 h
+    // delay); below that cutoff the outer join equals batch EXACTLY, and
+    // beyond it the null rows are still held in state — a drained stream
+    // is not a finished one
+    val cutoff = finalWatermark - 30L * 60L * 1000000L - 1000000L // window + 1s slack
+    val below = col("click_ts") < timestamp_micros(lit(cutoff))
+    val gotBelow = streamed.filter(below).collect().map(key).toSet
+    val wantBelow = batch.filter(below).collect().map(key).toSet
+    assert(gotBelow === wantBelow)
+    // and expiry-driven null emission actually happened
+    val nullsBelow = streamed.filter(below && col("purchase_ts").isNull).count()
+    assert(nullsBelow > 0, "no expiry-emitted null rows — outer semantics untested")
+  }
+
   test("watermarked dedup on the RocksDB state store: provider active, batch-equal counts") {
     // The 100-TB state backend: HDFSBackedStateStoreProvider keeps every
     // key on the executor HEAP (a JVM-size ceiling a large keyspace
