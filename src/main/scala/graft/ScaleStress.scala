@@ -112,7 +112,20 @@ object ScaleStress {
     Heavy("ann_ivf_kmeans",
       "2 Lloyd rounds x n x k dots; linear AT CONSTANT k — big corpus runs " +
         "ann.centroidMod x factor, the documented scale path", 1.3,
-      bigConf = f => Map("spark.graft.ann.centroidMod" -> (32 * f).toString)))
+      bigConf = f => Map("spark.graft.ann.centroidMod" -> (32 * f).toString)),
+    Heavy("ann_sq8",
+      "fixed query set x n int8 dots + 20-deep full-precision rerank; linear", 1.2),
+    Heavy("fi_topk_merge",
+      "one token pass into per-source FI sketches + KB merge + candidate " +
+        "count join; linear AT CONSTANT RELATIVE heaviness -- the " +
+        "disjoint-union corpus dilutes every share x factor, so the big " +
+        "corpus runs fi.maxMap x factor (the documented relative-error " +
+        "knob; a natural scale-up needs no retune)", 1.3,
+      bigConf = f => Map("spark.graft.fi.maxMap" ->
+        Integer.highestOneBit(1024 * f * 2 - 1).toString)),
+    Heavy("zorder_skipping",
+      "one range exchange + per-chunk sort for the layout write, then a " +
+        "stats-pruned box scan; n log(n/chunks) ~ linear", 1.3))
 
   def main(args: Array[String]): Unit = {
     val small = args.headOption.getOrElse("/root/testdata/sf0.1")

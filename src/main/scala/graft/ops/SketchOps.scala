@@ -197,7 +197,7 @@ object SketchOps {
     * is a KB-sized merge. */
   def fiTopkMerge(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.functions.FrequencyFunctions._
-    val m = FiMaxMap
+    val m = fiMaxMap(spark)
     val toks = Tables.documents(spark, sfDir)
       .select(col("source"), explode(split(col("text"), " ")).as("token"))
     val perSource = toks.groupBy("source")
@@ -212,7 +212,16 @@ object SketchOps {
       .limit(20)
   }
 
-  private[graft] val FiMaxMap = 1024
+  /** FI sketch capacity (power of 2). The heavy-hitter guarantee is
+    * RELATIVE — count > ~3.5·n/maxMap — so when a corpus grows with a
+    * FLAT tail (more distinct tokens at the same absolute counts, e.g.
+    * the disjoint-union ×10 audit corpus, where every replica suffixes
+    * its vocabulary), the map must grow with the dilution factor to keep
+    * nominating the same absolute-count items. In a natural scale-up
+    * (shares preserved) the default holds at any n. Same conf-driven
+    * geometry pattern as `spark.graft.ann.planes` (E76). */
+  private[graft] def fiMaxMap(spark: SparkSession): Int =
+    spark.conf.get("spark.graft.fi.maxMap", "1024").toInt
 
   val queries: Map[String, Q] = Map(
     "hll_sketch_union" -> (hllUserSketches _),

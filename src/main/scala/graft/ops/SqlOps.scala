@@ -260,7 +260,46 @@ object SqlOps {
     spark.sql(q21Sql)
   }
 
+  private val q2Sql =
+    """WITH ps AS (SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+      |    MIN(CAST(l_extendedprice AS DECIMAL(18,2))) AS cost
+      |  FROM lineitem GROUP BY 1, 2)
+      |SELECT s_name, n_name, p_partkey, CAST(ps.cost AS DOUBLE) AS cost
+      |FROM part p JOIN ps ON ps.partkey = p.p_partkey
+      |JOIN supplier s ON s.s_suppkey = ps.suppkey
+      |JOIN nation n ON n.n_nationkey = s.s_nationkey
+      |WHERE p.p_name LIKE 'cold%' AND n.n_regionkey = 1
+      |  AND ps.cost = (
+      |    SELECT MIN(ps2.cost) FROM ps ps2
+      |    JOIN supplier s2 ON s2.s_suppkey = ps2.suppkey
+      |    JOIN nation n2 ON n2.n_nationkey = s2.s_nationkey
+      |    WHERE ps2.partkey = p.p_partkey AND n2.n_regionkey = 1)
+      |ORDER BY cost ASC, s_name ASC, p_partkey ASC
+      |LIMIT 100""".stripMargin
+
+  /** TPC-H Q2 minimum-cost-supplier shape as SQL text (the fixture has no
+    * partsupp/region tables, so the supply relation is MIN-price-grouped
+    * lineitem and the region filter is `n_regionkey` directly — same join
+    * graph, same subquery nesting): a correlated scalar MIN whose
+    * subquery CONTAINS ITS OWN JOIN CHAIN (supply × supplier × nation) —
+    * the decorrelation variant Q17/Q20 (single-table correlated
+    * aggregates) don't reach. Catalyst must decorrelate the aggregate
+    * THROUGH the joins: the inner chain becomes a per-part grouped MIN
+    * joined back on the part key, with the region filter applied inside
+    * — never a per-part re-execution of the three-way join. Ties at the
+    * minimum cost return every tied supplier (as in real Q2); cost is an
+    * exact DECIMAL MIN so the tie set is engine-identical, and the ORDER
+    * BY carries full tiebreakers. */
+  def sqlQ2MinCost(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.part(spark, sfDir).createOrReplaceTempView("part")
+    Tables.supplier(spark, sfDir).createOrReplaceTempView("supplier")
+    Tables.nation(spark, sfDir).createOrReplaceTempView("nation")
+    Tables.lineitem(spark, sfDir).createOrReplaceTempView("lineitem")
+    spark.sql(q2Sql)
+  }
+
   val queries: Map[String, Q] = Map(
+    "sql_q2_mincost"    -> (sqlQ2MinCost _),
     "sql_q1_pricing"    -> (sqlQ1Pricing _),
     "sql_q3_shipping"   -> (sqlQ3Shipping _),
     "sql_q17_avgyearly" -> (sqlQ17AvgYearly _),
@@ -270,6 +309,7 @@ object SqlOps {
     "sql_q22_nourgent"  -> (sqlQ22NoUrgent _))
 
   val oracle: Map[String, String] = Map(
+    "sql_q2_mincost"    -> q2Sql,
     "sql_q1_pricing"    -> q1Sql,
     "sql_q3_shipping"   -> q3Sql,
     "sql_q17_avgyearly" -> q17Sql,

@@ -16,7 +16,7 @@ class FrequencySpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
 
   test("merged per-source sketches nominate every token above the error bound (no false negatives)") {
-    val m = SketchOps.FiMaxMap
+    val m = SketchOps.fiMaxMap(spark)
     val merged = toks.groupBy("source")
       .agg(fiSketchAgg(col("token"), m).as("sk"))
       .agg(fiUnionAgg(col("sk"), m).as("sk"))
@@ -48,7 +48,7 @@ class FrequencySpec extends SparkSpec {
   }
 
   test("sketch slicing is merge-order-robust: per-source merge nominates what a direct build nominates") {
-    val m = SketchOps.FiMaxMap
+    val m = SketchOps.fiMaxMap(spark)
     val direct = toks.agg(fiSketchAgg(col("token"), m).as("sk"))
       .select(fiSketchItems(col("sk")).as("items"), fiSketchMaxError(col("sk")).as("e"))
       .collect().head

@@ -453,6 +453,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), s"limit not TakeOrdered in:\n$plan")
   }
 
+  test("sql_q2_mincost: correlated MIN with joins inside decorrelates through the join chain — no nested loop") {
+    val plan = planOf("sql_q2_mincost")
+    // the correlated scalar subquery carries its own join chain; Catalyst
+    // must rewrite it into a per-part grouped MIN joined back on the part
+    // key — never a per-outer-row re-execution of the inner three-way join
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"correlated join-subquery not decorrelated in:\n$plan")
+    assert("HashAggregate[^\\n]*min".r.findFirstIn(plan).isDefined,
+      s"no grouped MIN for the threshold in:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"), s"limit not TakeOrdered in:\n$plan")
+  }
+
   test("join_null_safe: <=> stays a hash-family join, never a nested loop") {
     val plan = planOf("join_null_safe")
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
