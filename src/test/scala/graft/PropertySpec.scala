@@ -184,4 +184,40 @@ class PropertySpec extends SparkSpec {
       assert(semi + anti === ls.length.toLong)
     }
   }
+
+  test("Morton interleave property: z-value decodes back to both coordinates, z-order refines the quadrant order") {
+    import spark.implicits._
+    // the mask-shift cascade is the kind of bit code a one-character typo
+    // breaks silently; pin it against a driver-side reference decode
+    val coordGen = for {
+      a <- Gen.chooseNum(0, 0xFFFF); b <- Gen.chooseNum(0, 0xFFFF)
+    } yield (a.toLong, b.toLong)
+    def refInterleave(a: Long, b: Long): Long =
+      (0 until 16).map { i =>
+        (((a >> i) & 1L) << (2 * i)) | (((b >> i) & 1L) << (2 * i + 1))
+      }.reduce(_ | _)
+    val pts = samples(Gen.listOfN(64, coordGen), n = 4).flatten
+    val df = pts.toDF("a", "b")
+      .withColumn("z", graft.ops.LayoutOps.zorderValue(col("a"), col("b")))
+      .collect()
+    df.foreach { r =>
+      val (a, b, z) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(z === refInterleave(a, b), s"interleave($a, $b)")
+      // bijectivity: even/odd bit extraction recovers the inputs
+      val backA = (0 until 16).map(i => ((z >> (2 * i)) & 1L) << i).reduce(_ | _)
+      val backB = (0 until 16).map(i => ((z >> (2 * i + 1)) & 1L) << i).reduce(_ | _)
+      assert(backA === a && backB === b, s"decode($z)")
+    }
+    // locality: the top z-bits are exactly the quadrant id at every level
+    // — ordering by z groups all points of a quadrant contiguously, the
+    // property row-group pruning relies on
+    pts.foreach { case (a, b) =>
+      val z = refInterleave(a, b)
+      (1 to 8).foreach { level =>
+        val k = 16 - level
+        assert(z >> (2 * k) === refInterleave(a >> k, b >> k),
+          s"level-$level quadrant of ($a,$b)")
+      }
+    }
+  }
 }
