@@ -534,8 +534,81 @@ object FileOps {
       .orderBy("o_orderpriority")
   }
 
+  /** Schema evolution across file generations — the ingest reality every
+    * long-lived 100-TB table faces: yesterday's files lack the column
+    * added today. Generation 1 (even part keys) is written WITHOUT
+    * `p_retailprice`; generation 2 (odd keys) carries it. A single
+    * `mergeSchema` read unifies them — old rows surface the new column
+    * as NULL, no rewrite of historical files — and the aggregate treats
+    * the NULLs as every warehouse must (counted rows, price sums over
+    * the priced subset only). Oracle replays the generation split with
+    * a CASE on the key parity. Production note: `mergeSchema` footer
+    * merging is an O(files) driver cost — real deployments record the
+    * evolved schema in a metastore/table format and pass it explicitly;
+    * the READ semantics (NULL-extension of old files) are identical and
+    * are what this query pins. */
+  def schemaEvolution(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = cacheDir(spark, "schemaevo", sfDir)
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(root, "_SUCCESS"))) {
+      val part = Tables.part(spark, sfDir)
+      part.filter(col("p_partkey") % 2 === 0)
+        .select(col("p_partkey"), col("p_brand"))
+        .write.mode("overwrite").parquet(s"$dir/gen=1")
+      part.filter(col("p_partkey") % 2 === 1)
+        .select(col("p_partkey"), col("p_brand"), col("p_retailprice"))
+        .write.mode("overwrite").parquet(s"$dir/gen=2")
+      fs.create(new Path(root, "_SUCCESS"), true).close()
+    }
+    spark.read.option("mergeSchema", "true").parquet(dir)
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_parts"),
+        count(col("p_retailprice")).as("n_priced"),
+        graft.Det.moneySum(coalesce(col("p_retailprice"), lit(0.0))).as("sum_price"))
+      .orderBy("p_brand")
+  }
+
+  /** Malformed-record ingest — the other ingest reality: real feeds
+    * carry broken lines, and at 100 TB "crash on the first bad row"
+    * (FAILFAST) is not a policy. One JSON-lines fixture is derived from
+    * `documents` with every `doc_id ≡ 0 (mod 37)` row TRUNCATED
+    * mid-object; the PERMISSIVE read parses good rows and lands bad
+    * ones intact in `_corrupt_record` (the quarantine column a real
+    * pipeline writes to a dead-letter sink), so one pass yields both
+    * the clean per-source aggregate and the corrupt count. Fully
+    * oracled: the corruption rule is deterministic, so DuckDB replays
+    * it as a parity filter on the source table. Spark subtlety honored
+    * here: a query may not reference ONLY the corrupt column
+    * (SPARK-21610) — this one projects data columns alongside it. */
+  def jsonMalformedIngest(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = cacheDir(spark, "jsonbad", sfDir)
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(root, "_SUCCESS"))) {
+      Tables.documents(spark, sfDir)
+        .select(when(col("doc_id") % 37 === 0,
+            concat(lit("{\"doc_id\": "), col("doc_id"), lit(", \"n_chars\": ")))
+          .otherwise(to_json(struct(col("doc_id"), col("source"), col("n_chars"))))
+          .as("line"))
+        .write.mode("overwrite").text(dir)
+    }
+    spark.read
+      .schema("doc_id BIGINT, source STRING, n_chars BIGINT, _corrupt_record STRING")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(dir)
+      .groupBy(when(col("_corrupt_record").isNotNull, lit("_corrupt"))
+        .otherwise(col("source")).as("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("n_chars"), lit(0L))).cast("long").as("sum_chars"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, Q] = Map(
     "dpp_join"          -> (dppJoin _),
+    "schema_evolution"  -> (schemaEvolution _),
+    "json_malformed_ingest" -> (jsonMalformedIngest _),
     "compact_files"     -> (compactFiles _),
     "file_ingest"       -> (fileIngest _),
     "file_shard_stats"  -> (fileShardStats _),
@@ -619,5 +692,21 @@ object FileOps {
          |  ${graft.Det.sqlMoneySum("o_totalprice")} AS sum_price
          |FROM orders JOIN dim ON o_orderstatus = dim.status
          |WHERE dim.tier = 'closed'
-         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "schema_evolution" ->
+      s"""SELECT p_brand, count(*) AS n_parts,
+         |  count(CASE WHEN p_partkey % 2 = 1 THEN 1 END) AS n_priced,
+         |  CAST(SUM(CASE WHEN p_partkey % 2 = 1
+         |    THEN CAST(p_retailprice AS DECIMAL(18,2))
+         |    ELSE CAST(0.0 AS DECIMAL(18,2)) END) AS DOUBLE) AS sum_price
+         |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "json_malformed_ingest" ->
+      """SELECT source, count(*) AS n_docs,
+        |  CAST(sum(sum_chars) AS BIGINT) AS sum_chars
+        |FROM (
+        |  SELECT CASE WHEN doc_id % 37 = 0 THEN '_corrupt' ELSE source END
+        |    AS source,
+        |    CASE WHEN doc_id % 37 = 0 THEN 0 ELSE n_chars END AS sum_chars
+        |  FROM documents) t
+        |GROUP BY source ORDER BY source""".stripMargin)
 }

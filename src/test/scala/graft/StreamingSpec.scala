@@ -312,6 +312,37 @@ class StreamingSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("Trigger.AvailableNow backfill: self-terminating, rate-limited, batch-equal") {
+    // The production BACKFILL pattern: process everything that exists
+    // now, in bounded micro-batches (maxFilesPerTrigger is respected,
+    // unlike one-shot Trigger.Once), then STOP on its own — no
+    // processAllAvailable babysitting, which is exactly what a scheduled
+    // catch-up job needs. Same watermarked dedup pipeline as the
+    // eviction test; the assertions pin self-termination, multi-batch
+    // rate limiting, and batch-equal results.
+    val staged = StreamOps.stageTimeOrderedEventFiles(spark, sf, 8)
+    val stream = StreamOps.dedupWithinWatermarkReplay(spark, staged)
+    val query = stream.writeStream.outputMode(OutputMode.Complete())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .format("memory").queryName("stream_availablenow").start()
+    val terminated = query.awaitTermination(120000)
+    val nBatches =
+      try {
+        assert(terminated, "AvailableNow query did not self-terminate")
+        query.recentProgress.count(_.numInputRows > 0)
+      } finally query.stop()
+    assert(nBatches >= 8, s"rate limit ignored: only $nBatches data batches for 8 files")
+    val streamed = spark.table("stream_availablenow").orderBy("event_type").collect()
+    val batch = Tables.events(spark, sf)
+      .groupBy("event_type").agg(count(lit(1)).as("n"))
+      .orderBy("event_type").collect()
+    assert(streamed.length === batch.length)
+    streamed.zip(batch).foreach { case (s, b) =>
+      assert(s.getAs[String]("event_type") === b.getAs[String]("event_type"))
+      assert(s.getAs[Long]("n") === b.getAs[Long]("n"))
+    }
+  }
+
   test("foreachBatch incremental MERGE equals the one-shot batch aggregate") {
     val streamed = StreamOps.upsertMergeRun(spark, sf)
       .orderBy("u_custkey").collect()
