@@ -157,7 +157,44 @@ object SemiOps {
         variant_get(col("v"), "$.absent", "string").as("missing"))
       .orderBy("event_id")
 
+  /** Nested-schema pruning — the scan-cost story for STRUCT columns
+    * (telemetry/event tables at 100 TB are deeply nested; reading the
+    * whole struct to touch one leaf multiplies scan bytes by the struct
+    * width). A nested copy of orders is materialized once (order info
+    * packed into a 2-level struct beside a fat `payload` leaf), then the
+    * query touches exactly ONE leaf (`info.dates.year`) plus a top-level
+    * column; Schema pruning (`spark.sql.optimizer.nestedSchemaPruning`,
+    * on by default) narrows the parquet ReadSchema to that leaf — the
+    * fat sibling leaves are never decoded. NestedPruneSpec pins the
+    * pruned ReadSchema; the oracle restates the values from the flat
+    * source columns. */
+  def nestedExtract(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = s"${FileOps.filesRoot(spark)}/graft_nested_" +
+      sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(root, "_SUCCESS"))) {
+      Tables.orders(spark, sfDir)
+        .select(col("o_orderkey"),
+          struct(
+            struct(year(col("o_orderdate")).as("year"),
+              month(col("o_orderdate")).as("month")).as("dates"),
+            col("o_orderpriority").as("priority"),
+            // the fat leaf the query must NOT pay for
+            repeat(col("o_orderstatus"), 512).as("payload"))
+          .as("info"),
+          col("o_totalprice"))
+        .write.mode("overwrite").parquet(dir)
+    }
+    spark.read.parquet(dir)
+      .groupBy(col("info.dates.year").as("order_year"))
+      .agg(count(lit(1)).as("n_orders"),
+        graft.Det.moneySum(col("o_totalprice")).as("sum_price"))
+      .orderBy("order_year")
+  }
+
   val queries: Map[String, Q] = Map(
+    "nested_extract"    -> (nestedExtract _),
     "json_extract"      -> (jsonExtract _),
     "json_project"      -> (jsonProject _),
     "array_ops"         -> (arrayOps _),
@@ -167,6 +204,11 @@ object SemiOps {
     "variant_raw_props" -> (variantRawProps _))
 
   val oracle: Map[String, String] = Map(
+    "nested_extract" ->
+      s"""SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+         |  count(*) AS n_orders,
+         |  ${graft.Det.sqlMoneySum("o_totalprice")} AS sum_price
+         |FROM orders GROUP BY 1 ORDER BY order_year""".stripMargin,
     "map_ops" ->
       """WITH d AS (
         |  SELECT l_orderkey, l_linenumber, min(l_quantity) AS q

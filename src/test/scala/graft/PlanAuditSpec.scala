@@ -453,6 +453,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), s"limit not TakeOrdered in:\n$plan")
   }
 
+  test("nested_extract: schema pruning narrows the scan to the touched struct leaf") {
+    val plan = planOf("nested_extract")
+    // the ReadSchema must carry the year leaf but NOT the fat payload
+    // sibling — nested pruning pushes the projection INTO the struct
+    val read = "ReadSchema: [^\\n]*".r.findFirstIn(plan).getOrElse("")
+    assert(read.contains("year"), s"year leaf missing from scan schema: $read")
+    assert(!read.contains("payload") && !read.contains("priority"),
+      s"fat sibling leaves not pruned from the scan: $read")
+  }
+
   test("sql_q2_mincost: correlated MIN with joins inside decorrelates through the join chain — no nested loop") {
     val plan = planOf("sql_q2_mincost")
     // the correlated scalar subquery carries its own join chain; Catalyst
