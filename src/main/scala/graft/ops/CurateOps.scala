@@ -256,7 +256,90 @@ object CurateOps {
       .orderBy("threshold")
   }
 
+  /** THE FLAGSHIP COMPOSITION — the whole training-data prep pipeline as
+    * ONE declarative DAG: quality gates → exact dedup (keep-first) →
+    * eval-set decontamination → hash train/val split → sliding-window
+    * chunking → per-(split, group) sequence packing → per-split
+    * accounting. Every stage is an operator the registry already proves
+    * in isolation; this query proves they COMPOSE — one Catalyst plan,
+    * no materialization between stages, the narrow stages (gates, split,
+    * chunk explode) fused into the scan pipeline, and only two
+    * corpus-sized wide boundaries (the dedup window's digest exchange,
+    * the packing window's group exchange) — the accounting aggregate's
+    * own exchanges ride map-side partials into a 2-row result.
+    *
+    * At 100 TB this composition IS the deployment: the alternative — six
+    * jobs with five intermediate tables — pays five write/read cycles of
+    * a corpus-sized artifact; here only the final 2-row accounting ever
+    * materializes, and a real run would swap the accounting aggregate
+    * for a partitioned write of the packed sequences. Fully oracled: the
+    * same chain restated as one DuckDB CTE cascade (stage spellings
+    * identical to the component oracles), fill ratio as one IEEE
+    * division of exact integers. */
+  def pipelineE2e(spark: SparkSession, sfDir: String): DataFrame = {
+    val C = graft.GraftConf.chunkTokens(spark)
+    val S = graft.GraftConf.chunkStride(spark)
+    val SeqTokens = graft.GraftConf.packSeqTokens(spark)
+    val GroupDocs = graft.GraftConf.packGroupDocs(spark)
+    val stops = array(enStopwords.map(lit): _*)
+    // 1. quality gates (curation_pipeline's, verbatim)
+    val gated = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+      .withColumn("t", toks)
+      .withColumn("n_tokens", size(col("t")).cast("long"))
+      .withColumn("stop_ratio",
+        size(filter(col("t"), x => array_contains(stops, x))).cast("double") /
+          col("n_tokens"))
+      .withColumn("distinct_ratio",
+        size(array_distinct(col("t"))).cast("double") / col("n_tokens"))
+      .filter(col("n_tokens") >= 20 &&
+        col("stop_ratio") > 0.05 && col("distinct_ratio") > 0.3)
+    // 2. exact dedup, keep lowest doc_id per content digest
+    val w = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id").asc)
+    val deduped = gated.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+    // 3. decontamination: drop docs whose bag-of-words fingerprint
+    //    appears in the eval slice (decontaminate's rule, verbatim)
+    val fp = md5(array_join(array_sort(array_distinct(col("t"))), " "))
+    val evalSet = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 97 === 0)
+      .select(md5(array_join(array_sort(array_distinct(toks)), " ")).as("fp"))
+      .distinct()
+    val clean = deduped.withColumn("fp", fp)
+      .join(broadcast(evalSet), Seq("fp"), "left_anti")
+    // 4. content-hash train/val split (train_val_split's rule, verbatim)
+    val splitDf = clean.withColumn("split",
+      when(substring(md5(col("text")), 1, 2) < "1a", lit("val"))
+        .otherwise(lit("train")))
+    // 5. sliding-window chunking (chunk_documents' closed-form grid)
+    val chunks = splitDf
+      .withColumn("chunk_id",
+        explode(expr(s"sequence(0L, greatest(0L, (n_tokens - $C + $S - 1) div $S))")))
+      .withColumn("ck_tokens",
+        least(lit(C), col("n_tokens") - col("chunk_id") * S))
+      .select(col("split"), col("doc_id"), col("chunk_id"), col("ck_tokens"))
+    // 6. sequence packing per (split, doc-range group) — the partitioned
+    //    running-sum window, never a global sort
+    val grp = floor(col("doc_id") / GroupDocs)
+    val pw = Window.partitionBy(col("split"), col("grp"))
+      .orderBy(col("doc_id").asc, col("chunk_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val packed = chunks.withColumn("grp", grp)
+      .withColumn("seqix",
+        (coalesce(sum(col("ck_tokens")).over(pw), lit(0L)) / SeqTokens).cast("long"))
+    // 7. per-split accounting (a deployment writes the sequences instead)
+    packed
+      .groupBy("split")
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_chunks"),
+        countDistinct(col("grp") * 1000000L + col("seqix")).as("n_seqs"),
+        sum(col("ck_tokens")).cast("long").as("total_tokens"))
+      .withColumn("fill_ratio", col("total_tokens").cast("double") /
+        (col("n_seqs").cast("double") * SeqTokens.toDouble))
+      .orderBy("split")
+  }
+
   val queries: Map[String, Q] = Map(
+    "pipeline_e2e"           -> (pipelineE2e _),
     "token_budget_select"    -> (tokenBudgetSelect _),
     "quality_yield_curve"    -> (qualityYieldCurve _),
     "pack_sequences"         -> (packSequences _),
@@ -352,6 +435,55 @@ object CurateOps {
         |WHERE NOT EXISTS (SELECT 1 FROM pos
         |  WHERE pos.l_suppkey = c.s_suppkey AND pos.l_partkey = c.cand_pk)
         |ORDER BY s_suppkey, trial""".stripMargin,
+    "pipeline_e2e" ->
+      s"""WITH gated AS (
+         |  SELECT doc_id, text, string_split(text, ' ') AS t,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         |  FROM documents
+         |  WHERE len(string_split(text, ' ')) >= 20
+         |    AND CAST(len(list_filter(string_split(text, ' '),
+         |          x -> x IN ($stopList))) AS DOUBLE)
+         |        / len(string_split(text, ' ')) > 0.05
+         |    AND CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+         |        / len(string_split(text, ' ')) > 0.3),
+         |deduped AS (
+         |  SELECT * FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY md5(text)
+         |      ORDER BY doc_id ASC) AS rn FROM gated) z WHERE rn = 1),
+         |ev AS (
+         |  SELECT DISTINCT md5(array_to_string(
+         |      list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp
+         |  FROM documents WHERE doc_id % 97 = 0),
+         |clean AS (
+         |  SELECT * FROM deduped d
+         |  WHERE NOT EXISTS (SELECT 1 FROM ev WHERE ev.fp =
+         |    md5(array_to_string(list_sort(list_distinct(d.t)), ' ')))),
+         |sp AS (
+         |  SELECT *, CASE WHEN substr(md5(text), 1, 2) < '1a'
+         |    THEN 'val' ELSE 'train' END AS split FROM clean),
+         |ch AS (
+         |  SELECT split, doc_id, CAST(i.x AS BIGINT) AS chunk_id,
+         |    CAST(least(64, n_tokens - CAST(i.x AS BIGINT) * 48) AS BIGINT)
+         |      AS ck_tokens,
+         |    doc_id // 256 AS grp
+         |  FROM sp, unnest(range(0, greatest(0, (n_tokens - 64 + 47) // 48) + 1))
+         |    AS i(x)),
+         |s AS (
+         |  SELECT split, grp, doc_id, chunk_id, ck_tokens,
+         |    COALESCE(CAST(sum(ck_tokens) OVER (PARTITION BY split, grp
+         |      ORDER BY doc_id ASC, chunk_id ASC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+         |      0) AS cum
+         |  FROM ch)
+         |SELECT split,
+         |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |  count(*) AS n_chunks,
+         |  CAST(count(DISTINCT grp * 1000000 + cum // 256) AS BIGINT) AS n_seqs,
+         |  CAST(sum(ck_tokens) AS BIGINT) AS total_tokens,
+         |  CAST(sum(ck_tokens) AS DOUBLE)
+         |    / (CAST(count(DISTINCT grp * 1000000 + cum // 256) AS DOUBLE) * 256.0)
+         |    AS fill_ratio
+         |FROM s GROUP BY split ORDER BY split""".stripMargin,
     "curation_pipeline" ->
       s"""WITH gated AS (
          |  SELECT doc_id, source, md5(text) AS digest,

@@ -453,6 +453,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), s"limit not TakeOrdered in:\n$plan")
   }
 
+  test("pipeline_e2e: six stages fuse into one plan — broadcast decon anti-join, no cartesian, bounded exchanges") {
+    val plan = planOf("pipeline_e2e")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"nested loop in the composed pipeline:\n$plan")
+    // decontamination must be the broadcast anti-join (eval set is tiny)
+    assert("BroadcastHashJoin[^\\n]*LeftAnti".r.findFirstIn(plan).isDefined,
+      s"decontamination not a broadcast anti join in:\n$plan")
+    // the chain's corpus-sized exchanges are the dedup digest window and
+    // the packing group window; the accounting aggregate adds small ones
+    // — but a composition bug (e.g. a lost partitioning reuse) shows up
+    // as exchange inflation, so pin a ceiling
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges <= 7, s"$exchanges exchanges in the composed plan:\n$plan")
+  }
+
   test("nested_extract: schema pruning narrows the scan to the touched struct leaf") {
     val plan = planOf("nested_extract")
     // the ReadSchema must carry the year leaf but NOT the fat payload
