@@ -125,7 +125,12 @@ object ScaleStress {
         Integer.highestOneBit(1024 * f * 2 - 1).toString)),
     Heavy("zorder_skipping",
       "one range exchange + per-chunk sort for the layout write, then a " +
-        "stats-pruned box scan; n log(n/chunks) ~ linear", 1.3))
+        "stats-pruned box scan; n log(n/chunks) ~ linear", 1.3),
+    Heavy("pipeline_e2e",
+      "the composed flagship: narrow gates/split/chunk + two corpus-" +
+        "sized exchanges (dedup digest window, packing group window) + " +
+        "broadcast decon anti-join; linear", 1.3,
+      bigConf = dataSizedPartitions))
 
   def main(args: Array[String]): Unit = {
     val small = args.headOption.getOrElse("/root/testdata/sf0.1")
