@@ -238,13 +238,8 @@ object DedupOps {
       .agg(min(col("doc_id")).as("rep"),
         sort_array(collect_list(col("doc_id"))).as("members"))
       .persist()
-    val r = K / BANDS
-    val bandCols = (0 until BANDS).map { j =>
-      val mixed = (0 until r)
-        .map(i => (element_at(col("sig"), j * r + i + 1) * lit(BC(i))) % P)
-        .reduce(_ + _) + lit(j * BC(4) % P)
-      (mixed % P).as(s"band$j")
-    }
+    // (band construction shared with the incremental streaming
+    // maintenance — see [[bandExplode]])
     // Band rows CARRY the signature (512 B/rep) into the bucket join, so
     // verification runs INLINE in the join stage and candidates never
     // reach an exchange — see the [[verified]] note below for why this
@@ -259,10 +254,7 @@ object DedupOps {
     // REPARTITION_BY_NUM is never coalesced, the join reuses the
     // partitioning (this replaces the exchange, not adds one), and the
     // self-join's two reads share ONE exchange write via ReusedExchange.
-    val bands = groups.select(col("rep") +: col("sig") +: bandCols: _*)
-      .select(col("rep"), col("sig"),
-        posexplode(array((0 until BANDS).map(j => col(s"band$j")): _*))
-          .as(Seq("band_idx", "band_hash")))
+    val bands = bandExplode(groups.select(col("rep"), col("sig")), "rep")
       .repartition(spark.conf.get("spark.sql.shuffle.partitions").toInt,
         col("band_idx"), col("band_hash"))
     // Candidate generation + verification, one pipelined stage: bucket
@@ -457,6 +449,30 @@ object DedupOps {
     * mid-fixpoint recovers instead of failing the job. Otherwise fall
     * back to `localCheckpoint` (correct and fastest under `local[N]`,
     * where executor loss means JVM loss anyway). */
+  /** Band rows `(id, sig, band_idx, band_hash)` for an `(id, sig)` frame
+    * — the LSH banding shared by the one-shot [[minhashLsh]] and the
+    * incremental streaming maintenance
+    * ([[graft.streaming.StreamOps.incrementalDedupRun]]): K/BANDS-slot
+    * band hashes mixed over GF(P) with the same constants, so a pair
+    * collides in the streaming store iff it collides in the batch
+    * operator. */
+  private[graft] def bandExplode(df: DataFrame, idCol: String): DataFrame = {
+    val r = K / BANDS
+    val bandCols = (0 until BANDS).map { j =>
+      val mixed = (0 until r)
+        .map(i => (element_at(col("sig"), j * r + i + 1) * lit(BC(i))) % P)
+        .reduce(_ + _) + lit(j * BC(4) % P)
+      (mixed % P).as(s"band$j")
+    }
+    df.select(col(idCol) +: col("sig") +: bandCols: _*)
+      .select(col(idCol), col("sig"),
+        posexplode(array((0 until BANDS).map(j => col(s"band$j")): _*))
+          .as(Seq("band_idx", "band_hash")))
+  }
+
+  /** Signature width (shared with the incremental streaming dedup). */
+  private[graft] def SigK: Int = K
+
   private[ops] def eagerCheckpoint(df: DataFrame): DataFrame =
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
     else df.localCheckpoint()

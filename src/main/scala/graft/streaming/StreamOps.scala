@@ -459,4 +459,112 @@ object StreamOps {
         hll_sketch_estimate(col("sk")).as("approx_users"))
     per.unionByName(all).orderBy("event_type")
   }
+
+  /** Documents staged as nFiles doc_id-RANGE slices, ascending — the
+    * "daily crawl drop" replay: earlier ids arrive in earlier batches,
+    * so "every earlier document" is exactly (persisted store ∪ the
+    * current batch's lower ids). */
+  private[graft] def stageDocSliceFiles(
+      spark: SparkSession, sfDir: String, nFiles: Int): String = {
+    val dir = s"${graft.ops.FileOps.filesRoot(spark)}/graft_docslice_${nFiles}_" +
+      sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(root, "_SUCCESS")
+    if (fs.exists(marker)) return dir
+    fs.mkdirs(root)
+    val docs = graft.Tables.documents(spark, sfDir).select("doc_id", "text")
+    val Array(lo, hi) = docs.agg(min("doc_id"), max("doc_id"))
+      .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
+    val span = hi - lo + 1
+    val bucket = ((col("doc_id") - lit(lo)) * nFiles / lit(span)).cast("int")
+    (0 until nFiles).foreach { i =>
+      docs.filter(bucket === i).coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/staging_b$i")
+      val part = fs.globStatus(
+        new org.apache.hadoop.fs.Path(s"$dir/staging_b$i/part-*.parquet"))(0).getPath
+      fs.rename(part, new org.apache.hadoop.fs.Path(root, f"b$i%02d.parquet"))
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/staging_b$i"), true)
+    }
+    fs.create(marker, true).close()
+    dir
+  }
+
+  /** INCREMENTAL near-dup maintenance — the dedup a production corpus
+    * actually runs: yesterday's crawl is already deduped and signed; only
+    * today's drop should pay compute. Each micro-batch (1) signs its new
+    * documents with the SAME native MinHash signature as the batch
+    * operator, (2) bands them with [[graft.ops.DedupOps.bandExplode]] —
+    * same constants, so a pair collides here iff it collides there, (3)
+    * joins the new band rows against the PERSISTED band store (all
+    * previously seen documents — matching is against every earlier doc,
+    * kept or dropped, which is what makes the rule order-insensitive to
+    * slicing) plus the batch's own lower ids, (4) drops any new doc with
+    * an est≥0.8 match to an earlier doc (identical signatures estimate
+    * 1.0 — exact dups need no special case), and (5) appends the new
+    * band rows + kept flags to the store via generation swap.
+    *
+    * Per-batch cost is new-bands × matching buckets — the historical
+    * corpus is touched through the band JOIN only, never re-signed and
+    * never re-compared pair-to-pair; the store is 16 band rows per doc
+    * (sig payload included, the same carry-the-signature trade the batch
+    * operator measured in NOTES_r09 §1). The stream itself is STATELESS
+    * (no state store; the parquet band store is the only carried state),
+    * so at-least-once replay re-derives identical rows.
+    *
+    * Semantics (spec-pinned): drop-if-any-earlier-match — doc b is
+    * dropped iff some a < b has est(a,b) ≥ 0.8 through ≥1 shared band.
+    * The streamed kept set EQUALS the batch rule derived from
+    * `dedup_minhash_lsh`'s verified pairs: kept = all − {doc_b of any
+    * pair} (pairs are emitted a<b). Returns the kept (doc_id) set. */
+  def incrementalDedupRun(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.ops.DedupOps
+    val staged = stageDocSliceFiles(spark, sfDir, 4)
+    val schema = spark.read.parquet(staged).schema
+    val stateRoot = java.nio.file.Files.createTempDirectory("graft_inc_dedup")
+    @volatile var current: Option[String] = None
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "b*.parquet")
+      .parquet(staged)
+    val q = stream.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      val sigs = batch.select(col("doc_id"),
+        graft.functions.VectorFunctions
+          .minhashSig(split(col("text"), " "), DedupOps.SigK).as("sig"))
+      val newBands = DedupOps.bandExplode(sigs, "doc_id")
+        .persist()
+      val prevBands = current.map(spark.read.parquet)
+      val est = graft.functions.VectorFunctions
+        .arrayEqCount(col("x.sig"), col("y.sig")).cast("double") / DedupOps.SigK
+      def matches(earlier: DataFrame): DataFrame =
+        earlier.as("x").join(newBands.as("y"),
+            col("x.band_idx") === col("y.band_idx") &&
+              col("x.band_hash") === col("y.band_hash") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .filter(est >= 0.8)
+          .select(col("y.doc_id").as("doc_id"))
+      val inBatch = matches(newBands)
+      val dropped = prevBands
+        .map(p => matches(p.drop("kept")).unionByName(inBatch))
+        .getOrElse(inBatch)
+        .distinct()
+      val flagged = newBands.join(dropped.withColumn("is_dropped", lit(true)),
+          Seq("doc_id"), "left")
+        .withColumn("kept", col("is_dropped").isNull)
+        .select("doc_id", "sig", "band_idx", "band_hash", "kept")
+      val merged = prevBands match {
+        case None       => flagged
+        case Some(prev) => prev.unionByName(flagged)
+      }
+      val out = stateRoot.resolve(s"gen_$id").toString
+      merged.write.mode("overwrite").parquet(out)
+      newBands.unpersist()
+      current = Some(out)
+    }.start()
+    try q.processAllAvailable() finally q.stop()
+    spark.read.parquet(current.getOrElse(
+        sys.error(s"no micro-batch ran over $staged")))
+      .filter(col("kept"))
+      .select("doc_id").distinct().orderBy("doc_id")
+  }
 }

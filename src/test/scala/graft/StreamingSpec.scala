@@ -312,6 +312,23 @@ class StreamingSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("incremental near-dup maintenance equals the batch drop-if-any-earlier-match rule") {
+    // the production corpus-maintenance pattern: each slice is signed,
+    // banded and compared against the persisted band store ONLY — the
+    // historical corpus is never re-signed. Kept set must equal the
+    // batch rule derived from dedup_minhash_lsh's verified pairs
+    // (emitted doc_a < doc_b): kept = all − {doc_b of any pair}
+    val kept = StreamOps.incrementalDedupRun(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    val allDocs = Tables.documents(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val droppedBatch = q("dedup_minhash_lsh")
+      .select("doc_b").collect().map(_.getLong(0)).toSet
+    assert(kept === (allDocs -- droppedBatch))
+    // the rule actually fired (the fixture has near-dup families)
+    assert(droppedBatch.nonEmpty && kept.size < allDocs.size)
+  }
+
   test("Trigger.AvailableNow backfill: self-terminating, rate-limited, batch-equal") {
     // The production BACKFILL pattern: process everything that exists
     // now, in bounded micro-batches (maxFilesPerTrigger is respected,
