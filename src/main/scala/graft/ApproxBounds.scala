@@ -86,8 +86,7 @@ object ApproxBounds {
       // Theta tier: set-algebra estimates vs exact distinct set ops at
       // the (user, day) grain (the grain where the populations differ).
       val thetaRow = SparkEntry.queries("theta_user_set_ops")(spark, sfDir).collect()(0)
-      val userDay = (col("user_id") * lit(100000L) +
-        (unix_micros(col("ts")) / lit(86400000000L)).cast("long")).as("ud")
+      val userDay = graft.ops.SketchOps.userDayKey.as("ud")
       def userDays(t: String) = ev.filter(col("event_type") === t)
         .select(userDay).distinct()
       val (ca, cb) = (userDays("click").cache(), userDays("purchase").cache())

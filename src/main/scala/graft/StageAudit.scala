@@ -37,11 +37,12 @@ object StageAudit {
         val i = kv.indexOf('='); (kv.take(i), kv.drop(i + 1))
       }.toMap).getOrElse(Map.empty)
 
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = SparkSession.builder()
       .withExtensions(new graft.plans.GraftExtensions)
-      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .master(s"local[$cpus]")
       .appName("graft-stage-audit")
-      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
@@ -101,7 +102,7 @@ object StageAudit {
     val totGc = stages.values.map(_.gcMs).sum / 1e3
     val totSpill = stages.values.map(_.spillDiskMB).sum
     println(f"== totals: run=$totRun%.1fs cpu=$totCpu%.1fs gc=$totGc%.1fs " +
-      f"diskSpillMB=$totSpill (32 threads => wall floor ${totRun / 32}%.1fs)")
+      f"diskSpillMB=$totSpill ($cpus threads => wall floor ${totRun / cpus}%.1fs)")
     spark.stop()
   }
 }

@@ -58,8 +58,33 @@ object FileOps {
     * clearing the root reuses the stale egress. */
   private def sanitize(s: String): String = s.replaceAll("[^A-Za-z0-9._-]", "_")
 
-  private def cacheDir(spark: SparkSession, kind: String, sfDir: String): String =
+  private[graft] def cacheDir(spark: SparkSession, kind: String, sfDir: String): String =
     s"${filesRoot(spark)}/graft_${kind}_${sanitize(sfDir)}"
+
+  /** THE idempotent-materialization pattern, in one place: resolve the
+    * cache dir for (kind, source), run `write(dir)` exactly once behind
+    * a `_SUCCESS` marker created AFTER the write completes, return the
+    * dir. Before this helper the dir-naming + marker dance was
+    * copy-pasted per site and had already drifted (one site with no
+    * guard, one keyed by `hashCode` — the collision bug this object's
+    * own scaladoc records retiring); every derived fixture goes through
+    * here now. `kind` must encode EVERY input that changes the bytes
+    * (conf geometry, column lists) — the source path is appended
+    * sanitized. */
+  private[graft] def materializeOnce(
+      spark: SparkSession, kind: String, sfDir: String)(
+      write: String => Unit): String = {
+    val dir = cacheDir(spark, kind, sfDir)
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new Path(root, "_GRAFT_DONE")
+    if (!fs.exists(marker)) {
+      fs.mkdirs(root)
+      write(dir)
+      fs.create(marker, true).close()
+    }
+    dir
+  }
 
   /** One `doc_<id>.txt` per document row, executor-written through the
     * Hadoop FS resolved from the (possibly remote) root URI, created once
@@ -375,16 +400,18 @@ object FileOps {
     * files of non-matching partitions are never opened at all; the oracle
     * recomputes the aggregate from the source parquet, proving the
     * partitioned egress lost nothing. */
-  def partitionedPrune(spark: SparkSession, sfDir: String): DataFrame = {
-    val dir = cacheDir(spark, "orderspart", sfDir)
-    val root = new Path(dir)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new Path(root, "_SUCCESS"))) {
+  /** The hive-partitioned orders copy shared by [[partitionedPrune]] and
+    * [[dppJoin]]. */
+  private def materializeOrdersPartitioned(spark: SparkSession, sfDir: String): String =
+    materializeOnce(spark, "orderspart", sfDir) { dir =>
       Tables.orders(spark, sfDir)
         .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
           col("o_orderstatus"))
         .write.mode("overwrite").partitionBy("o_orderstatus").parquet(dir)
     }
+
+  def partitionedPrune(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = materializeOrdersPartitioned(spark, sfDir)
     spark.read.parquet(dir)
       .filter(col("o_orderstatus") === "F")
       .groupBy("o_orderpriority")
@@ -502,27 +529,17 @@ object FileOps {
     * shape and the measured decode (scan numOutputRows = one partition's
     * rows). Oracle: the dim restated as a VALUES CTE. */
   def dppJoin(spark: SparkSession, sfDir: String): DataFrame = {
-    val dir = cacheDir(spark, "orderspart", sfDir)
-    val root = new Path(dir)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new Path(root, "_SUCCESS"))) {
-      Tables.orders(spark, sfDir)
-        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
-          col("o_orderstatus"))
-        .write.mode("overwrite").partitionBy("o_orderstatus").parquet(dir)
-    }
+    val dir = materializeOrdersPartitioned(spark, sfDir)
     // the dim must be a real datasource: an in-memory LocalRelation gets
     // its filter constant-folded away before the PartitionPruning rule
     // looks for a selective predicate, and DPP silently never fires
     // (observed) — exactly how a real deployment's date dim behaves
     // (it IS a table)
-    val dimDir = cacheDir(spark, "orderdim", sfDir)
-    val dimRoot = new Path(dimDir)
-    if (!fs.exists(new Path(dimRoot, "_SUCCESS"))) {
+    val dimDir = materializeOnce(spark, "orderdim", sfDir) { d =>
       import spark.implicits._
       Seq(("F", "closed"), ("O", "open"), ("P", "open"))
         .toDF("status", "tier")
-        .coalesce(1).write.mode("overwrite").parquet(dimDir)
+        .coalesce(1).write.mode("overwrite").parquet(d)
     }
     val dim = spark.read.parquet(dimDir)
     spark.read.parquet(dir)
@@ -548,18 +565,14 @@ object FileOps {
     * the READ semantics (NULL-extension of old files) are identical and
     * are what this query pins. */
   def schemaEvolution(spark: SparkSession, sfDir: String): DataFrame = {
-    val dir = cacheDir(spark, "schemaevo", sfDir)
-    val root = new Path(dir)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new Path(root, "_SUCCESS"))) {
+    val dir = materializeOnce(spark, "schemaevo", sfDir) { d =>
       val part = Tables.part(spark, sfDir)
       part.filter(col("p_partkey") % 2 === 0)
         .select(col("p_partkey"), col("p_brand"))
-        .write.mode("overwrite").parquet(s"$dir/gen=1")
+        .write.mode("overwrite").parquet(s"$d/gen=1")
       part.filter(col("p_partkey") % 2 === 1)
         .select(col("p_partkey"), col("p_brand"), col("p_retailprice"))
-        .write.mode("overwrite").parquet(s"$dir/gen=2")
-      fs.create(new Path(root, "_SUCCESS"), true).close()
+        .write.mode("overwrite").parquet(s"$d/gen=2")
     }
     spark.read.option("mergeSchema", "true").parquet(dir)
       .groupBy("p_brand")
@@ -582,16 +595,13 @@ object FileOps {
     * here: a query may not reference ONLY the corrupt column
     * (SPARK-21610) — this one projects data columns alongside it. */
   def jsonMalformedIngest(spark: SparkSession, sfDir: String): DataFrame = {
-    val dir = cacheDir(spark, "jsonbad", sfDir)
-    val root = new Path(dir)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new Path(root, "_SUCCESS"))) {
+    val dir = materializeOnce(spark, "jsonbad", sfDir) { d =>
       Tables.documents(spark, sfDir)
         .select(when(col("doc_id") % 37 === 0,
             concat(lit("{\"doc_id\": "), col("doc_id"), lit(", \"n_chars\": ")))
           .otherwise(to_json(struct(col("doc_id"), col("source"), col("n_chars"))))
           .as("line"))
-        .write.mode("overwrite").text(dir)
+        .write.mode("overwrite").text(d)
     }
     spark.read
       .schema("doc_id BIGINT, source STRING, n_chars BIGINT, _corrupt_record STRING")

@@ -74,19 +74,15 @@ object LayoutOps {
   def layoutFiles(spark: SparkSession): Int =
     spark.conf.get("spark.graft.layout.files", "256").toInt
 
-  private def sanitize(s: String): String = s.replaceAll("[^A-Za-z0-9._-]", "_")
-
-  /** Write the z-ordered copy of lineitem once per (root, sfDir), behind
-    * the usual marker. The zval is a TRANSIENT sort key: it is dropped
-    * before the write (projection after sort preserves order), so the
-    * stored schema is byte-identical to the source — the layout is
-    * invisible to readers except through its row-group statistics. */
+  /** Write the z-ordered copy of lineitem once per (root, geometry,
+    * sfDir), behind the usual marker ([[FileOps.materializeOnce]]). The
+    * zval is a TRANSIENT sort key: it is dropped before the write
+    * (projection after sort preserves order), so the stored schema is
+    * byte-identical to the source — the layout is invisible to readers
+    * except through its row-group statistics. */
   def materializeZorderLayout(spark: SparkSession, sfDir: String): String = {
     val files = layoutFiles(spark)
-    val dir = s"${FileOps.filesRoot(spark)}/graft_zorder_${files}_${sanitize(sfDir)}"
-    val root = new Path(dir)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new Path(root, "_SUCCESS"))) {
+    FileOps.materializeOnce(spark, s"zorder_$files", sfDir) { dir =>
       Tables.lineitem(spark, sfDir)
         .withColumn("zval", zorderValue(qtyBin, priceBin))
         .repartitionByRange(files, col("zval"))
@@ -94,7 +90,6 @@ object LayoutOps {
         .drop("zval")
         .write.mode("overwrite").parquet(dir)
     }
-    dir
   }
 
   /** The 2-D box the skipping evidence and the oracle share: ~20% of the

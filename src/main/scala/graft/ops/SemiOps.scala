@@ -169,11 +169,7 @@ object SemiOps {
     * pruned ReadSchema; the oracle restates the values from the flat
     * source columns. */
   def nestedExtract(spark: SparkSession, sfDir: String): DataFrame = {
-    val dir = s"${FileOps.filesRoot(spark)}/graft_nested_" +
-      sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
-    val root = new org.apache.hadoop.fs.Path(dir)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(root, "_SUCCESS"))) {
+    val dir = FileOps.materializeOnce(spark, "nested", sfDir) { d =>
       Tables.orders(spark, sfDir)
         .select(col("o_orderkey"),
           struct(
@@ -184,7 +180,7 @@ object SemiOps {
             repeat(col("o_orderstatus"), 512).as("payload"))
           .as("info"),
           col("o_totalprice"))
-        .write.mode("overwrite").parquet(dir)
+        .write.mode("overwrite").parquet(d)
     }
     spark.read.parquet(dir)
       .groupBy(col("info.dates.year").as("order_year"))

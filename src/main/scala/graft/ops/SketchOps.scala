@@ -85,11 +85,15 @@ object SketchOps {
     def sliceSketch(pred: Column): DataFrame = ev.filter(pred)
       .groupBy(col("event_type"))
       .agg(hll_sketch_agg(col("user_id"), lit(LgK)).as("sk"))
-    val store = s"${FileOps.filesRoot(spark)}/graft_hllstore_" +
-      sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
-    // "yesterday": sketch once, persist small (5 rows × ~4 KB registers)
-    sliceSketch(col("event_id") % 2 === 0)
-      .write.mode("overwrite").parquet(store)
+    // "yesterday": sketch ONCE, persist small (5 rows × ~4 KB registers)
+    // behind the shared marker — rebuilding the store on every call
+    // (the previous formulation) was exactly the raw-rescan the sketch
+    // architecture exists to avoid, and it raced concurrent sessions
+    // sharing the files root (round-9 review finding)
+    val store = FileOps.materializeOnce(spark, "hllstore", sfDir) { d =>
+      sliceSketch(col("event_id") % 2 === 0)
+        .write.mode("overwrite").parquet(d)
+    }
     // "today": fresh sketches union-merged with the RE-READ store; the
     // merged 5-row table is checkpointed so the per-type and global
     // levels don't each re-run the today-slice aggregate.
@@ -157,11 +161,18 @@ object SketchOps {
     * populations genuinely differ (and is the grain DAU-overlap
     * dashboards actually query).
     */
-  def thetaUserSetOps(spark: SparkSession, sfDir: String): DataFrame = {
-    // user-day key: user_id ⊕ day-number, disjoint by construction
-    // (users are ≪ 100000 per day-shard)
-    val userDay = col("user_id") * lit(100000L) +
+  /** The (user, day) grain key — user_id ⊕ day-number, injective because
+    * day-numbers are ≪ 100000. ONE definition shared by the query, the
+    * committed APPROX_BOUNDS artifact, and SketchTierSpec: if the grain
+    * changed in the query alone, the artifact would keep measuring
+    * "exact" sets at the old grain and record passing bounds against the
+    * wrong ground truth (round-9 review finding). */
+  def userDayKey: Column =
+    col("user_id") * lit(100000L) +
       (unix_micros(col("ts")) / lit(86400000000L)).cast("long")
+
+  def thetaUserSetOps(spark: SparkSession, sfDir: String): DataFrame = {
+    val userDay = userDayKey
     val sks = Tables.events(spark, sfDir).agg(
       theta_sketch_agg(when(col("event_type") === "click", userDay)).as("a"),
       theta_sketch_agg(when(col("event_type") === "purchase", userDay)).as("b"))

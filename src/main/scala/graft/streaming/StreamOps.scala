@@ -355,38 +355,42 @@ object StreamOps {
   def stageTimeOrderedEventFiles(spark: SparkSession, sfDir: String,
       nFiles: Int,
       cols: Seq[String] = Seq("event_id", "ts", "event_type")): String = {
-    val dir = s"${graft.ops.FileOps.filesRoot(spark)}/graft_stream_stage_${nFiles}_" +
-      cols.mkString("").replaceAll("[^A-Za-z0-9]", "").hashCode.toHexString + "_" +
-      sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
-    val root = new org.apache.hadoop.fs.Path(dir)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val marker = new org.apache.hadoop.fs.Path(root, "_SUCCESS")
-    if (fs.exists(marker)) return dir
-    fs.mkdirs(root)
-    val ev = graft.Tables.events(spark, sfDir)
-      .select(cols.map(col): _*)
-    val Array(lo, hi) = ev
-      .agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts"))))
-      .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
-    val span = hi - lo + 1
-    val bucket = ((unix_micros(col("ts")) - lit(lo)) * nFiles / lit(span))
-      .cast("int")
-    (0 until nFiles).foreach { i =>
-      val slice = ev.filter(bucket === i)
-      val scratch = new org.apache.hadoop.fs.Path(root, s"_stage_$i")
-      // duplicate WITHIN the slice: the copies land in the same
-      // micro-batch, where the dedup contract holds regardless of the
-      // watermark's position
-      slice.unionAll(slice).coalesce(1)
-        .write.mode("overwrite").parquet(scratch.toString)
-      val part = fs.listStatus(scratch)
-        .map(_.getPath).find(_.getName.startsWith("part-"))
-        .getOrElse(sys.error(s"no part file under $scratch"))
-      fs.rename(part, new org.apache.hadoop.fs.Path(root, f"b$i%02d.parquet"))
-      fs.delete(scratch, true)
+    // column list spelled out in the key, NOT hashed — the hashCode key
+    // this replaces is the collision bug FileOps.cacheDir's scaladoc
+    // records retiring (round-9 review finding)
+    val kind = s"stream_stage_${nFiles}_" +
+      cols.mkString("-").replaceAll("[^A-Za-z0-9_-]", "_")
+    graft.ops.FileOps.materializeOnce(spark, kind, sfDir) { dir =>
+      val root = new org.apache.hadoop.fs.Path(dir)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val ev = graft.Tables.events(spark, sfDir)
+        .select(cols.map(col): _*)
+      val Array(lo, hi) = ev
+        .agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts"))))
+        .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
+      val span = hi - lo + 1
+      val bucket = ((unix_micros(col("ts")) - lit(lo)) * nFiles / lit(span))
+        .cast("int")
+      (0 until nFiles).foreach { i =>
+        val slice = ev.filter(bucket === i)
+        val scratch = new org.apache.hadoop.fs.Path(root, s"_stage_$i")
+        // duplicate WITHIN the slice: the copies land in the same
+        // micro-batch, where the dedup contract holds regardless of the
+        // watermark's position
+        slice.unionAll(slice).coalesce(1)
+          .write.mode("overwrite").parquet(scratch.toString)
+        val part = fs.listStatus(scratch)
+          .map(_.getPath).find(_.getName.startsWith("part-"))
+          .getOrElse(sys.error(s"no part file under $scratch"))
+        val dest = new org.apache.hadoop.fs.Path(root, f"b$i%02d.parquet")
+        // a half-finished prior attempt (no marker yet) may have left the
+        // dest behind; rename over it would silently no-op (rename
+        // returns false, data lost to the delete below — review finding)
+        if (fs.exists(dest)) fs.delete(dest, false)
+        require(fs.rename(part, dest), s"rename $part -> $dest failed")
+        fs.delete(scratch, true)
+      }
     }
-    fs.create(marker).close()
-    dir
   }
 
   /** The multi-batch twin of [[dedupWithinWatermarkStream]] over a
@@ -465,30 +469,26 @@ object StreamOps {
     * so "every earlier document" is exactly (persisted store ∪ the
     * current batch's lower ids). */
   private[graft] def stageDocSliceFiles(
-      spark: SparkSession, sfDir: String, nFiles: Int): String = {
-    val dir = s"${graft.ops.FileOps.filesRoot(spark)}/graft_docslice_${nFiles}_" +
-      sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
-    val root = new org.apache.hadoop.fs.Path(dir)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val marker = new org.apache.hadoop.fs.Path(root, "_SUCCESS")
-    if (fs.exists(marker)) return dir
-    fs.mkdirs(root)
-    val docs = graft.Tables.documents(spark, sfDir).select("doc_id", "text")
-    val Array(lo, hi) = docs.agg(min("doc_id"), max("doc_id"))
-      .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
-    val span = hi - lo + 1
-    val bucket = ((col("doc_id") - lit(lo)) * nFiles / lit(span)).cast("int")
-    (0 until nFiles).foreach { i =>
-      docs.filter(bucket === i).coalesce(1)
-        .write.mode("overwrite").parquet(s"$dir/staging_b$i")
-      val part = fs.globStatus(
-        new org.apache.hadoop.fs.Path(s"$dir/staging_b$i/part-*.parquet"))(0).getPath
-      fs.rename(part, new org.apache.hadoop.fs.Path(root, f"b$i%02d.parquet"))
-      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/staging_b$i"), true)
+      spark: SparkSession, sfDir: String, nFiles: Int): String =
+    graft.ops.FileOps.materializeOnce(spark, s"docslice_$nFiles", sfDir) { dir =>
+      val root = new org.apache.hadoop.fs.Path(dir)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val docs = graft.Tables.documents(spark, sfDir).select("doc_id", "text")
+      val Array(lo, hi) = docs.agg(min("doc_id"), max("doc_id"))
+        .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
+      val span = hi - lo + 1
+      val bucket = ((col("doc_id") - lit(lo)) * nFiles / lit(span)).cast("int")
+      (0 until nFiles).foreach { i =>
+        docs.filter(bucket === i).coalesce(1)
+          .write.mode("overwrite").parquet(s"$dir/_staging_b$i")
+        val part = fs.globStatus(
+          new org.apache.hadoop.fs.Path(s"$dir/_staging_b$i/part-*.parquet"))(0).getPath
+        val dest = new org.apache.hadoop.fs.Path(root, f"b$i%02d.parquet")
+        if (fs.exists(dest)) fs.delete(dest, false)
+        require(fs.rename(part, dest), s"rename $part -> $dest failed")
+        fs.delete(new org.apache.hadoop.fs.Path(s"$dir/_staging_b$i"), true)
+      }
     }
-    fs.create(marker, true).close()
-    dir
-  }
 
   /** INCREMENTAL near-dup maintenance — the dedup a production corpus
     * actually runs: yesterday's crawl is already deduped and signed; only
@@ -501,8 +501,11 @@ object StreamOps {
     * kept or dropped, which is what makes the rule order-insensitive to
     * slicing) plus the batch's own lower ids, (4) drops any new doc with
     * an est≥0.8 match to an earlier doc (identical signatures estimate
-    * 1.0 — exact dups need no special case), and (5) appends the new
-    * band rows + kept flags to the store via generation swap.
+    * 1.0 — exact dups need no special case), and (5) APPENDS the new
+    * band rows + kept flags as a new file in the store dir — per-batch
+    * write volume is the new slice's rows only (a generation-swap
+    * rewrite of the accumulated store would make cumulative I/O
+    * quadratic in corpus age; round-9 review finding).
     *
     * Per-batch cost is new-bands × matching buckets — the historical
     * corpus is touched through the band JOIN only, never re-signed and
@@ -521,8 +524,9 @@ object StreamOps {
     import graft.ops.DedupOps
     val staged = stageDocSliceFiles(spark, sfDir, 4)
     val schema = spark.read.parquet(staged).schema
-    val stateRoot = java.nio.file.Files.createTempDirectory("graft_inc_dedup")
-    @volatile var current: Option[String] = None
+    val storeDir = java.nio.file.Files.createTempDirectory("graft_inc_dedup")
+      .resolve("band_store").toString
+    @volatile var storeNonEmpty = false
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
       .option("pathGlobFilter", "b*.parquet")
@@ -533,7 +537,10 @@ object StreamOps {
           .minhashSig(split(col("text"), " "), DedupOps.SigK).as("sig"))
       val newBands = DedupOps.bandExplode(sigs, "doc_id")
         .persist()
-      val prevBands = current.map(spark.read.parquet)
+      // the store scan snapshots its file list HERE, before the append
+      // below — reading and appending the same dir in one batch is safe
+      val prevBands =
+        if (storeNonEmpty) Some(spark.read.parquet(storeDir)) else None
       val est = graft.functions.VectorFunctions
         .arrayEqCount(col("x.sig"), col("y.sig")).cast("double") / DedupOps.SigK
       def matches(earlier: DataFrame): DataFrame =
@@ -552,18 +559,13 @@ object StreamOps {
           Seq("doc_id"), "left")
         .withColumn("kept", col("is_dropped").isNull)
         .select("doc_id", "sig", "band_idx", "band_hash", "kept")
-      val merged = prevBands match {
-        case None       => flagged
-        case Some(prev) => prev.unionByName(flagged)
-      }
-      val out = stateRoot.resolve(s"gen_$id").toString
-      merged.write.mode("overwrite").parquet(out)
+      flagged.write.mode("append").parquet(storeDir)
       newBands.unpersist()
-      current = Some(out)
+      storeNonEmpty = true
     }.start()
     try q.processAllAvailable() finally q.stop()
-    spark.read.parquet(current.getOrElse(
-        sys.error(s"no micro-batch ran over $staged")))
+    require(storeNonEmpty, s"no micro-batch ran over $staged")
+    spark.read.parquet(storeDir)
       .filter(col("kept"))
       .select("doc_id").distinct().orderBy("doc_id")
   }

@@ -27,13 +27,11 @@ import graft.ops.LayoutOps
   */
 class LayoutSpec extends SparkSpec {
 
-  private def writeLayout(tag: String, files: Int)(shape: DataFrame => DataFrame): String = {
-    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_layoutspec_${files}_$tag"
-    if (!new java.io.File(s"$dir/_SUCCESS").exists()) {
+  private def writeLayout(tag: String, files: Int)(shape: DataFrame => DataFrame): String =
+    // keyed on the source fixture path like every cache dir (FileOps rule)
+    graft.ops.FileOps.materializeOnce(spark, s"layoutspec_${files}_$tag", sf) { dir =>
       shape(Tables.lineitem(spark, sf)).write.mode("overwrite").parquet(dir)
     }
-    dir
-  }
 
   /** Decoded-row count of the box scan over a parquet dir: run the
     * aggregate, then read the scan leaf's numOutputRows metric. AQE off

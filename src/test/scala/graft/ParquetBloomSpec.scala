@@ -18,9 +18,9 @@ import org.apache.spark.sql.functions._
   */
 class ParquetBloomSpec extends SparkSpec {
 
-  private def writeCopy(tag: String, opts: Map[String, String]): String = {
-    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_bloomspec_$tag"
-    if (!new java.io.File(s"$dir/_SUCCESS").exists()) {
+  private def writeCopy(tag: String, opts: Map[String, String]): String =
+    // keyed on the source fixture path like every cache dir (FileOps rule)
+    graft.ops.FileOps.materializeOnce(spark, s"bloomspec_$tag", sf) { dir =>
       // many small row groups so skipping has granularity to work with;
       // repartition(1) keeps a single file whose groups tile the corpus,
       // and the deterministic hash scramble makes every row group span
@@ -40,8 +40,6 @@ class ParquetBloomSpec extends SparkSpec {
           "parquet.enable.dictionary" -> "false"))
         .parquet(dir)
     }
-    dir
-  }
 
   /** Decoded-row count for a point lookup, read from the scan metric. */
   private def decodedRows(dir: String, key: Long): Long = {

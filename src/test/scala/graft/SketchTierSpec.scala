@@ -57,8 +57,7 @@ class SketchTierSpec extends SparkSpec {
   }
 
   test("theta_user_set_ops: set-algebra estimates within 5% of exact; inclusion-exclusion holds") {
-    val userDay = (col("user_id") * lit(100000L) +
-      (unix_micros(col("ts")) / lit(86400000000L)).cast("long")).as("ud")
+    val userDay = graft.ops.SketchOps.userDayKey.as("ud")
     val ev = Tables.events(spark, sf)
     def userDays(t: String) = ev.filter(col("event_type") === t)
       .select(userDay).distinct()
