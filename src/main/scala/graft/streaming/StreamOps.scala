@@ -565,8 +565,9 @@ object StreamOps {
     }.start()
     try q.processAllAvailable() finally q.stop()
     require(storeNonEmpty, s"no micro-batch ran over $staged")
+    // return the STORE itself (doc_id, sig, band_idx, band_hash, kept):
+    // callers read kept ids from it, and the spec pins the append-only
+    // invariant — exactly BANDS rows per document, each document once
     spark.read.parquet(storeDir)
-      .filter(col("kept"))
-      .select("doc_id").distinct().orderBy("doc_id")
   }
 }

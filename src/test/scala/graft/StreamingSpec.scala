@@ -318,15 +318,23 @@ class StreamingSpec extends SparkSpec {
     // historical corpus is never re-signed. Kept set must equal the
     // batch rule derived from dedup_minhash_lsh's verified pairs
     // (emitted doc_a < doc_b): kept = all − {doc_b of any pair}
-    val kept = StreamOps.incrementalDedupRun(spark, sf)
-      .collect().map(_.getLong(0)).toSet
-    val allDocs = Tables.documents(spark, sf)
-      .select("doc_id").collect().map(_.getLong(0)).toSet
-    val droppedBatch = q("dedup_minhash_lsh")
-      .select("doc_b").collect().map(_.getLong(0)).toSet
-    assert(kept === (allDocs -- droppedBatch))
-    // the rule actually fired (the fixture has near-dup families)
-    assert(droppedBatch.nonEmpty && kept.size < allDocs.size)
+    val store = StreamOps.incrementalDedupRun(spark, sf).cache()
+    try {
+      val kept = store.filter(col("kept")).select("doc_id")
+        .distinct().collect().map(_.getLong(0)).toSet
+      val allDocs = Tables.documents(spark, sf)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val droppedBatch = q("dedup_minhash_lsh")
+        .select("doc_b").collect().map(_.getLong(0)).toSet
+      assert(kept === (allDocs -- droppedBatch))
+      // the rule actually fired (the fixture has near-dup families)
+      assert(droppedBatch.nonEmpty && kept.size < allDocs.size)
+      // append-only invariant: every document banded EXACTLY once — a
+      // store-rewrite bug shows up as duplicated band rows (the
+      // quadratic-I/O regression this run's design forbids)
+      assert(store.count() === 16L * allDocs.size)
+      assert(store.select("doc_id").distinct().count() === allDocs.size.toLong)
+    } finally store.unpersist()
   }
 
   test("Trigger.AvailableNow backfill: self-terminating, rate-limited, batch-equal") {
