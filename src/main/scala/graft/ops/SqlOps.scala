@@ -298,7 +298,32 @@ object SqlOps {
     spark.sql(q2Sql)
   }
 
+  private val pipeSql =
+    """FROM lineitem
+      ||> WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      ||> AGGREGATE
+      |     CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |     CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+      |       AS sum_base_price,
+      |     COUNT(*) AS count_order
+      |   GROUP BY l_returnflag, l_linestatus
+      ||> ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** SQL PIPE syntax front door (Spark 4's `|>` operator chains — the
+    * linear spelling of the same relational algebra, increasingly the
+    * house dialect of analytics SQL): the Q1 pricing shape restated as
+    * FROM |> WHERE |> AGGREGATE |> ORDER BY. Same parser entry point,
+    * same Catalyst plan as the ANSI spelling — which is exactly what the
+    * oracle pins: DuckDB has no pipe syntax, so the oracle is the ANSI
+    * twin and the hash gate proves the two dialects are the SAME query
+    * (exact-decimal sums make the comparison bit-identical). */
+  def sqlPipePricing(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.lineitem(spark, sfDir).createOrReplaceTempView("lineitem")
+    spark.sql(pipeSql)
+  }
+
   val queries: Map[String, Q] = Map(
+    "sql_pipe_pricing"  -> (sqlPipePricing _),
     "sql_q2_mincost"    -> (sqlQ2MinCost _),
     "sql_q1_pricing"    -> (sqlQ1Pricing _),
     "sql_q3_shipping"   -> (sqlQ3Shipping _),
@@ -309,6 +334,16 @@ object SqlOps {
     "sql_q22_nourgent"  -> (sqlQ22NoUrgent _))
 
   val oracle: Map[String, String] = Map(
+    "sql_pipe_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_base_price,
+        |  COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "sql_q2_mincost"    -> q2Sql,
     "sql_q1_pricing"    -> q1Sql,
     "sql_q3_shipping"   -> q3Sql,
