@@ -10,9 +10,12 @@ import graft.ops._
   * hash-compares values.
   */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The composed training-prep pipeline (gates → dedup → decontaminate
+    * → split → chunk → pack → accounting, ONE Catalyst plan — SURVEY
+    * E105) — the single query that exercises the most engine at once. */
   def entry(spark: SparkSession): DataFrame =
-    queries("group_agg")(spark, "/root/testdata/sf0.001")
+    queries("pipeline_e2e")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
