@@ -37,10 +37,13 @@ object StageAudit {
         val i = kv.indexOf('='); (kv.take(i), kv.drop(i + 1))
       }.toMap).getOrElse(Map.empty)
 
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    // accept numeric values AND Spark's 'local[*]' spelling
+    val cpuStr = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val cpus = scala.util.Try(cpuStr.toInt)
+      .getOrElse(Runtime.getRuntime.availableProcessors)
     val spark = SparkSession.builder()
       .withExtensions(new graft.plans.GraftExtensions)
-      .master(s"local[$cpus]")
+      .master(s"local[$cpuStr]")
       .appName("graft-stage-audit")
       .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.session.timeZone", "UTC")

@@ -75,13 +75,30 @@ object FileOps {
       spark: SparkSession, kind: String, sfDir: String)(
       write: String => Unit): String = {
     val dir = cacheDir(spark, kind, sfDir)
-    val root = new Path(dir)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val marker = new Path(root, "_GRAFT_DONE")
-    if (!fs.exists(marker)) {
-      fs.mkdirs(root)
-      write(dir)
-      fs.create(marker, true).close()
+    // Serialize within this JVM (interned path as the monitor): Verify,
+    // Bench and the specs run queries sequentially, but two queries in
+    // one session may share a kind (partitionedPrune/dppJoin). ACROSS
+    // JVMs this is still check-then-act — two cold sessions sharing one
+    // files root can interleave writes; a deployment that runs
+    // concurrent jobs against a shared root should materialize fixtures
+    // in a setup step (or use a locking FS), as DEPLOY.md notes.
+    dir.intern.synchronized {
+      val root = new Path(dir)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val marker = new Path(root, "_GRAFT_DONE")
+      // legacy acceptance: dirs materialized before the dedicated marker
+      // existed are complete iff their ROOT carries _SUCCESS (single
+      // writes: the committer's own marker; multi-write dirs: the old
+      // code created it manually after the last write) — honoring it
+      // avoids a one-time re-materialization of every warm fixture
+      val legacy = new Path(root, "_SUCCESS")
+      if (!fs.exists(marker) && !fs.exists(legacy)) {
+        fs.mkdirs(root)
+        write(dir)
+        fs.create(marker, true).close()
+      } else if (!fs.exists(marker)) {
+        fs.create(marker, true).close() // upgrade legacy dirs in place
+      }
     }
     dir
   }

@@ -88,8 +88,9 @@ object SketchOps {
     // "yesterday": sketch ONCE, persist small (5 rows × ~4 KB registers)
     // behind the shared marker — rebuilding the store on every call
     // (the previous formulation) was exactly the raw-rescan the sketch
-    // architecture exists to avoid, and it raced concurrent sessions
-    // sharing the files root (round-9 review finding)
+    // architecture exists to avoid. materializeOnce also serializes
+    // within this JVM; concurrent SESSIONS sharing a files root remain
+    // the deployment's setup-step responsibility (see its scaladoc)
     val store = FileOps.materializeOnce(spark, "hllstore", sfDir) { d =>
       sliceSketch(col("event_id") % 2 === 0)
         .write.mode("overwrite").parquet(d)

@@ -512,14 +512,20 @@ object StreamOps {
     * never re-compared pair-to-pair; the store is 16 band rows per doc
     * (sig payload included, the same carry-the-signature trade the batch
     * operator measured in NOTES_r09 §1). The stream itself is STATELESS
-    * (no state store; the parquet band store is the only carried state),
-    * so at-least-once replay re-derives identical rows.
+    * (no state store; the parquet band store is the only carried state).
+    * Replay idempotence is BY BATCH ID: each micro-batch writes its band
+    * rows to a `batch_<id>` subdir with overwrite, so a re-executed
+    * batch replaces its own output instead of appending a duplicate —
+    * the store stays exactly BANDS rows per document under at-least-once
+    * delivery (spec-pinned invariant).
     *
     * Semantics (spec-pinned): drop-if-any-earlier-match — doc b is
     * dropped iff some a < b has est(a,b) ≥ 0.8 through ≥1 shared band.
     * The streamed kept set EQUALS the batch rule derived from
     * `dedup_minhash_lsh`'s verified pairs: kept = all − {doc_b of any
-    * pair} (pairs are emitted a<b). Returns the kept (doc_id) set. */
+    * pair} (pairs are emitted a<b). Returns the final band STORE
+    * (doc_id, sig, band_idx, band_hash, kept); kept doc ids are its
+    * `kept` rows — NOT a bare id set (each doc carries BANDS rows). */
   def incrementalDedupRun(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.ops.DedupOps
     val staged = stageDocSliceFiles(spark, sfDir, 4)
@@ -540,7 +546,9 @@ object StreamOps {
       // the store scan snapshots its file list HERE, before the append
       // below — reading and appending the same dir in one batch is safe
       val prevBands =
-        if (storeNonEmpty) Some(spark.read.parquet(storeDir)) else None
+        if (storeNonEmpty)
+          Some(spark.read.option("recursiveFileLookup", "true").parquet(storeDir))
+        else None
       val est = graft.functions.VectorFunctions
         .arrayEqCount(col("x.sig"), col("y.sig")).cast("double") / DedupOps.SigK
       def matches(earlier: DataFrame): DataFrame =
@@ -559,7 +567,9 @@ object StreamOps {
           Seq("doc_id"), "left")
         .withColumn("kept", col("is_dropped").isNull)
         .select("doc_id", "sig", "band_idx", "band_hash", "kept")
-      flagged.write.mode("append").parquet(storeDir)
+      // idempotent-by-batch-id: overwrite THIS batch's subdir, never
+      // append to the shared root — a replayed batch replaces itself
+      flagged.write.mode("overwrite").parquet(s"$storeDir/batch_$id")
       newBands.unpersist()
       storeNonEmpty = true
     }.start()
@@ -568,6 +578,6 @@ object StreamOps {
     // return the STORE itself (doc_id, sig, band_idx, band_hash, kept):
     // callers read kept ids from it, and the spec pins the append-only
     // invariant — exactly BANDS rows per document, each document once
-    spark.read.parquet(storeDir)
+    spark.read.option("recursiveFileLookup", "true").parquet(storeDir)
   }
 }

@@ -18,9 +18,12 @@ import org.apache.spark.sql.functions._
   */
 class ParquetBloomSpec extends SparkSpec {
 
-  private def writeCopy(tag: String, opts: Map[String, String]): String =
-    // keyed on the source fixture path like every cache dir (FileOps rule)
-    graft.ops.FileOps.materializeOnce(spark, s"bloomspec_$tag", sf) { dir =>
+  private def writeCopy(tag: String, opts: Map[String, String]): String = {
+    // key encodes the source path AND the write options — materializeOnce's
+    // contract: every input that changes the bytes must be in the kind
+    val optKey = opts.toSeq.sorted.map { case (k, v) => s"$k=$v" }
+      .mkString(",").replaceAll("[^A-Za-z0-9]", "").takeRight(40)
+    graft.ops.FileOps.materializeOnce(spark, s"bloomspec_${tag}_$optKey", sf) { dir =>
       // many small row groups so skipping has granularity to work with;
       // repartition(1) keeps a single file whose groups tile the corpus,
       // and the deterministic hash scramble makes every row group span
@@ -40,6 +43,7 @@ class ParquetBloomSpec extends SparkSpec {
           "parquet.enable.dictionary" -> "false"))
         .parquet(dir)
     }
+  }
 
   /** Decoded-row count for a point lookup, read from the scan metric. */
   private def decodedRows(dir: String, key: Long): Long = {
