@@ -44,6 +44,16 @@ case class FiSketchAgg(
 
   @transient private lazy val serde = new ArrayOfStringsSerDe
 
+  // analysis-time guard (same doctrine as DotProduct): a wrong child
+  // type must fail at planning, not as an executor-side ClassCastException
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a STRING child, got ${child.dataType.catalogString}")
+
   override def createAggregationBuffer(): ItemsSketch[String] =
     new ItemsSketch[String](maxMapSize)
 
@@ -87,6 +97,15 @@ case class FiUnionAgg(
   with UnaryLike[Expression] {
 
   @transient private lazy val serde = new ArrayOfStringsSerDe
+
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a BINARY (serialized sketch) child, " +
+          s"got ${child.dataType.catalogString}")
 
   override def createAggregationBuffer(): ItemsSketch[String] =
     new ItemsSketch[String](maxMapSize)

@@ -543,11 +543,25 @@ object StreamOps {
           .minhashSig(split(col("text"), " "), DedupOps.SigK).as("sig"))
       val newBands = DedupOps.bandExplode(sigs, "doc_id")
         .persist()
-      // the store scan snapshots its file list HERE, before the append
-      // below — reading and appending the same dir in one batch is safe
+      // list batch_* subdirs explicitly, EXCLUDING this batch's own
+      // batch_<id>: on an at-least-once replay the overwrite below
+      // deletes batch_<id> before the join runs, so a recursive-root
+      // snapshot that still referenced the prior attempt's files would
+      // fail mid-task with FileNotFound (round-9 review finding). The
+      // explicit minus-self listing makes the documented "a re-executed
+      // batch replaces its own output" invariant actually hold.
+      val prevDirs: Array[String] =
+        if (storeNonEmpty) {
+          val root = new org.apache.hadoop.fs.Path(storeDir)
+          val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          fs.listStatus(root).collect {
+            case s if s.isDirectory &&
+              s.getPath.getName.startsWith("batch_") &&
+              s.getPath.getName != s"batch_$id" => s.getPath.toString
+          }
+        } else Array.empty
       val prevBands =
-        if (storeNonEmpty)
-          Some(spark.read.option("recursiveFileLookup", "true").parquet(storeDir))
+        if (prevDirs.nonEmpty) Some(spark.read.parquet(prevDirs.toSeq: _*))
         else None
       val est = graft.functions.VectorFunctions
         .arrayEqCount(col("x.sig"), col("y.sig")).cast("double") / DedupOps.SigK

@@ -11,10 +11,11 @@ import org.apache.spark.sql.functions._
 class IngestModeSpec extends SparkSpec {
 
   private lazy val dir = {
-    // materialize via the registry query's own fixture writer
+    // materialize via the registry query's own fixture writer, then
+    // derive the path through the SAME helper the query uses — a
+    // spark.graft.files.root override must move both or neither
     q("json_malformed_ingest").collect()
-    s"${System.getProperty("java.io.tmpdir")}/graft_jsonbad_" +
-      sf.replaceAll("[^A-Za-z0-9._-]", "_")
+    graft.ops.FileOps.cacheDir(spark, "jsonbad", sf)
   }
   private val schema = "doc_id BIGINT, source STRING, n_chars BIGINT, _corrupt_record STRING"
   private lazy val nBad = Tables.documents(spark, sf)
