@@ -514,10 +514,11 @@ object StreamOps {
     * operator measured in NOTES_r09 §1). The stream itself is STATELESS
     * (no state store; the parquet band store is the only carried state).
     * Replay idempotence is BY BATCH ID: each micro-batch writes its band
-    * rows to a `batch_<id>` subdir with overwrite, so a re-executed
-    * batch replaces its own output instead of appending a duplicate —
-    * the store stays exactly BANDS rows per document under at-least-once
-    * delivery (spec-pinned invariant).
+    * rows to a `batch_<tag>_<id>` subdir with overwrite, so a
+    * re-executed batch replaces its own output instead of appending a
+    * duplicate — the store stays exactly BANDS rows per document under
+    * at-least-once delivery (spec-pinned invariant). Long-running stores
+    * are periodically rewritten to O(1) files by [[compactBandStore]].
     *
     * Semantics (spec-pinned): drop-if-any-earlier-match — doc b is
     * dropped iff some a < b has est(a,b) ≥ 0.8 through ≥1 shared band.
@@ -527,15 +528,32 @@ object StreamOps {
     * (doc_id, sig, band_idx, band_hash, kept); kept doc ids are its
     * `kept` rows — NOT a bare id set (each doc carries BANDS rows). */
   def incrementalDedupRun(spark: SparkSession, sfDir: String): DataFrame = {
-    import graft.ops.DedupOps
     val staged = stageDocSliceFiles(spark, sfDir, 4)
-    val schema = spark.read.parquet(staged).schema
     val storeDir = java.nio.file.Files.createTempDirectory("graft_inc_dedup")
       .resolve("band_store").toString
-    @volatile var storeNonEmpty = false
+    incrementalDedupInto(spark, staged, storeDir, "b*.parquet", "all")
+    readBandStore(spark, storeDir)
+  }
+
+  /** The band STORE as a DataFrame: the union of every generation subdir
+    * (`batch_<tag>_<id>` appends and `compact_<n>` rewrites). */
+  private[graft] def readBandStore(spark: SparkSession, storeDir: String): DataFrame =
+    spark.read.option("recursiveFileLookup", "true").parquet(storeDir)
+
+  /** One stream run of the incremental rule over the staged files that
+    * match `glob`, appending into `storeDir`. `runTag` namespaces this
+    * run's `batch_<tag>_<id>` subdirs so two successive runs over the
+    * same store (today's drop after yesterday's) can never collide on
+    * micro-batch ids, which restart at 0 per query. */
+  private[graft] def incrementalDedupInto(
+      spark: SparkSession, staged: String, storeDir: String,
+      glob: String, runTag: String): Unit = {
+    import graft.ops.DedupOps
+    val schema = spark.read.parquet(staged).schema
+    @volatile var ranBatches = 0
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
-      .option("pathGlobFilter", "b*.parquet")
+      .option("pathGlobFilter", glob)
       .parquet(staged)
     val q = stream.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
       val sigs = batch.select(col("doc_id"),
@@ -543,23 +561,25 @@ object StreamOps {
           .minhashSig(split(col("text"), " "), DedupOps.SigK).as("sig"))
       val newBands = DedupOps.bandExplode(sigs, "doc_id")
         .persist()
-      // list batch_* subdirs explicitly, EXCLUDING this batch's own
-      // batch_<id>: on an at-least-once replay the overwrite below
-      // deletes batch_<id> before the join runs, so a recursive-root
-      // snapshot that still referenced the prior attempt's files would
-      // fail mid-task with FileNotFound (round-9 review finding). The
-      // explicit minus-self listing makes the documented "a re-executed
-      // batch replaces its own output" invariant actually hold.
-      val prevDirs: Array[String] =
-        if (storeNonEmpty) {
-          val root = new org.apache.hadoop.fs.Path(storeDir)
-          val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          fs.listStatus(root).collect {
-            case s if s.isDirectory &&
-              s.getPath.getName.startsWith("batch_") &&
-              s.getPath.getName != s"batch_$id" => s.getPath.toString
-          }
-        } else Array.empty
+      // list the store's generation subdirs explicitly, EXCLUDING this
+      // batch's own batch_<tag>_<id>: on an at-least-once replay the
+      // overwrite below deletes that subdir before the join runs, so a
+      // recursive-root snapshot that still referenced the prior
+      // attempt's files would fail mid-task with FileNotFound (round-9
+      // review finding). The explicit minus-self listing makes the
+      // documented "a re-executed batch replaces its own output"
+      // invariant actually hold. `_`-prefixed dirs are in-flight
+      // compaction staging, never read.
+      val prevDirs: Array[String] = {
+        val root = new org.apache.hadoop.fs.Path(storeDir)
+        val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!fs.exists(root)) Array.empty
+        else fs.listStatus(root).collect {
+          case s if s.isDirectory &&
+            !s.getPath.getName.startsWith("_") &&
+            s.getPath.getName != s"batch_${runTag}_$id" => s.getPath.toString
+        }
+      }
       val prevBands =
         if (prevDirs.nonEmpty) Some(spark.read.parquet(prevDirs.toSeq: _*))
         else None
@@ -583,15 +603,55 @@ object StreamOps {
         .select("doc_id", "sig", "band_idx", "band_hash", "kept")
       // idempotent-by-batch-id: overwrite THIS batch's subdir, never
       // append to the shared root — a replayed batch replaces itself
-      flagged.write.mode("overwrite").parquet(s"$storeDir/batch_$id")
+      flagged.write.mode("overwrite").parquet(s"$storeDir/batch_${runTag}_$id")
       newBands.unpersist()
-      storeNonEmpty = true
+      ranBatches += 1
     }.start()
     try q.processAllAvailable() finally q.stop()
-    require(storeNonEmpty, s"no micro-batch ran over $staged")
-    // return the STORE itself (doc_id, sig, band_idx, band_hash, kept):
-    // callers read kept ids from it, and the spec pins the append-only
-    // invariant — exactly BANDS rows per document, each document once
-    spark.read.option("recursiveFileLookup", "true").parquet(storeDir)
+    require(ranBatches > 0, s"no micro-batch ran over $staged ($glob)")
+  }
+
+  /** STORE COMPACTION for the incremental band store — the maintenance
+    * op a long-running stream needs: appends leave one `batch_*` subdir
+    * per micro-batch, so at a daily drop for years the store's listing
+    * and open-file cost grows O(batches) even though its DATA is O(docs)
+    * (round-9 verdict residual #3). Rewrites every current generation
+    * subdir into ONE `compact_<n>` generation of `targetFiles` shards
+    * and deletes the consumed subdirs — after which the store is
+    * O(targetFiles) files regardless of how many batches built it.
+    *
+    * Content-preserving BY CONSTRUCTION: the rewrite is read-all →
+    * distinct → write; `distinct` also heals any duplicate rows a
+    * previous partially-failed compaction could have left (each row is
+    * unique per (doc, band) in a healthy store, so distinct is the
+    * identity there). Crash-safety ordering: stage to `_compact_tmp`
+    * (underscore-prefixed — invisible to store readers), rename into
+    * place, THEN delete consumed dirs. A crash between rename and
+    * deletes leaves duplicates, which match identically (dedup joins
+    * are distinct-ed) and are healed by the next compaction; data is
+    * never in only the deleted copy. Run between stream runs — the
+    * same slot a production maintenance job occupies.
+    *
+    * Returns the number of data files in the compacted store. */
+  def compactBandStore(spark: SparkSession, storeDir: String, targetFiles: Int): Int = {
+    val root = new org.apache.hadoop.fs.Path(storeDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val consumed = fs.listStatus(root).collect {
+      case s if s.isDirectory && !s.getPath.getName.startsWith("_") => s.getPath
+    }
+    require(consumed.nonEmpty, s"nothing to compact under $storeDir")
+    val nextGen = 1 + consumed.map(_.getName).collect {
+      case n if n.startsWith("compact_") => n.stripPrefix("compact_").toInt
+    }.foldLeft(0)(math.max)
+    val tmp = new org.apache.hadoop.fs.Path(root, "_compact_tmp")
+    if (fs.exists(tmp)) fs.delete(tmp, true) // stale from a prior crash
+    spark.read.parquet(consumed.map(_.toString).toSeq: _*)
+      .distinct()
+      .repartition(targetFiles)
+      .write.mode("overwrite").parquet(tmp.toString)
+    val dest = new org.apache.hadoop.fs.Path(root, s"compact_$nextGen")
+    require(fs.rename(tmp, dest), s"rename $tmp -> $dest failed")
+    consumed.foreach(p => fs.delete(p, true))
+    fs.listStatus(dest).count(_.getPath.getName.endsWith(".parquet"))
   }
 }

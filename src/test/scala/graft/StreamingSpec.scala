@@ -337,6 +337,57 @@ class StreamingSpec extends SparkSpec {
     } finally store.unpersist()
   }
 
+  test("band-store compaction: bounded files, content-preserving, stream continues") {
+    // the long-running-store lifecycle: run slices 1-2 into a fresh
+    // store (one batch_* subdir per micro-batch), COMPACT, then run
+    // slices 3-4 against the compacted store — the final kept set must
+    // still equal the one-shot batch rule, and the store's file count
+    // must be O(target), not O(batches)
+    def subdirs(storeDir: String): Seq[String] = {
+      val root = new org.apache.hadoop.fs.Path(storeDir)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(root).filter(_.isDirectory).map(_.getPath.getName).toSeq.sorted
+    }
+    val staged = StreamOps.stageDocSliceFiles(spark, sf, 4)
+    val storeDir = java.nio.file.Files.createTempDirectory("graft_inc_dedup_c")
+      .resolve("band_store").toString
+    StreamOps.incrementalDedupInto(spark, staged, storeDir, "b0[01].parquet", "s1")
+    assert(subdirs(storeDir) === Seq("batch_s1_0", "batch_s1_1"))
+    val before = StreamOps.readBandStore(spark, storeDir)
+      .orderBy("doc_id", "band_idx").collect()
+    // compact: content row-for-row identical, one generation dir,
+    // file count at the target
+    val nFiles = StreamOps.compactBandStore(spark, storeDir, 2)
+    assert(nFiles === 2)
+    assert(subdirs(storeDir) === Seq("compact_1"))
+    val after = StreamOps.readBandStore(spark, storeDir)
+      .orderBy("doc_id", "band_idx").collect()
+    assert(after === before)
+    // the stream CONTINUES against the compacted store: remaining slices
+    // match history through the compact_1 generation
+    StreamOps.incrementalDedupInto(spark, staged, storeDir, "b0[23].parquet", "s2")
+    assert(subdirs(storeDir) === Seq("batch_s2_0", "batch_s2_1", "compact_1"))
+    val store = StreamOps.readBandStore(spark, storeDir).cache()
+    try {
+      val kept = store.filter(col("kept")).select("doc_id")
+        .distinct().collect().map(_.getLong(0)).toSet
+      val allDocs = Tables.documents(spark, sf)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val droppedBatch = q("dedup_minhash_lsh")
+        .select("doc_b").collect().map(_.getLong(0)).toSet
+      assert(kept === (allDocs -- droppedBatch))
+      assert(store.count() === 16L * allDocs.size)
+      // re-compact with everything in: the store stays bounded and the
+      // kept set is untouched (idempotent maintenance)
+      assert(StreamOps.compactBandStore(spark, storeDir, 2) === 2)
+      assert(subdirs(storeDir) === Seq("compact_2"))
+      val kept2 = StreamOps.readBandStore(spark, storeDir)
+        .filter(col("kept")).select("doc_id")
+        .distinct().collect().map(_.getLong(0)).toSet
+      assert(kept2 === kept)
+    } finally store.unpersist()
+  }
+
   test("Trigger.AvailableNow backfill: self-terminating, rate-limited, batch-equal") {
     // The production BACKFILL pattern: process everything that exists
     // now, in bounded micro-batches (maxFilesPerTrigger is respected,
