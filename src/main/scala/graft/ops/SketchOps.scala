@@ -43,7 +43,7 @@ object SketchOps {
   type Q = (SparkSession, String) => DataFrame
 
   private[graft] val LgK = 12
-  private val KllK = 800
+  private[graft] val KllK = 800
 
   def hllUserSketches(spark: SparkSession, sfDir: String): DataFrame = {
     // Materialize the 5-row sketch table ONCE (eager local checkpoint):

@@ -23,6 +23,29 @@ class AllQueriesSpec extends SparkSpec {
     * cell comparison here is not masking an oracle. */
   private val RngBySemantics = Set("kll_quantile_merge")
 
+  /** The carve-out band, with its calibration DERIVED from the operator's
+    * configured k instead of trusted by hand: σ is the one-build 99%-conf
+    * normalized rank error (DataSketches' own bound) rescaled to one
+    * standard deviation (99% two-sided ≈ 2.58σ). The band must sit in
+    * [8σ, 64σ]: below 8σ a healthy sketch's RNG wobble would flake the
+    * gate; above 64σ the gate stops meaning anything. A silent k-change
+    * (more or less compaction RNG) now trips the calibration test below
+    * instead of hiding under a hard-coded 2%. */
+  private val KllBand = 0.02
+  private def kllSigma: Double =
+    org.apache.datasketches.kll.KllSketch.getNormalizedRankError(
+      graft.ops.SketchOps.KllK, false) / 2.58
+
+  test("kll carve-out band is calibrated to the configured sketch k") {
+    val s = kllSigma
+    assert(KllBand >= 8 * s,
+      f"band $KllBand%.4f < 8σ=${8 * s}%.4f for k=${graft.ops.SketchOps.KllK}: " +
+        "k shrank (rank error grew) — widen the band deliberately or restore k")
+    assert(KllBand <= 64 * s,
+      f"band $KllBand%.4f > 64σ=${64 * s}%.4f for k=${graft.ops.SketchOps.KllK}: " +
+        "k grew — tighten the band so the determinism gate stays meaningful")
+  }
+
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name: executes and is run-to-run deterministic at sf0.001") {
       val a = fn(spark, sf).collect()
@@ -35,7 +58,7 @@ class AllQueriesSpec extends SparkSpec {
             (ra.get(j), rb.get(j)) match {
               case (x: java.lang.Number, y: java.lang.Number) =>
                 val (xv, yv) = (x.doubleValue(), y.doubleValue())
-                assert(math.abs(xv - yv) <= 0.02 * math.max(math.abs(xv), 1e-9),
+                assert(math.abs(xv - yv) <= KllBand * math.max(math.abs(xv), 1e-9),
                   s"$name row $i col $j beyond sketch rank-error band: $xv vs $yv")
               case (x, y) =>
                 assert(x === y, s"$name row $i col $j differs between runs")
