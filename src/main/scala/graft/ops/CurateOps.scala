@@ -207,6 +207,43 @@ object CurateOps {
       .orderBy(col("quality").desc, col("doc_id").asc)
   }
 
+  /** Token-budget selection with REAL BPE accounting — the same
+    * quality-bucketed selection as [[tokenBudgetSelect]], but the budget
+    * and the per-doc cost are measured in actual merges-table BPE tokens
+    * ([[graft.functions.BpeVocab]]) instead of whitespace words. This is
+    * the unit a training run is actually provisioned in; the two queries
+    * differ exactly where an estimator-vs-tokenizer gap would bite.
+    * Same scale shape: the only global structure is the tiny
+    * quality-bucket table (|buckets| rows) broadcast back — no global
+    * per-doc window. */
+  def tokenBudgetBpe(spark: SparkSession, sfDir: String): DataFrame = {
+    val scored = TextOps.qualityScore(spark, sfDir).drop("n_tokens")
+    val withBpe = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        graft.functions.BpeFunctions.bpeTokenCount(col("text")).as("n_bpe_tokens"))
+      .join(scored, "doc_id")
+    val q = DedupOps.eagerCheckpoint(withBpe)
+    val budget = q.agg(expr("CAST(sum(n_bpe_tokens) div 10 AS BIGINT)").as("budget"))
+    val buckets = q.groupBy("quality").agg(sum(col("n_bpe_tokens")).as("bt"))
+      .withColumn("cum_before", coalesce(sum(col("bt")).over(
+        Window.orderBy(col("quality").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val marked = q.join(buckets, "quality").crossJoin(broadcast(budget))
+    val fullKeep = marked
+      .filter(col("cum_before") + col("bt") <= col("budget"))
+      .select(col("doc_id"), col("n_bpe_tokens"), col("quality"))
+    val boundary = marked
+      .filter(col("cum_before") < col("budget") &&
+        col("cum_before") + col("bt") > col("budget"))
+      .withColumn("wb", coalesce(sum(col("n_bpe_tokens")).over(
+        Window.partitionBy("quality").orderBy(col("doc_id").asc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .filter(col("cum_before") + col("wb") < col("budget"))
+      .select(col("doc_id"), col("n_bpe_tokens"), col("quality"))
+    fullKeep.unionAll(boundary)
+      .orderBy(col("quality").desc, col("doc_id").asc)
+  }
+
   /** Sequence packing — the step after [[TextOps.chunkDocuments]] in a
     * training pipeline: pack the 64-token chunks into 256-token training
     * sequences. Same distributed deterministic bin-packing as
@@ -341,6 +378,7 @@ object CurateOps {
   val queries: Map[String, Q] = Map(
     "pipeline_e2e"           -> (pipelineE2e _),
     "token_budget_select"    -> (tokenBudgetSelect _),
+    "token_budget_bpe"       -> (tokenBudgetBpe _),
     "quality_yield_curve"    -> (qualityYieldCurve _),
     "pack_sequences"         -> (packSequences _),
     "curation_pipeline"      -> (curationPipeline _),
@@ -397,6 +435,27 @@ object CurateOps {
         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
         |  CAST(sum(n_tokens) AS DOUBLE) / 256.0 AS fill_ratio
         |FROM b GROUP BY seq_id ORDER BY seq_id""".stripMargin,
+    "token_budget_bpe" ->
+      s"""WITH RECURSIVE ${TextOps.bpeOracleCtes},
+         |$qualitySql,
+         |dw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+         |bt AS (
+         |  SELECT d.doc_id, CAST(sum(len(t.toks)) AS BIGINT) AS n_bpe_tokens
+         |  FROM dw d JOIN bpe_wtok t USING (w) GROUP BY d.doc_id),
+         |q2 AS (
+         |  SELECT q.doc_id, bt.n_bpe_tokens, q.quality
+         |  FROM q JOIN bt USING (doc_id)),
+         |b AS (SELECT CAST(sum(n_bpe_tokens) // 10 AS BIGINT) AS budget FROM q2),
+         |c AS (
+         |  SELECT doc_id, n_bpe_tokens, quality,
+         |    COALESCE(CAST(sum(n_bpe_tokens) OVER (
+         |      ORDER BY quality DESC, doc_id ASC
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+         |      0) AS cum
+         |  FROM q2)
+         |SELECT doc_id, n_bpe_tokens, quality FROM c, b
+         |WHERE cum < budget
+         |ORDER BY quality DESC, doc_id ASC""".stripMargin,
     "token_budget_select" ->
       s"""WITH $qualitySql,
          |b AS (SELECT CAST(sum(n_tokens) // 10 AS BIGINT) AS budget FROM q),

@@ -113,8 +113,32 @@ object TextOps {
 
   }
 
-  /** North-star BPE-ish token count: regex token classes (letters / digits
-    * / other) — the cheap token-count estimator for budget accounting. */
+  /** REAL BPE token accounting under the committed merges fixture
+    * ([[graft.functions.BpeVocab]]) — the exact counter the regex
+    * estimator below approximates. Narrow map, no shuffle; the native
+    * expression memoizes per distinct word per task, so the merge loop
+    * cost is amortized O(1) per hot token at corpus scale. */
+  def bpeTokenCount(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        graft.functions.BpeFunctions.bpeTokenCount(col("text")).as("n_bpe_tokens"),
+        size(tokens).cast("long").as("n_ws_tokens"))
+      .orderBy("doc_id")
+
+  /** Corpus token-frequency table under the SAME real BPE — the vocab
+    * histogram a tokenizer-aware curation pass reads. Explode is bounded
+    * (≤ chars per doc); the aggregate map-side combines to |bpe vocab|
+    * rows per partition before the one key exchange. */
+  def bpeTopTokens(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(explode(graft.functions.BpeFunctions.bpeTokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token").asc)
+      .limit(20)
+
+  /** BPE-ish token count estimator: regex token classes (letters / digits
+    * / other) — the cheap screen; `bpe_token_count` above is the real
+    * merges-table accounting. */
   def tokenRegexCount(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
       .select(col("doc_id"),
@@ -370,12 +394,61 @@ object TextOps {
     "lang_id"           -> (langId _),
     "quality_score"     -> (qualityScore _),
     "token_regex_count" -> (tokenRegexCount _),
+    "bpe_token_count"   -> (bpeTokenCount _),
+    "bpe_top_tokens"    -> (bpeTopTokens _),
     "chunk_documents"   -> (chunkDocuments _),
     "doc_fingerprint"   -> (docFingerprint _))
 
   private val stopList = enStopwords.map(s => s"'$s'").mkString(", ")
 
+  /** The BPE merge loop restated for DuckDB: a recursive CTE whose step
+    * applies the lowest-rank merge present in the word's current state.
+    * State is the token list as a space-padded string; the triple nested
+    * replace realizes "merge ALL non-overlapping occurrences left to
+    * right" (one replace can skip an occurrence whose leading separator
+    * the previous match consumed; after a pass no two remaining
+    * occurrences are adjacent, so two passes suffice — the third is
+    * margin). Merges are interpolated from [[graft.functions.BpeVocab]],
+    * the same constant the Spark expression reads. */
+  private[ops] def bpeOracleCtes: String =
+    s"""bpe_merges(rank, x, y) AS (VALUES ${graft.functions.BpeVocab.duckdbValues}),
+       |bpe_words AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS w FROM documents),
+       |bpe_steps(w, state) AS (
+       |  SELECT w, ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') FROM bpe_words
+       |  UNION ALL
+       |  SELECT b.w,
+       |    replace(replace(replace(b.state,
+       |      ' '||m.x||' '||m.y||' ', ' '||m.x||m.y||' '),
+       |      ' '||m.x||' '||m.y||' ', ' '||m.x||m.y||' '),
+       |      ' '||m.x||' '||m.y||' ', ' '||m.x||m.y||' ')
+       |  FROM bpe_steps b JOIN bpe_merges m
+       |    ON m.rank = (SELECT min(m2.rank) FROM bpe_merges m2
+       |                 WHERE contains(b.state, ' '||m2.x||' '||m2.y||' '))
+       |),
+       |bpe_fin AS (
+       |  SELECT w, state FROM bpe_steps b
+       |  WHERE NOT EXISTS (SELECT 1 FROM bpe_merges m
+       |                    WHERE contains(b.state, ' '||m.x||' '||m.y||' '))
+       |),
+       |bpe_wtok AS (SELECT w, string_split(trim(state), ' ') AS toks FROM bpe_fin)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "bpe_token_count" ->
+      s"""WITH RECURSIVE $bpeOracleCtes,
+         |dw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+         |SELECT d.doc_id,
+         |  CAST(sum(len(t.toks)) AS BIGINT) AS n_bpe_tokens,
+         |  CAST(count(*) AS BIGINT) AS n_ws_tokens
+         |FROM dw d JOIN bpe_wtok t USING (w)
+         |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
+    "bpe_top_tokens" ->
+      s"""WITH RECURSIVE $bpeOracleCtes,
+         |wfreq AS (SELECT w, count(*) AS f FROM (
+         |    SELECT unnest(string_split(text, ' ')) AS w FROM documents) GROUP BY w),
+         |wt AS (SELECT w, unnest(toks) AS token FROM bpe_wtok)
+         |SELECT wt.token, CAST(sum(f.f) AS BIGINT) AS n
+         |FROM wt JOIN wfreq f USING (w)
+         |GROUP BY wt.token ORDER BY n DESC, token ASC LIMIT 20""".stripMargin,
     "chunk_documents" ->
       """WITH d AS (
         |  SELECT doc_id, string_split(text, ' ') AS t,

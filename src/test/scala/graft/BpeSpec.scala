@@ -1,0 +1,78 @@
+package graft
+
+import graft.functions.{BpeCore, BpeFunctions, BpeVocab}
+import org.apache.spark.sql.functions._
+
+/** Pins the CANONICAL batch BPE semantics of the native expression —
+  * lowest-rank pair first, ALL non-overlapping occurrences merged left to
+  * right — including the cases the fixture vocabulary doesn't exercise,
+  * so a rewrite can't silently drift to one-occurrence-at-a-time BPE
+  * (which diverges whenever a merged token forms a lower-rank pair). */
+class BpeSpec extends SparkSpec {
+
+  private def enc(w: String): Seq[String] = BpeCore.encode(w).toSeq
+
+  test("fixture-word encodings match the committed reference tokenizations") {
+    // spot values from tools/bpe_ref.py over the committed merges
+    assert(enc("batch") === Seq("batch")) // 4-step chain at→atc→atch→batch
+    assert(enc("customer") === Seq("cu", "st", "o", "mer"))
+    assert(enc("join") === Seq("join"))
+    assert(enc("agg") === Seq("a", "g", "g")) // no applicable merge
+    assert(enc("a") === Seq("a")) // single char
+    assert(enc("window") === Seq("w", "in", "d", "ow"))
+  }
+
+  test("ALL occurrences of the best pair merge before a lower-priority pair") {
+    // (a,t) is one merge step: both occurrences must fuse in that step
+    assert(enc("atat") === Seq("at", "at"))
+    assert(enc("owow") === Seq("ow", "ow"))
+    assert(enc("owowow") === Seq("ow", "ow", "ow"))
+  }
+
+  test("rank order decides, not text order") {
+    // (e,r) is rank 0, (o,w) rank 2: er must fuse first, then ow —
+    // the final split proves the loop re-picks the best pair per step
+    assert(enc("ower") === Seq("ow", "er"))
+  }
+
+  test("left-to-right non-overlapping on a self-overlapping run") {
+    // occurrences of (e,r) in "err" overlap on the shared r: only the
+    // leftmost fuses
+    assert(enc("errr") === Seq("er", "r", "r"))
+  }
+
+  test("bpe_token_count == size(bpe_tokens) over the corpus; empty and null safe") {
+    import spark.implicits._
+    val df = Seq("key agg row", "", "batch  batch", null.asInstanceOf[String])
+      .toDF("text")
+    val r = df.select(
+      BpeFunctions.bpeTokenCount(col("text")).as("n"),
+      size(BpeFunctions.bpeTokens(col("text"))).cast("long").as("m")).collect()
+    // "key agg row" = 3+3+1, "" = 0, double-space = 1+1, null = null
+    assert(r(0).getLong(0) === 7L && r(0).getLong(1) === 7L)
+    assert(r(1).getLong(0) === 0L && r(1).getLong(1) === 0L)
+    assert(r(2).getLong(0) === 2L && r(2).getLong(1) === 2L)
+    assert(r(3).isNullAt(0))
+  }
+
+  test("non-string child fails at analysis, not at runtime") {
+    import spark.implicits._
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      Seq(1L).toDF("x").select(BpeFunctions.bpeTokenCount(col("x"))).collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("string"))
+  }
+
+  test("every merge symbol is reachable: ranks table is consistent") {
+    // each merge's parts must be single chars or products of EARLIER
+    // merges — a mis-ordered table would make some merges dead
+    val producible = scala.collection.mutable.Set[String]()
+    BpeVocab.merges.foreach { case (x, y) =>
+      Seq(x, y).foreach { s =>
+        assert(s.length == 1 || producible.contains(s),
+          s"merge part '$s' is neither a char nor a product of an earlier merge")
+      }
+      producible += x + y
+    }
+  }
+}
