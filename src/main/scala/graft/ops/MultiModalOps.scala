@@ -7,9 +7,11 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing (north-star): media as opaque `binary`
   * columns with typed metadata, decoded/feature-extracted per partition.
   *
-  * The decode path is REAL end to end: the fixture materializes genuine
-  * grayscale PNGs ([[FileOps.materializeImageFiles]] — JDK `javax.imageio`
-  * encode, zero external deps), the query reads their ACTUAL bytes through
+  * The decode paths are REAL end to end in TWO modalities: the fixtures
+  * materialize genuine grayscale PNGs ([[FileOps.materializeImageFiles]]
+  * — JDK `javax.imageio`) and genuine RIFF/WAVE PCM clips
+  * ([[FileOps.materializeAudioFiles]] — JDK `javax.sound.sampled`), zero
+  * external deps either way; the queries read their ACTUAL bytes through
   * the `binaryFile` source, carries them as a `binary` column, and decodes
   * them per partition with the `mapPartitions` batch shape (decoder state
   * constructed once per partition, streamed per row — exactly how a
@@ -124,6 +126,79 @@ object MultiModalOps {
         sum(col("px_sum")).cast("long").as("sum_px"))
       .orderBy("source")
 
+  /** The real audio decoder: WAV bytes → format + raw PCM. Same
+    * per-partition discipline as [[PngDecoder]]: `AudioSystem`'s reader
+    * dispatch happens inside the task, bytes never visit the driver. */
+  object WavDecoder {
+    final case class Decoded(sampleRateHz: Int, pcm: Array[Byte])
+    def decode(bytes: Array[Byte]): Decoded = {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = in.getFormat
+        require(fmt.getSampleSizeInBits == 8 && fmt.getChannels == 1,
+          s"fixture is 8-bit mono PCM, got $fmt")
+        Decoded(fmt.getSampleRate.toInt, in.readAllBytes())
+      } finally in.close()
+    }
+  }
+
+  final case class ClipMeta(
+      doc_id: Long, sample_rate: Long, n_samples: Long, duration_us: Long,
+      pcm_digest: String, pcm_sum: Long)
+
+  /** Real WAV bytes → (doc_id, media): the audio half of the fixture. */
+  private def audioBytes(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = FileOps.materializeAudioFiles(spark, sfDir)
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.wav")
+      .load(dir)
+      .select(regexp_extract(col("path"), "au_(\\d+)\\.wav", 1).cast("long").as("doc_id"),
+        col("content").as("media"))
+  }
+
+  private def audioDecoded(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    audioBytes(spark, sfDir)
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val d = WavDecoder.decode(bytes)
+          val md = java.security.MessageDigest.getInstance("MD5").digest(d.pcm)
+          var s = 0L
+          var i = 0
+          while (i < d.pcm.length) { s += d.pcm(i) & 0xff; i += 1 }
+          // 8-bit PCM: one byte per frame; duration exact in µs because
+          // 1e6 / 8000 = 125 is integral — no float in the oracle path
+          ClipMeta(id, d.sampleRateHz.toLong, d.pcm.length.toLong,
+            d.pcm.length.toLong * 1000000L / d.sampleRateHz,
+            md.map("%02x".format(_)).mkString, s)
+        }
+      }
+      .toDF()
+  }
+
+  /** AUDIO decode stage: genuine WAV file bytes → sample rate / count /
+    * duration / PCM digest via `mapPartitions`. Fully oracle-checked:
+    * WAV PCM is lossless and the fixture samples tile the doc's ASCII
+    * bytes 16×, so DuckDB reconstructs the exact PCM as
+    * `repeat(text, 16)` and its md5/sum from `documents.text` — one
+    * wrong sample anywhere in encode→write→scan→decode fails the gate. */
+  def mmAudioDecode(spark: SparkSession, sfDir: String): DataFrame =
+    audioDecoded(spark, sfDir).orderBy("doc_id")
+
+  /** Audio feature aggregation per source — decoded-clip stats joined
+    * back to the catalog, exact-integer sums only. */
+  def mmAudioAgg(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir).select(col("doc_id"), col("source"))
+      .join(audioDecoded(spark, sfDir), "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_clips"),
+        sum(col("n_samples")).cast("long").as("sum_samples"),
+        sum(col("duration_us")).cast("long").as("sum_duration_us"),
+        sum(col("pcm_sum")).cast("long").as("sum_pcm"))
+      .orderBy("source")
+
   /** The resize stage contract: media bytes → fixed-size thumbnail.
     * Stub semantics (no codec libs in the container): the byte stream is
     * cut into out_w×out_h equal blocks and each thumbnail cell is its
@@ -203,6 +278,8 @@ object MultiModalOps {
     "mm_metadata"     -> (mmMetadata _),
     "mm_decode"       -> (mmDecode _),
     "mm_feature_agg"  -> (mmFeatureAgg _),
+    "mm_audio_decode" -> (mmAudioDecode _),
+    "mm_audio_agg"    -> (mmAudioAgg _),
     "mm_resize"       -> (mmResize _),
     "mm_frame_sample" -> (mmFrameSample _))
 
@@ -222,7 +299,33 @@ object MultiModalOps {
       |      1, w * h) AS raster
       |  FROM g)""".stripMargin
 
+  /** Per-doc audio truths, rebuilt in SQL: the WAV writer's PCM is the
+    * doc's ASCII bytes tiled 16×, so digest = md5(repeat(text,16)), sum =
+    * 16 × Σ byte, n_samples = 16·n, duration = 125 µs/sample at 8 kHz. */
+  private val sqlAudio =
+    """au AS (SELECT doc_id, source, text,
+      |    octet_length(encode(text)) AS n FROM documents)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "mm_audio_decode" ->
+      s"""WITH $sqlAudio
+         |SELECT doc_id, CAST(8000 AS BIGINT) AS sample_rate,
+         |  CAST(n * 16 AS BIGINT) AS n_samples,
+         |  CAST(n * 16 * 125 AS BIGINT) AS duration_us,
+         |  md5(repeat(text, 16)) AS pcm_digest,
+         |  CAST(16 * list_sum(list_transform(range(1, n + 1),
+         |    i -> ascii(substring(text, CAST(i AS INTEGER), 1)))) AS BIGINT) AS pcm_sum
+         |FROM au ORDER BY doc_id""".stripMargin,
+    "mm_audio_agg" ->
+      s"""WITH $sqlAudio,
+         |d AS (SELECT doc_id, source, n * 16 AS n_samples, n * 16 * 125 AS duration_us,
+         |  16 * list_sum(list_transform(range(1, n + 1),
+         |    i -> ascii(substring(text, CAST(i AS INTEGER), 1)))) AS pcm_sum FROM au)
+         |SELECT source, count(*) AS n_clips,
+         |  CAST(sum(n_samples) AS BIGINT) AS sum_samples,
+         |  CAST(sum(duration_us) AS BIGINT) AS sum_duration_us,
+         |  CAST(sum(pcm_sum) AS BIGINT) AS sum_pcm
+         |FROM d GROUP BY source ORDER BY source""".stripMargin,
     "mm_metadata" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  md5(text) AS digest
