@@ -130,7 +130,23 @@ object ScaleStress {
       "the composed flagship: narrow gates/split/chunk + two corpus-" +
         "sized exchanges (dedup digest window, packing group window) + " +
         "broadcast decon anti-join; linear", 1.3,
-      bigConf = dataSizedPartitions))
+      bigConf = dataSizedPartitions),
+    // SQL front-door family (round-9 verdict #2: the only heavyweight
+    // family with no measured exponent). TPC-H-shaped joins+aggregates
+    // over disjoint-key fact/dim replicas (nation/region stay broadcast-
+    // sized) => linear with partitions sized to data.
+    Heavy("sql_q18_toporders",
+      "customer broadcast + LEFT SEMI on the order key + grouped sum + " +
+        "TakeOrdered-100; linear", 1.25, bigConf = dataSizedPartitions),
+    Heavy("sql_q2_mincost",
+      "dim broadcasts + per-part min-cost decorrelated self-join; linear",
+      1.25, bigConf = dataSizedPartitions),
+    Heavy("sql_q20_promosupp",
+      "semi-join cascade over per-(supp,part) shipped-qty aggregate; " +
+        "linear", 1.25, bigConf = dataSizedPartitions),
+    Heavy("sql_q21_waiting",
+      "multi-supplier order exists/not-exists anti-join cascade; linear",
+      1.25, bigConf = dataSizedPartitions))
 
   def main(args: Array[String]): Unit = {
     val small = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -224,23 +240,65 @@ object ScaleStress {
   /** Builds the ×factor corpus under java.io.tmpdir (idempotent behind a
     * marker), returns its dir. */
   def synthesize(spark: SparkSession, small: String, factor: Int): String = {
-    val dst = s"${System.getProperty("java.io.tmpdir")}/graft_scale_x${factor}_" +
+    // "scale2": v2 corpus layout — adds the TPC-H relational family for
+    // the SQL front-door audit; a new dir name forces a coherent rebuild
+    // (fact and dim shifts must come from ONE run)
+    val dst = s"${System.getProperty("java.io.tmpdir")}/graft_scale2_x${factor}_" +
       small.replaceAll("[^A-Za-z0-9._-]", "_")
     val marker = new java.io.File(dst, "_SUCCESS")
     if (marker.exists()) return dst
     new java.io.File(dst).mkdirs()
 
     val li = spark.read.parquet(s"$small/lineitem.parquet")
+    val ord = spark.read.parquet(s"$small/orders.parquet")
+    // ONE shift constant per key domain, max over every table that
+    // carries the key — fact and dim replicas keep exact FK structure
     val Array(okMax, pkMax, skMax) = li
       .agg(max("l_orderkey"), max("l_partkey"), max("l_suppkey"))
       .collect()(0).toSeq.map(_.asInstanceOf[Long] + 1).toArray
+    val okMax2 = math.max(okMax,
+      ord.agg(max("o_orderkey")).collect()(0).getLong(0) + 1)
+    val ckMax = ord.agg(max("o_custkey")).collect()(0).getLong(0) + 1
     (0 until factor).map { i =>
-      li.withColumn("l_orderkey", col("l_orderkey") + lit(i * okMax))
+      li.withColumn("l_orderkey", col("l_orderkey") + lit(i * okMax2))
         .withColumn("l_partkey", col("l_partkey") + lit(i * pkMax))
         .withColumn("l_suppkey", col("l_suppkey") + lit(i * skMax))
     }.reduce(_ unionAll _)
       .repartition(64)
       .write.mode("overwrite").parquet(s"$dst/lineitem.parquet")
+
+    // relational family for the sql_q* audit: orders/customer/supplier/
+    // part replicate with the SAME domain shifts as lineitem;
+    // nation/region stay unreplicated (broadcast-sized dims by design —
+    // each replica references the same nations)
+    (0 until factor).map { i =>
+      ord.withColumn("o_orderkey", col("o_orderkey") + lit(i * okMax2))
+        .withColumn("o_custkey", col("o_custkey") + lit(i * ckMax))
+    }.reduce(_ unionAll _)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$dst/orders.parquet")
+    val cust = spark.read.parquet(s"$small/customer.parquet")
+    (0 until factor).map { i =>
+      cust.withColumn("c_custkey", col("c_custkey") + lit(i * ckMax))
+    }.reduce(_ unionAll _)
+      .repartition(16)
+      .write.mode("overwrite").parquet(s"$dst/customer.parquet")
+    val supp = spark.read.parquet(s"$small/supplier.parquet")
+    (0 until factor).map { i =>
+      supp.withColumn("s_suppkey", col("s_suppkey") + lit(i * skMax))
+    }.reduce(_ unionAll _)
+      .repartition(4)
+      .write.mode("overwrite").parquet(s"$dst/supplier.parquet")
+    val part = spark.read.parquet(s"$small/part.parquet")
+    (0 until factor).map { i =>
+      part.withColumn("p_partkey", col("p_partkey") + lit(i * pkMax))
+    }.reduce(_ unionAll _)
+      .repartition(8)
+      .write.mode("overwrite").parquet(s"$dst/part.parquet")
+    Seq("nation", "region").foreach { t =>
+      spark.read.parquet(s"$small/$t.parquet").coalesce(1)
+        .write.mode("overwrite").parquet(s"$dst/$t.parquet")
+    }
 
     val docs = spark.read.parquet(s"$small/documents.parquet")
     val idMax = docs.agg(max("doc_id")).collect()(0).getLong(0) + 1
