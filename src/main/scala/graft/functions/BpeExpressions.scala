@@ -3,7 +3,6 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types._
@@ -26,11 +25,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * algorithm meeting on a hash.
   *
   * At 100 TB the cost shape is what matters: encoding is a NARROW map
-  * (no shuffle), and the per-task distinct-word memo below makes the
-  * merge loop run once per distinct word per task — the same memoized
-  * trie/cache trick production tokenizers use — so hot-word corpora pay
-  * amortized O(1) per token, with the memo capped so an open vocabulary
-  * cannot grow it unbounded.
+  * (no shuffle), fully inside the whole-stage codegen span (static-call
+  * `doGenCode`, no fallback), and the per-thread distinct-word memo in
+  * [[BpeRuntime]] makes the merge loop run once per distinct word per
+  * task thread — the same memoized cache trick production tokenizers
+  * use — so hot-word corpora pay amortized O(1) per token, with the memo
+  * capped so an open vocabulary cannot grow it unbounded.
   */
 object BpeVocab {
   /** (x, y) merge pairs in rank order — rank = list index. */
@@ -68,7 +68,7 @@ object BpeVocab {
     .map { case ((x, y), r) => s"($r, '$x', '$y')" }.mkString(", ")
 }
 
-private[graft] object BpeCore {
+object BpeCore {
   /** Canonical batch BPE encode of one word. Bounded: every merge step
     * shortens the symbol array, so ≤ len-1 iterations. */
   def encode(word: String): Array[String] = {
@@ -102,34 +102,29 @@ private[graft] object BpeCore {
   }
 }
 
-abstract class BpeUnaryExpression extends UnaryExpression with CodegenFallback {
-  override def checkInputDataTypes(): TypeCheckResult =
-    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires a STRING child, got ${child.dataType.catalogString}")
+object BpeRuntime {
+  // thread-local distinct-word memo: generated code from different task
+  // threads shares these static entry points, so the cache must be
+  // per-thread (lock-free) and capped — an open-vocabulary corpus can't
+  // grow it unbounded
+  private val memo = new ThreadLocal[java.util.HashMap[String, Array[String]]] {
+    override def initialValue() = new java.util.HashMap[String, Array[String]]()
+  }
 
-  // per-deserialized-instance (= per-task) distinct-word memo; capped so
-  // an open-vocabulary corpus can't grow it unbounded
-  @transient private lazy val memo = new java.util.HashMap[String, Array[String]]()
-  protected final def encodeCached(w: String): Array[String] = {
-    var t = memo.get(w)
+  private def encodeCached(w: String): Array[String] = {
+    val m = memo.get()
+    var t = m.get(w)
     if (t == null) {
-      if (memo.size > 65536) memo.clear()
+      if (m.size > 65536) m.clear()
       t = BpeCore.encode(w)
-      memo.put(w, t)
+      m.put(w, t)
     }
     t
   }
-}
 
-/** `bpe_token_count(text)` — total BPE tokens across the whitespace words
-  * of `text` under the committed merges. LongType; narrow, shuffle-free. */
-case class BpeTokenCount(child: Expression) extends BpeUnaryExpression {
-  override def dataType: DataType = LongType
-  override def prettyName: String = "bpe_token_count"
-
-  override def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String].toString
+  /** Static codegen/eval entry: total BPE tokens of a document. */
+  def countTokens(input: UTF8String): Long = {
+    val s = input.toString
     var total = 0L
     var from = 0
     while (from <= s.length) {
@@ -141,18 +136,9 @@ case class BpeTokenCount(child: Expression) extends BpeUnaryExpression {
     total
   }
 
-  override protected def withNewChildInternal(newChild: Expression): BpeTokenCount =
-    copy(child = newChild)
-}
-
-/** `bpe_tokens(text)` — the full BPE token stream of `text` (word order
-  * preserved), for token-frequency analytics and spec inspection. */
-case class BpeTokens(child: Expression) extends BpeUnaryExpression {
-  override def dataType: DataType = ArrayType(StringType, containsNull = false)
-  override def prettyName: String = "bpe_tokens"
-
-  override def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String].toString
+  /** Static codegen/eval entry: the full BPE token stream of a document. */
+  def tokensOf(input: UTF8String): GenericArrayData = {
+    val s = input.toString
     val out = new scala.collection.mutable.ArrayBuffer[AnyRef]()
     var from = 0
     while (from <= s.length) {
@@ -167,6 +153,51 @@ case class BpeTokens(child: Expression) extends BpeUnaryExpression {
     }
     new GenericArrayData(out.toArray)
   }
+}
+
+abstract class BpeUnaryExpression extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a STRING child, got ${child.dataType.catalogString}")
+}
+
+/** `bpe_token_count(text)` — total BPE tokens across the whitespace words
+  * of `text` under the committed merges. LongType; narrow, shuffle-free;
+  * codegen'd (a static call inside the whole-stage span — the doctrine's
+  * "native Expression with doGenCode beats a UDF" applied to the
+  * tokenizer itself). */
+case class BpeTokenCount(child: Expression) extends BpeUnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "bpe_token_count"
+
+  override def nullSafeEval(input: Any): Any =
+    BpeRuntime.countTokens(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.BpeRuntime.countTokens($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): BpeTokenCount =
+    copy(child = newChild)
+}
+
+/** `bpe_tokens(text)` — the full BPE token stream of `text` (word order
+  * preserved), for token-frequency analytics and spec inspection. */
+case class BpeTokens(child: Expression) extends BpeUnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "bpe_tokens"
+
+  override def nullSafeEval(input: Any): Any =
+    BpeRuntime.tokensOf(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.BpeRuntime.tokensOf($c)")
 
   override protected def withNewChildInternal(newChild: Expression): BpeTokens =
     copy(child = newChild)

@@ -136,6 +136,66 @@ object TextOps {
       .orderBy(col("n").desc, col("token").asc)
       .limit(20)
 
+  /** DISTRIBUTED BPE TRAINING — tokenizer fitting as a Spark op, the
+    * other half of the BPE tier: [[bpeTokenCount]] APPLIES a merges
+    * table; this LEARNS one from the corpus (classic most-frequent-pair
+    * training, ties broken (x, y) lexicographically — the same public
+    * algorithm as `tools/bpe_ref.py`, which independently produced the
+    * committed [[graft.functions.BpeVocab]] fixture this query
+    * reproduces exactly at sf0.01).
+    *
+    * Scale shape: ONE corpus-sized pass (tokenize → word-frequency
+    * groupBy, map-side combined); every subsequent step runs on the
+    * VOCABULARY table (|distinct words| rows — ~10M at 100 TB, not the
+    * corpus), eagerly checkpointed per step so the 24-step loop's
+    * lineage stays flat. The per-step argmax is a total-ordered
+    * `limit(1)` — a 1-row driver gather, which is what a training loop
+    * legitimately holds (the reference's reducer-output shape). The
+    * merge application is a fold (`aggregate` HOF): append each symbol,
+    * fusing when the accumulator's last element is `x` and the incoming
+    * symbol is `y` — left-to-right non-overlapping by construction
+    * (a just-fused `xy` can never equal `x`, so runs don't re-fuse).
+    *
+    * Oracle: the SAME training loop restated as a generated chain of
+    * MATERIALIZED DuckDB CTEs (one pair-count/argmax/apply triple per
+    * step — MATERIALIZED because `seg_i` is referenced twice and
+    * inlining would re-evaluate the chain exponentially). SF-independent
+    * by construction: both engines retrain from whatever corpus the
+    * harness points at. */
+  def bpeTrain(spark: SparkSession, sfDir: String): DataFrame = {
+    val steps = graft.functions.BpeVocab.merges.length
+    var seg = DedupOps.eagerCheckpoint(
+      Tables.documents(spark, sfDir)
+        .select(explode(tokens).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("freq"))
+        // split keeps a trailing empty (limit -1 semantics) — drop it
+        .withColumn("syms",
+          filter(split(col("w"), "(?!^)"), s => s =!= lit(""))))
+    val merges = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    for (_ <- 0 until steps) {
+      val best = seg.filter(size(col("syms")) >= 2)
+        .select(col("freq"), explode(expr(
+          "transform(sequence(0, size(syms) - 2), " +
+            "i -> struct(syms[i] AS x, syms[i + 1] AS y))")).as("p"))
+        .groupBy(col("p.x").as("x"), col("p.y").as("y"))
+        .agg(sum("freq").as("cnt"))
+        .orderBy(col("cnt").desc, col("x").asc, col("y").asc)
+        .limit(1).collect()(0)
+      val (x, y) = (best.getString(0), best.getString(1))
+      merges += ((x, y))
+      val (xq, yq) = (x.replace("'", "''"), y.replace("'", "''"))
+      seg = DedupOps.eagerCheckpoint(seg.withColumn("syms", expr(
+        s"aggregate(slice(syms, 2, size(syms) - 1), array(syms[0]), " +
+          s"(acc, s) -> if(element_at(acc, -1) = '$xq' AND s = '$yq', " +
+          s"concat(slice(acc, 1, size(acc) - 1), array('$xq' || '$yq')), " +
+          s"concat(acc, array(s))))")))
+    }
+    import spark.implicits._
+    merges.toSeq.zipWithIndex
+      .map { case ((x, y), r) => (r.toLong, x, y) }
+      .toDF("rank", "x", "y").orderBy("rank")
+  }
+
   /** BPE-ish token count estimator: regex token classes (letters / digits
     * / other) — the cheap screen; `bpe_token_count` above is the real
     * merges-table accounting. */
@@ -396,6 +456,7 @@ object TextOps {
     "token_regex_count" -> (tokenRegexCount _),
     "bpe_token_count"   -> (bpeTokenCount _),
     "bpe_top_tokens"    -> (bpeTopTokens _),
+    "bpe_train"         -> (bpeTrain _),
     "chunk_documents"   -> (chunkDocuments _),
     "doc_fingerprint"   -> (docFingerprint _))
 
@@ -432,7 +493,33 @@ object TextOps {
        |),
        |bpe_wtok AS (SELECT w, string_split(trim(state), ' ') AS toks FROM bpe_fin)""".stripMargin
 
+  /** The generated training-loop oracle (see [[bpeTrain]]'s scaladoc). */
+  private def bpeTrainOracle(steps: Int): String = {
+    def rep(s: String) =
+      s"replace($s, ' '||b.x||' '||b.y||' ', ' '||b.x||b.y||' ')"
+    val ctes = new scala.collection.mutable.ArrayBuffer[String]()
+    ctes += ("seg0 AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS freq, " +
+      "' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS state FROM " +
+      "(SELECT unnest(string_split(text, ' ')) AS w FROM documents) GROUP BY w)")
+    (0 until steps).foreach { i =>
+      ctes += s"""pc$i AS (
+        |  SELECT s.x, s.y, sum(freq) AS cnt FROM (
+        |    SELECT freq, sy[i.i] AS x, sy[i.i+1] AS y FROM (
+        |      SELECT freq, string_split(trim(state), ' ') AS sy FROM seg$i) t,
+        |      unnest(range(1, len(sy))) AS i(i)) s GROUP BY s.x, s.y)""".stripMargin
+      ctes += s"best$i AS MATERIALIZED (SELECT x, y FROM pc$i " +
+        s"ORDER BY cnt DESC, x ASC, y ASC LIMIT 1)"
+      ctes += s"seg${i + 1} AS MATERIALIZED (SELECT w, freq, " +
+        s"${rep(rep(rep("state")))} AS state FROM seg$i, best$i b)"
+    }
+    val union = (0 until steps)
+      .map(i => s"SELECT $i AS rank, x, y FROM best$i").mkString(" UNION ALL ")
+    s"WITH ${ctes.mkString(",\n")}\n" +
+      s"SELECT CAST(rank AS BIGINT) AS rank, x, y FROM ($union) ORDER BY rank"
+  }
+
   val oracle: Map[String, String] = Map(
+    "bpe_train" -> bpeTrainOracle(graft.functions.BpeVocab.merges.length),
     "bpe_token_count" ->
       s"""WITH RECURSIVE $bpeOracleCtes,
          |dw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)

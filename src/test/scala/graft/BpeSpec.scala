@@ -63,6 +63,22 @@ class BpeSpec extends SparkSpec {
     assert(e.getMessage.toLowerCase.contains("string"))
   }
 
+  test("distributed BPE training reproduces the offline reference at sf0.001") {
+    // tools/bpe_ref.py run on the sf0.001 corpus (frequencies differ per
+    // SF, so these merges deliberately differ from the sf0.01-trained
+    // committed BpeVocab — that the trainer tracks the corpus is the
+    // point); the Spark trainer must learn the identical ranked list
+    val expected = Seq(
+      ("e", "r"), ("o", "r"), ("i", "n"), ("o", "w"), ("s", "t"),
+      ("l", "u"), ("a", "r"), ("p", "ar"), ("m", "er"), ("a", "t"),
+      ("a", "n"), ("c", "an"), ("s", "can"), ("c", "o"), ("co", "lu"),
+      ("colu", "m"), ("colum", "n"), ("d", "ow"), ("in", "dow"),
+      ("w", "indow"), ("d", "er"), ("or", "der"), ("or", "t"), ("s", "ort"))
+    val got = q("bpe_train").collect().toSeq
+      .map(r => (r.getString(1), r.getString(2)))
+    assert(got === expected)
+  }
+
   test("every merge symbol is reachable: ranks table is consistent") {
     // each merge's parts must be single chars or products of EARLIER
     // merges — a mis-ordered table would make some merges dead
