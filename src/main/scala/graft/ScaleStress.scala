@@ -66,8 +66,13 @@ object ScaleStress {
   // +log2(factor) for constant bucket occupancy, IVF centroid modulus
   // ×factor for constant centroid count. Deriving them from the factor
   // keeps the ×10 audit and the ×100 spot check on the same formula.
+  // capped at 4096: on the fixture's KB-scale partitions the linear rule
+  // over-shards the third decade (×1000 → 32k tasks whose ~ms scheduling
+  // floor would masquerade as superlinearity on a 32-thread box); a real
+  // deployment sizes by bytes-per-partition, which 4096 preserves here
   private def dataSizedPartitions(factor: Int) =
-    Map("spark.sql.shuffle.partitions" -> (32 * factor).toString)
+    Map("spark.sql.shuffle.partitions" ->
+      math.min(4096, 32 * factor).toString)
 
   private val Heavies: Seq[Heavy] = Seq(
     // graph family over lineitem co-purchase edges
@@ -153,6 +158,9 @@ object ScaleStress {
     val factor = args.lift(1).map(_.toInt).getOrElse(10)
     val outJson = args.lift(2).getOrElse("SCALE_r7.json")
     val only = args.lift(3).map(_.split(",").map(_.trim).toSet)
+    // optional 5th arg: synthesize only these tables — the ×1000 decade
+    // of the documents family must not pay a 600M-row lineitem write
+    val tablesOnly = args.lift(4).map(_.split(",").map(_.trim).toSet)
     val heavies = only.fold(Heavies)(f => Heavies.filter(h => f(h.name)))
     val spark = SparkSession.builder()
       .withExtensions(new graft.plans.GraftExtensions)
@@ -170,13 +178,13 @@ object ScaleStress {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val big = synthesize(spark, small, factor)
+    val big = synthesize(spark, small, factor, tablesOnly)
 
     // warm the JVM + table caches before any timed run
     SparkEntry.queries("global_agg")(spark, small).collect()
-    Seq("lineitem", "documents", "events", "embeddings").foreach { t =>
-      spark.read.parquet(s"$big/$t.parquet").count()
-    }
+    Seq("lineitem", "documents", "events", "embeddings")
+      .filter(t => tablesOnly.forall(_.contains(t)))
+      .foreach { t => spark.read.parquet(s"$big/$t.parquet").count() }
 
     def time(name: String, dir: String, conf: Map[String, String]): Double = {
       conf.foreach { case (k, v) => spark.conf.set(k, v) }
@@ -201,7 +209,17 @@ object ScaleStress {
         (1 to 2).map { _ =>
           val t0 = System.nanoTime()
           SparkEntry.queries(name)(spark, dir).count()
-          (System.nanoTime() - t0) / 1e9
+          val t = (System.nanoTime() - t0) / 1e9
+          // release THIS rep's shuffle files and checkpoint blocks
+          // before the next: ContextCleaner only deletes them after a
+          // JVM GC notices the dropped references, and at ×1000 two
+          // reps' worth of the flagship's exchanges exceeds the box's
+          // disk (the round-10 ENOSPC abort). Cleanup runs OUTSIDE the
+          // timed span.
+          spark.catalog.clearCache()
+          System.gc()
+          Thread.sleep(2000)
+          t
         }.min
       } finally conf.keys.foreach(spark.conf.unset)
     }
@@ -239,12 +257,15 @@ object ScaleStress {
 
   /** Builds the ×factor corpus under java.io.tmpdir (idempotent behind a
     * marker), returns its dir. */
-  def synthesize(spark: SparkSession, small: String, factor: Int): String = {
+  def synthesize(spark: SparkSession, small: String, factor: Int,
+      tables: Option[Set[String]] = None): String = {
     // "scale2": v2 corpus layout — adds the TPC-H relational family for
     // the SQL front-door audit; a new dir name forces a coherent rebuild
     // (fact and dim shifts must come from ONE run)
+    def want(t: String) = tables.forall(_.contains(t))
+    val subsetTag = tables.fold("")(s => "_" + s.toSeq.sorted.mkString("-"))
     val dst = s"${System.getProperty("java.io.tmpdir")}/graft_scale2_x${factor}_" +
-      small.replaceAll("[^A-Za-z0-9._-]", "_")
+      small.replaceAll("[^A-Za-z0-9._-]", "_") + subsetTag
     val marker = new java.io.File(dst, "_SUCCESS")
     if (marker.exists()) return dst
     new java.io.File(dst).mkdirs()
@@ -259,86 +280,102 @@ object ScaleStress {
     val okMax2 = math.max(okMax,
       ord.agg(max("o_orderkey")).collect()(0).getLong(0) + 1)
     val ckMax = ord.agg(max("o_custkey")).collect()(0).getLong(0) + 1
-    (0 until factor).map { i =>
-      li.withColumn("l_orderkey", col("l_orderkey") + lit(i * okMax2))
-        .withColumn("l_partkey", col("l_partkey") + lit(i * pkMax))
-        .withColumn("l_suppkey", col("l_suppkey") + lit(i * skMax))
-    }.reduce(_ unionAll _)
-      .repartition(64)
-      .write.mode("overwrite").parquet(s"$dst/lineitem.parquet")
+    if (want("lineitem"))
+      (0 until factor).map { i =>
+        li.withColumn("l_orderkey", col("l_orderkey") + lit(i * okMax2))
+          .withColumn("l_partkey", col("l_partkey") + lit(i * pkMax))
+          .withColumn("l_suppkey", col("l_suppkey") + lit(i * skMax))
+      }.reduce(_ unionAll _)
+        .repartition(64)
+        .write.mode("overwrite").parquet(s"$dst/lineitem.parquet")
 
     // relational family for the sql_q* audit: orders/customer/supplier/
     // part replicate with the SAME domain shifts as lineitem;
     // nation/region stay unreplicated (broadcast-sized dims by design —
     // each replica references the same nations)
-    (0 until factor).map { i =>
-      ord.withColumn("o_orderkey", col("o_orderkey") + lit(i * okMax2))
-        .withColumn("o_custkey", col("o_custkey") + lit(i * ckMax))
-    }.reduce(_ unionAll _)
-      .repartition(32)
-      .write.mode("overwrite").parquet(s"$dst/orders.parquet")
-    val cust = spark.read.parquet(s"$small/customer.parquet")
-    (0 until factor).map { i =>
-      cust.withColumn("c_custkey", col("c_custkey") + lit(i * ckMax))
-    }.reduce(_ unionAll _)
-      .repartition(16)
-      .write.mode("overwrite").parquet(s"$dst/customer.parquet")
-    val supp = spark.read.parquet(s"$small/supplier.parquet")
-    (0 until factor).map { i =>
-      supp.withColumn("s_suppkey", col("s_suppkey") + lit(i * skMax))
-    }.reduce(_ unionAll _)
-      .repartition(4)
-      .write.mode("overwrite").parquet(s"$dst/supplier.parquet")
-    val part = spark.read.parquet(s"$small/part.parquet")
-    (0 until factor).map { i =>
-      part.withColumn("p_partkey", col("p_partkey") + lit(i * pkMax))
-    }.reduce(_ unionAll _)
-      .repartition(8)
-      .write.mode("overwrite").parquet(s"$dst/part.parquet")
-    Seq("nation", "region").foreach { t =>
+    if (want("orders"))
+      (0 until factor).map { i =>
+        ord.withColumn("o_orderkey", col("o_orderkey") + lit(i * okMax2))
+          .withColumn("o_custkey", col("o_custkey") + lit(i * ckMax))
+      }.reduce(_ unionAll _)
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$dst/orders.parquet")
+    if (want("customer")) {
+      val cust = spark.read.parquet(s"$small/customer.parquet")
+      (0 until factor).map { i =>
+        cust.withColumn("c_custkey", col("c_custkey") + lit(i * ckMax))
+      }.reduce(_ unionAll _)
+        .repartition(16)
+        .write.mode("overwrite").parquet(s"$dst/customer.parquet")
+    }
+    if (want("supplier")) {
+      val supp = spark.read.parquet(s"$small/supplier.parquet")
+      (0 until factor).map { i =>
+        supp.withColumn("s_suppkey", col("s_suppkey") + lit(i * skMax))
+      }.reduce(_ unionAll _)
+        .repartition(4)
+        .write.mode("overwrite").parquet(s"$dst/supplier.parquet")
+    }
+    if (want("part")) {
+      val part = spark.read.parquet(s"$small/part.parquet")
+      (0 until factor).map { i =>
+        part.withColumn("p_partkey", col("p_partkey") + lit(i * pkMax))
+      }.reduce(_ unionAll _)
+        .repartition(8)
+        .write.mode("overwrite").parquet(s"$dst/part.parquet")
+    }
+    Seq("nation", "region").filter(want).foreach { t =>
       spark.read.parquet(s"$small/$t.parquet").coalesce(1)
         .write.mode("overwrite").parquet(s"$dst/$t.parquet")
     }
 
-    val docs = spark.read.parquet(s"$small/documents.parquet")
-    val idMax = docs.agg(max("doc_id")).collect()(0).getLong(0) + 1
-    (0 until factor).map { i =>
-      val shifted = docs.withColumn("doc_id", col("doc_id") + lit(i * idMax))
-      if (i == 0) shifted
-      else shifted
-        .withColumn("text",
+    // documents synthesize as ONE plan (replica index via crossJoin with
+    // a range) instead of a factor-way union: at ×1000 a thousand-branch
+    // union is a Catalyst-analysis blow-up, while this shape is O(1) in
+    // the factor. Row content is identical to the union formulation.
+    if (want("documents")) {
+      val docs = spark.read.parquet(s"$small/documents.parquet")
+      val idMax = docs.agg(max("doc_id")).collect()(0).getLong(0) + 1
+      docs.crossJoin(spark.range(factor.toLong).toDF("rep"))
+        .withColumn("doc_id", col("doc_id") + col("rep") * lit(idMax))
+        .withColumn("text", when(col("rep") === 0, col("text")).otherwise(
           concat_ws(" ", transform(split(col("text"), " "),
-            t => concat(t, lit(s"_r$i")))))
+            t => concat(t, lit("_r"), col("rep").cast("string"))))))
         .withColumn("n_chars", length(col("text")))
-    }.reduce(_ unionAll _)
-      .repartition(32)
-      .write.mode("overwrite").parquet(s"$dst/documents.parquet")
+        .drop("rep")
+        .repartition(math.min(512, 32 * math.max(1, factor / 10)))
+        .write.mode("overwrite").parquet(s"$dst/documents.parquet")
+    }
 
     // events: ts is read as raw nanos (legacy conf) and written back as
     // plain INT64 — exactly the shape Tables.events normalizes
-    val ev = spark.read.parquet(s"$small/events.parquet")
-    val Array(eidMax, uidMax) = ev.agg(max("event_id"), max("user_id"))
-      .collect()(0).toSeq.map(_.asInstanceOf[Long] + 1).toArray
-    (0 until factor).map { i =>
-      ev.withColumn("event_id", col("event_id") + lit(i * eidMax))
-        .withColumn("user_id", col("user_id") + lit(i * uidMax))
-    }.reduce(_ unionAll _)
-      .repartition(32)
-      .write.mode("overwrite").parquet(s"$dst/events.parquet")
+    if (want("events")) {
+      val ev = spark.read.parquet(s"$small/events.parquet")
+      val Array(eidMax, uidMax) = ev.agg(max("event_id"), max("user_id"))
+        .collect()(0).toSeq.map(_.asInstanceOf[Long] + 1).toArray
+      (0 until factor).map { i =>
+        ev.withColumn("event_id", col("event_id") + lit(i * eidMax))
+          .withColumn("user_id", col("user_id") + lit(i * uidMax))
+      }.reduce(_ unionAll _)
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$dst/events.parquet")
+    }
 
-    val emb = spark.read.parquet(s"$small/embeddings.parquet")
-    val vidMax = emb.agg(max("vec_id")).collect()(0).getLong(0) + 1
-    (0 until factor).map { i =>
-      val shifted = emb.withColumn("vec_id", col("vec_id") + lit(i * vidMax))
-      if (i == 0) shifted
-      else shifted.withColumn("embedding",
-        // deterministic per-(replica, dimension) ±1 mask — orthogonal, so
-        // within-replica cosine structure is exact; float × ±1 is exact
-        transform(col("embedding"),
-          (x, k) => when(pmod(hash(k, lit(i)), lit(2)) === 0, x).otherwise(-x)))
-    }.reduce(_ unionAll _)
-      .repartition(32)
-      .write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
+    if (want("embeddings")) {
+      val emb = spark.read.parquet(s"$small/embeddings.parquet")
+      val vidMax = emb.agg(max("vec_id")).collect()(0).getLong(0) + 1
+      (0 until factor).map { i =>
+        val shifted = emb.withColumn("vec_id", col("vec_id") + lit(i * vidMax))
+        if (i == 0) shifted
+        else shifted.withColumn("embedding",
+          // deterministic per-(replica, dimension) ±1 mask — orthogonal, so
+          // within-replica cosine structure is exact; float × ±1 is exact
+          transform(col("embedding"),
+            (x, k) => when(pmod(hash(k, lit(i)), lit(2)) === 0, x).otherwise(-x)))
+      }.reduce(_ unionAll _)
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
+    }
 
     marker.createNewFile()
     dst
