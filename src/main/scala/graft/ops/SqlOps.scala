@@ -298,6 +298,42 @@ object SqlOps {
     spark.sql(q2Sql)
   }
 
+  private val q5Sql =
+    """SELECT n_name,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+      |    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      |FROM customer
+      |JOIN orders   ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation   ON s_nationkey = n_nationkey
+      |JOIN region   ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY n_name
+      |ORDER BY revenue DESC, n_name ASC""".stripMargin
+
+  /** TPC-H Q5 local-supplier-volume shape as SQL text: the six-way join
+    * whose distinguishing edge is the NON-FK equality `c_nationkey =
+    * s_nationkey` — customer and supplier must share a nation, a join
+    * predicate that rides on a DIFFERENT table pair than the key chain
+    * (customer→orders→lineitem→supplier). The planner must fold it into
+    * the supplier join condition rather than produce a
+    * nation-cross-product and post-filter; nation/region broadcast, the
+    * date range pushes to the orders scan, and revenue is the classic
+    * price×(1−discount) DECIMAL product — exact on both engines, so the
+    * hash gate covers the arithmetic as well as the join graph. */
+  def sqlQ5LocalVolume(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.customer(spark, sfDir).createOrReplaceTempView("customer")
+    Tables.orders(spark, sfDir).createOrReplaceTempView("orders")
+    Tables.lineitem(spark, sfDir).createOrReplaceTempView("lineitem")
+    Tables.supplier(spark, sfDir).createOrReplaceTempView("supplier")
+    Tables.nation(spark, sfDir).createOrReplaceTempView("nation")
+    Tables.region(spark, sfDir).createOrReplaceTempView("region")
+    spark.sql(q5Sql)
+  }
+
   private val pipeSql =
     """FROM lineitem
       ||> WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -325,6 +361,7 @@ object SqlOps {
   val queries: Map[String, Q] = Map(
     "sql_pipe_pricing"  -> (sqlPipePricing _),
     "sql_q2_mincost"    -> (sqlQ2MinCost _),
+    "sql_q5_localvolume" -> (sqlQ5LocalVolume _),
     "sql_q1_pricing"    -> (sqlQ1Pricing _),
     "sql_q3_shipping"   -> (sqlQ3Shipping _),
     "sql_q17_avgyearly" -> (sqlQ17AvgYearly _),
@@ -345,6 +382,7 @@ object SqlOps {
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "sql_q2_mincost"    -> q2Sql,
+    "sql_q5_localvolume" -> q5Sql,
     "sql_q1_pricing"    -> q1Sql,
     "sql_q3_shipping"   -> q3Sql,
     "sql_q17_avgyearly" -> q17Sql,
