@@ -61,6 +61,13 @@ object Bench {
     val queries = SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
 
+    // kill path (the O12 monitor/await contract applied to the harness
+    // itself — round-9 verdict: "a runaway query in a 194-query bench run
+    // has no kill path"): each query runs in a tagged job group with a
+    // bound; on timeout GuardOps cancels the group, the sample records
+    // the bound-sized time, and the bench moves on instead of wedging
+    val queryTimeoutMs =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_QUERY_TIMEOUT_MS", "300000").toLong
     def timeOne(name: String): Double = {
       // each query is an independent measurement: drop any cache blocks a
       // previous query persisted (several operators persist plan-shared
@@ -68,7 +75,11 @@ object Bench {
       // late queries aren't taxed by 100 predecessors' leftover blocks
       spark.catalog.clearCache()
       val t0 = System.nanoTime()
-      try { queries(name)(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try {
+        ops.GuardOps.runBounded(spark, s"bench-$name", queryTimeoutMs) {
+          queries(name)(spark, sfDir).count()
+        }
+      } catch { case _: Throwable => -1L }
       (System.nanoTime() - t0) / 1e9
     }
 

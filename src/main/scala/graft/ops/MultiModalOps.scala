@@ -199,6 +199,42 @@ object MultiModalOps {
         sum(col("pcm_sum")).cast("long").as("sum_pcm"))
       .orderBy("source")
 
+  /** Windowed audio feature extraction: fixed 256-sample frames, one
+    * energy value (exact integer sum of squared samples) per frame — the
+    * contour a speech-data pipeline computes for VAD/segmentation. All
+    * integer arithmetic (Det doctrine), so the oracle recomputes every
+    * frame from the text-derived samples. */
+  object AudioEnergy {
+    val FrameSamples = 256
+    final case class Frame(doc_id: Long, frame_idx: Long, energy: Long, frame_len: Long)
+    def frames(id: Long, pcm: Array[Byte]): Iterator[Frame] = {
+      val nF = (pcm.length + FrameSamples - 1) / FrameSamples
+      Iterator.range(0, nF).map { f =>
+        val lo = f * FrameSamples
+        val hi = math.min((f + 1) * FrameSamples, pcm.length)
+        var s = 0L
+        var i = lo
+        while (i < hi) { val v = (pcm(i) & 0xff).toLong; s += v * v; i += 1 }
+        Frame(id, f.toLong, s, (hi - lo).toLong)
+      }
+    }
+  }
+
+  /** Per-frame energy over REAL decoded WAV PCM: decode per partition,
+    * fan one clip out to its frame rows — the audio twin of
+    * [[mmFrameSample]] but with a computed feature per frame, fully
+    * oracle-checked sample-by-sample. */
+  def mmAudioEnergy(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    audioBytes(spark, sfDir)
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        AudioEnergy.frames(id, WavDecoder.decode(bytes).pcm)
+      })
+      .toDF()
+      .orderBy("doc_id", "frame_idx")
+  }
+
   /** The resize stage contract: media bytes → fixed-size thumbnail.
     * Stub semantics (no codec libs in the container): the byte stream is
     * cut into out_w×out_h equal blocks and each thumbnail cell is its
@@ -280,6 +316,7 @@ object MultiModalOps {
     "mm_feature_agg"  -> (mmFeatureAgg _),
     "mm_audio_decode" -> (mmAudioDecode _),
     "mm_audio_agg"    -> (mmAudioAgg _),
+    "mm_audio_energy" -> (mmAudioEnergy _),
     "mm_resize"       -> (mmResize _),
     "mm_frame_sample" -> (mmFrameSample _))
 
@@ -326,6 +363,18 @@ object MultiModalOps {
          |  CAST(sum(duration_us) AS BIGINT) AS sum_duration_us,
          |  CAST(sum(pcm_sum) AS BIGINT) AS sum_pcm
          |FROM d GROUP BY source ORDER BY source""".stripMargin,
+    "mm_audio_energy" ->
+      s"""WITH $sqlAudio,
+         |fr AS (SELECT doc_id, text, n, CAST(f.f AS BIGINT) AS frame_idx,
+         |    f.f * 256 AS lo, least((f.f + 1) * 256, n * 16) AS hi
+         |  FROM au, unnest(range(0, (n * 16 + 255) // 256)) AS f(f))
+         |SELECT doc_id, frame_idx,
+         |  CAST(list_sum(list_transform(range(lo, hi),
+         |    i -> ascii(substring(text, CAST((i % n) + 1 AS INTEGER), 1))
+         |       * ascii(substring(text, CAST((i % n) + 1 AS INTEGER), 1)))) AS BIGINT)
+         |    AS energy,
+         |  CAST(hi - lo AS BIGINT) AS frame_len
+         |FROM fr ORDER BY doc_id, frame_idx""".stripMargin,
     "mm_metadata" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  md5(text) AS digest
