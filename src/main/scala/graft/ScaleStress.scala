@@ -151,7 +151,18 @@ object ScaleStress {
         "linear", 1.25, bigConf = dataSizedPartitions),
     Heavy("sql_q21_waiting",
       "multi-supplier order exists/not-exists anti-join cascade; linear",
-      1.25, bigConf = dataSizedPartitions))
+      1.25, bigConf = dataSizedPartitions),
+    Heavy("sql_q5_localvolume",
+      "six-way join, non-FK nation equality folded into the supplier " +
+        "join condition, dims broadcast; linear", 1.25,
+      bigConf = dataSizedPartitions),
+    // BPE tier: the tokenizer is a pure narrow map (tight bound); the
+    // budget selection adds the quality-bucket exchange family
+    Heavy("bpe_token_count",
+      "narrow codegen'd map, per-thread distinct-word memo; linear", 1.15),
+    Heavy("token_budget_bpe",
+      "BPE accounting + 2-phase bucket prefix selection; linear", 1.25,
+      bigConf = dataSizedPartitions))
 
   def main(args: Array[String]): Unit = {
     val small = args.headOption.getOrElse("/root/testdata/sf0.1")
