@@ -11,6 +11,28 @@ import org.apache.spark.sql.SparkSession
   * the conf actually steers the operators (`ConfParamSpec`).
   */
 object GraftConf {
+  /** `SPARK_GRAFT_CPUS` normalization, shared by EVERY main that builds a
+    * local session (one parser, five entry points — round-10 review
+    * finding: StageAudit alone accepted `local[8]` while the others
+    * interpolated it into `local[local[8]]`). Accepts a thread count
+    * ("8"), a bare "*" (all cores), or Spark's full "local[8]"/"local[*]"
+    * spelling; rejects anything else at startup. Returns the core spec
+    * for the `local[...]` master URL and the numeric count (used to size
+    * shuffle partitions; `*` resolves to the box's processors). */
+  def cpuSpec(default: Int): (String, Int) = {
+    val raw = sys.env.getOrElse("SPARK_GRAFT_CPUS", default.toString)
+    val spec = raw.trim match {
+      case s if s.matches("""local\[(\d+|\*)\]""") =>
+        s.stripPrefix("local[").stripSuffix("]")
+      case s if s == "*" || s.matches("""\d+""") => s
+      case s => throw new IllegalArgumentException(
+        s"SPARK_GRAFT_CPUS must be a count, '*', or 'local[N]'; got '$s'")
+    }
+    val n =
+      if (spec == "*") Runtime.getRuntime.availableProcessors else spec.toInt
+    (spec, n)
+  }
+
   /** Chunker window: tokens per chunk (`chunk_documents`, `pack_sequences`). */
   def chunkTokens(spark: SparkSession): Long =
     spark.conf.get("spark.graft.chunk.tokens", "64").toLong

@@ -175,7 +175,7 @@ object ScaleStress {
     val heavies = only.fold(Heavies)(f => Heavies.filter(h => f(h.name)))
     val spark = SparkSession.builder()
       .withExtensions(new graft.plans.GraftExtensions)
-      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .master(s"local[${GraftConf.cpuSpec(32)._1}]")
       .appName("graft-scale-stress")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -283,14 +283,22 @@ object ScaleStress {
 
     val li = spark.read.parquet(s"$small/lineitem.parquet")
     val ord = spark.read.parquet(s"$small/orders.parquet")
-    // ONE shift constant per key domain, max over every table that
-    // carries the key — fact and dim replicas keep exact FK structure
-    val Array(okMax, pkMax, skMax) = li
-      .agg(max("l_orderkey"), max("l_partkey"), max("l_suppkey"))
-      .collect()(0).toSeq.map(_.asInstanceOf[Long] + 1).toArray
-    val okMax2 = math.max(okMax,
-      ord.agg(max("o_orderkey")).collect()(0).getLong(0) + 1)
-    val ckMax = ord.agg(max("o_custkey")).collect()(0).getLong(0) + 1
+    // ONE shift constant per key domain, max over EVERY table that
+    // carries the key — a dim row absent from the fact side (customer
+    // with no orders, unshipped part) must still not collide with the
+    // next replica's range, or the sql_q* joins fan out and corrupt the
+    // measurement (round-10 review finding: the fact-side-only maxima
+    // happened to coincide on the committed fixtures, but the invariant
+    // belongs in code, not in fixture luck)
+    def maxOf(df: org.apache.spark.sql.DataFrame, c: String): Long =
+      df.agg(max(col(c))).collect()(0).getLong(0)
+    val custT = spark.read.parquet(s"$small/customer.parquet")
+    val suppT = spark.read.parquet(s"$small/supplier.parquet")
+    val partT = spark.read.parquet(s"$small/part.parquet")
+    val okMax2 = math.max(maxOf(li, "l_orderkey"), maxOf(ord, "o_orderkey")) + 1
+    val pkMax = math.max(maxOf(li, "l_partkey"), maxOf(partT, "p_partkey")) + 1
+    val skMax = math.max(maxOf(li, "l_suppkey"), maxOf(suppT, "s_suppkey")) + 1
+    val ckMax = math.max(maxOf(ord, "o_custkey"), maxOf(custT, "c_custkey")) + 1
     if (want("lineitem"))
       (0 until factor).map { i =>
         li.withColumn("l_orderkey", col("l_orderkey") + lit(i * okMax2))
@@ -312,25 +320,22 @@ object ScaleStress {
         .repartition(32)
         .write.mode("overwrite").parquet(s"$dst/orders.parquet")
     if (want("customer")) {
-      val cust = spark.read.parquet(s"$small/customer.parquet")
       (0 until factor).map { i =>
-        cust.withColumn("c_custkey", col("c_custkey") + lit(i * ckMax))
+        custT.withColumn("c_custkey", col("c_custkey") + lit(i * ckMax))
       }.reduce(_ unionAll _)
         .repartition(16)
         .write.mode("overwrite").parquet(s"$dst/customer.parquet")
     }
     if (want("supplier")) {
-      val supp = spark.read.parquet(s"$small/supplier.parquet")
       (0 until factor).map { i =>
-        supp.withColumn("s_suppkey", col("s_suppkey") + lit(i * skMax))
+        suppT.withColumn("s_suppkey", col("s_suppkey") + lit(i * skMax))
       }.reduce(_ unionAll _)
         .repartition(4)
         .write.mode("overwrite").parquet(s"$dst/supplier.parquet")
     }
     if (want("part")) {
-      val part = spark.read.parquet(s"$small/part.parquet")
       (0 until factor).map { i =>
-        part.withColumn("p_partkey", col("p_partkey") + lit(i * pkMax))
+        partT.withColumn("p_partkey", col("p_partkey") + lit(i * pkMax))
       }.reduce(_ unionAll _)
         .repartition(8)
         .write.mode("overwrite").parquet(s"$dst/part.parquet")

@@ -37,19 +37,7 @@ object StageAudit {
         val i = kv.indexOf('='); (kv.take(i), kv.drop(i + 1))
       }.toMap).getOrElse(Map.empty)
 
-    // accept a thread count ("8"), a bare "*" (all cores), or Spark's
-    // full "local[8]"/"local[*]" spelling (wrapper stripped before the
-    // master-URL interpolation below); anything else is rejected here
-    // rather than producing an invalid master like local[local[8]]
-    val rawCpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val cpuStr = rawCpus.trim match {
-      case s if s.matches("""local\[(\d+|\*)\]""") => s.stripPrefix("local[").stripSuffix("]")
-      case s if s == "*" || s.matches("""\d+""")   => s
-      case s => throw new IllegalArgumentException(
-        s"SPARK_GRAFT_CPUS must be a count, '*', or 'local[N]'; got '$s'")
-    }
-    val cpus = scala.util.Try(cpuStr.toInt)
-      .getOrElse(Runtime.getRuntime.availableProcessors)
+    val (cpuStr, cpus) = GraftConf.cpuSpec(32)
     val spark = SparkSession.builder()
       .withExtensions(new graft.plans.GraftExtensions)
       .master(s"local[$cpuStr]")

@@ -8,11 +8,11 @@ object Verify {
     val Array(sfDir, outDir) = args.take(2)
     // extra args = subset of query names (local iteration; driver passes 2)
     val only = args.drop(2).toSet
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val (cpuStr, cpus) = GraftConf.cpuSpec(4)
     val spark = SparkSession.builder()
       .withExtensions(new graft.plans.GraftExtensions)
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .master(s"local[$cpuStr]")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // Driver-generated fixtures carry naive (isAdjustedToUTC=false) parquet

@@ -69,9 +69,16 @@ object BpeVocab {
 }
 
 object BpeCore {
-  /** Canonical batch BPE encode of one word. Bounded: every merge step
-    * shortens the symbol array, so ≤ len-1 iterations. */
-  def encode(word: String): Array[String] = {
+  def encode(word: String): Array[String] =
+    encode(word, BpeVocab.merges, BpeVocab.ranks)
+
+  /** Canonical batch BPE encode of one word under an arbitrary merges
+    * table (the committed vocab in production; the spec also passes
+    * tables the fixture can't produce — self-pairs — to pin the
+    * run-pairing semantics). Bounded: every merge step shortens the
+    * symbol array, so ≤ len-1 iterations. */
+  def encode(word: String, merges: Seq[(String, String)],
+      ranks: Map[(String, String), Int]): Array[String] = {
     var sym: Array[String] = word.map(_.toString).toArray
     var done = sym.length <= 1
     while (!done) {
@@ -79,13 +86,13 @@ object BpeCore {
       var bestRank = Int.MaxValue
       var i = 0
       while (i < sym.length - 1) {
-        val r = BpeVocab.ranks.getOrElse((sym(i), sym(i + 1)), Int.MaxValue)
+        val r = ranks.getOrElse((sym(i), sym(i + 1)), Int.MaxValue)
         if (r < bestRank) bestRank = r
         i += 1
       }
       if (bestRank == Int.MaxValue) done = true
       else {
-        val (x, y) = BpeVocab.merges(bestRank)
+        val (x, y) = merges(bestRank)
         // merge ALL non-overlapping occurrences, left to right
         val out = new scala.collection.mutable.ArrayBuffer[String](sym.length)
         var j = 0

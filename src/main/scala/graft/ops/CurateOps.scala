@@ -438,7 +438,9 @@ object CurateOps {
     "token_budget_bpe" ->
       s"""WITH RECURSIVE ${TextOps.bpeOracleCtes},
          |$qualitySql,
-         |dw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+         |dw AS (SELECT doc_id, w FROM (
+         |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+         |  WHERE w <> ''),
          |bt AS (
          |  SELECT d.doc_id, CAST(sum(len(t.toks)) AS BIGINT) AS n_bpe_tokens
          |  FROM dw d JOIN bpe_wtok t USING (w) GROUP BY d.doc_id),

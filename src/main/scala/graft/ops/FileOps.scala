@@ -165,6 +165,9 @@ object FileOps {
         .foreachPartition { rows: Iterator[Row] =>
           val p = new Path(dir)
           val efs = p.getFileSystem(hconf.value.value)
+          // 8 kHz, 8-bit, mono, unsigned, little-endian: 1 byte/frame —
+          // the format is a constant, constructed once per partition
+          val fmt = new javax.sound.sampled.AudioFormat(8000f, 8, 1, false, false)
           rows.foreach { r =>
             val bytes = r.getString(1).getBytes(StandardCharsets.UTF_8)
             val n = bytes.length
@@ -172,8 +175,6 @@ object FileOps {
             val pcm = new Array[Byte](nSamples)
             var i = 0
             while (i < nSamples) { pcm(i) = bytes(i % n); i += 1 }
-            // 8 kHz, 8-bit, mono, unsigned, little-endian: 1 byte/frame
-            val fmt = new javax.sound.sampled.AudioFormat(8000f, 8, 1, false, false)
             val ais = new javax.sound.sampled.AudioInputStream(
               new java.io.ByteArrayInputStream(pcm), fmt, nSamples.toLong)
             val out = efs.create(new Path(p, f"au_${r.getLong(0)}%08d.wav"), true)

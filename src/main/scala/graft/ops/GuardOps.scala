@@ -24,17 +24,24 @@ import org.apache.spark.sql.SparkSession
   */
 object GuardOps {
 
+  private val invocation = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** Runs `action` (typically a Spark action: count/collect/write) and
     * returns its value, or cancels the tagged job group and throws
     * `TimeoutException` if it exceeds `timeoutMs`. Exceptions from the
     * action itself are rethrown unwrapped. */
   def runBounded[T](spark: SparkSession, tag: String, timeoutMs: Long)(action: => T): T = {
+    // the actual group id is unique per invocation: cancel-and-future
+    // poisons its group id in the scheduler's cancelled set, so a RETRY
+    // of a previously timed-out action under a reused caller tag must
+    // not inherit the stale cancellation
+    val groupId = s"$tag-${invocation.incrementAndGet()}"
     val exec = Executors.newSingleThreadExecutor(r => {
       val t = new Thread(r, s"graft-bounded-$tag"); t.setDaemon(true); t
     })
     val fut = exec.submit(new Callable[T] {
       def call(): T = {
-        spark.sparkContext.setJobGroup(tag, s"graft bounded action: $tag",
+        spark.sparkContext.setJobGroup(groupId, s"graft bounded action: $tag",
           interruptOnCancel = true)
         try action finally spark.sparkContext.clearJobGroup()
       }
@@ -42,7 +49,13 @@ object GuardOps {
     try fut.get(timeoutMs, TimeUnit.MILLISECONDS)
     catch {
       case _: TimeoutException =>
-        spark.sparkContext.cancelJobGroup(tag)
+        // ...AndFutureJobs, not plain cancelJobGroup: a runaway still in
+        // driver-side planning has NO active job to cancel, and in the
+        // cancel→interrupt window it could submit more — this variant
+        // also rejects the group's future submissions (round-10 review
+        // finding), so the thread dies at its next action even if the
+        // interrupt lands between blocking points
+        spark.sparkContext.cancelJobGroupAndFutureJobs(groupId)
         throw new TimeoutException(
           s"action '$tag' exceeded ${timeoutMs}ms and was cancelled")
       case e: ExecutionException =>

@@ -162,9 +162,13 @@ object MultiModalOps {
     audioBytes(spark, sfDir)
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
+        // digest held per partition (digest() resets it after each call)
+        // — the same construct-once decoder-state discipline as the rest
+        // of this file, no per-row JCA provider lookup
+        val digest = java.security.MessageDigest.getInstance("MD5")
         it.map { case (id, bytes) =>
           val d = WavDecoder.decode(bytes)
-          val md = java.security.MessageDigest.getInstance("MD5").digest(d.pcm)
+          val md = digest.digest(d.pcm)
           var s = 0L
           var i = 0
           while (i < d.pcm.length) { s += d.pcm(i) & 0xff; i += 1 }

@@ -167,6 +167,9 @@ object TextOps {
     var seg = DedupOps.eagerCheckpoint(
       Tables.documents(spark, sfDir)
         .select(explode(tokens).as("w"))
+        // an empty word (double/trailing spaces upstream) has no symbols:
+        // it can't contribute pairs and would break the fold's syms[0]
+        .filter(col("w") =!= "")
         .groupBy("w").agg(count(lit(1)).as("freq"))
         // split keeps a trailing empty (limit -1 semantics) — drop it
         .withColumn("syms",
@@ -183,12 +186,17 @@ object TextOps {
         .limit(1).collect()(0)
       val (x, y) = (best.getString(0), best.getString(1))
       merges += ((x, y))
-      val (xq, yq) = (x.replace("'", "''"), y.replace("'", "''"))
-      seg = DedupOps.eagerCheckpoint(seg.withColumn("syms", expr(
-        s"aggregate(slice(syms, 2, size(syms) - 1), array(syms[0]), " +
-          s"(acc, s) -> if(element_at(acc, -1) = '$xq' AND s = '$yq', " +
-          s"concat(slice(acc, 1, size(acc) - 1), array('$xq' || '$yq')), " +
-          s"concat(acc, array(s))))")))
+      // merge-apply as a Column-DSL fold — learned symbols ride as lit()
+      // values, never spliced into SQL text (a symbol containing a quote
+      // or backslash is data here, not syntax; round-10 review finding)
+      seg = DedupOps.eagerCheckpoint(seg.withColumn("syms",
+        aggregate(
+          slice(col("syms"), lit(2), size(col("syms")) - 1),
+          array(element_at(col("syms"), 1)),
+          (acc, s) => when(
+            element_at(acc, -1) === lit(x) && s === lit(y),
+            concat(slice(acc, lit(1), size(acc) - 1), array(lit(x + y))))
+            .otherwise(concat(acc, array(s))))))
     }
     import spark.implicits._
     merges.toSeq.zipWithIndex
@@ -464,53 +472,70 @@ object TextOps {
 
   /** The BPE merge loop restated for DuckDB: a recursive CTE whose step
     * applies the lowest-rank merge present in the word's current state.
-    * State is the token list as a space-padded string; the triple nested
-    * replace realizes "merge ALL non-overlapping occurrences left to
-    * right" (one replace can skip an occurrence whose leading separator
-    * the previous match consumed; after a pass no two remaining
-    * occurrences are adjacent, so two passes suffice — the third is
-    * margin). Merges are interpolated from [[graft.functions.BpeVocab]],
+    * State is the token list with each symbol WRAPPED in a chr(31)
+    * delimiter pair (`␟x␟␟y␟…`): a pair match consumes BOTH full tokens
+    * including their own delimiters and shares nothing with neighbors,
+    * so ONE plain left-to-right `replace` is exactly the canonical batch
+    * rule — adjacent occurrences all fuse (self-pairs included: a run of
+    * k x's pairs off to ⌊k/2⌋ fusions), and the closing delimiter pins
+    * token ends so `x` can never false-match the prefix of `xq`.
+    * (A space-separated state can't do this: the pattern must consume a
+    * shared separator, which skips the next occurrence and, for
+    * self-pairs, reaches a genuinely different fixpoint — round-10
+    * review finding; and RE2 has no lookahead to borrow the separator.)
+    * Delimiter choice: U+001F cannot appear in whitespace-split corpus
+    * words. Merges are interpolated from [[graft.functions.BpeVocab]],
     * the same constant the Spark expression reads. */
   private[ops] def bpeOracleCtes: String =
     s"""bpe_merges(rank, x, y) AS (VALUES ${graft.functions.BpeVocab.duckdbValues}),
-       |bpe_words AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS w FROM documents),
+       |bpe_words AS (SELECT DISTINCT w FROM (
+       |  SELECT unnest(string_split(text, ' ')) AS w FROM documents) WHERE w <> ''),
        |bpe_steps(w, state) AS (
-       |  SELECT w, ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') FROM bpe_words
+       |  SELECT w, regexp_replace(w, '(.)', chr(31) || '\\1' || chr(31), 'g')
+       |  FROM bpe_words
        |  UNION ALL
-       |  SELECT b.w,
-       |    replace(replace(replace(b.state,
-       |      ' '||m.x||' '||m.y||' ', ' '||m.x||m.y||' '),
-       |      ' '||m.x||' '||m.y||' ', ' '||m.x||m.y||' '),
-       |      ' '||m.x||' '||m.y||' ', ' '||m.x||m.y||' ')
+       |  SELECT b.w, replace(b.state,
+       |      chr(31)||m.x||chr(31)||chr(31)||m.y||chr(31),
+       |      chr(31)||m.x||m.y||chr(31))
        |  FROM bpe_steps b JOIN bpe_merges m
        |    ON m.rank = (SELECT min(m2.rank) FROM bpe_merges m2
-       |                 WHERE contains(b.state, ' '||m2.x||' '||m2.y||' '))
+       |                 WHERE contains(b.state,
+       |                   chr(31)||m2.x||chr(31)||chr(31)||m2.y||chr(31)))
        |),
        |bpe_fin AS (
        |  SELECT w, state FROM bpe_steps b
        |  WHERE NOT EXISTS (SELECT 1 FROM bpe_merges m
-       |                    WHERE contains(b.state, ' '||m.x||' '||m.y||' '))
+       |                    WHERE contains(b.state,
+       |                      chr(31)||m.x||chr(31)||chr(31)||m.y||chr(31)))
        |),
-       |bpe_wtok AS (SELECT w, string_split(trim(state), ' ') AS toks FROM bpe_fin)""".stripMargin
+       |bpe_wtok AS (SELECT w,
+       |  list_filter(string_split(state, chr(31)), t -> t <> '') AS toks
+       |  FROM bpe_fin)""".stripMargin
 
-  /** The generated training-loop oracle (see [[bpeTrain]]'s scaladoc). */
+  /** The generated training-loop oracle (see [[bpeTrain]]'s scaladoc).
+    * The merge-apply uses the same boundary-pinned chr(31) encoding as
+    * [[bpeOracleCtes]] — canonical for self-pairs too, which matters
+    * MORE here: training retrains per corpus, so a most-frequent
+    * self-pair is one unusual corpus away. */
   private def bpeTrainOracle(steps: Int): String = {
-    def rep(s: String) =
-      s"replace($s, ' '||b.x||' '||b.y||' ', ' '||b.x||b.y||' ')"
     val ctes = new scala.collection.mutable.ArrayBuffer[String]()
     ctes += ("seg0 AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS freq, " +
-      "' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS state FROM " +
-      "(SELECT unnest(string_split(text, ' ')) AS w FROM documents) GROUP BY w)")
+      "regexp_replace(w, '(.)', chr(31) || '\\1' || chr(31), 'g') AS state FROM " +
+      "(SELECT unnest(string_split(text, ' ')) AS w FROM documents) " +
+      "WHERE w <> '' GROUP BY w)")
     (0 until steps).foreach { i =>
       ctes += s"""pc$i AS (
         |  SELECT s.x, s.y, sum(freq) AS cnt FROM (
         |    SELECT freq, sy[i.i] AS x, sy[i.i+1] AS y FROM (
-        |      SELECT freq, string_split(trim(state), ' ') AS sy FROM seg$i) t,
+        |      SELECT freq,
+        |        list_filter(string_split(state, chr(31)), t -> t <> '') AS sy
+        |      FROM seg$i) t,
         |      unnest(range(1, len(sy))) AS i(i)) s GROUP BY s.x, s.y)""".stripMargin
       ctes += s"best$i AS MATERIALIZED (SELECT x, y FROM pc$i " +
         s"ORDER BY cnt DESC, x ASC, y ASC LIMIT 1)"
       ctes += s"seg${i + 1} AS MATERIALIZED (SELECT w, freq, " +
-        s"${rep(rep(rep("state")))} AS state FROM seg$i, best$i b)"
+        s"replace(state, chr(31)||b.x||chr(31)||chr(31)||b.y||chr(31), " +
+        s"chr(31)||b.x||b.y||chr(31)) AS state FROM seg$i, best$i b)"
     }
     val union = (0 until steps)
       .map(i => s"SELECT $i AS rank, x, y FROM best$i").mkString(" UNION ALL ")
@@ -522,11 +547,16 @@ object TextOps {
     "bpe_train" -> bpeTrainOracle(graft.functions.BpeVocab.merges.length),
     "bpe_token_count" ->
       s"""WITH RECURSIVE $bpeOracleCtes,
-         |dw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+         |dw AS (SELECT doc_id, w FROM (
+         |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+         |  WHERE w <> ''),
+         |ws AS (SELECT doc_id,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens
+         |  FROM documents)
          |SELECT d.doc_id,
          |  CAST(sum(len(t.toks)) AS BIGINT) AS n_bpe_tokens,
-         |  CAST(count(*) AS BIGINT) AS n_ws_tokens
-         |FROM dw d JOIN bpe_wtok t USING (w)
+         |  min(ws.n_ws_tokens) AS n_ws_tokens
+         |FROM dw d JOIN bpe_wtok t USING (w) JOIN ws USING (doc_id)
          |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
     "bpe_top_tokens" ->
       s"""WITH RECURSIVE $bpeOracleCtes,

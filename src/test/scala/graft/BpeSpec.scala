@@ -41,6 +41,24 @@ class BpeSpec extends SparkSpec {
     assert(enc("errr") === Seq("er", "r", "r"))
   }
 
+  test("SELF-PAIR merges pair runs off left to right (canonical batch rule)") {
+    // the committed vocab has no (x,x) merge, but training retrains per
+    // corpus, so the apply path must handle one canonically: a run of k
+    // x's fuses to floor(k/2) + (k mod 2) tokens, pairing from the left
+    // (round-10 review finding — a consumed-separator string replace
+    // reaches a different fixpoint here; the oracle was rebuilt on a
+    // boundary-pinned encoding to match exactly this rule)
+    val m = Seq(("a", "a"))
+    val r = Map(("a", "a") -> 0)
+    assert(BpeCore.encode("aaaaaa", m, r).toSeq === Seq("aa", "aa", "aa"))
+    assert(BpeCore.encode("aaaaa", m, r).toSeq === Seq("aa", "aa", "a"))
+    assert(BpeCore.encode("aaa", m, r).toSeq === Seq("aa", "a"))
+    // second-order: the fused token can itself pair under a later rank
+    val m2 = Seq(("a", "a"), ("aa", "aa"))
+    val r2 = Map(("a", "a") -> 0, ("aa", "aa") -> 1)
+    assert(BpeCore.encode("aaaa", m2, r2).toSeq === Seq("aaaa"))
+  }
+
   test("bpe_token_count == size(bpe_tokens) over the corpus; empty and null safe") {
     import spark.implicits._
     val df = Seq("key agg row", "", "batch  batch", null.asInstanceOf[String])
