@@ -53,6 +53,8 @@ object Bench {
     ops.FileOps.jsonRoundtrip(spark, sfDir) // ... and the JSON twin
     ops.FileOps.materializeFixedWidthOrders(spark, sfDir) // fixed-width shards
     ops.FileOps.materializeCompactFiles(spark, sfDir) // compacted shard corpus
+    ops.FileOps.materializeImageFiles(spark, sfDir) // PNG media corpus
+    ops.FileOps.materializeAudioFiles(spark, sfDir) // WAV media corpus
     // local-iteration filter: SPARK_GRAFT_ONLY=a,b,c times just those
     // queries (the driver sets no filter and gets the full registry)
     val only = sys.env.get("SPARK_GRAFT_ONLY")
