@@ -104,8 +104,11 @@ object ApproxBounds {
     }
 
     // round + timestamp stamp: the artifact is re-generated each round's
-    // session, and the stamp proves WHICH round's code produced it
-    val round = sys.env.getOrElse("SPARK_GRAFT_ROUND", "unstamped")
+    // session, and the stamp proves WHICH round's code produced it. The
+    // fallback is the in-tree round constant (bumped per round alongside
+    // the regeneration commit) — round 10 shipped "unstamped" because the
+    // env var is builder-side only.
+    val round = sys.env.getOrElse("SPARK_GRAFT_ROUND", GraftConf.round)
     val stamp = s""""round": "$round", "generated_at": "${java.time.Instant.now()}""""
     val json = sfDirs.map(entry).mkString("{\n" + stamp + ",\n", ",\n", "\n}\n")
     Files.writeString(Paths.get("APPROX_BOUNDS.json"), json)

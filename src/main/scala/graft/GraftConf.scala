@@ -11,6 +11,10 @@ import org.apache.spark.sql.SparkSession
   * the conf actually steers the operators (`ConfParamSpec`).
   */
 object GraftConf {
+  /** Build-round provenance stamp for regenerated artifacts
+    * (APPROX_BOUNDS.json); bumped in the same commit that regenerates. */
+  val round: String = "r11"
+
   /** `SPARK_GRAFT_CPUS` normalization, shared by EVERY main that builds a
     * local session (one parser, five entry points — round-10 review
     * finding: StageAudit alone accepted `local[8]` while the others
@@ -67,6 +71,23 @@ object GraftConf {
     * constant. */
   def annCentroidMod(spark: SparkSession): Long =
     spark.conf.get("spark.graft.ann.centroidMod", "32").toLong
+  /** Merge steps learned by `bpe_train` (default = the committed fixture
+    * vocabulary's length, so the correctness gate retrains exactly it). */
+  def bpeTrainMerges(spark: SparkSession): Int =
+    spark.conf.get("spark.graft.bpe.trainMerges",
+      graft.functions.BpeVocab.merges.length.toString).toInt
+  /** Merge steps learned by `bpe_train_rich` — the production-merge-count
+    * exercise of the incremental trainer (round-10 verdict #1). */
+  def bpeRichMerges(spark: SparkSession): Int =
+    spark.conf.get("spark.graft.bpe.richMerges", "256").toInt
+  /** Driver-side vocabulary bound for BPE training: the aggregated
+    * (word, freq) table must fit the driver by design (it is vocabulary-
+    * sized, not corpus-sized); this cap turns a pathological open
+    * vocabulary into a loud error instead of a driver OOM. 4M words ≈
+    * low hundreds of MB with per-word trainer state. */
+  def bpeMaxVocab(spark: SparkSession): Int =
+    spark.conf.get("spark.graft.bpe.maxVocab", "4000000").toInt
+
   /** Absolute document-frequency ceiling for similarity CANDIDATE
     * generation (`tfidf_doc_sim`). The relative `df ≤ n/5` rarity gate
     * alone is not scale-safe: a single term sitting at the gate

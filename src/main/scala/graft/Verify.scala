@@ -23,11 +23,20 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // O12 monitor/await applied to the correctness driver too (round-10
+    // verdict #3): each query runs under a tagged job-group bound, so ONE
+    // wedged query becomes a per-query `err` in the correctness artifact
+    // instead of stalling the whole 200-query oracle pass. Same kill path
+    // as Bench.timeOne (GuardOps cancels the group and the session lives).
+    val queryTimeoutMs =
+      sys.env.getOrElse("SPARK_GRAFT_VERIFY_QUERY_TIMEOUT_MS", "300000").toLong
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try ops.GuardOps.runBounded(spark, s"verify-$name", queryTimeoutMs) {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }

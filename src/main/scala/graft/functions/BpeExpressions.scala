@@ -63,9 +63,22 @@ object BpeVocab {
   val ranks: Map[(String, String), Int] = merges.zipWithIndex.toMap
 
   /** The merges as a DuckDB VALUES list `(rank, x, y), …` for oracle SQL
-    * interpolation (symbols are lowercase ASCII — no quoting needed). */
+    * interpolation. The symbols ARE lowercase ASCII today, but the
+    * invariant is enforced in code, not by fixture convention: a future
+    * merge symbol carrying a quote/backslash/control char would otherwise
+    * corrupt every BPE oracle query (round-10 advice). SQL-escaping `'`
+    * would be enough for DuckDB; the chr(31)-delimited oracle state
+    * additionally requires symbols free of U+001F, so assert the full
+    * contract rather than partially escaping. */
   def duckdbValues: String = merges.zipWithIndex
-    .map { case ((x, y), r) => s"($r, '$x', '$y')" }.mkString(", ")
+    .map { case ((x, y), r) =>
+      Seq(x, y).foreach { s =>
+        require(s.matches("[a-z]+"),
+          s"BPE merge symbol '$s' must be lowercase ASCII letters: oracle " +
+            "SQL interpolation and the chr(31) state encoding assume it")
+      }
+      s"($r, '$x', '$y')"
+    }.mkString(", ")
 }
 
 object BpeCore {
@@ -93,19 +106,25 @@ object BpeCore {
       if (bestRank == Int.MaxValue) done = true
       else {
         val (x, y) = merges(bestRank)
-        // merge ALL non-overlapping occurrences, left to right
-        val out = new scala.collection.mutable.ArrayBuffer[String](sym.length)
-        var j = 0
-        while (j < sym.length) {
-          if (j < sym.length - 1 && sym(j) == x && sym(j + 1) == y) {
-            out += x + y; j += 2
-          } else { out += sym(j); j += 1 }
-        }
-        sym = out.toArray
+        sym = applyMerge(sym, x, y)
         done = sym.length <= 1
       }
     }
     sym
+  }
+
+  /** Canonical batch merge application shared by the encoder and
+    * [[BpeTrainer]]: ALL non-overlapping occurrences of (x, y) fuse,
+    * left to right (self-pair runs pair off from the left). */
+  def applyMerge(sym: Array[String], x: String, y: String): Array[String] = {
+    val out = new scala.collection.mutable.ArrayBuffer[String](sym.length)
+    var j = 0
+    while (j < sym.length) {
+      if (j < sym.length - 1 && sym(j) == x && sym(j + 1) == y) {
+        out += x + y; j += 2
+      } else { out += sym(j); j += 1 }
+    }
+    out.toArray
   }
 }
 

@@ -442,8 +442,12 @@ object CurateOps {
          |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
          |  WHERE w <> ''),
          |bt AS (
-         |  SELECT d.doc_id, CAST(sum(len(t.toks)) AS BIGINT) AS n_bpe_tokens
-         |  FROM dw d JOIN bpe_wtok t USING (w) GROUP BY d.doc_id),
+         |  SELECT doc.doc_id,
+         |    CAST(COALESCE(sum(len(t.toks)), 0) AS BIGINT) AS n_bpe_tokens
+         |  FROM documents doc
+         |    LEFT JOIN dw d ON d.doc_id = doc.doc_id
+         |    LEFT JOIN bpe_wtok t ON t.w = d.w
+         |  GROUP BY doc.doc_id),
          |q2 AS (
          |  SELECT q.doc_id, bt.n_bpe_tokens, q.quality
          |  FROM q JOIN bt USING (doc_id)),

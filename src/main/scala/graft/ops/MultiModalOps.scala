@@ -330,10 +330,22 @@ object MultiModalOps {
     * ASCII fixture, and md5-of-string == md5-of-bytes. Doubles as a PNG
     * encode/decode round-trip check (Spark decodes the materialized
     * FILES, the oracle recomputes from the table). */
+  /** Fixture guard shared by the media oracles: they rebuild pixel/PCM
+    * truths with `ascii(substring(text, i, 1))` (code points) against
+    * byte counts, which is only valid while every document is non-empty
+    * ASCII (code point == byte). The committed fixtures are; this CASE
+    * makes a future non-ASCII or empty doc fail the oracle LOUDLY
+    * (DuckDB `error()` → per-query `err` in the correctness artifact)
+    * instead of silently diverging engine from oracle. */
+  private val guardedLen =
+    "CASE WHEN octet_length(encode(text)) = length(text) AND text <> '' " +
+      "THEN octet_length(encode(text)) " +
+      "ELSE error('graft media fixture drift: documents.text must be non-empty ASCII') END"
+
   private val sqlRaster =
-    """g AS (SELECT doc_id, text, octet_length(encode(text)) AS n,
-      |    (octet_length(encode(text)) % 13) + 4 AS w,
-      |    ((octet_length(encode(text)) // 13) % 11) + 4 AS h
+    s"""g AS (SELECT doc_id, text, $guardedLen AS n,
+      |    ($guardedLen % 13) + 4 AS w,
+      |    (($guardedLen // 13) % 11) + 4 AS h
       |  FROM documents),
       |r AS (SELECT doc_id, w, h,
       |    substring(repeat(text, CAST((w * h + n - 1) // n AS INTEGER)),
@@ -344,8 +356,8 @@ object MultiModalOps {
     * doc's ASCII bytes tiled 16×, so digest = md5(repeat(text,16)), sum =
     * 16 × Σ byte, n_samples = 16·n, duration = 125 µs/sample at 8 kHz. */
   private val sqlAudio =
-    """au AS (SELECT doc_id, source, text,
-      |    octet_length(encode(text)) AS n FROM documents)""".stripMargin
+    s"""au AS (SELECT doc_id, source, text,
+      |    $guardedLen AS n FROM documents)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "mm_audio_decode" ->

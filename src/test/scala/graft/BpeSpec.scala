@@ -97,6 +97,63 @@ class BpeSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("incremental trainer == recount-from-scratch trainer on an adversarial corpus") {
+    // the round-11 trainer maintains pair counts by delta; this pins it
+    // against an independent naive restatement (the bpe_ref.py algorithm:
+    // recount every pair every step) on a corpus dense in overlapping and
+    // self-pair structure
+    def naive(wordFreq: Seq[(String, Long)], maxMerges: Int): Vector[(String, String)] = {
+      var vocab = wordFreq.map { case (w, f) => (w.map(_.toString).toArray, f) }
+      val out = Vector.newBuilder[(String, String)]
+      var k = 0
+      var done = false
+      while (k < maxMerges && !done) {
+        val pairs = scala.collection.mutable.Map[(String, String), Long]()
+        vocab.foreach { case (s, f) =>
+          (0 until s.length - 1).foreach { i =>
+            val p = (s(i), s(i + 1)); pairs(p) = pairs.getOrElse(p, 0L) + f
+          }
+        }
+        if (pairs.isEmpty) done = true
+        else {
+          val best = pairs.toSeq.minBy { case ((x, y), c) => (-c, x, y) }._1
+          out += best
+          vocab = vocab.map { case (s, f) =>
+            (BpeCore.applyMerge(s, best._1, best._2), f)
+          }
+          k += 1
+        }
+      }
+      out.result()
+    }
+    val corpus = Seq(
+      "aaaa" -> 7L, "aaab" -> 3L, "abab" -> 5L, "banana" -> 11L,
+      "bandana" -> 2L, "aa" -> 9L, "b" -> 100L, "abba" -> 4L,
+      "mississippi" -> 6L, "ssss" -> 1L)
+    val got = graft.functions.BpeTrainer.train(corpus, 40)
+    val want = naive(corpus, 40)
+    assert(got === want)
+    // and both stop gracefully at exhaustion, short of the 40 requested
+    assert(got.size < 40)
+  }
+
+  test("trainer breaks gracefully when the corpus fully fuses (no throw)") {
+    val got = graft.functions.BpeTrainer.train(Seq("ab" -> 2L, "abc" -> 1L), 100)
+    assert(got === Vector(("a", "b"), ("ab", "c")))
+  }
+
+  test("trainer handles self-pair merges with the canonical batch rule") {
+    // "aaaa"×3: (a,a) counts 9 (3 adjacencies × freq 3); merge-all pairs
+    // the run off to [aa,aa], then (aa,aa) fuses — two steps, exhausted
+    val got = graft.functions.BpeTrainer.train(Seq("aaaa" -> 3L), 100)
+    assert(got === Vector(("a", "a"), ("aa", "aa")))
+  }
+
+  test("trainer argmax tiebreak is (x, y) lexicographic") {
+    val got = graft.functions.BpeTrainer.train(Seq("cd" -> 1L, "ab" -> 1L), 1)
+    assert(got === Vector(("a", "b")))
+  }
+
   test("every merge symbol is reachable: ranks table is consistent") {
     // each merge's parts must be single chars or products of EARLIER
     // merges — a mis-ordered table would make some merges dead
