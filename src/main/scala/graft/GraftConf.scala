@@ -88,6 +88,16 @@ object GraftConf {
   def bpeMaxVocab(spark: SparkSession): Int =
     spark.conf.get("spark.graft.bpe.maxVocab", "4000000").toInt
 
+  /** Generation-subdir count above which a post-run band-store
+    * compaction fires automatically (`StreamOps.maybeCompactBandStore`).
+    * Each incremental-dedup micro-batch appends one generation; the
+    * threshold bounds per-batch listing/open-file cost at O(maxGen). */
+  def bandstoreMaxGenerations(spark: SparkSession): Int =
+    spark.conf.get("spark.graft.bandstore.maxGenerations", "64").toInt
+  /** Shard count a band-store compaction rewrites to. */
+  def bandstoreCompactTargetFiles(spark: SparkSession): Int =
+    spark.conf.get("spark.graft.bandstore.compactTargetFiles", "4").toInt
+
   /** Absolute document-frequency ceiling for similarity CANDIDATE
     * generation (`tfidf_doc_sim`). The relative `df ≤ n/5` rarity gate
     * alone is not scale-safe: a single term sitting at the gate

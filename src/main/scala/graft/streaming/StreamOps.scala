@@ -469,11 +469,18 @@ object StreamOps {
     * so "every earlier document" is exactly (persisted store ∪ the
     * current batch's lower ids). */
   private[graft] def stageDocSliceFiles(
-      spark: SparkSession, sfDir: String, nFiles: Int): String =
-    graft.ops.FileOps.materializeOnce(spark, s"docslice_$nFiles", sfDir) { dir =>
+      spark: SparkSession, sfDir: String, nFiles: Int,
+      cols: Seq[String] = Seq("doc_id", "text")): String = {
+    // default column set keeps the historical cache key so warm fixture
+    // dirs stay valid; non-default sets get their own namespaced dir
+    val kind =
+      if (cols == Seq("doc_id", "text")) s"docslice_$nFiles"
+      else s"docslice_${nFiles}_" +
+        cols.mkString("-").replaceAll("[^A-Za-z0-9_-]", "_")
+    graft.ops.FileOps.materializeOnce(spark, kind, sfDir) { dir =>
       val root = new org.apache.hadoop.fs.Path(dir)
       val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val docs = graft.Tables.documents(spark, sfDir).select("doc_id", "text")
+      val docs = graft.Tables.documents(spark, sfDir).select(cols.map(col): _*)
       val Array(lo, hi) = docs.agg(min("doc_id"), max("doc_id"))
         .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
       val span = hi - lo + 1
@@ -489,6 +496,7 @@ object StreamOps {
         fs.delete(new org.apache.hadoop.fs.Path(s"$dir/_staging_b$i"), true)
       }
     }
+  }
 
   /** INCREMENTAL near-dup maintenance — the dedup a production corpus
     * actually runs: yesterday's crawl is already deduped and signed; only
@@ -605,6 +613,88 @@ object StreamOps {
       // append to the shared root — a replayed batch replaces itself
       flagged.write.mode("overwrite").parquet(s"$storeDir/batch_${runTag}_$id")
       newBands.unpersist()
+      ranBatches += 1
+    }.start()
+    try q.processAllAvailable() finally q.stop()
+    require(ranBatches > 0, s"no micro-batch ran over $staged ($glob)")
+    // AUTO-COMPACTION POLICY (round-10 verdict #4): the maintenance job
+    // is now scheduled, not remembered. It runs HERE — after the stream
+    // drains, i.e. the between-runs slot compactBandStore's contract
+    // requires (a rewrite concurrent with an appending batch could
+    // delete a subdir the batch's minus-self listing already snapshotted)
+    maybeCompactBandStore(spark, storeDir)
+  }
+
+  /** Compacts the band store iff its generation-subdir count exceeds
+    * `spark.graft.bandstore.maxGenerations` — the policy that keeps a
+    * long-running store's file count bounded without manual operation.
+    * In production this is the post-run maintenance step of the daily
+    * incremental job; the threshold trades listing cost (O(generations)
+    * per batch join) against rewrite I/O (O(store) per compaction). */
+  private[graft] def maybeCompactBandStore(spark: SparkSession, storeDir: String): Unit = {
+    val maxGen = graft.GraftConf.bandstoreMaxGenerations(spark)
+    val root = new org.apache.hadoop.fs.Path(storeDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(root)) {
+      val gens = fs.listStatus(root).count { s =>
+        s.isDirectory && !s.getPath.getName.startsWith("_")
+      }
+      if (gens > maxGen)
+        compactBandStore(spark, storeDir,
+          graft.GraftConf.bandstoreCompactTargetFiles(spark))
+    }
+  }
+
+  /** Streaming BPE-token accounting (round-10 verdict #7): the sketch-
+    * store maintenance pattern applied to the REAL-token unit training
+    * runs provision in. Document slices replay one file per micro-batch;
+    * `foreachBatch` computes the batch's per-source BPE token totals
+    * with the same native codegen expression as the batch
+    * `bpe_token_count` and writes them as an idempotent-by-batch-id
+    * delta subdir (`delta_<tag>_<id>`, overwrite — a re-executed batch
+    * replaces its own delta, so at-least-once replay cannot double the
+    * additive longs; this is the counter-store answer to the problem HLL
+    * solves by insertion idempotence). The stream is STATELESS; the
+    * store is one tiny per-source row set per batch, rolled up on read.
+    * Final totals EXACTLY equal the one-shot batch rollup because BPE
+    * counts are additive longs over disjoint slices (StreamingSpec pins
+    * the equality and the replay idempotence). */
+  def bpeTokenMaintainRun(spark: SparkSession, sfDir: String): DataFrame = {
+    val staged = stageDocSliceFiles(spark, sfDir, 4, Seq("doc_id", "source", "text"))
+    val storeDir = java.nio.file.Files.createTempDirectory("graft_bpe_maint")
+      .resolve("token_store").toString
+    bpeTokenMaintainInto(spark, staged, storeDir, "b*.parquet", "all")
+    readTokenStore(spark, storeDir)
+  }
+
+  /** The token store rolled up to per-source totals. */
+  private[graft] def readTokenStore(spark: SparkSession, storeDir: String): DataFrame =
+    spark.read.option("recursiveFileLookup", "true").parquet(storeDir)
+      .groupBy("source")
+      .agg(sum("bpe_tokens").cast("long").as("bpe_tokens"),
+        sum("n_docs").cast("long").as("n_docs"))
+      .orderBy("source")
+
+  /** One stream run of the token-accounting maintenance over the staged
+    * files matching `glob`, writing per-batch delta subdirs under
+    * `storeDir` (same runTag namespacing as [[incrementalDedupInto]]). */
+  private[graft] def bpeTokenMaintainInto(
+      spark: SparkSession, staged: String, storeDir: String,
+      glob: String, runTag: String): Unit = {
+    val schema = spark.read.parquet(staged).schema
+    @volatile var ranBatches = 0
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", glob)
+      .parquet(staged)
+    val q = stream.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      val delta = batch
+        .select(col("source"),
+          graft.functions.BpeFunctions.bpeTokenCount(col("text")).as("n"))
+        .groupBy("source")
+        .agg(sum(col("n")).cast("long").as("bpe_tokens"),
+          count(lit(1)).as("n_docs"))
+      delta.write.mode("overwrite").parquet(s"$storeDir/delta_${runTag}_$id")
       ranBatches += 1
     }.start()
     try q.processAllAvailable() finally q.stop()
