@@ -55,6 +55,7 @@ object Bench {
     ops.FileOps.materializeCompactFiles(spark, sfDir) // compacted shard corpus
     ops.FileOps.materializeImageFiles(spark, sfDir) // PNG media corpus
     ops.FileOps.materializeAudioFiles(spark, sfDir) // WAV media corpus
+    ops.FileOps.materializeVideoFiles(spark, sfDir) // animated-GIF media corpus
     // local-iteration filter: SPARK_GRAFT_ONLY=a,b,c times just those
     // queries (the driver sets no filter and gets the full registry)
     val only = sys.env.get("SPARK_GRAFT_ONLY")

@@ -239,6 +239,113 @@ object MultiModalOps {
       .orderBy("doc_id", "frame_idx")
   }
 
+  /** The real multi-frame demuxer+decoder: animated-GIF bytes → per-frame
+    * grayscale rasters, via the JDK `ImageIO` GIF reader's frame index
+    * (`getNumImages` / `read(frameIdx)`). The reader is held PER
+    * PARTITION and re-pointed per clip — the construct-once decoder-state
+    * discipline of [[PngDecoder]]/[[WavDecoder]], which is exactly how a
+    * demuxer handle (FFmpeg `AVFormatContext`) would be held at scale. */
+  object GifDecoder {
+    final case class Decoded(width: Int, height: Int, rasters: Array[Array[Byte]])
+    /** Decodes all frames with a caller-held reader (one per partition). */
+    def decode(reader: javax.imageio.ImageReader, bytes: Array[Byte]): Decoded = {
+      reader.setInput(new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(bytes)))
+      val nF = reader.getNumImages(true)
+      val frames = new Array[Array[Byte]](nF)
+      var w = 0
+      var h = 0
+      var f = 0
+      while (f < nF) {
+        val img = reader.read(f)
+        w = img.getWidth
+        h = img.getHeight
+        val px = new Array[Byte](w * h)
+        var i = 0
+        // frames decode as TYPE_BYTE_INDEXED; the gray value is the
+        // palette entry's intensity (any channel — the palette is gray)
+        while (i < w * h) { px(i) = (img.getRGB(i % w, i / w) & 0xff).toByte; i += 1 }
+        frames(f) = px
+        f += 1
+      }
+      Decoded(w, h, frames)
+    }
+  }
+
+  final case class ClipFrames(
+      doc_id: Long, n_frames: Long, width: Long, height: Long,
+      px_digest: String, px_sum: Long)
+  final case class VideoFrame(
+      doc_id: Long, frame_idx: Long, px_digest: String, px_sum: Long)
+
+  /** Real animated-GIF bytes → (doc_id, media): the frame-series half of
+    * the fixture. */
+  private def videoBytes(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = FileOps.materializeVideoFiles(spark, sfDir)
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.gif")
+      .load(dir)
+      .select(regexp_extract(col("path"), "vid_(\\d+)\\.gif", 1).cast("long").as("doc_id"),
+        col("content").as("media"))
+  }
+
+  /** VIDEO-shaped decode stage: genuine multi-frame GIF bytes → frame
+    * count / geometry / whole-clip raster digest via `mapPartitions`,
+    * one `ImageIO` reader per partition. Fully oracle-checked: GIF's
+    * 256-gray palette is lossless, the fixture frames tile the doc's
+    * ASCII bytes in a rolling scan, so DuckDB reconstructs the exact
+    * concatenated raster from `documents.text` — one wrong pixel in any
+    * frame of encode→write→scan→demux→decode fails the hash gate. */
+  def mmVideoDecode(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    videoBytes(spark, sfDir)
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+        val digest = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, bytes) =>
+          val d = GifDecoder.decode(reader, bytes)
+          var s = 0L
+          d.rasters.foreach { px =>
+            digest.update(px)
+            var i = 0
+            while (i < px.length) { s += px(i) & 0xff; i += 1 }
+          }
+          ClipFrames(id, d.rasters.length.toLong, d.width.toLong, d.height.toLong,
+            digest.digest().map("%02x".format(_)).mkString, s)
+        }
+      }
+      .toDF()
+      .orderBy("doc_id")
+  }
+
+  /** Per-FRAME feature extraction over the real multi-frame container:
+    * one clip row fans out to its decoded frames, each carrying an exact
+    * content digest + pixel sum — the keyframe-analysis shape
+    * ([[mmAudioEnergy]]'s twin in the frame-series modality), fully
+    * oracle-checked frame by frame. */
+  def mmVideoFrames(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    videoBytes(spark, sfDir)
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+        val digest = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (id, bytes) =>
+          val d = GifDecoder.decode(reader, bytes)
+          d.rasters.iterator.zipWithIndex.map { case (px, f) =>
+            var s = 0L
+            var i = 0
+            while (i < px.length) { s += px(i) & 0xff; i += 1 }
+            VideoFrame(id, f.toLong,
+              digest.digest(px).map("%02x".format(_)).mkString, s)
+          }
+        }
+      }
+      .toDF()
+      .orderBy("doc_id", "frame_idx")
+  }
+
   /** The resize stage contract: media bytes → fixed-size thumbnail.
     * Stub semantics (no codec libs in the container): the byte stream is
     * cut into out_w×out_h equal blocks and each thumbnail cell is its
@@ -322,7 +429,9 @@ object MultiModalOps {
     "mm_audio_agg"    -> (mmAudioAgg _),
     "mm_audio_energy" -> (mmAudioEnergy _),
     "mm_resize"       -> (mmResize _),
-    "mm_frame_sample" -> (mmFrameSample _))
+    "mm_frame_sample" -> (mmFrameSample _),
+    "mm_video_decode" -> (mmVideoDecode _),
+    "mm_video_frames" -> (mmVideoFrames _))
 
   /** The fixture raster, rebuilt in SQL: the PNG writer tiles the doc's
     * ASCII bytes row-major over a w×h grid, so the decoded raster as a
@@ -358,6 +467,20 @@ object MultiModalOps {
   private val sqlAudio =
     s"""au AS (SELECT doc_id, source, text,
       |    $guardedLen AS n FROM documents)""".stripMargin
+
+  /** Per-doc video truths, rebuilt in SQL: frame f's raster is bytes
+    * `(f·w·h + i) mod n`, so the frames CONCATENATED in index order are
+    * `repeat(text)` truncated to `nf·w·h` — each frame a substring. */
+  private val sqlVideo =
+    s"""vg AS (SELECT doc_id, text, $guardedLen AS n,
+      |    ($guardedLen % 11) + 4 AS w,
+      |    (($guardedLen // 11) % 7) + 4 AS h,
+      |    ($guardedLen % 5) + 3 AS nf
+      |  FROM documents),
+      |vr AS (SELECT doc_id, w, h, nf,
+      |    substring(repeat(text, CAST((nf * w * h + n - 1) // n AS INTEGER)),
+      |      1, nf * w * h) AS allras
+      |  FROM vg)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "mm_audio_decode" ->
@@ -433,5 +556,22 @@ object MultiModalOps {
         |  CAST(least(256, octet_length(encode(text)) - i*256) AS BIGINT) AS frame_len
         |FROM documents,
         |  unnest(range(0, (octet_length(encode(text)) + 255) // 256, 4)) AS t(i)
-        |ORDER BY doc_id, frame_idx""".stripMargin)
+        |ORDER BY doc_id, frame_idx""".stripMargin,
+    "mm_video_decode" ->
+      s"""WITH $sqlVideo
+         |SELECT doc_id, CAST(nf AS BIGINT) AS n_frames,
+         |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+         |  md5(allras) AS px_digest,
+         |  CAST(list_sum(list_transform(range(1, nf * w * h + 1),
+         |    i -> ascii(substring(allras, CAST(i AS INTEGER), 1)))) AS BIGINT) AS px_sum
+         |FROM vr ORDER BY doc_id""".stripMargin,
+    "mm_video_frames" ->
+      s"""WITH $sqlVideo,
+         |fr AS (SELECT doc_id, CAST(f.f AS BIGINT) AS frame_idx,
+         |    substring(allras, CAST(f.f * w * h + 1 AS INTEGER), w * h) AS ras
+         |  FROM vr, unnest(range(0, nf)) AS f(f))
+         |SELECT doc_id, frame_idx, md5(ras) AS px_digest,
+         |  CAST(list_sum(list_transform(range(1, length(ras) + 1),
+         |    i -> ascii(substring(ras, CAST(i AS INTEGER), 1)))) AS BIGINT) AS px_sum
+         |FROM fr ORDER BY doc_id, frame_idx""".stripMargin)
 }
