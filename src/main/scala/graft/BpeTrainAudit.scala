@@ -148,8 +148,55 @@ object BpeTrainAudit {
     println(s"[bpe-audit] synthetic 32k merges over ${synthVocab.size} words: " +
       s"${fmt(synthSec)}s (learned ${synthLearned.size})")
 
+    // REAL-corpus exhaustion probe (round-11 verdict #8): the synthetic
+    // 32k point above proves trainer cost at production merge depth, but
+    // on 200k GENERATED words. This runs the ladder's top rung on the
+    // real rich corpus of the last sfDir with the merge budget raised
+    // past any reachable vocabulary, recording where the corpus actually
+    // fuses out (the trainer stops when no adjacency remains) — the
+    // boundary past which `spark.graft.bpe.richMerges` buys nothing.
+    val exhaustDir = sfDirs.last
+    val richWf = {
+      val d = Tables.documents(spark, exhaustDir)
+        .select(explode(split(col("text"), " ")).as("w"))
+      val pn = Tables.part(spark, exhaustDir).select(explode(split(col("p_name"), " ")).as("w"))
+      val pt = Tables.part(spark, exhaustDir).select(explode(split(lower(col("p_type")), " ")).as("w"))
+      val pb = Tables.part(spark, exhaustDir).select(lower(col("p_brand")).as("w"))
+      val sn = Tables.supplier(spark, exhaustDir).select(lower(col("s_name")).as("w"))
+      val nn = Tables.nation(spark, exhaustDir).select(lower(col("n_name")).as("w"))
+      val rn = Tables.region(spark, exhaustDir).select(lower(col("r_name")).as("w"))
+      d.union(pn).union(pt).union(pb).union(sn).union(nn).union(rn)
+        .filter(col("w") =!= "")
+        .groupBy("w").agg(count(lit(1)).as("freq"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    }
+    val exhaustBudget = 1 << 20 // far past any vocabulary this lake holds
+    val tex0 = System.nanoTime()
+    val (exhaustLearned, exhaustStats) =
+      BpeTrainer.trainWithStats(richWf, exhaustBudget)
+    val exhaustSec = (System.nanoTime() - tex0) / 1e9
+    // ladder rungs between the oracled 256 and the fuse-out point
+    val exhaustLadder = Seq(512, 1024, 2048, 4096, 8192, 16384)
+      .filter(_ < exhaustLearned.size) :+ exhaustLearned.size
+    val exhaustLadderJson = exhaustLadder.map { k =>
+      val (t, m) = timeMin(3)(BpeTrainer.train(richWf, k))
+      s"""{"merges":$k,"train_sec":${fmt(t)},"learned":${m.length}}"""
+    }.mkString("[", ",", "]")
+    val exhaustJson =
+      s"""{"dir":"$exhaustDir","vocab_words":${richWf.size},""" +
+        s""""merges_requested":$exhaustBudget,""" +
+        s""""merges_learned":${exhaustLearned.size},""" +
+        s""""train_sec":${fmt(exhaustSec)},""" +
+        s""""ladder":$exhaustLadderJson,""" +
+        s""""median_step_us":${med(exhaustStats.map(_.nanos / 1000))},""" +
+        s""""max_step_us":${exhaustStats.map(_.nanos / 1000).max}}"""
+    println(s"[bpe-audit] rich-corpus exhaustion at $exhaustDir: fused out " +
+      s"at ${exhaustLearned.size} merges over ${richWf.size} words " +
+      s"(${fmt(exhaustSec)}s)")
+
     val json = s"""{"round":"${GraftConf.round}","note":"incremental-trainer merge-count scale audit; round-10 loop was ~0.1s/merge of Spark scheduling, per BENCH_r10 bpe_train=2.45s/24 merges",""" +
       perSf.mkString("", ",", ",") +
+      s""""rich_corpus_exhaustion":$exhaustJson,""" +
       s""""synthetic_production_scale":$synthJson}"""
     Files.writeString(Paths.get(outJson), json)
     println(json)

@@ -375,7 +375,55 @@ object CurateOps {
       .orderBy("split")
   }
 
+  /** Corpus MIXTURE — the pretraining data-mix op: each source is
+    * up-/down-sampled toward an equal share of the total token budget
+    * (the α→0 end of temperature-weighted mixing; the weights table is
+    * derived from the corpus, nothing hardcoded). Epochs are rational:
+    * `budget DIV toks_s` full passes over source s plus a
+    * `(budget MOD toks_s)/toks_s`-rate extra copy decided per doc by
+    * engine-portable md5 arithmetic — deterministic at ANY parallelism,
+    * reproducible across reruns, and integer end-to-end so the oracle
+    * hash-matches.
+    *
+    * Scale shape: two tiny aggregates (per-source totals → broadcast
+    * back), a bounded explode (fan-out = full-epoch count, single
+    * digits), one keyed exchange for the final per-source rollup. The
+    * corpus never funnels: the mixture materializes map-side. At 100 TB
+    * the explode emits references (doc_id, epoch), not bodies — exactly
+    * what a training-shard writer consumes. */
+  def mixCorpora(spark: SparkSession, sfDir: String): DataFrame = {
+    val tok = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("t"))
+    val st = tok.groupBy("source").agg(sum("t").as("toks"))
+    val tot = st.agg(sum("toks").as("total"), count(lit(1)).as("nsrc"))
+    val tgt = st.crossJoin(broadcast(tot))
+      .select(col("source"), col("toks"),
+        expr("total DIV nsrc").as("budget"))
+      .withColumn("full_epochs", expr("budget DIV toks"))
+      .withColumn("rem", col("budget") % col("toks"))
+    val rep = tok.join(broadcast(tgt), Seq("source"))
+    val fullCopies = rep.filter(col("full_epochs") > 0)
+      .select(col("source"), col("doc_id"), col("t"),
+        explode(sequence(lit(0L), col("full_epochs") - 1)).as("epoch"))
+      .select(col("source"), col("doc_id"), col("t"))
+    val extra = rep.filter(
+      expr("CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT)")
+        % col("toks") < col("rem"))
+      .select(col("source"), col("doc_id"), col("t"))
+    val mixed = fullCopies.union(extra)
+      .groupBy("source")
+      .agg(count(lit(1)).as("nr"), sum("t").as("ntok"))
+    tgt.join(mixed, Seq("source"), "left_outer")
+      .select(col("source"), col("full_epochs"),
+        coalesce(col("nr"), lit(0L)).as("n_rows_mixed"),
+        coalesce(col("ntok"), lit(0L)).as("n_tokens_mixed"),
+        col("budget").as("target_tokens"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, Q] = Map(
+    "mix_corpora"            -> (mixCorpora _),
     "pipeline_e2e"           -> (pipelineE2e _),
     "token_budget_select"    -> (tokenBudgetSelect _),
     "token_budget_bpe"       -> (tokenBudgetBpe _),
@@ -409,6 +457,40 @@ object CurateOps {
        |  FROM t)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "mix_corpora" ->
+      """WITH tok AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS t
+        |  FROM documents),
+        |st AS (SELECT source, sum(t) AS toks FROM tok GROUP BY source),
+        |tot AS (SELECT sum(toks) AS total, count(*) AS nsrc FROM st),
+        |tgt AS (
+        |  SELECT source, toks, total // nsrc AS budget,
+        |    (total // nsrc) // toks AS full_epochs,
+        |    (total // nsrc) % toks AS rem
+        |  FROM st CROSS JOIN tot),
+        |rep AS (
+        |  SELECT tok.doc_id, tok.source, tok.t,
+        |    tgt.full_epochs, tgt.rem, tgt.toks
+        |  FROM tok JOIN tgt USING (source)),
+        |fullc AS (
+        |  SELECT source, doc_id, t
+        |  FROM rep, unnest(range(0, CAST(full_epochs AS BIGINT))) AS e(e)),
+        |extra AS (
+        |  SELECT source, doc_id, t FROM rep
+        |  WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |    % toks < rem),
+        |mixed AS (SELECT * FROM fullc UNION ALL SELECT * FROM extra),
+        |agg AS (
+        |  SELECT source, count(*) AS nr, sum(t) AS ntok
+        |  FROM mixed GROUP BY source)
+        |SELECT tgt.source,
+        |  CAST(tgt.full_epochs AS BIGINT) AS full_epochs,
+        |  CAST(coalesce(agg.nr, 0) AS BIGINT) AS n_rows_mixed,
+        |  CAST(coalesce(agg.ntok, 0) AS BIGINT) AS n_tokens_mixed,
+        |  CAST(tgt.budget AS BIGINT) AS target_tokens
+        |FROM tgt LEFT JOIN agg USING (source)
+        |ORDER BY source""".stripMargin,
     "pack_sequences" ->
       """WITH d AS (
         |  SELECT doc_id, string_split(text, ' ') AS t,

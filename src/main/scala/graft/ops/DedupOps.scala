@@ -558,7 +558,50 @@ object DedupOps {
       .filter(col("n_docs") >= 2)
       .orderBy("shingle_hash")
 
+  /** INCREMENTAL dedup — the day-2 ingestion shape: a new batch of
+    * documents is deduplicated against the fingerprint STORE of a prior
+    * snapshot (here: the lower half of the doc_id space, a data-derived
+    * cut — in production, yesterday's bucketed digest table) AND within
+    * itself (keep-first by arrival order). The digest is the
+    * order-insensitive BAG fingerprint ([[TextOps.docFingerprint]]'s
+    * md5 over the sorted distinct token set — raw-text md5 is near-
+    * collision-free on this corpus, which would leave the decision
+    * branches untested). Every doc in the batch gets a decision:
+    * `dup_of_snapshot` (digest already in the store), `dup_in_batch`
+    * (an earlier batch doc has it), `new`.
+    *
+    * Scale shape: only 16-byte digests ever shuffle — the store join is
+    * the `decontaminate_prefilter` topology (hash equi-join the store,
+    * which at 100 TB is bucketed on the digest so the probe is
+    * shuffle-free on the store side), and the within-batch keep-first
+    * is one map-side-combinable min per digest, not a window over
+    * bodies. */
+  def dedupIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        md5(concat_ws(" ",
+          array_sort(array_distinct(split(col("text"), " "))))).as("content_hash"))
+    val cut = docs.agg(expr("max(doc_id) DIV 2").as("cut"))
+    val keyed = docs.crossJoin(broadcast(cut))
+    val snap = keyed.filter(col("doc_id") <= col("cut"))
+      .select(col("content_hash")).distinct()
+      .withColumn("in_snap", lit(1L))
+    val batch = keyed.filter(col("doc_id") > col("cut"))
+      .select(col("doc_id"), col("content_hash"))
+    val firstIn = batch.groupBy("content_hash")
+      .agg(min(col("doc_id")).as("first_in_batch"))
+    batch
+      .join(snap, Seq("content_hash"), "left_outer")
+      .join(firstIn, Seq("content_hash"))
+      .select(col("doc_id"), col("content_hash"),
+        when(col("in_snap").isNotNull, lit("dup_of_snapshot"))
+          .when(col("doc_id") > col("first_in_batch"), lit("dup_in_batch"))
+          .otherwise(lit("new")).as("decision"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "dedup_incremental"   -> (dedupIncremental _),
     "dup_ngram_spans"     -> (dupNgramSpans _),
     "dedup_containment"   -> (ngramContainment _),
     "dedup_exact_stats"   -> (dedupExactStats _),
@@ -617,6 +660,23 @@ object DedupOps {
       |  GROUP BY 1, 2)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "dedup_incremental" ->
+      """WITH d AS (SELECT doc_id,
+        |  md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))),
+        |    ' ')) AS content_hash FROM documents),
+        |c AS (SELECT max(doc_id) // 2 AS cut FROM d),
+        |snap AS (SELECT DISTINCT content_hash FROM d, c WHERE doc_id <= cut),
+        |batch AS (SELECT d.doc_id, d.content_hash FROM d, c WHERE doc_id > cut),
+        |fb AS (SELECT content_hash, min(doc_id) AS first_in_batch
+        |  FROM batch GROUP BY 1)
+        |SELECT b.doc_id, b.content_hash,
+        |  CASE WHEN s.content_hash IS NOT NULL THEN 'dup_of_snapshot'
+        |       WHEN b.doc_id > fb.first_in_batch THEN 'dup_in_batch'
+        |       ELSE 'new' END AS decision
+        |FROM batch b
+        |LEFT JOIN snap s USING (content_hash)
+        |JOIN fb USING (content_hash)
+        |ORDER BY doc_id""".stripMargin,
     "dedup_exact_stats" ->
       """WITH g AS (SELECT md5(text) AS h, count(*) AS c FROM documents GROUP BY 1)
         |SELECT count(*) AS n_unique_texts,

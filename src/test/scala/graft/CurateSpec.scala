@@ -100,4 +100,35 @@ class CurateSpec extends SparkSpec {
     assert(seqs.count(_.getAs[Long]("n_tokens") < 256 - 63) <= grps,
       "more underfull sequences than packing groups")
   }
+
+  test("mix_corpora equalizes per-source token shares within one doc of target") {
+    val rows = q("mix_corpora").collect()
+    val budget = rows.head.getAs[Long]("target_tokens")
+    // every source shares ONE derived budget (total DIV n_sources)
+    assert(rows.forall(_.getAs[Long]("target_tokens") === budget))
+    val docs = Tables.documents(spark, sf)
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("t"))
+      .collect().groupBy(_.getString(0))
+    rows.foreach { r =>
+      val src = r.getString(0)
+      val toks = docs(src).map(_.getLong(1)).sum
+      val maxDoc = docs(src).map(_.getLong(1)).max
+      // full epochs is exact integer division of the shared budget
+      assert(r.getAs[Long]("full_epochs") === budget / toks, src)
+      // the mixture can miss the target only by the Bernoulli tail:
+      // |achieved − expected| is bounded by the largest extra-copy swing
+      // (every candidate doc in or out), and the FULL passes alone never
+      // overshoot the budget
+      val fullTokens = (budget / toks) * toks
+      assert(fullTokens <= budget, src)
+      val mixed = r.getAs[Long]("n_tokens_mixed")
+      assert(mixed >= fullTokens, src)
+      assert(mixed <= fullTokens + toks, src)
+      // sampling is live in BOTH directions somewhere in the corpus: the
+      // expected extra mass is rem tokens; a zero-width check would pass
+      // trivially, so pin the achieved mass to ±50% of target (loose
+      // enough for the hash tail at sf0.001's ~25 docs/source)
+      assert(math.abs(mixed - budget) <= budget / 2, s"$src mixed=$mixed")
+    }
+  }
 }

@@ -180,4 +180,28 @@ class TextDedupSpec extends SparkSpec {
       val last = cs.last
       assert(last._2 * 48 + last._3 === docTokens(doc), s"doc $doc tail") }
   }
+
+  test("dedup_incremental decisions replay the snapshot/batch split exactly") {
+    val rows = q("dedup_incremental").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    // ground truth recomputed independently from the bag fingerprints
+    val fp = q("doc_fingerprint").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("fingerprint")).toMap
+    val cut = fp.keys.max / 2
+    val snapH = fp.filter(_._1 <= cut).values.toSet
+    val batch = fp.filter(_._1 > cut).toSeq.sortBy(_._1)
+    assert(rows.map(_._1).toSeq === batch.map(_._1), "batch membership + order")
+    val firstIn = batch.groupBy(_._2).map { case (h, ds) => h -> ds.map(_._1).min }
+    rows.foreach { case (id, h, dec) =>
+      assert(h === fp(id), s"doc $id digest")
+      val want =
+        if (snapH.contains(h)) "dup_of_snapshot"
+        else if (id > firstIn(h)) "dup_in_batch"
+        else "new"
+      assert(dec === want, s"doc $id") }
+    // the fixture must exercise every branch, or this test proves nothing
+    val kinds = rows.map(_._3).toSet
+    assert(kinds === Set("new", "dup_of_snapshot", "dup_in_batch"),
+      s"fixture exercises all decision branches, got $kinds")
+  }
 }
