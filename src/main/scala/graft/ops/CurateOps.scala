@@ -395,23 +395,30 @@ object CurateOps {
     val tok = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("source"),
         size(split(col("text"), " ")).cast("long").as("t"))
-    val st = tok.groupBy("source").agg(sum("t").as("toks"))
+    // per-source totals are |sources| rows; persisting them pins the
+    // stats pass to ONE corpus scan (tot, tgt and the mixture join all
+    // reuse the cached aggregate instead of re-scanning)
+    val st = tok.groupBy("source").agg(sum("t").as("toks")).persist()
     val tot = st.agg(sum("toks").as("total"), count(lit(1)).as("nsrc"))
     val tgt = st.crossJoin(broadcast(tot))
       .select(col("source"), col("toks"),
         expr("total DIV nsrc").as("budget"))
       .withColumn("full_epochs", expr("budget DIV toks"))
       .withColumn("rem", col("budget") % col("toks"))
+    // ONE corpus pass emits both the full-epoch copies and the
+    // hash-decided extra copy: per doc, n_emit = full_epochs + the
+    // Bernoulli bit, one bounded explode. (A union of a full-pass branch
+    // and an extra-copy branch reads the corpus twice — at 100 TB the
+    // second scan is the whole cost of the op.)
     val rep = tok.join(broadcast(tgt), Seq("source"))
-    val fullCopies = rep.filter(col("full_epochs") > 0)
+    val mixed = rep
+      .withColumn("n_emit", col("full_epochs") +
+        when(
+          expr("CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT)")
+            % col("toks") < col("rem"), 1L).otherwise(0L))
+      .filter(col("n_emit") > 0)
       .select(col("source"), col("doc_id"), col("t"),
-        explode(sequence(lit(0L), col("full_epochs") - 1)).as("epoch"))
-      .select(col("source"), col("doc_id"), col("t"))
-    val extra = rep.filter(
-      expr("CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT)")
-        % col("toks") < col("rem"))
-      .select(col("source"), col("doc_id"), col("t"))
-    val mixed = fullCopies.union(extra)
+        explode(sequence(lit(0L), col("n_emit") - 1)).as("epoch"))
       .groupBy("source")
       .agg(count(lit(1)).as("nr"), sum("t").as("ntok"))
     tgt.join(mixed, Seq("source"), "left_outer")

@@ -581,26 +581,101 @@ object DedupOps {
       .select(col("doc_id"),
         md5(concat_ws(" ",
           array_sort(array_distinct(split(col("text"), " "))))).as("content_hash"))
+      // the digest table is computed ONCE and reused by every consumer
+      // below — without this the store probe, the keep-first aggregate
+      // and the batch side each re-scan the corpus and re-digest it
+      // (three full passes at 100 TB). In production this persist IS the
+      // written digest table; here it is doc_id + 16-byte hash, ~25 B a
+      // row at any corpus size.
+      .persist()
     val cut = docs.agg(expr("max(doc_id) DIV 2").as("cut"))
     val keyed = docs.crossJoin(broadcast(cut))
-    val snap = keyed.filter(col("doc_id") <= col("cut"))
-      .select(col("content_hash")).distinct()
-      .withColumn("in_snap", lit(1L))
-    val batch = keyed.filter(col("doc_id") > col("cut"))
+    // one hash exchange carries BOTH decisions: per digest, does the
+    // snapshot side hold it (store membership) and what is the batch's
+    // first arrival — a map-side-combinable aggregate, then one join of
+    // the batch rows against the per-digest summary (broadcast when the
+    // distinct-digest side fits, shuffle join above that).
+    val summary = keyed.groupBy("content_hash").agg(
+      max(when(col("doc_id") <= col("cut"), 1L).otherwise(0L)).as("in_snap"),
+      min(when(col("doc_id") > col("cut"), col("doc_id"))).as("first_in_batch"))
+    keyed.filter(col("doc_id") > col("cut"))
       .select(col("doc_id"), col("content_hash"))
-    val firstIn = batch.groupBy("content_hash")
-      .agg(min(col("doc_id")).as("first_in_batch"))
-    batch
-      .join(snap, Seq("content_hash"), "left_outer")
-      .join(firstIn, Seq("content_hash"))
+      .join(summary, Seq("content_hash"))
       .select(col("doc_id"), col("content_hash"),
-        when(col("in_snap").isNotNull, lit("dup_of_snapshot"))
+        when(col("in_snap") === 1L, lit("dup_of_snapshot"))
           .when(col("doc_id") > col("first_in_batch"), lit("dup_in_batch"))
           .otherwise(lit("new")).as("decision"))
       .orderBy("doc_id")
   }
 
+  /** MAXIMAL cross-document repeated spans — the exact-substring dedup
+    * shape (the "remove long verbatim repeats" pass of LLM-corpus
+    * hygiene, suffix-array family): every maximal run of ≥ 4 consecutive
+    * tokens shared verbatim by two documents of the same source, with
+    * its position in both. [[dupNgramSpans]] counts duplicated 3-token
+    * shingles corpus-wide; this op goes the rest of the way to SPANS —
+    * which tokens, where, how long — the actionable output a span
+    * excision pass consumes.
+    *
+    * Dataflow (no suffix array, no pair matrix):
+    *  1. shingle postings: (3-gram hash at position i) per doc — the
+    *     shifted-slice zip_with shingling, token-count×16 B shuffle;
+    *  2. postings equi-join on (hash, source) with doc_a < doc_b: only
+    *     colliding positions meet, each emitting a match point
+    *     (doc_a, doc_b, ia, ib);
+    *  3. run detection on each pair DIAGONAL (ia − ib): consecutive
+    *     match points fuse via the classic islands trick (ia −
+    *     row_number per diagonal is constant on a run) — one window
+    *     whose partition key (doc_a, doc_b, diag) is a shuffle key,
+    *     never a driver structure;
+    *  4. per island: start positions + span length (run + k − 1),
+    *     threshold ≥ 4 tokens (≥ 2 consecutive shingle collisions — a
+    *     RUN, not an isolated shingle hit; a production excision pass
+    *     raises the same filter constant to its policy length, ~50).
+    *
+    * A maximal t-token shared span appears as exactly t−2 consecutive
+    * shingle collisions on one diagonal, so the reconstruction is exact
+    * — no probabilistic caveat beyond md5 collisions, which could only
+    * merge unrelated runs. The known hot spot is a boilerplate shingle
+    * with document frequency d inside one source (d² match points);
+    * the production mitigations are the same as [[ngramJaccard]]'s
+    * blocking discussion (df cap on the postings, salt the source
+    * blocks) and AQE skew splitting on the band join. */
+  def dedupSubstringSpans(spark: SparkSession, sfDir: String): DataFrame = {
+    val minSpan = 4
+    val sh = Tables.documents(spark, sfDir)
+      .filter(size(toks) >= 3)
+      .select(col("doc_id"), col("source"), toks.as("t"), (size(toks) - 2).as("m"))
+      .select(col("doc_id"), col("source"), posexplode(
+          zip_with(
+            zip_with(slice(col("t"), lit(1), col("m")), slice(col("t"), lit(2), col("m")),
+              (x, y) => concat_ws(" ", x, y)),
+            slice(col("t"), lit(3), col("m")),
+            (xy, z) => md5(concat_ws(" ", xy, z)))))
+      .select(col("doc_id"), col("source"), col("pos").cast("long").as("pos"),
+        col("col").as("h"))
+    val matches = sh.as("a").join(sh.as("b"),
+        col("a.h") === col("b.h") && col("a.source") === col("b.source") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.pos").as("ia"), col("b.pos").as("ib"))
+    val wRun = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_a"), col("doc_b"), col("ia") - col("ib"))
+      .orderBy("ia")
+    matches
+      .withColumn("diag", col("ia") - col("ib"))
+      .withColumn("isl", col("ia") - row_number().over(wRun))
+      .groupBy("doc_a", "doc_b", "diag", "isl")
+      .agg(min(col("ia")).as("start_a"), (max(col("ia")) - min(col("ia")) + 3)
+        .as("span_len"))
+      .filter(col("span_len") >= minSpan)
+      .select(col("doc_a"), col("doc_b"), col("start_a"),
+        (col("start_a") - col("diag")).as("start_b"), col("span_len"))
+      .orderBy("doc_a", "doc_b", "start_a", "start_b")
+  }
+
   val queries: Map[String, Q] = Map(
+    "dedup_substring_spans" -> (dedupSubstringSpans _),
     "dedup_incremental"   -> (dedupIncremental _),
     "dup_ngram_spans"     -> (dupNgramSpans _),
     "dedup_containment"   -> (ngramContainment _),
@@ -660,6 +735,28 @@ object DedupOps {
       |  GROUP BY 1, 2)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "dedup_substring_spans" ->
+      """WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS w
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
+        |sh AS (SELECT doc_id, source, CAST(i.i AS BIGINT) AS pos,
+        |    md5(w[CAST(i.i + 1 AS INTEGER)] || ' ' ||
+        |        w[CAST(i.i + 2 AS INTEGER)] || ' ' ||
+        |        w[CAST(i.i + 3 AS INTEGER)]) AS h
+        |  FROM t, unnest(range(0, len(w) - 2)) AS i(i)),
+        |m AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    a.pos AS ia, b.pos AS ib
+        |  FROM sh a JOIN sh b
+        |    ON a.h = b.h AND a.source = b.source AND a.doc_id < b.doc_id),
+        |isl AS (SELECT doc_a, doc_b, ia - ib AS diag, ia,
+        |    ia - row_number() OVER (
+        |      PARTITION BY doc_a, doc_b, ia - ib ORDER BY ia) AS isl
+        |  FROM m),
+        |sp AS (SELECT doc_a, doc_b, diag,
+        |    min(ia) AS start_a, max(ia) - min(ia) + 3 AS span_len
+        |  FROM isl GROUP BY doc_a, doc_b, diag, isl)
+        |SELECT doc_a, doc_b, start_a, start_a - diag AS start_b, span_len
+        |FROM sp WHERE span_len >= 4
+        |ORDER BY doc_a, doc_b, start_a, start_b""".stripMargin,
     "dedup_incremental" ->
       """WITH d AS (SELECT doc_id,
         |  md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))),

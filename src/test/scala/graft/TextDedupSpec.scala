@@ -204,4 +204,26 @@ class TextDedupSpec extends SparkSpec {
     assert(kinds === Set("new", "dup_of_snapshot", "dup_in_batch"),
       s"fixture exercises all decision branches, got $kinds")
   }
+
+  test("dedup_substring_spans spans are verbatim-equal token runs and maximal") {
+    val spans = q("dedup_substring_spans").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2).toInt,
+        r.getLong(3).toInt, r.getLong(4).toInt))
+    assert(spans.nonEmpty, "fixture contains no cross-doc repeated spans")
+    assert(spans.exists(_._5 >= 8), "no LONG planted span found — fixture drift")
+    val texts = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ")).toMap
+    spans.foreach { case (a, b, sa, sb, len) =>
+      val (wa, wb) = (texts(a), texts(b))
+      // the reported span really is token-for-token identical in both docs
+      assert(wa.slice(sa, sa + len).sameElements(wb.slice(sb, sb + len)),
+        s"span ($a,$b,$sa,$sb,$len) not verbatim")
+      // and MAXIMAL: one more token on either side breaks the match
+      assert(sa == 0 || sb == 0 || wa(sa - 1) != wb(sb - 1),
+        s"span ($a,$b,$sa,$sb,$len) extendable left")
+      assert(sa + len >= wa.length || sb + len >= wb.length ||
+        wa(sa + len) != wb(sb + len),
+        s"span ($a,$b,$sa,$sb,$len) extendable right")
+    }
+  }
 }
