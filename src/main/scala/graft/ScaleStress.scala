@@ -98,6 +98,18 @@ object ScaleStress {
     Heavy("dedup_ngram_jaccard", "shingle postings join; disjoint vocab => linear", 1.3),
     Heavy("dup_ngram_spans", "shingle postings join + span agg; linear", 1.3),
     Heavy("decontaminate_prefilter", "fingerprint hash anti-join; linear", 1.2),
+    Heavy("dedup_incremental",
+      "one digest pass + per-digest summary agg + summary join; linear " +
+        "(replica shift moves the snapshot cut ACROSS replicas — volume " +
+        "honest, decision mix shifts, cost model unchanged)", 1.2),
+    Heavy("dedup_substring_spans",
+      "shingle postings join on (hash, source) + islands window per pair " +
+        "diagonal; suffixed replica vocab keeps postings disjoint => " +
+        "linear until within-source shingle df² dominates", 1.3),
+    Heavy("mix_corpora",
+      "stats pass + one mixture pass with bounded explode; linear " +
+        "(replicas share source names, so per-source budgets scale " +
+        "with the corpus)", 1.2),
     // curation / IR over documents
     Heavy("token_budget_select", "2-phase bucket prefix; linear", 1.2),
     Heavy("pack_sequences", "per-group running-sum packing; linear", 1.2),

@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication suite over `documents` — the north-star LLM-pipeline
@@ -641,7 +642,13 @@ object DedupOps {
     * the production mitigations are the same as [[ngramJaccard]]'s
     * blocking discussion (df cap on the postings, salt the source
     * blocks) and AQE skew splitting on the band join. */
-  def dedupSubstringSpans(spark: SparkSession, sfDir: String): DataFrame = {
+  def dedupSubstringSpans(spark: SparkSession, sfDir: String): DataFrame =
+    substringSpanPairs(spark, sfDir)
+      .orderBy("doc_a", "doc_b", "start_a", "start_b")
+
+  /** [[dedupSubstringSpans]] without the presentation sort — the form
+    * composed consumers ([[spanExcision]]) build on. */
+  def substringSpanPairs(spark: SparkSession, sfDir: String): DataFrame = {
     val minSpan = 4
     val sh = Tables.documents(spark, sfDir)
       .filter(size(toks) >= 3)
@@ -671,10 +678,48 @@ object DedupOps {
       .filter(col("span_len") >= minSpan)
       .select(col("doc_a"), col("doc_b"), col("start_a"),
         (col("start_a") - col("diag")).as("start_b"), col("span_len"))
-      .orderBy("doc_a", "doc_b", "start_a", "start_b")
+  }
+
+  /** Span EXCISION — the cleanup stage downstream of
+    * [[dedupSubstringSpans]]: every repeated span is removed from its
+    * HIGHER-doc_id document (the lower-id copy is the keeper, the same
+    * keep-first convention as [[dedupKeepFirst]]), overlapping excision
+    * ranges are unioned, and each affected doc reports its excised
+    * range count and removed/kept token totals — the accounting a
+    * corpus-hygiene pass emits before rewriting shards.
+    *
+    * Interval union is the running-max islands trick: per doc, ranges
+    * sorted by (start, end); a range whose start exceeds every previous
+    * end opens a new island; `(doc, island)` groups collapse to merged
+    * ranges. Both windows key on doc_id — shuffle keys proportional to
+    * SPAN rows (23 at sf0.01), never to the corpus. */
+  def spanExcision(spark: SparkSession, sfDir: String): DataFrame = {
+    val spans = substringSpanPairs(spark, sfDir)
+      .select(col("doc_b").as("doc_id"), col("start_b").as("s"),
+        (col("start_b") + col("span_len")).as("e"))
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("s", "e")
+    val ranges = spans
+      .withColumn("prev_max",
+        max(col("e")).over(wOrd.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("g", sum(
+          when(col("prev_max").isNull || col("s") > col("prev_max"), 1L)
+            .otherwise(0L)).over(wOrd))
+      .groupBy("doc_id", "g")
+      .agg(min(col("s")).as("s"), max(col("e")).as("e"))
+    val tok = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), size(toks).cast("long").as("n"))
+    ranges.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_excised_ranges"),
+        sum(col("e") - col("s")).as("n_tokens_removed"))
+      .join(tok, "doc_id")
+      .select(col("doc_id"), col("n_excised_ranges"), col("n_tokens_removed"),
+        (col("n") - col("n_tokens_removed")).as("n_tokens_kept"))
+      .orderBy("doc_id")
   }
 
   val queries: Map[String, Q] = Map(
+    "span_excision"       -> (spanExcision _),
     "dedup_substring_spans" -> (dedupSubstringSpans _),
     "dedup_incremental"   -> (dedupIncremental _),
     "dup_ngram_spans"     -> (dupNgramSpans _),
@@ -735,6 +780,45 @@ object DedupOps {
       |  GROUP BY 1, 2)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "span_excision" ->
+      """WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS w
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
+        |sh AS (SELECT doc_id, source, CAST(i.i AS BIGINT) AS pos,
+        |    md5(w[CAST(i.i + 1 AS INTEGER)] || ' ' ||
+        |        w[CAST(i.i + 2 AS INTEGER)] || ' ' ||
+        |        w[CAST(i.i + 3 AS INTEGER)]) AS h
+        |  FROM t, unnest(range(0, len(w) - 2)) AS i(i)),
+        |m AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    a.pos AS ia, b.pos AS ib
+        |  FROM sh a JOIN sh b
+        |    ON a.h = b.h AND a.source = b.source AND a.doc_id < b.doc_id),
+        |isl AS (SELECT doc_a, doc_b, ia - ib AS diag, ia,
+        |    ia - row_number() OVER (
+        |      PARTITION BY doc_a, doc_b, ia - ib ORDER BY ia) AS isl
+        |  FROM m),
+        |sp AS (SELECT doc_a, doc_b, diag,
+        |    min(ia) AS start_a, max(ia) - min(ia) + 3 AS span_len
+        |  FROM isl GROUP BY doc_a, doc_b, diag, isl),
+        |spans AS (SELECT doc_b AS doc_id, start_a - diag AS s,
+        |    start_a - diag + span_len AS e
+        |  FROM sp WHERE span_len >= 4),
+        |ord AS (SELECT doc_id, s, e,
+        |    max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+        |  FROM spans),
+        |grp AS (SELECT doc_id, s, e,
+        |    sum(CASE WHEN prev_max IS NULL OR s > prev_max THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY s, e) AS g
+        |  FROM ord),
+        |uni AS (SELECT doc_id, min(s) AS s, max(e) AS e
+        |  FROM grp GROUP BY doc_id, g),
+        |tok AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM documents)
+        |SELECT u.doc_id, count(*) AS n_excised_ranges,
+        |  CAST(sum(e - s) AS BIGINT) AS n_tokens_removed,
+        |  CAST(any_value(n) - sum(e - s) AS BIGINT) AS n_tokens_kept
+        |FROM uni u JOIN tok USING (doc_id)
+        |GROUP BY u.doc_id ORDER BY u.doc_id""".stripMargin,
     "dedup_substring_spans" ->
       """WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS w
         |  FROM documents WHERE len(string_split(text, ' ')) >= 3),

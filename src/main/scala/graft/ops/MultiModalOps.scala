@@ -346,6 +346,48 @@ object MultiModalOps {
       .orderBy("doc_id", "frame_idx")
   }
 
+  final case class FrameMotion(
+      doc_id: Long, frame_idx: Long, motion: Long, max_px_delta: Long)
+
+  /** Per-frame MOTION signal over the real multi-frame container: for
+    * every frame after the first, the exact sum (and max) of absolute
+    * per-pixel deltas against the previous frame — the inter-frame
+    * difference a keyframe/shot-boundary detector thresholds ([the
+    * video twin of [[mmAudioEnergy]]'s contour). Frames of one clip are
+    * adjacent in the decoder's output, so the delta is computed inside
+    * the same narrow `mapPartitions` pass that demuxes the clip — no
+    * self-join of the frame table, nothing but (doc_id, frame_idx, two
+    * longs) ever leaves the executors. Exact integers end-to-end: the
+    * oracle rebuilds both frames from the rolling-scan formula and
+    * re-derives every delta. */
+  def mmVideoMotion(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    videoBytes(spark, sfDir)
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+        it.flatMap { case (id, bytes) =>
+          val d = GifDecoder.decode(reader, bytes)
+          (1 until d.rasters.length).iterator.map { f =>
+            val prev = d.rasters(f - 1)
+            val cur = d.rasters(f)
+            var s = 0L
+            var mx = 0L
+            var i = 0
+            while (i < cur.length) {
+              val delta = math.abs((cur(i) & 0xff) - (prev(i) & 0xff)).toLong
+              s += delta
+              if (delta > mx) mx = delta
+              i += 1
+            }
+            FrameMotion(id, f.toLong, s, mx)
+          }
+        }
+      }
+      .toDF()
+      .orderBy("doc_id", "frame_idx")
+  }
+
   /** The resize stage contract: media bytes → fixed-size thumbnail.
     * Stub semantics (no codec libs in the container): the byte stream is
     * cut into out_w×out_h equal blocks and each thumbnail cell is its
@@ -431,7 +473,8 @@ object MultiModalOps {
     "mm_resize"       -> (mmResize _),
     "mm_frame_sample" -> (mmFrameSample _),
     "mm_video_decode" -> (mmVideoDecode _),
-    "mm_video_frames" -> (mmVideoFrames _))
+    "mm_video_frames" -> (mmVideoFrames _),
+    "mm_video_motion" -> (mmVideoMotion _))
 
   /** The fixture raster, rebuilt in SQL: the PNG writer tiles the doc's
     * ASCII bytes row-major over a w×h grid, so the decoded raster as a
@@ -565,6 +608,21 @@ object MultiModalOps {
          |  CAST(list_sum(list_transform(range(1, nf * w * h + 1),
          |    i -> ascii(substring(allras, CAST(i AS INTEGER), 1)))) AS BIGINT) AS px_sum
          |FROM vr ORDER BY doc_id""".stripMargin,
+    "mm_video_motion" ->
+      s"""WITH $sqlVideo,
+         |fr AS (SELECT doc_id, CAST(f.f AS BIGINT) AS frame_idx, w, h,
+         |    substring(allras, CAST(f.f * w * h + 1 AS INTEGER), w * h) AS ras
+         |  FROM vr, unnest(range(0, nf)) AS f(f)),
+         |dl AS (SELECT cur.doc_id, cur.frame_idx,
+         |    list_transform(range(1, cur.w * cur.h + 1),
+         |      i -> abs(ascii(substring(cur.ras, CAST(i AS INTEGER), 1))
+         |             - ascii(substring(prv.ras, CAST(i AS INTEGER), 1)))) AS ds
+         |  FROM fr cur JOIN fr prv
+         |    ON prv.doc_id = cur.doc_id AND prv.frame_idx = cur.frame_idx - 1)
+         |SELECT doc_id, frame_idx,
+         |  CAST(list_sum(ds) AS BIGINT) AS motion,
+         |  CAST(list_max(ds) AS BIGINT) AS max_px_delta
+         |FROM dl ORDER BY doc_id, frame_idx""".stripMargin,
     "mm_video_frames" ->
       s"""WITH $sqlVideo,
          |fr AS (SELECT doc_id, CAST(f.f AS BIGINT) AS frame_idx,

@@ -226,4 +226,31 @@ class TextDedupSpec extends SparkSpec {
         s"span ($a,$b,$sa,$sb,$len) extendable right")
     }
   }
+
+  test("span_excision replays the independent interval union of the span table") {
+    val spans = q("dedup_substring_spans").collect()
+      .map(r => (r.getLong(1), r.getLong(3), r.getLong(3) + r.getLong(4)))
+    val got = q("span_excision").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val docTokens = Tables.documents(spark, sf)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // independent union replay in plain Scala
+    val want = spans.groupBy(_._1).map { case (doc, ss) =>
+      val sorted = ss.map(s => (s._2, s._3)).sortBy(identity)
+      val merged = sorted.foldLeft(List.empty[(Long, Long)]) {
+        case (acc @ ((ps, pe) :: rest), (s, e)) =>
+          if (s <= pe) (ps, math.max(pe, e)) :: rest else (s, e) :: acc
+        case (Nil, r) => r :: Nil
+      }
+      val removed = merged.map { case (s, e) => e - s }.sum
+      doc -> ((merged.size.toLong, removed, docTokens(doc) - removed))
+    }
+    assert(got.keySet === want.keySet, "affected-doc set")
+    want.foreach { case (doc, exp) => assert(got(doc) === exp, s"doc $doc") }
+    // conservation: removed + kept == the doc's token count
+    got.foreach { case (doc, (_, rm, kp)) =>
+      assert(rm + kp === docTokens(doc), s"doc $doc conservation") }
+  }
 }

@@ -139,4 +139,23 @@ class VideoSpec extends SparkSpec {
     assert(got.keySet === want.keySet)
     want.foreach { case (id, exp) => assert(got(id) === exp, s"doc $id") }
   }
+
+  test("mm_video_motion equals per-frame deltas of the formula-rebuilt clip") {
+    import org.apache.spark.sql.functions.col
+    val got = q("mm_video_motion").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    val want = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+      .collect().flatMap { r =>
+        val bytes = r.getString(1).getBytes(StandardCharsets.UTF_8)
+        val (w, h, nf) = FileOps.videoGeometry(bytes.length)
+        val px = (f: Int, i: Int) => bytes((f * w * h + i) % bytes.length) & 0xff
+        (1 until nf).map { f =>
+          val ds = (0 until w * h).map(i => math.abs(px(f, i) - px(f - 1, i)))
+          (r.getLong(0), f.toLong) -> ((ds.map(_.toLong).sum, ds.max.toLong))
+        }
+      }.toMap
+    assert(got.keySet === want.keySet)
+    want.foreach { case (k, exp) => assert(got(k) === exp, s"clip/frame $k") }
+  }
 }
