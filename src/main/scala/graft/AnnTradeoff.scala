@@ -106,10 +106,9 @@ object AnnTradeoff {
       .select("sid", "vec_id").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
 
-    final case class Entry(name: String, json: String)
     def fmt(d: Double) = f"$d%.4f"
 
-    def topkEntry(name: String, k: Int): Entry = {
+    def topkEntry(name: String, k: Int): String = {
       val (t, rows) = timed(name)
       val found = rows.map(r => (r.getLong(0), r.getLong(2)))
         .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
@@ -118,22 +117,20 @@ object AnnTradeoff {
         want.count(found.getOrElse(q, Set.empty).contains).toDouble / want.size
       }.sum / truthTop.size
       println(f"[ann] $name%-20s k=$k recall=${recall}%.3f t=${t}%.2fs")
-      Entry(name,
-        s""""$name":{"protocol":"topk_probe","k":$k,"recall_at_k":${fmt(recall)},""" +
-          s""""wall_sec":${fmt(t)},"n_queries":${truthTop.size}${confJson(name)}}""")
+      s""""$name":{"protocol":"topk_probe","k":$k,"recall_at_k":${fmt(recall)},""" +
+        s""""wall_sec":${fmt(t)},"n_queries":${truthTop.size}${confJson(name)}}"""
     }
 
-    def nn1Entry(name: String): Entry = {
+    def nn1Entry(name: String): String = {
       val (t, rows) = timed(name)
       // LSH shape: (vec_id, bucket, neighbor_id, cos)
       val found = rows.map(r => (r.getLong(0), r.getLong(2))).toMap
       val recall = truth1.count { case (v, nn) =>
         found.get(v).contains(nn) }.toDouble / truth1.size
       println(f"[ann] $name%-20s 1nn recall=${recall}%.3f t=${t}%.2fs")
-      Entry(name,
-        s""""$name":{"protocol":"all_vectors_1nn_sample","k":1,""" +
-          s""""recall_at_k":${fmt(recall)},"wall_sec":${fmt(t)},""" +
-          s""""n_sample":${truth1.size}${confJson(name)}}""")
+      s""""$name":{"protocol":"all_vectors_1nn_sample","k":1,""" +
+        s""""recall_at_k":${fmt(recall)},"wall_sec":${fmt(t)},""" +
+        s""""n_sample":${truth1.size}${confJson(name)}}"""
     }
 
     def confJson(name: String): String = {
@@ -144,10 +141,9 @@ object AnnTradeoff {
     }
 
     val entries = Seq(
-      Entry("ann_topk_brute",
-        s""""ann_topk_brute":{"protocol":"topk_probe","k":5,"recall_at_k":1.0,""" +
-          s""""wall_sec":${fmt(tBrute)},"n_queries":${truthTop.size},""" +
-          s""""note":"exact — the ground truth the others approximate"}"""),
+      s""""ann_topk_brute":{"protocol":"topk_probe","k":5,"recall_at_k":1.0,""" +
+        s""""wall_sec":${fmt(tBrute)},"n_queries":${truthTop.size},""" +
+        s""""note":"exact — the ground truth the others approximate"}""",
       topkEntry("ann_sq8", 5),
       topkEntry("ann_ivf_probe", 3),
       topkEntry("ann_ivf_kmeans", 3),
@@ -156,17 +152,16 @@ object AnnTradeoff {
         val (t, rows) = timed("pq_encode")
         val meanDist = rows.map(_.getDouble(6)).sum / rows.length
         println(f"[ann] pq_encode            distortion=${meanDist}%.4f t=${t}%.2fs")
-        Entry("pq_encode",
-          s""""pq_encode":{"protocol":"encoder","mean_distortion":${fmt(meanDist)},""" +
-            s""""wall_sec":${fmt(t)},"n_encoded":${rows.length},""" +
-            s""""note":"codebook quality proxy; ADC search not part of the catalog"}""")
+        s""""pq_encode":{"protocol":"encoder","mean_distortion":${fmt(meanDist)},""" +
+          s""""wall_sec":${fmt(t)},"n_encoded":${rows.length},""" +
+          s""""note":"codebook quality proxy; ADC search not part of the catalog"}"""
       })
 
     val round = sys.env.getOrElse("SPARK_GRAFT_ROUND", GraftConf.round)
     val json =
       s"""{\n"round": "$round", "generated_at": "${java.time.Instant.now()}",\n""" +
         s""""corpus": "$big", "factor": $factor, "n_vectors": $nVec,\n""" +
-        entries.map(_.json).mkString(",\n") + "\n}\n"
+        entries.mkString(",\n") + "\n}\n"
     java.nio.file.Files.write(java.nio.file.Paths.get(outJson),
       json.getBytes("UTF-8"))
     println(s"[ann] wrote $outJson")

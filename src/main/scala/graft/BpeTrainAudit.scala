@@ -69,19 +69,11 @@ object BpeTrainAudit {
     def med(xs: Seq[Long]): Long =
       if (xs.isEmpty) 0L else xs.sorted.apply(xs.size / 2)
 
-    val perSf = sfDirs.map { sfDir =>
-      // the one corpus-sized pass: same shape bpe_train_rich runs
-      val words = {
-        val d = Tables.documents(spark, sfDir)
-          .select(explode(split(col("text"), " ")).as("w"))
-        val pn = Tables.part(spark, sfDir).select(explode(split(col("p_name"), " ")).as("w"))
-        val pt = Tables.part(spark, sfDir).select(explode(split(lower(col("p_type")), " ")).as("w"))
-        val pb = Tables.part(spark, sfDir).select(lower(col("p_brand")).as("w"))
-        val sn = Tables.supplier(spark, sfDir).select(lower(col("s_name")).as("w"))
-        val nn = Tables.nation(spark, sfDir).select(lower(col("n_name")).as("w"))
-        val rn = Tables.region(spark, sfDir).select(lower(col("r_name")).as("w"))
-        d.union(pn).union(pt).union(pb).union(sn).union(nn).union(rn)
-      }
+    val perSfFull = sfDirs.map { sfDir =>
+      // the one corpus-sized pass: THE corpus bpe_train_rich trains on
+      // (TextOps.richWords — one definition, no drift between the
+      // audited corpus and the production query's)
+      val words = graft.ops.TextOps.richWords(spark, sfDir)
       val (passSec, wf) = timeMin(3) {
         words.filter(col("w") =!= "")
           .groupBy("w").agg(count(lit(1)).as("freq"))
@@ -109,10 +101,11 @@ object BpeTrainAudit {
           s""""max_step_us":${stats.map(_.nanos / 1000).max}}"""
       println(s"[bpe-audit] $sfDir pass=${fmt(passSec)}s vocab=${wf.size} " +
         s"exp=${fmt(exponent)} ladder=${ladderTimes.map(t => fmt(t._2)).mkString(",")}")
-      s""""$sfDir": {"corpus_pass_sec":${fmt(passSec)},""" +
+      (s""""$sfDir": {"corpus_pass_sec":${fmt(passSec)},""" +
         s""""ladder":$ladderJson,"merges_count_exponent":${fmt(exponent)},""" +
-        s""""per_step":$stepJson}"""
+        s""""per_step":$stepJson}""", wf)
     }
+    val perSf = perSfFull.map(_._1)
 
     // production-merge-count synthetic: ~200k-word Zipf vocabulary
     // (deterministic hash-mixed 3-9 letter words), 32k merges — the
@@ -156,20 +149,9 @@ object BpeTrainAudit {
     // fuses out (the trainer stops when no adjacency remains) — the
     // boundary past which `spark.graft.bpe.richMerges` buys nothing.
     val exhaustDir = sfDirs.last
-    val richWf = {
-      val d = Tables.documents(spark, exhaustDir)
-        .select(explode(split(col("text"), " ")).as("w"))
-      val pn = Tables.part(spark, exhaustDir).select(explode(split(col("p_name"), " ")).as("w"))
-      val pt = Tables.part(spark, exhaustDir).select(explode(split(lower(col("p_type")), " ")).as("w"))
-      val pb = Tables.part(spark, exhaustDir).select(lower(col("p_brand")).as("w"))
-      val sn = Tables.supplier(spark, exhaustDir).select(lower(col("s_name")).as("w"))
-      val nn = Tables.nation(spark, exhaustDir).select(lower(col("n_name")).as("w"))
-      val rn = Tables.region(spark, exhaustDir).select(lower(col("r_name")).as("w"))
-      d.union(pn).union(pt).union(pb).union(sn).union(nn).union(rn)
-        .filter(col("w") =!= "")
-        .groupBy("w").agg(count(lit(1)).as("freq"))
-        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
-    }
+    // reuse the word-frequency table perSf already collected for this
+    // dir — no fourth corpus pass, and definitionally the same corpus
+    val richWf = perSfFull.last._2
     val exhaustBudget = 1 << 20 // far past any vocabulary this lake holds
     val tex0 = System.nanoTime()
     val (exhaustLearned, exhaustStats) =

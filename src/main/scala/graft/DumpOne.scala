@@ -23,7 +23,10 @@ object DumpOne {
     spark.sparkContext.setLogLevel("ERROR")
     val df = SparkEntry.queries(args(0))(spark, args(1))
     df.write.mode("overwrite").parquet(args(2))
-    println(s"[dump-one] ${args(0)} -> ${args(2)} rows=${df.count()}")
+    // count the WRITTEN files, not the plan — re-counting df would
+    // re-execute the whole query
+    val rows = spark.read.parquet(args(2)).count()
+    println(s"[dump-one] ${args(0)} -> ${args(2)} rows=$rows")
     spark.stop()
   }
 }

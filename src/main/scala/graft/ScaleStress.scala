@@ -307,10 +307,13 @@ object ScaleStress {
     val custT = spark.read.parquet(s"$small/customer.parquet")
     val suppT = spark.read.parquet(s"$small/supplier.parquet")
     val partT = spark.read.parquet(s"$small/part.parquet")
-    val okMax2 = math.max(maxOf(li, "l_orderkey"), maxOf(ord, "o_orderkey")) + 1
-    val pkMax = math.max(maxOf(li, "l_partkey"), maxOf(partT, "p_partkey")) + 1
-    val skMax = math.max(maxOf(li, "l_suppkey"), maxOf(suppT, "s_suppkey")) + 1
-    val ckMax = math.max(maxOf(ord, "o_custkey"), maxOf(custT, "c_custkey")) + 1
+    // lazy: a tables-subset run that never touches the relational family
+    // (e.g. embeddings-only) must not pay 8 max-scans over its largest
+    // tables just to derive shift constants it will never use
+    lazy val okMax2 = math.max(maxOf(li, "l_orderkey"), maxOf(ord, "o_orderkey")) + 1
+    lazy val pkMax = math.max(maxOf(li, "l_partkey"), maxOf(partT, "p_partkey")) + 1
+    lazy val skMax = math.max(maxOf(li, "l_suppkey"), maxOf(suppT, "s_suppkey")) + 1
+    lazy val ckMax = math.max(maxOf(ord, "o_custkey"), maxOf(custT, "c_custkey")) + 1
     if (want("lineitem"))
       (0 until factor).map { i =>
         li.withColumn("l_orderkey", col("l_orderkey") + lit(i * okMax2))

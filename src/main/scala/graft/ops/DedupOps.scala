@@ -37,6 +37,20 @@ object DedupOps {
 
   private def toks: Column = split(col("text"), " ")
 
+  /** 3-gram shingle-hash ARRAY over pre-split tokens `t` with shingle
+    * count `m = size(t) − 2` — the shifted-slice zip_with shingling
+    * shared by [[dupNgramSpans]] (corpus-wide counts) and
+    * [[substringSpanPairs]] (positional span detection), so the two
+    * levels of the substring-dedup signal can never hash differently.
+    * Avoids the O(tokens²) re-split trap documented at
+    * [[TextOps.docShingleSketch]]. */
+  private def shingleHashes: Column =
+    zip_with(
+      zip_with(slice(col("t"), lit(1), col("m")), slice(col("t"), lit(2), col("m")),
+        (x, y) => concat_ws(" ", x, y)),
+      slice(col("t"), lit(3), col("m")),
+      (xy, z) => md5(concat_ws(" ", xy, z)))
+
   /** Exact dedup summary: hash-groupBy on md5(content). One shuffle of
     * (hash, partial-count) pairs; at 100 TB the hash (16 B) shuffles, the
     * document bodies never do. */
@@ -548,12 +562,7 @@ object DedupOps {
     Tables.documents(spark, sfDir)
       .filter(size(toks) >= 3)
       .select(col("doc_id"), toks.as("t"), (size(toks) - 2).as("m"))
-      .select(col("doc_id"), explode(
-          zip_with(
-            zip_with(slice(col("t"), lit(1), col("m")), slice(col("t"), lit(2), col("m")),
-              (x, y) => concat_ws(" ", x, y)),
-            slice(col("t"), lit(3), col("m")),
-            (xy, z) => md5(concat_ws(" ", xy, z)))).as("shingle_hash"))
+      .select(col("doc_id"), explode(shingleHashes).as("shingle_hash"))
       .groupBy("shingle_hash")
       .agg(countDistinct(col("doc_id")).as("n_docs"), count(lit(1)).as("n_occ"))
       .filter(col("n_docs") >= 2)
@@ -579,9 +588,7 @@ object DedupOps {
     * bodies. */
   def dedupIncremental(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
-      .select(col("doc_id"),
-        md5(concat_ws(" ",
-          array_sort(array_distinct(split(col("text"), " "))))).as("content_hash"))
+      .select(col("doc_id"), TextOps.bagFingerprint.as("content_hash"))
       // the digest table is computed ONCE and reused by every consumer
       // below — without this the store probe, the keep-first aggregate
       // and the batch side each re-scan the corpus and re-digest it
@@ -653,12 +660,7 @@ object DedupOps {
     val sh = Tables.documents(spark, sfDir)
       .filter(size(toks) >= 3)
       .select(col("doc_id"), col("source"), toks.as("t"), (size(toks) - 2).as("m"))
-      .select(col("doc_id"), col("source"), posexplode(
-          zip_with(
-            zip_with(slice(col("t"), lit(1), col("m")), slice(col("t"), lit(2), col("m")),
-              (x, y) => concat_ws(" ", x, y)),
-            slice(col("t"), lit(3), col("m")),
-            (xy, z) => md5(concat_ws(" ", xy, z)))))
+      .select(col("doc_id"), col("source"), posexplode(shingleHashes))
       .select(col("doc_id"), col("source"), col("pos").cast("long").as("pos"),
         col("col").as("h"))
     val matches = sh.as("a").join(sh.as("b"),

@@ -176,7 +176,7 @@ object TextOps {
     * lake (documents plus the catalog/entity names), lowercased — the
     * "train the tokenizer over the whole corpus" pass. Restated verbatim
     * in [[bpeRichCorpusSql]] for the oracle. */
-  private def richWords(spark: SparkSession, sfDir: String): DataFrame = {
+  private[graft] def richWords(spark: SparkSession, sfDir: String): DataFrame = {
     val d = Tables.documents(spark, sfDir).select(explode(tokens).as("w"))
     val pn = Tables.part(spark, sfDir).select(explode(split(col("p_name"), " ")).as("w"))
     val pt = Tables.part(spark, sfDir).select(explode(split(lower(col("p_type")), " ")).as("w"))
@@ -247,10 +247,15 @@ object TextOps {
     * set — an order-insensitive content signature (the "bag fingerprint"
     * used for exact-content dedup across shards). md5 hex is identical on
     * both engines. */
+  /** The bag-fingerprint EXPRESSION, exposed so consumers
+    * ([[DedupOps.dedupIncremental]]) share one definition instead of a
+    * copy that can drift. */
+  private[ops] def bagFingerprint: Column =
+    md5(concat_ws(" ", array_sort(array_distinct(tokens))))
+
   def docFingerprint(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
-      .select(col("doc_id"),
-        md5(concat_ws(" ", array_sort(array_distinct(tokens)))).as("fingerprint"))
+      .select(col("doc_id"), bagFingerprint.as("fingerprint"))
       .orderBy("doc_id")
 
   /** Chunk grid shared by [[chunkDocuments]] and
