@@ -391,25 +391,47 @@ object CurateOps {
     * corpus never funnels: the mixture materializes map-side. At 100 TB
     * the explode emits references (doc_id, epoch), not bodies — exactly
     * what a training-shard writer consumes. */
-  def mixCorpora(spark: SparkSession, sfDir: String): DataFrame = {
+  def mixCorpora(spark: SparkSession, sfDir: String): DataFrame =
+    mixToBudgets(spark, sfDir) { (st, tot) =>
+      st.crossJoin(broadcast(tot))
+        .select(col("source"), col("toks"), expr("total DIV nsrc").as("budget"))
+    }
+
+  /** Temperature-weighted mixture, α = 0.5: source s's token budget is
+    * proportional to √toks_s — the standard compromise between natural
+    * proportions (α = 1, big sources dominate) and the uniform shares of
+    * [[mixCorpora]] (α → 0). `floor(sqrt(x))` is exact cross-engine
+    * (IEEE sqrt is correctly rounded in both JVMs and DuckDB), and the
+    * apportionment `w·(T DIV Σw) + (w·(T MOD Σw)) DIV Σw` is the
+    * overflow-safe integer split of `T·w DIV Σw` — every later step is
+    * the same integer epoch arithmetic as the uniform mixture. */
+  def mixTemperature(spark: SparkSession, sfDir: String): DataFrame =
+    mixToBudgets(spark, sfDir) { (st, tot) =>
+      st.withColumn("w", floor(sqrt(col("toks"))).cast("long"))
+        .crossJoin(broadcast(tot))
+        .select(col("source"), col("toks"),
+          (col("w") * expr("total DIV sumw") +
+            expr("(w * (total % sumw)) DIV sumw")).as("budget"))
+    }
+
+  /** The mixture core shared by every weighting: per-source stats (ONE
+    * corpus scan, persisted — |sources| rows), a caller-supplied budget
+    * derivation, then ONE mixture pass emitting full-epoch copies AND
+    * the md5-Bernoulli extra copy from a single bounded explode. (A
+    * union of a full-pass branch and an extra-copy branch would read
+    * the corpus twice — at 100 TB the second scan is the whole cost of
+    * the op.) */
+  private def mixToBudgets(spark: SparkSession, sfDir: String)(
+      budgets: (DataFrame, DataFrame) => DataFrame): DataFrame = {
     val tok = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("source"),
         size(split(col("text"), " ")).cast("long").as("t"))
-    // per-source totals are |sources| rows; persisting them pins the
-    // stats pass to ONE corpus scan (tot, tgt and the mixture join all
-    // reuse the cached aggregate instead of re-scanning)
     val st = tok.groupBy("source").agg(sum("t").as("toks")).persist()
-    val tot = st.agg(sum("toks").as("total"), count(lit(1)).as("nsrc"))
-    val tgt = st.crossJoin(broadcast(tot))
-      .select(col("source"), col("toks"),
-        expr("total DIV nsrc").as("budget"))
+    val tot = st.agg(sum("toks").as("total"), count(lit(1)).as("nsrc"),
+      sum(floor(sqrt(col("toks"))).cast("long")).as("sumw"))
+    val tgt = budgets(st, tot)
       .withColumn("full_epochs", expr("budget DIV toks"))
       .withColumn("rem", col("budget") % col("toks"))
-    // ONE corpus pass emits both the full-epoch copies and the
-    // hash-decided extra copy: per doc, n_emit = full_epochs + the
-    // Bernoulli bit, one bounded explode. (A union of a full-pass branch
-    // and an extra-copy branch reads the corpus twice — at 100 TB the
-    // second scan is the whole cost of the op.)
     val rep = tok.join(broadcast(tgt), Seq("source"))
     val mixed = rep
       .withColumn("n_emit", col("full_epochs") +
@@ -431,6 +453,7 @@ object CurateOps {
 
   val queries: Map[String, Q] = Map(
     "mix_corpora"            -> (mixCorpora _),
+    "mix_temperature"        -> (mixTemperature _),
     "pipeline_e2e"           -> (pipelineE2e _),
     "token_budget_select"    -> (tokenBudgetSelect _),
     "token_budget_bpe"       -> (tokenBudgetBpe _),
@@ -464,6 +487,45 @@ object CurateOps {
        |  FROM t)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "mix_temperature" ->
+      """WITH tok AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS t
+        |  FROM documents),
+        |st AS (SELECT source, sum(t) AS toks,
+        |    CAST(floor(sqrt(sum(t))) AS BIGINT) AS w
+        |  FROM tok GROUP BY source),
+        |tot AS (SELECT sum(toks) AS total, sum(w) AS sumw FROM st),
+        |tgt AS (
+        |  SELECT source, toks,
+        |    w * (total // sumw) + (w * (total % sumw)) // sumw AS budget,
+        |    (w * (total // sumw) + (w * (total % sumw)) // sumw) // toks
+        |      AS full_epochs,
+        |    (w * (total // sumw) + (w * (total % sumw)) // sumw) % toks AS rem
+        |  FROM st CROSS JOIN tot),
+        |rep AS (
+        |  SELECT tok.doc_id, tok.source, tok.t,
+        |    tgt.full_epochs, tgt.rem, tgt.toks
+        |  FROM tok JOIN tgt USING (source)),
+        |emit AS (
+        |  SELECT source, doc_id, t,
+        |    full_epochs + CASE WHEN
+        |      ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |        % toks < rem THEN 1 ELSE 0 END AS n_emit
+        |  FROM rep),
+        |mixed AS (
+        |  SELECT source, doc_id, t
+        |  FROM emit, unnest(range(0, CAST(n_emit AS BIGINT))) AS e(e)),
+        |agg AS (
+        |  SELECT source, count(*) AS nr, sum(t) AS ntok
+        |  FROM mixed GROUP BY source)
+        |SELECT tgt.source,
+        |  CAST(tgt.full_epochs AS BIGINT) AS full_epochs,
+        |  CAST(coalesce(agg.nr, 0) AS BIGINT) AS n_rows_mixed,
+        |  CAST(coalesce(agg.ntok, 0) AS BIGINT) AS n_tokens_mixed,
+        |  CAST(tgt.budget AS BIGINT) AS target_tokens
+        |FROM tgt LEFT JOIN agg USING (source)
+        |ORDER BY source""".stripMargin,
     "mix_corpora" ->
       """WITH tok AS (
         |  SELECT doc_id, source,

@@ -131,4 +131,38 @@ class CurateSpec extends SparkSpec {
       assert(math.abs(mixed - budget) <= budget / 2, s"$src mixed=$mixed")
     }
   }
+
+  test("mix_temperature apportions √-weighted budgets exactly and monotonically") {
+    val rows = q("mix_temperature").collect()
+      .map(r => r.getString(0) ->
+        ((r.getAs[Long]("target_tokens"), r.getAs[Long]("full_epochs"),
+          r.getAs[Long]("n_tokens_mixed")))).toMap
+    val toks = Tables.documents(spark, sf)
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("t"))
+      .collect().groupBy(_.getString(0)).view
+      .mapValues(_.map(_.getLong(1)).sum).toMap
+    val w = toks.view.mapValues(t => math.sqrt(t.toDouble).toLong).toMap
+    val total = toks.values.sum
+    val sumw = w.values.sum
+    rows.foreach { case (src, (budget, full, mixed)) =>
+      // the exact overflow-safe apportionment, replayed independently
+      val want = w(src) * (total / sumw) + w(src) * (total % sumw) / sumw
+      assert(budget === want, s"$src budget")
+      assert(full === budget / toks(src), s"$src full epochs")
+      // achieved mass within the Bernoulli swing of the target
+      val floorTok = (budget / toks(src)) * toks(src)
+      assert(mixed >= floorTok && mixed <= floorTok + toks(src), s"$src mass")
+    }
+    // √-weighting is order-preserving in source size
+    val bySize = toks.toSeq.sortBy(_._2).map(_._1)
+    bySize.sliding(2).foreach {
+      case Seq(a, b) =>
+        assert(rows(a)._1 <= rows(b)._1, s"budget order violated: $a vs $b")
+      case _ =>
+    }
+    // and the floor apportionment never over-allocates; deficit < |sources|·2
+    val alloc = rows.values.map(_._1).sum
+    assert(alloc <= total, "over-allocated")
+    assert(total - alloc < 2L * rows.size, s"apportionment deficit ${total - alloc}")
+  }
 }
