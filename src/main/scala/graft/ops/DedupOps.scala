@@ -699,16 +699,7 @@ object DedupOps {
     val spans = substringSpanPairs(spark, sfDir)
       .select(col("doc_b").as("doc_id"), col("start_b").as("s"),
         (col("start_b") + col("span_len")).as("e"))
-    val wOrd = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_id").orderBy("s", "e")
-    val ranges = spans
-      .withColumn("prev_max",
-        max(col("e")).over(wOrd.rowsBetween(Window.unboundedPreceding, -1)))
-      .withColumn("g", sum(
-          when(col("prev_max").isNull || col("s") > col("prev_max"), 1L)
-            .otherwise(0L)).over(wOrd))
-      .groupBy("doc_id", "g")
-      .agg(min(col("s")).as("s"), max(col("e")).as("e"))
+    val ranges = unionRanges(spans)
     val tok = Tables.documents(spark, sfDir)
       .select(col("doc_id"), size(toks).cast("long").as("n"))
     ranges.groupBy("doc_id")
@@ -718,6 +709,25 @@ object DedupOps {
       .select(col("doc_id"), col("n_excised_ranges"), col("n_tokens_removed"),
         (col("n") - col("n_tokens_removed")).as("n_tokens_kept"))
       .orderBy("doc_id")
+  }
+
+  /** Distributed interval union: merge overlapping/touching [s, e)
+    * ranges per doc_id — the running-max islands trick (a range whose
+    * start exceeds every previous end opens a new island). Factored out
+    * of [[spanExcision]] because the committed fixtures happen to carry
+    * one range per doc, leaving the MERGE branch (`s <= prev_max`)
+    * unexercised by the oracle — the spec drives this helper with
+    * crafted overlap/touch/nest/disjoint cases directly. */
+  private[graft] def unionRanges(spans: DataFrame): DataFrame = {
+    val wOrd = Window.partitionBy("doc_id").orderBy("s", "e")
+    spans
+      .withColumn("prev_max",
+        max(col("e")).over(wOrd.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("g", sum(
+          when(col("prev_max").isNull || col("s") > col("prev_max"), 1L)
+            .otherwise(0L)).over(wOrd))
+      .groupBy("doc_id", "g")
+      .agg(min(col("s")).as("s"), max(col("e")).as("e"))
   }
 
   val queries: Map[String, Q] = Map(

@@ -253,4 +253,31 @@ class TextDedupSpec extends SparkSpec {
     got.foreach { case (doc, (_, rm, kp)) =>
       assert(rm + kp === docTokens(doc), s"doc $doc conservation") }
   }
+
+  test("unionRanges merges overlap/touch/nest and keeps disjoint — all branches") {
+    // the committed fixture carries one range per doc, so the MERGE
+    // branch of the islands window never fires through the oracle; this
+    // drives the helper with every interval relationship directly
+    import spark.implicits._
+    val in = Seq(
+      // doc 1: overlap + touch chain -> one [0, 12)
+      (1L, 0L, 5L), (1L, 3L, 9L), (1L, 9L, 12L),
+      // doc 1: disjoint tail -> [20, 25)
+      (1L, 20L, 25L),
+      // doc 2: nested -> one [2, 10)
+      (2L, 2L, 10L), (2L, 4L, 6L),
+      // doc 3: identical duplicates -> one [7, 9)
+      (3L, 7L, 9L), (3L, 7L, 9L),
+      // doc 4: strictly disjoint, arrival out of order -> both survive
+      (4L, 10L, 12L), (4L, 0L, 2L)
+    ).toDF("doc_id", "s", "e")
+    val got = graft.ops.DedupOps.unionRanges(in)
+      .select("doc_id", "s", "e").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === Set(
+      (1L, 0L, 12L), (1L, 20L, 25L),
+      (2L, 2L, 10L),
+      (3L, 7L, 9L),
+      (4L, 0L, 2L), (4L, 10L, 12L)))
+  }
 }
