@@ -69,7 +69,11 @@ object BpeTrainAudit {
     def med(xs: Seq[Long]): Long =
       if (xs.isEmpty) 0L else xs.sorted.apply(xs.size / 2)
 
-    val perSfFull = sfDirs.map { sfDir =>
+    // only the LAST dir's vocabulary is reused (exhaustion probe); a
+    // per-dir tuple would pin every collected vocabulary in driver heap
+    // through the synthetic and exhaustion phases
+    var lastWf: Seq[(String, Long)] = Nil
+    val perSf = sfDirs.map { sfDir =>
       // the one corpus-sized pass: THE corpus bpe_train_rich trains on
       // (TextOps.richWords — one definition, no drift between the
       // audited corpus and the production query's)
@@ -101,11 +105,11 @@ object BpeTrainAudit {
           s""""max_step_us":${stats.map(_.nanos / 1000).max}}"""
       println(s"[bpe-audit] $sfDir pass=${fmt(passSec)}s vocab=${wf.size} " +
         s"exp=${fmt(exponent)} ladder=${ladderTimes.map(t => fmt(t._2)).mkString(",")}")
-      (s""""$sfDir": {"corpus_pass_sec":${fmt(passSec)},""" +
+      lastWf = wf
+      s""""$sfDir": {"corpus_pass_sec":${fmt(passSec)},""" +
         s""""ladder":$ladderJson,"merges_count_exponent":${fmt(exponent)},""" +
-        s""""per_step":$stepJson}""", wf)
+        s""""per_step":$stepJson}"""
     }
-    val perSf = perSfFull.map(_._1)
 
     // production-merge-count synthetic: ~200k-word Zipf vocabulary
     // (deterministic hash-mixed 3-9 letter words), 32k merges — the
@@ -151,7 +155,7 @@ object BpeTrainAudit {
     val exhaustDir = sfDirs.last
     // reuse the word-frequency table perSf already collected for this
     // dir — no fourth corpus pass, and definitionally the same corpus
-    val richWf = perSfFull.last._2
+    val richWf = lastWf
     val exhaustBudget = 1 << 20 // far past any vocabulary this lake holds
     val tex0 = System.nanoTime()
     val (exhaustLearned, exhaustStats) =

@@ -392,7 +392,8 @@ object CurateOps {
     * the explode emits references (doc_id, epoch), not bodies — exactly
     * what a training-shard writer consumes. */
   def mixCorpora(spark: SparkSession, sfDir: String): DataFrame =
-    mixToBudgets(spark, sfDir) { (st, tot) =>
+    mixToBudgets(spark, sfDir) { st =>
+      val tot = st.agg(sum("toks").as("total"), count(lit(1)).as("nsrc"))
       st.crossJoin(broadcast(tot))
         .select(col("source"), col("toks"), expr("total DIV nsrc").as("budget"))
     }
@@ -406,9 +407,10 @@ object CurateOps {
     * overflow-safe integer split of `T·w DIV Σw` — every later step is
     * the same integer epoch arithmetic as the uniform mixture. */
   def mixTemperature(spark: SparkSession, sfDir: String): DataFrame =
-    mixToBudgets(spark, sfDir) { (st, tot) =>
-      st.withColumn("w", floor(sqrt(col("toks"))).cast("long"))
-        .crossJoin(broadcast(tot))
+    mixToBudgets(spark, sfDir) { st =>
+      val weighted = st.withColumn("w", floor(sqrt(col("toks"))).cast("long"))
+      val tot = weighted.agg(sum("toks").as("total"), sum("w").as("sumw"))
+      weighted.crossJoin(broadcast(tot))
         .select(col("source"), col("toks"),
           (col("w") * expr("total DIV sumw") +
             expr("(w * (total % sumw)) DIV sumw")).as("budget"))
@@ -422,14 +424,15 @@ object CurateOps {
     * the corpus twice — at 100 TB the second scan is the whole cost of
     * the op.) */
   private def mixToBudgets(spark: SparkSession, sfDir: String)(
-      budgets: (DataFrame, DataFrame) => DataFrame): DataFrame = {
+      budgets: DataFrame => DataFrame): DataFrame = {
     val tok = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("source"),
         size(split(col("text"), " ")).cast("long").as("t"))
     val st = tok.groupBy("source").agg(sum("t").as("toks")).persist()
-    val tot = st.agg(sum("toks").as("total"), count(lit(1)).as("nsrc"),
-      sum(floor(sqrt(col("toks"))).cast("long")).as("sumw"))
-    val tgt = budgets(st, tot)
+    // the weighting is ENTIRELY the callback's: it derives whatever
+    // totals it needs from the cached per-source stats and returns
+    // (source, toks, budget) — the core stays weighting-agnostic
+    val tgt = budgets(st)
       .withColumn("full_epochs", expr("budget DIV toks"))
       .withColumn("rem", col("budget") % col("toks"))
     val rep = tok.join(broadcast(tgt), Seq("source"))

@@ -371,6 +371,11 @@ object MultiModalOps {
           (1 until d.rasters.length).iterator.map { f =>
             val prev = d.rasters(f - 1)
             val cur = d.rasters(f)
+            // GIF allows per-frame sub-rectangles; the fixture never
+            // emits them, and a silent min-length truncation would
+            // corrupt the measurement — fail LOUDLY on any drift
+            require(cur.length == prev.length,
+              s"clip $id: frame $f raster ${cur.length} != ${prev.length}")
             var s = 0L
             var mx = 0L
             var i = 0

@@ -243,16 +243,16 @@ object TextOps {
         size(tokens).cast("long").as("n_ws_tokens"))
       .orderBy("doc_id")
 
-  /** North-star document fingerprint: md5 over the sorted distinct token
-    * set — an order-insensitive content signature (the "bag fingerprint"
-    * used for exact-content dedup across shards). md5 hex is identical on
-    * both engines. */
   /** The bag-fingerprint EXPRESSION, exposed so consumers
     * ([[DedupOps.dedupIncremental]]) share one definition instead of a
     * copy that can drift. */
   private[ops] def bagFingerprint: Column =
     md5(concat_ws(" ", array_sort(array_distinct(tokens))))
 
+  /** North-star document fingerprint: md5 over the sorted distinct token
+    * set — an order-insensitive content signature (the "bag fingerprint"
+    * used for exact-content dedup across shards). md5 hex is identical on
+    * both engines. */
   def docFingerprint(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
       .select(col("doc_id"), bagFingerprint.as("fingerprint"))
