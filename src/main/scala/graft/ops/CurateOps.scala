@@ -454,7 +454,56 @@ object CurateOps {
       .orderBy("source")
   }
 
+  /** DSIR-style importance resampling (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling" — the hashed-n-gram
+    * variant, unigram order): score every NON-target document by how
+    * target-like its unigram distribution is, and select a fixed budget
+    * of the most target-like. Target domain = the `lang = 'en'` slice;
+    * pool = everything else. Per-word importance weight
+    *   lw(w) = ⌊10⁶ · ln( p̂_target(w) / p̂_pool(w) ) ⌋    (add-1 smoothed)
+    * and per-doc score = Σ over token OCCURRENCES of lw — the
+    * log-likelihood ratio in integer micro-nats, so the cross-doc sum is
+    * exact at any merge order (a raw double Σlog would be
+    * order-dependent and hash-unstable). One float op per DISTINCT word
+    * (÷, ln, ×, floor — each correctly rounded or grid-quantized), never
+    * per occurrence.
+    *
+    * Scale shape: ONE token pass builds the vocabulary with BOTH counts
+    * as conditional aggregates (map-side combined); the 1-row totals
+    * broadcast; the scoring pass joins tokens→vocab UNHINTED (broadcast
+    * while the vocab fits, shuffle join on `token` — already the natural
+    * key — when it outgrows it: the [[QualityOps.unigramLmScore]] /
+    * VocabJoinFallbackSpec doctrine), then one doc-keyed sum and a
+    * TakeOrdered top-K — no global sort, no driver loop. The budget
+    * (64 docs) is a policy constant, as in production where the selected
+    * corpus size is chosen, not derived. */
+  def dsirResample(spark: SparkSession, sfDir: String): DataFrame = {
+    val tk = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("source"), explode(toks).as("tok"))
+    val vocab = tk.groupBy("tok").agg(
+      count(lit(1)).as("ca"),
+      count(when(col("lang") === "en", 1)).as("ct"))
+      // vocab-sized (not corpus-sized) and read twice below — totals and
+      // the per-word weights; without the persist both consumers re-run
+      // the corpus token pass
+      .persist()
+    val tot = vocab.agg(sum("ca").cast("long").as("na"),
+      sum("ct").cast("long").as("nt"), count(lit(1)).as("v"))
+    val weights = vocab.crossJoin(broadcast(tot))
+      .select(col("tok"),
+        floor(log(((col("ct") + 1).cast("double") * (col("na") + col("v")).cast("double")) /
+          ((col("ca") + 1).cast("double") * (col("nt") + col("v")).cast("double"))) * 1e6)
+          .cast("long").as("lw"))
+    tk.filter(col("lang") =!= "en")
+      .join(weights, "tok")
+      .groupBy(col("doc_id"), col("lang"), col("source"))
+      .agg(sum("lw").as("score_micronats"), count(lit(1)).as("n_tokens"))
+      .orderBy(col("score_micronats").desc, col("doc_id").asc)
+      .limit(64)
+  }
+
   val queries: Map[String, Q] = Map(
+    "dsir_resample"          -> (dsirResample _),
     "mix_corpora"            -> (mixCorpora _),
     "mix_temperature"        -> (mixTemperature _),
     "pipeline_e2e"           -> (pipelineE2e _),
@@ -490,6 +539,32 @@ object CurateOps {
        |  FROM t)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "dsir_resample" ->
+      """WITH tk AS (
+        |  SELECT doc_id, lang, source,
+        |    unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |vocab AS (
+        |  SELECT tok, count(*) AS ca,
+        |    count(CASE WHEN lang = 'en' THEN 1 END) AS ct
+        |  FROM tk GROUP BY 1),
+        |tot AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+        |    CAST(sum(ct) AS BIGINT) AS nt, count(*) AS v
+        |  FROM vocab),
+        |w AS (
+        |  SELECT tok,
+        |    CAST(floor(ln((CAST(ct + 1 AS DOUBLE) * CAST(na + v AS DOUBLE)) /
+        |                  (CAST(ca + 1 AS DOUBLE) * CAST(nt + v AS DOUBLE)))
+        |         * 1e6) AS BIGINT) AS lw
+        |  FROM vocab CROSS JOIN tot)
+        |SELECT tk.doc_id, tk.lang, tk.source,
+        |  CAST(sum(w.lw) AS BIGINT) AS score_micronats,
+        |  CAST(count(*) AS BIGINT) AS n_tokens
+        |FROM tk JOIN w USING (tok)
+        |WHERE tk.lang <> 'en'
+        |GROUP BY 1, 2, 3
+        |ORDER BY score_micronats DESC, doc_id ASC
+        |LIMIT 64""".stripMargin,
     "mix_temperature" ->
       """WITH tok AS (
         |  SELECT doc_id, source,

@@ -616,6 +616,37 @@ object DedupOps {
       .orderBy("doc_id")
   }
 
+  /** Cross-source contamination matrix — for every source pair
+    * (src_a < src_b), how many distinct documents (by order-insensitive
+    * BAG fingerprint, [[TextOps.bagFingerprint]]) appear in BOTH — the
+    * "which corpora overlap, and how much" report run before deciding a
+    * corpus mixture ([[CurateOps.mixCorpora]]) or a dedup pass ordering.
+    * Keyed on the bag fingerprint for the same reason as
+    * [[dedupIncremental]]: raw-text md5 is near-collision-free on this
+    * corpus and would report an empty (untested) matrix.
+    *
+    * Scale shape: ONE hash exchange of 16-byte digests builds the
+    * per-fingerprint distinct source set (`collect_set` dedups map-side,
+    * so repeated copies within a source collapse before the shuffle);
+    * the pair fan-out then happens ARRAY-SIDE over a set bounded by the
+    * source catalog (a fixed small constant — 20 here, rarely more than
+    * hundreds in production), never as a self-join of the corpus. The
+    * final rollup keys on (src_a, src_b) — at most |sources|² rows. */
+  def dedupCrossSource(spark: SparkSession, sfDir: String): DataFrame = {
+    val sets = Tables.documents(spark, sfDir)
+      .select(TextOps.bagFingerprint.as("h"), col("source"))
+      .groupBy("h").agg(array_sort(collect_set(col("source"))).as("ss"))
+      .filter(size(col("ss")) >= 2)
+    sets
+      .select(explode(flatten(transform(
+        sequence(lit(0), size(col("ss")) - 2),
+        i => transform(slice(col("ss"), i + 2, size(col("ss"))),
+          b => struct(get(col("ss"), i).as("src_a"), b.as("src_b")))))).as("p"))
+      .groupBy(col("p.src_a").as("src_a"), col("p.src_b").as("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy("src_a", "src_b")
+  }
+
   /** MAXIMAL cross-document repeated spans — the exact-substring dedup
     * shape (the "remove long verbatim repeats" pass of LLM-corpus
     * hygiene, suffix-array family): every maximal run of ≥ 4 consecutive
@@ -734,6 +765,7 @@ object DedupOps {
     "span_excision"       -> (spanExcision _),
     "dedup_substring_spans" -> (dedupSubstringSpans _),
     "dedup_incremental"   -> (dedupIncremental _),
+    "dedup_cross_source"  -> (dedupCrossSource _),
     "dup_ngram_spans"     -> (dupNgramSpans _),
     "dedup_containment"   -> (ngramContainment _),
     "dedup_exact_stats"   -> (dedupExactStats _),
@@ -792,6 +824,18 @@ object DedupOps {
       |  GROUP BY 1, 2)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "dedup_cross_source" ->
+      """WITH hs AS (
+        |  SELECT DISTINCT
+        |    md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))),
+        |        ' ')) AS h,
+        |    source
+        |  FROM documents)
+        |SELECT a.source AS src_a, b.source AS src_b,
+        |  CAST(count(*) AS BIGINT) AS n_shared
+        |FROM hs a JOIN hs b ON a.h = b.h AND a.source < b.source
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
     "span_excision" ->
       """WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS w
         |  FROM documents WHERE len(string_split(text, ' ')) >= 3),

@@ -208,7 +208,58 @@ object QualityOps {
       .orderBy("segment")
   }
 
+  /** Quality-gate FUNNEL — the per-rule attrition report of an ordered
+    * filter pipeline (the Gopher/C4-style rule chain a curation run
+    * applies before dedup): for each rule, how many documents fail it in
+    * isolation, and how many survive the pipeline up to and including it.
+    * Rules (all exact integer comparisons — no float thresholds to
+    * drift):
+    *   1. `token_count_bounds`   — 20 ≤ n_tokens ≤ 90,
+    *   2. `mean_word_len_bounds` — 4·n ≤ total_word_chars ≤ 5·n
+    *      (total_word_chars = n_chars − (n − 1) separators),
+    *   3. `stopword_presence`    — contains BOTH 'the' and 'a',
+    *   4. `distinct_token_ratio` — 5·distinct ≥ 2·n (dup ratio ≤ 0.6).
+    *
+    * Scale shape: ONE corpus scan computes every per-doc boolean inside
+    * whole-stage codegen (array ops on the split — no token explode, no
+    * shuffle), then ONE global aggregate of eight conditional counts
+    * (partial map-side, 1-row result); the 4-row funnel is exploded from
+    * that single row. At 100 TB this is scan-bound by construction. */
+  def filterFunnel(spark: SparkSession, sfDir: String): DataFrame = {
+    val per = Tables.documents(spark, sfDir)
+      .select(size(toks).cast("long").as("n"),
+        (col("n_chars") - size(toks) + 1).cast("long").as("chars"),
+        (array_contains(toks, "the") && array_contains(toks, "a")).as("stopok"),
+        size(array_distinct(toks)).cast("long").as("d"))
+      .select((col("n") >= 20 && col("n") <= 90).as("r1"),
+        (col("chars") >= col("n") * 4 && col("chars") <= col("n") * 5).as("r2"),
+        col("stopok").as("r3"),
+        (col("d") * 5 >= col("n") * 2).as("r4"))
+    val agg = per.agg(
+      count(when(!col("r1"), 1)).as("f1"),
+      count(when(!col("r2"), 1)).as("f2"),
+      count(when(!col("r3"), 1)).as("f3"),
+      count(when(!col("r4"), 1)).as("f4"),
+      count(when(col("r1"), 1)).as("c1"),
+      count(when(col("r1") && col("r2"), 1)).as("c2"),
+      count(when(col("r1") && col("r2") && col("r3"), 1)).as("c3"),
+      count(when(col("r1") && col("r2") && col("r3") && col("r4"), 1)).as("c4"))
+    agg.select(explode(array(
+        struct(lit(1L).as("rule_rank"), lit("token_count_bounds").as("rule_name"),
+          col("f1").as("n_fail_rule"), col("c1").as("n_pass_cum")),
+        struct(lit(2L).as("rule_rank"), lit("mean_word_len_bounds").as("rule_name"),
+          col("f2").as("n_fail_rule"), col("c2").as("n_pass_cum")),
+        struct(lit(3L).as("rule_rank"), lit("stopword_presence").as("rule_name"),
+          col("f3").as("n_fail_rule"), col("c3").as("n_pass_cum")),
+        struct(lit(4L).as("rule_rank"), lit("distinct_token_ratio").as("rule_name"),
+          col("f4").as("n_fail_rule"), col("c4").as("n_pass_cum")))).as("r"))
+      .select(col("r.rule_rank"), col("r.rule_name"),
+        col("r.n_fail_rule"), col("r.n_pass_cum"))
+      .orderBy("rule_rank")
+  }
+
   val queries: Map[String, Q] = Map(
+    "filter_funnel"    -> (filterFunnel _),
     "rep_signals"      -> (repSignals _),
     "unigram_lm_score" -> (unigramLmScore _),
     "pii_redact"       -> (piiRedact _),
@@ -216,6 +267,37 @@ object QualityOps {
     "outlier_zscore"   -> (outlierZscore _))
 
   val oracle: Map[String, String] = Map(
+    "filter_funnel" ->
+      """WITH t AS (
+        |  SELECT len(string_split(text, ' ')) AS n,
+        |    n_chars - len(string_split(text, ' ')) + 1 AS chars,
+        |    list_contains(string_split(text, ' '), 'the')
+        |      AND list_contains(string_split(text, ' '), 'a') AS stopok,
+        |    len(list_distinct(string_split(text, ' '))) AS d
+        |  FROM documents),
+        |r AS (SELECT (n BETWEEN 20 AND 90) AS r1,
+        |    (chars BETWEEN 4 * n AND 5 * n) AS r2,
+        |    stopok AS r3, (5 * d >= 2 * n) AS r4
+        |  FROM t),
+        |a AS (SELECT
+        |    count(CASE WHEN NOT r1 THEN 1 END) AS f1,
+        |    count(CASE WHEN NOT r2 THEN 1 END) AS f2,
+        |    count(CASE WHEN NOT r3 THEN 1 END) AS f3,
+        |    count(CASE WHEN NOT r4 THEN 1 END) AS f4,
+        |    count(CASE WHEN r1 THEN 1 END) AS c1,
+        |    count(CASE WHEN r1 AND r2 THEN 1 END) AS c2,
+        |    count(CASE WHEN r1 AND r2 AND r3 THEN 1 END) AS c3,
+        |    count(CASE WHEN r1 AND r2 AND r3 AND r4 THEN 1 END) AS c4
+        |  FROM r)
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS rule_rank,
+        |    'token_count_bounds' AS rule_name,
+        |    CAST(f1 AS BIGINT) AS n_fail_rule, CAST(c1 AS BIGINT) AS n_pass_cum
+        |  FROM a
+        |  UNION ALL SELECT 2, 'mean_word_len_bounds', f2, c2 FROM a
+        |  UNION ALL SELECT 3, 'stopword_presence', f3, c3 FROM a
+        |  UNION ALL SELECT 4, 'distinct_token_ratio', f4, c4 FROM a)
+        |ORDER BY rule_rank""".stripMargin,
     "outlier_zscore" ->
       """WITH oc AS (
         |  SELECT c_mktsegment AS segment, o_totalprice AS price

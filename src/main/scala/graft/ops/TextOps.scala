@@ -480,7 +480,47 @@ object TextOps {
       .limit(50)
   }
 
+  /** N-gram DIVERSITY profile per source — the corpus-health metrics a
+    * curation run reads before deciding mixture weights: 3-gram token
+    * count, distinct 3-gram count, type–token ratio, hapax (count-1)
+    * share, and the modal 3-gram's multiplicity. A collapsing TTR or a
+    * fat modal shingle is the bulk-duplication smell that says "dedup
+    * this source first"; a hapax ratio near 1 says the source is
+    * near-unique text. Shingles are RAW 3-gram strings (the stats are
+    * about the text, not a sketch), formed with the shifted-slice
+    * zip_with shingling (one array traversal — see [[docShingleSketch]]
+    * for why `element_at` lambdas are quadratic).
+    *
+    * Scale shape: one corpus scan explodes shingles into a
+    * (source, shingle)-keyed count — partial-aggregated map-side, so the
+    * exchange carries distinct shingles per partition, not occurrences —
+    * then a |sources|-row rollup. Ratios are exact integer counts with
+    * one final IEEE division each. */
+  def ngramDiversity(spark: SparkSession, sfDir: String): DataFrame = {
+    val per = Tables.documents(spark, sfDir)
+      .select(col("source"), tokens.as("t"), (size(tokens) - 2).as("m"))
+      .filter(col("m") >= 1)
+      .select(col("source"), explode(zip_with(
+        zip_with(slice(col("t"), lit(1), col("m").cast("int")),
+          slice(col("t"), lit(2), col("m").cast("int")),
+          (a, b) => concat_ws(" ", a, b)),
+        slice(col("t"), lit(3), col("m").cast("int")),
+        (ab, c) => concat_ws(" ", ab, c))).as("sh"))
+      .groupBy(col("source"), col("sh")).agg(count(lit(1)).as("c"))
+    per.groupBy("source")
+      .agg(sum("c").cast("long").as("n_shingles"),
+        count(lit(1)).as("n_distinct"),
+        count(when(col("c") === 1, 1)).as("n_hapax"),
+        max("c").cast("long").as("max_shingle_count"))
+      .select(col("source"), col("n_shingles"), col("n_distinct"),
+        col("n_hapax"), col("max_shingle_count"),
+        (col("n_distinct").cast("double") / col("n_shingles")).as("ttr"),
+        (col("n_hapax").cast("double") / col("n_distinct")).as("hapax_ratio"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, Q] = Map(
+    "ngram_diversity"   -> (ngramDiversity _),
     "pmi_bigrams"       -> (pmiBigrams _),
     "unicode_nfc"       -> (unicodeNfc _),
     "vocab_coverage"    -> (vocabCoverage _),
@@ -582,6 +622,25 @@ object TextOps {
   }
 
   val oracle: Map[String, String] = Map(
+    "ngram_diversity" ->
+      """WITH w AS (
+        |  SELECT source, string_split(text, ' ') AS t FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |shg AS (
+        |  SELECT source, unnest(list_transform(range(1, len(t) - 1),
+        |    i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS sh
+        |  FROM w),
+        |per AS (SELECT source, sh, count(*) AS c FROM shg GROUP BY 1, 2)
+        |SELECT source,
+        |  CAST(sum(c) AS BIGINT) AS n_shingles,
+        |  CAST(count(*) AS BIGINT) AS n_distinct,
+        |  CAST(count(CASE WHEN c = 1 THEN 1 END) AS BIGINT) AS n_hapax,
+        |  CAST(max(c) AS BIGINT) AS max_shingle_count,
+        |  CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS ttr,
+        |  CAST(count(CASE WHEN c = 1 THEN 1 END) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS hapax_ratio
+        |FROM per GROUP BY source
+        |ORDER BY source""".stripMargin,
     "bpe_train" -> bpeTrainOracle(graft.functions.BpeVocab.merges.length),
     "bpe_train_rich" -> bpeTrainOracle(256, bpeRichCorpusSql),
     "bpe_token_count" ->

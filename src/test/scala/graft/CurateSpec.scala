@@ -165,4 +165,40 @@ class CurateSpec extends SparkSpec {
     assert(alloc <= total, "over-allocated")
     assert(total - alloc < 2L * rows.size, s"apportionment deficit ${total - alloc}")
   }
+
+  test("dsir_resample replays the micro-nat scoring and deterministic top-64") {
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "lang", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3).split(" ", -1).toSeq))
+    val ca = docs.flatMap(_._4).groupBy(identity).map { case (w, o) => w -> o.size.toLong }
+    val ct = docs.filter(_._2 == "en").flatMap(_._4)
+      .groupBy(identity).map { case (w, o) => w -> o.size.toLong }
+    val (na, nt, v) = (ca.values.sum, ct.values.sum, ca.size.toLong)
+    // per-word weight replayed with StrictMath.log — the same function
+    // Catalyst's Log expression evaluates
+    val lw = ca.keysIterator.map { w =>
+      val r = ((ct.getOrElse(w, 0L) + 1).toDouble * (na + v).toDouble) /
+        ((ca(w) + 1).toDouble * (nt + v).toDouble)
+      w -> math.floor(StrictMath.log(r) * 1e6).toLong
+    }.toMap
+    val want = docs.filter(_._2 != "en")
+      .map { case (id, lang, src, ws) =>
+        (id, lang, src, ws.map(lw).sum, ws.size.toLong) }
+      .sortBy { case (id, _, _, s, _) => (-s, id) }
+      .take(64).toSeq
+    val got = q("dsir_resample").collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got === want)
+    // direction check: the selection actually prefers target-like docs —
+    // the selected mean per-token score exceeds the unselected pool's
+    val pool = docs.filter(_._2 != "en")
+      .map { case (id, _, _, ws) => id -> (ws.map(lw).sum.toDouble / ws.size) }.toMap
+    val sel = want.map(_._1).toSet
+    val (selScores, restScores) = pool.partition { case (id, _) => sel(id) }
+    assert(selScores.values.sum / selScores.size >
+      restScores.values.sum / restScores.size,
+      "selected docs should be more target-like per token than the rest")
+  }
 }

@@ -280,4 +280,68 @@ class TextDedupSpec extends SparkSpec {
       (3L, 7L, 9L),
       (4L, 0L, 2L), (4L, 10L, 12L)))
   }
+
+  test("dedup_cross_source equals the pair expansion of per-fingerprint source sets") {
+    val src = Tables.documents(spark, sf).select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val fp = q("doc_fingerprint").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("fingerprint"))
+    // independent replay: fingerprint -> distinct source set -> ordered pairs
+    val bySets = fp.toSeq.groupBy(_._2).values.toSeq
+      .map(_.map { case (id, _) => src(id) }.distinct.sorted)
+      .filter(_.length >= 2)
+    val want = bySets
+      .flatMap(ss => for { a <- ss; b <- ss if a < b } yield (a, b))
+      .groupBy(identity).map { case (p, v) => p -> v.size.toLong }
+    val got = q("dedup_cross_source").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+    assert(got.toMap === want)
+    assert(got.map(_._1).toSeq === got.map(_._1).toSeq.sorted, "presentation order")
+    assert(got.nonEmpty, "fixture has no cross-source duplicates — drift")
+  }
+
+  test("filter_funnel replays the per-doc rule booleans; cumulative counts monotone") {
+    val rules = Tables.documents(spark, sf).select("text", "n_chars").collect()
+      .map { r =>
+        val t = r.getString(0).split(" ", -1)
+        val n = t.length.toLong
+        val chars = r.getLong(1) - n + 1
+        (n >= 20 && n <= 90,
+          chars >= 4 * n && chars <= 5 * n,
+          t.contains("the") && t.contains("a"),
+          t.distinct.length * 5 >= n * 2)
+      }
+    val want = Seq(
+      (1L, "token_count_bounds", rules.count(!_._1).toLong,
+        rules.count(_._1).toLong),
+      (2L, "mean_word_len_bounds", rules.count(!_._2).toLong,
+        rules.count(x => x._1 && x._2).toLong),
+      (3L, "stopword_presence", rules.count(!_._3).toLong,
+        rules.count(x => x._1 && x._2 && x._3).toLong),
+      (4L, "distinct_token_ratio", rules.count(!_._4).toLong,
+        rules.count(x => x._1 && x._2 && x._3 && x._4).toLong))
+    val got = q("filter_funnel").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got === want)
+    val cum = got.map(_._4)
+    assert(cum === cum.sorted.reverse, "funnel survivors must be nonincreasing")
+    assert(got.forall(_._3 > 0), "every rule should attrite on this fixture")
+  }
+
+  test("ngram_diversity replays sliding-3-gram stats per source") {
+    val docs = Tables.documents(spark, sf).select("source", "text").collect()
+    val want = docs.groupBy(_.getString(0)).map { case (s, rs) =>
+      val sh = rs.toSeq.flatMap(_.getString(1).split(" ").toSeq
+        .sliding(3).filter(_.length == 3).map(_.mkString(" ")))
+      val counts = sh.groupBy(identity).map(_._2.size.toLong).toSeq
+      val (tot, dis) = (counts.sum, counts.size.toLong)
+      val hapax = counts.count(_ == 1L).toLong
+      (s, tot, dis, hapax, counts.max,
+        dis.toDouble / tot, hapax.toDouble / dis)
+    }.toSeq.sortBy(_._1)
+    val got = q("ngram_diversity").collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getDouble(5), r.getDouble(6))).toSeq
+    assert(got === want)
+  }
 }
