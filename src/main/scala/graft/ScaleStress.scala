@@ -110,6 +110,28 @@ object ScaleStress {
       "stats pass + one mixture pass with bounded explode; linear " +
         "(replicas share source names, so per-source budgets scale " +
         "with the corpus)", 1.2),
+    Heavy("decontaminate_spans",
+      "eval-postings (a 1/97 corpus slice standing in for the external " +
+        "eval suite) hash-joined to train postings + islands windows on " +
+        "match points; linear — the suffixed replica vocab keeps " +
+        "cross-replica postings disjoint", 1.3),
+    Heavy("dedup_cross_source",
+      "one digest exchange + catalog-bounded array-side pair fan-out + " +
+        "|sources|² rollup; linear (replicas share source names and " +
+        "keep within-replica overlap structure)", 1.2),
+    Heavy("filter_funnel",
+      "one codegen scan + 8-way conditional 1-row aggregate; " +
+        "scan-bound linear", 1.15),
+    Heavy("ngram_diversity",
+      "(source, shingle)-keyed count exchange (map-side partials) + " +
+        "|sources|-row rollup; linear — suffixed replica vocab grows " +
+        "distinct shingles x factor, per-shingle work constant", 1.2),
+    Heavy("dsir_resample",
+      "one vocab pass with conditional target/pool counts + unhinted " +
+        "vocab join + per-doc sum + TakeOrdered-64; linear — replica " +
+        "suffix grows the vocab x factor, per-occurrence work constant " +
+        "(lang split is replica-invariant, so the target slice scales " +
+        "with the corpus)", 1.25, bigConf = dataSizedPartitions),
     // curation / IR over documents
     Heavy("token_budget_select", "2-phase bucket prefix; linear", 1.2),
     Heavy("pack_sequences", "per-group running-sum packing; linear", 1.2),

@@ -713,6 +713,53 @@ object DedupOps {
         (col("start_a") - col("diag")).as("start_b"), col("span_len"))
   }
 
+  /** SPAN-level decontamination — [[CurateOps.decontaminate]] catches
+    * whole-document eval/train collisions by bag fingerprint; this op
+    * goes below the document: every maximal run of ≥ 4 consecutive
+    * tokens shared VERBATIM between an eval-set document (the
+    * `doc_id % 97 = 0` slice, same eval set as the decontaminate tier)
+    * and a training document, with its position in both — the
+    * "eval leak spans" report a benchmark-hygiene pass consumes (the
+    * n-gram-overlap decontamination of the GPT-3/PaLM appendix family,
+    * with spans instead of a boolean). Same islands run-fusion as
+    * [[substringSpanPairs]], but keyed on the shingle hash alone (no
+    * source blocking — a leak across sources is still a leak) and with
+    * the eval/train split replacing the doc_a < doc_b orientation.
+    *
+    * Scale shape: the eval side's postings are a tiny fraction of the
+    * corpus (1/97 here; a fixed eval suite in production — there it
+    * arrives as its own small table, which the second filtered scan
+    * stands in for). The postings join keys on the 16-byte hash; AQE
+    * broadcasts the eval side while it fits, and only MATCH POINTS
+    * reach the islands windows — both keyed (eval_doc, train_doc,
+    * diagonal), proportional to shared shingles, not the corpus. */
+  def decontaminateSpans(spark: SparkSession, sfDir: String): DataFrame = {
+    val minSpan = 4
+    val sh = Tables.documents(spark, sfDir)
+      .filter(size(toks) >= 3)
+      .select(col("doc_id"), toks.as("t"), (size(toks) - 2).as("m"))
+      .select(col("doc_id"), posexplode(shingleHashes))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("col").as("h"))
+    val ev = sh.filter(col("doc_id") % 97 === 0)
+      .select(col("doc_id").as("eval_doc"), col("pos").as("ia"), col("h"))
+    val tr = sh.filter(col("doc_id") % 97 =!= 0)
+      .select(col("doc_id").as("train_doc"), col("pos").as("ib"), col("h"))
+    val wRun = Window
+      .partitionBy(col("eval_doc"), col("train_doc"), col("ia") - col("ib"))
+      .orderBy("ia")
+    ev.join(tr, "h")
+      .select(col("eval_doc"), col("train_doc"), col("ia"), col("ib"))
+      .withColumn("diag", col("ia") - col("ib"))
+      .withColumn("isl", col("ia") - row_number().over(wRun))
+      .groupBy("eval_doc", "train_doc", "diag", "isl")
+      .agg(min(col("ia")).as("start_eval"),
+        (max(col("ia")) - min(col("ia")) + 3).as("span_len"))
+      .filter(col("span_len") >= minSpan)
+      .select(col("eval_doc"), col("train_doc"), col("start_eval"),
+        (col("start_eval") - col("diag")).as("start_train"), col("span_len"))
+      .orderBy("eval_doc", "train_doc", "start_eval", "start_train")
+  }
+
   /** Span EXCISION — the cleanup stage downstream of
     * [[dedupSubstringSpans]]: every repeated span is removed from its
     * HIGHER-doc_id document (the lower-id copy is the keeper, the same
@@ -766,6 +813,7 @@ object DedupOps {
     "dedup_substring_spans" -> (dedupSubstringSpans _),
     "dedup_incremental"   -> (dedupIncremental _),
     "dedup_cross_source"  -> (dedupCrossSource _),
+    "decontaminate_spans" -> (decontaminateSpans _),
     "dup_ngram_spans"     -> (dupNgramSpans _),
     "dedup_containment"   -> (ngramContainment _),
     "dedup_exact_stats"   -> (dedupExactStats _),
@@ -824,6 +872,29 @@ object DedupOps {
       |  GROUP BY 1, 2)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "decontaminate_spans" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
+        |sh AS (SELECT doc_id, CAST(i.i AS BIGINT) AS pos,
+        |    md5(w[CAST(i.i + 1 AS INTEGER)] || ' ' ||
+        |        w[CAST(i.i + 2 AS INTEGER)] || ' ' ||
+        |        w[CAST(i.i + 3 AS INTEGER)]) AS h
+        |  FROM t, unnest(range(0, len(w) - 2)) AS i(i)),
+        |m AS (SELECT a.doc_id AS eval_doc, b.doc_id AS train_doc,
+        |    a.pos AS ia, b.pos AS ib
+        |  FROM sh a JOIN sh b ON a.h = b.h
+        |  WHERE a.doc_id % 97 = 0 AND b.doc_id % 97 <> 0),
+        |isl AS (SELECT eval_doc, train_doc, ia - ib AS diag, ia,
+        |    ia - row_number() OVER (
+        |      PARTITION BY eval_doc, train_doc, ia - ib ORDER BY ia) AS g
+        |  FROM m),
+        |sp AS (SELECT eval_doc, train_doc, diag,
+        |    min(ia) AS start_eval, max(ia) - min(ia) + 3 AS span_len
+        |  FROM isl GROUP BY eval_doc, train_doc, diag, g)
+        |SELECT eval_doc, train_doc, start_eval,
+        |  start_eval - diag AS start_train, span_len
+        |FROM sp WHERE span_len >= 4
+        |ORDER BY eval_doc, train_doc, start_eval, start_train""".stripMargin,
     "dedup_cross_source" ->
       """WITH hs AS (
         |  SELECT DISTINCT

@@ -84,6 +84,47 @@ object SimOps {
       .orderBy("query_id", "rnk")
   }
 
+  /** kNN-DISTANCE outlier scoring over the embedding corpus — the
+    * "isolated points" report of an embedding-space cleaning pass
+    * (mislabeled/garbage vectors sit far from their 5th neighbor; dense
+    * duplicates sit at distance ~0): for every vector, the cosine
+    * distance to its 5th nearest neighbor, reported for the 20 most
+    * isolated vectors. This is the exact brute-force baseline tier (the
+    * [[annTopkBrute]] convention); the scale path swaps LSH/IVF bucket
+    * candidates in front of the SAME per-key top-k — the bucketed
+    * variants' recall/cost tradeoff is already quantified in
+    * ANN_TRADEOFF.json.
+    *
+    * Scale shape: the unordered pair space is enumerated ONCE through
+    * [[PairEnum.blockedAllPairs]] (bounded B×B cells, no
+    * BroadcastNestedLoopJoin), both orientations are emitted ARRAY-SIDE
+    * from each unordered pair (a 2-element explode — no second
+    * enumeration pass, no self-union recompute), the per-vector top-5
+    * runs as the TopKPerKey bounded heap (no per-key sort), and the
+    * 5th-NN value is `min` over the kept 5. Final 20-row cut is
+    * TakeOrdered. */
+  def embedOutlierKnn(spark: SparkSession, sfDir: String): DataFrame = {
+    val v = withNorm(Tables.embeddings(spark, sfDir))
+      .select("vec_id", "embedding", "nrm")
+    val pairs = PairEnum.blockedAllPairs(v, "vec_id", Seq("embedding", "nrm"))
+      .select(col("a_vec_id"), col("b_vec_id"),
+        (dot(col("a_embedding"), col("b_embedding")) /
+          sqrt(col("a_nrm") * col("b_nrm"))).as("cos"))
+    val directed = pairs.select(explode(array(
+        struct(col("a_vec_id").as("vec_id"), col("cos")),
+        struct(col("b_vec_id").as("vec_id"), col("cos")))).as("e"))
+      .select(col("e.vec_id"), col("e.cos"))
+    val w = Window.partitionBy("vec_id").orderBy(col("cos").desc)
+    directed.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .groupBy("vec_id")
+      .agg(min(col("cos")).as("kth_cos"))
+      .select(col("vec_id"), col("kth_cos"),
+        (lit(1.0) - col("kth_cos")).as("knn_dist"))
+      .orderBy(col("knn_dist").desc, col("vec_id").asc)
+      .limit(20)
+  }
+
   // --- LSH-bucketed ANN ----------------------------------------------------
 
   /** Deterministic pseudo-random hyperplanes: nplanes × DIM values in
@@ -529,6 +570,7 @@ object SimOps {
     "ann_sq8"              -> (annSq8 _),
     "embed_knn_classify"   -> (embedKnnClassify _),
     "embed_top_pairs"      -> (embedTopPairs _),
+    "embed_outlier_knn"    -> (embedOutlierKnn _),
     "ann_topk_brute"       -> (annTopkBrute _),
     "ann_lsh_bucket"       -> (annLshBucket _),
     "ann_lsh_multiprobe"   -> (annLshMultiprobe _),
@@ -686,6 +728,22 @@ object SimOps {
          |      ORDER BY cos DESC, neighbor_id ASC) AS rnk
          |  FROM scored) t
          |WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
+    "embed_outlier_knn" ->
+      s"""WITH v AS ($sqlVec),
+         |n AS (SELECT vec_id, d, ${sqlDot("d", "d")} AS nrm FROM v),
+         |p AS (
+         |  SELECT a.vec_id AS va, b.vec_id AS vb,
+         |    ${sqlDot("a.d", "b.d")} / sqrt(a.nrm * b.nrm) AS cos
+         |  FROM n a JOIN n b ON a.vec_id < b.vec_id),
+         |dir AS (SELECT va AS vec_id, cos FROM p
+         |        UNION ALL SELECT vb, cos FROM p),
+         |r AS (SELECT vec_id, cos,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC) AS rk
+         |  FROM dir),
+         |k AS (SELECT vec_id, min(cos) AS kth_cos FROM r WHERE rk <= 5
+         |  GROUP BY 1)
+         |SELECT vec_id, kth_cos, 1 - kth_cos AS knn_dist FROM k
+         |ORDER BY knn_dist DESC, vec_id ASC LIMIT 20""".stripMargin,
     "embed_top_pairs" ->
       s"""WITH v AS ($sqlVec),
          |n AS (SELECT vec_id, d, ${sqlDot("d", "d")} AS nrm FROM v)

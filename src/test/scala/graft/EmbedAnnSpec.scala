@@ -117,4 +117,29 @@ class EmbedAnnSpec extends SparkSpec {
         s"cluster $cid size column inconsistent")
     }
   }
+
+  test("embed_outlier_knn replays the driver-side 5th-NN distance top-20") {
+    val vecs = Tables.embeddings(spark, sf).select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    // cosine replayed with the same left-to-right fold the `dot`
+    // aggregate-HOF evaluates
+    def dotLR(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    val nrm = vecs.map { case (id, d) => id -> dotLR(d, d) }.toMap
+    val byId = vecs.toMap
+    val want = vecs.map { case (id, d) =>
+      val cands = vecs.iterator.filter(_._1 != id).map { case (o, e) =>
+        dotLR(d, e) / math.sqrt(nrm(id) * nrm(o)) }.toArray
+      val kth = cands.sorted(Ordering[Double].reverse).take(5).min
+      (id, kth, 1.0 - kth)
+    }.sortBy { case (id, _, dist) => (-dist, id) }.take(20).toSeq
+    val got = q("embed_outlier_knn").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSeq
+    assert(got === want)
+    // outlier scores must actually spread (a degenerate corpus where all
+    // 5th-NN distances tie would make the top-20 cut meaningless)
+    assert(got.head._3 > got.last._3, "no isolation spread in the fixture")
+  }
 }

@@ -281,6 +281,28 @@ class TextDedupSpec extends SparkSpec {
       (4L, 0L, 2L), (4L, 10L, 12L)))
   }
 
+  test("decontaminate_spans: eval/train split honored, spans verbatim and maximal") {
+    val spans = q("decontaminate_spans").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2).toInt,
+        r.getLong(3).toInt, r.getLong(4).toInt))
+    assert(spans.nonEmpty, "fixture has no eval/train shared spans")
+    assert(spans.exists(_._5 >= 8), "no LONG leak span found — fixture drift")
+    val texts = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ")).toMap
+    spans.foreach { case (e, t, se, st, len) =>
+      assert(e % 97 === 0, s"eval_doc $e not in the eval slice")
+      assert(t % 97 !== 0, s"train_doc $t leaked into the eval slice")
+      val (we, wt) = (texts(e), texts(t))
+      assert(we.slice(se, se + len).sameElements(wt.slice(st, st + len)),
+        s"span ($e,$t,$se,$st,$len) not verbatim")
+      assert(se == 0 || st == 0 || we(se - 1) != wt(st - 1),
+        s"span ($e,$t,$se,$st,$len) extendable left")
+      assert(se + len >= we.length || st + len >= wt.length ||
+        we(se + len) != wt(st + len),
+        s"span ($e,$t,$se,$st,$len) extendable right")
+    }
+  }
+
   test("dedup_cross_source equals the pair expansion of per-fingerprint source sets") {
     val src = Tables.documents(spark, sf).select("doc_id", "source").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
