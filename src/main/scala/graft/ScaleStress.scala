@@ -110,6 +110,14 @@ object ScaleStress {
       "stats pass + one mixture pass with bounded explode; linear " +
         "(replicas share source names, so per-source budgets scale " +
         "with the corpus)", 1.2),
+    Heavy("tokenizer_fertility",
+      "narrow memoized BPE count + |langs|-row rollup; scan-bound " +
+        "linear (the bpe_token_count bound, minus its presentation sort)",
+      1.15),
+    Heavy("quality_ks_drift",
+      "one (source, value)-keyed conditional count (support-sized " +
+        "shuffle) + per-source cumulative window + max rollup; linear " +
+        "in the scan, sub-linear past it (support is bounded)", 1.2),
     Heavy("decontaminate_spans",
       "eval-postings (a 1/97 corpus slice standing in for the external " +
         "eval suite) hash-joined to train postings + islands windows on " +

@@ -284,7 +284,63 @@ object ProfileOps {
       .orderBy("c_mktsegment")
   }
 
+  /** Distribution DRIFT detection per source — the two-sample
+    * Kolmogorov–Smirnov statistic between the prior snapshot (the
+    * `doc_id ≤ max/2` half, [[DedupOps.dedupIncremental]]'s data-derived
+    * cut standing in for yesterday's table) and the new batch, over the
+    * per-document token count. The monitoring gate a training-data
+    * pipeline runs on every ingest: a KS spike on a source says its
+    * length distribution moved (scraper change, truncation bug, new
+    * template) before any downstream model sees it.
+    *
+    * KS = sup over the union support of |F_old(x) − F_new(x)|, computed
+    * EXACTLY in integers: D_num = max |cum_old·n_new − cum_new·n_old|
+    * and the statistic is one final IEEE division by n_old·n_new — no
+    * float CDFs to merge-order-drift, so the result hash-compares.
+    *
+    * Scale shape: one corpus scan → (source, value)-keyed conditional
+    * counts (map-side combined — the shuffle carries distinct
+    * (source, value) pairs, bounded by |sources|·|support|, not docs) →
+    * one per-source cumulative window over the compact support → a
+    * |sources|-row max rollup. */
+  def qualityKsDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("source"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("v"))
+    val cut = docs.agg(expr("max(doc_id) DIV 2").as("cut"))
+    val per = docs.crossJoin(broadcast(cut))
+      .groupBy("source", "v").agg(
+        count(when(col("doc_id") <= col("cut"), 1)).as("c1"),
+        count(when(col("doc_id") > col("cut"), 1)).as("c2"))
+    ksFromCounts(per)
+  }
+
+  /** The KS rollup from a per-(source, value) count table with columns
+    * (source, v, c1, c2) — exposed so the STREAMING drift monitor
+    * ([[graft.streaming.StreamOps]]) computes the statistic from its
+    * incrementally-maintained count store with the SAME definition
+    * instead of a copy that can drift. */
+  private[graft] def ksFromCounts(per: DataFrame): DataFrame = {
+    val w = Window.partitionBy("source").orderBy("v")
+    val tot = per.groupBy("source")
+      .agg(sum("c1").as("n_old"), sum("c2").as("n_new"))
+    per.withColumn("cum1", sum("c1").over(w))
+      .withColumn("cum2", sum("c2").over(w))
+      .join(tot, "source")
+      .groupBy(col("source"), col("n_old"), col("n_new"))
+      .agg(max(abs(col("cum1") * col("n_new") - col("cum2") * col("n_old")))
+        .as("d_num"))
+      .select(col("source"),
+        col("n_old").cast("long").as("n_old"),
+        col("n_new").cast("long").as("n_new"),
+        col("d_num").cast("long").as("d_num"),
+        (col("d_num").cast("double") /
+          (col("n_old") * col("n_new")).cast("double")).as("ks_stat"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, Q] = Map(
+    "quality_ks_drift" -> (qualityKsDrift _),
     "profile_table"    -> (profileTable _),
     "string_agg_group" -> (stringAggGroup _),
     "regression_stats" -> (regressionStats _),
@@ -362,6 +418,29 @@ object ProfileOps {
   }
 
   val oracle: Map[String, String] = Map(
+    "quality_ks_drift" ->
+      """WITH d AS (SELECT source, doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS v
+        |  FROM documents),
+        |c AS (SELECT max(doc_id) // 2 AS cut FROM d),
+        |per AS (SELECT source, v,
+        |    count(CASE WHEN doc_id <= cut THEN 1 END) AS c1,
+        |    count(CASE WHEN doc_id > cut THEN 1 END) AS c2
+        |  FROM d CROSS JOIN c GROUP BY 1, 2),
+        |cum AS (SELECT source, v,
+        |    sum(c1) OVER (PARTITION BY source ORDER BY v) AS cum1,
+        |    sum(c2) OVER (PARTITION BY source ORDER BY v) AS cum2
+        |  FROM per),
+        |tot AS (SELECT source, sum(c1) AS n_old, sum(c2) AS n_new
+        |  FROM per GROUP BY 1)
+        |SELECT source,
+        |  CAST(n_old AS BIGINT) AS n_old, CAST(n_new AS BIGINT) AS n_new,
+        |  CAST(max(abs(cum1 * n_new - cum2 * n_old)) AS BIGINT) AS d_num,
+        |  CAST(max(abs(cum1 * n_new - cum2 * n_old)) AS DOUBLE)
+        |    / CAST(n_old * n_new AS DOUBLE) AS ks_stat
+        |FROM cum JOIN tot USING (source)
+        |GROUP BY source, n_old, n_new
+        |ORDER BY source""".stripMargin,
     "ab_test_zscore" -> abTestSql,
     "dq_checks" -> dqSql,
     "winsorize" ->

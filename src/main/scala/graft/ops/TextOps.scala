@@ -136,6 +136,37 @@ object TextOps {
       .orderBy(col("n").desc, col("token").asc)
       .limit(20)
 
+  /** Tokenizer FERTILITY per language — BPE tokens per whitespace word
+    * and bytes per BPE token, aggregated per `lang` under the SAME real
+    * merges-table tokenizer as [[bpeTokenCount]]. The multilingual-
+    * budgeting metric: fertility differences across languages decide
+    * how many BYTES of each language a fixed TOKEN budget buys (and
+    * expose a tokenizer that fragments one language), so a mixture pass
+    * ([[CurateOps.mixCorpora]]) reads this table before spending the
+    * budget. Ratios are single IEEE divisions of exact BIGINT sums.
+    *
+    * Scale shape: one corpus scan; the BPE count is the memoized narrow
+    * codegen expression (no explode — the count never materializes
+    * tokens), then one |langs|-row conditional-sum rollup. */
+  def tokenizerFertility(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("lang"),
+        graft.functions.BpeFunctions.bpeTokenCount(col("text")).as("bpe"),
+        size(tokens).cast("long").as("ws"),
+        col("n_chars"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("bpe").cast("long").as("n_bpe_tokens"),
+        sum("ws").cast("long").as("n_ws_tokens"),
+        sum("n_chars").cast("long").as("n_bytes"))
+      .select(col("lang"), col("n_docs"), col("n_bpe_tokens"),
+        col("n_ws_tokens"), col("n_bytes"),
+        (col("n_bpe_tokens").cast("double") / col("n_ws_tokens").cast("double"))
+          .as("fertility"),
+        (col("n_bytes").cast("double") / col("n_bpe_tokens").cast("double"))
+          .as("bytes_per_token"))
+      .orderBy("lang")
+
   /** DISTRIBUTED BPE TRAINING — tokenizer fitting as a Spark op, the
     * other half of the BPE tier: [[bpeTokenCount]] APPLIES a merges
     * table; this LEARNS one from the corpus (classic most-frequent-pair
@@ -521,6 +552,7 @@ object TextOps {
 
   val queries: Map[String, Q] = Map(
     "ngram_diversity"   -> (ngramDiversity _),
+    "tokenizer_fertility" -> (tokenizerFertility _),
     "pmi_bigrams"       -> (pmiBigrams _),
     "unicode_nfc"       -> (unicodeNfc _),
     "vocab_coverage"    -> (vocabCoverage _),
@@ -643,6 +675,29 @@ object TextOps {
         |ORDER BY source""".stripMargin,
     "bpe_train" -> bpeTrainOracle(graft.functions.BpeVocab.merges.length),
     "bpe_train_rich" -> bpeTrainOracle(256, bpeRichCorpusSql),
+    "tokenizer_fertility" ->
+      s"""WITH RECURSIVE $bpeOracleCtes,
+         |dw AS (SELECT doc_id, w FROM (
+         |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+         |  WHERE w <> ''),
+         |pd AS (SELECT doc.doc_id,
+         |    CAST(COALESCE(sum(len(t.toks)), 0) AS BIGINT) AS bpe
+         |  FROM documents doc
+         |    LEFT JOIN dw d ON d.doc_id = doc.doc_id
+         |    LEFT JOIN bpe_wtok t ON t.w = d.w
+         |  GROUP BY doc.doc_id),
+         |j AS (SELECT doc.lang, pd.bpe,
+         |    CAST(len(string_split(doc.text, ' ')) AS BIGINT) AS ws,
+         |    doc.n_chars
+         |  FROM documents doc JOIN pd ON pd.doc_id = doc.doc_id)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(bpe) AS BIGINT) AS n_bpe_tokens,
+         |  CAST(sum(ws) AS BIGINT) AS n_ws_tokens,
+         |  CAST(sum(n_chars) AS BIGINT) AS n_bytes,
+         |  CAST(sum(bpe) AS DOUBLE) / CAST(sum(ws) AS DOUBLE) AS fertility,
+         |  CAST(sum(n_chars) AS DOUBLE) / CAST(sum(bpe) AS DOUBLE)
+         |    AS bytes_per_token
+         |FROM j GROUP BY lang ORDER BY lang""".stripMargin,
     "bpe_token_count" ->
       // LEFT join from documents (not inner through dw): a doc whose text
       // is empty or all spaces has no non-empty words, and Spark still

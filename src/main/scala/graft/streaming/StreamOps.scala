@@ -701,6 +701,65 @@ object StreamOps {
     require(ranBatches > 0, s"no micro-batch ran over $staged ($glob)")
   }
 
+  /** Streaming DRIFT monitoring — [[graft.ops.ProfileOps.qualityKsDrift]]'s
+    * two-sample KS gate maintained incrementally: each micro-batch adds
+    * its per-(source, token-count) conditional counts to the store as an
+    * idempotent-by-batch-id delta (the [[bpeTokenMaintainInto]] counter
+    * doctrine — a re-executed batch overwrites its own delta, so
+    * at-least-once replay cannot double the additive longs), and the KS
+    * statistic is recomputed ON READ from the compact support store via
+    * the SAME [[graft.ops.ProfileOps.ksFromCounts]] rollup as the batch
+    * op. The stream is stateless; the store is |sources|·|support| rows
+    * total, independent of batch count after rollup. Final table EXACTLY
+    * equals the one-shot batch answer because the counts are additive
+    * longs over disjoint slices and the cut is data-derived once from
+    * the full staged corpus (StreamingSpec pins equality + replay
+    * idempotence). */
+  def ksDriftMaintainRun(spark: SparkSession, sfDir: String): DataFrame = {
+    val staged = stageDocSliceFiles(spark, sfDir, 4, Seq("doc_id", "source", "text"))
+    val storeDir = java.nio.file.Files.createTempDirectory("graft_ks_maint")
+      .resolve("ks_store").toString
+    ksDriftMaintainInto(spark, staged, storeDir, "b*.parquet", "all")
+    readKsStore(spark, storeDir)
+  }
+
+  /** The count store rolled up to the per-source KS table. */
+  private[graft] def readKsStore(spark: SparkSession, storeDir: String): DataFrame =
+    graft.ops.ProfileOps.ksFromCounts(
+      spark.read.option("recursiveFileLookup", "true").parquet(storeDir)
+        .groupBy("source", "v")
+        .agg(sum("c1").cast("long").as("c1"), sum("c2").cast("long").as("c2")))
+
+  /** One stream run of the KS count maintenance over the staged files
+    * matching `glob`, writing per-batch delta subdirs under `storeDir`. */
+  private[graft] def ksDriftMaintainInto(
+      spark: SparkSession, staged: String, storeDir: String,
+      glob: String, runTag: String): Unit = {
+    val schema = spark.read.parquet(staged).schema
+    // the snapshot cut is a property of the corpus, derived once up
+    // front (the batch op's max(doc_id) DIV 2) — in production this is
+    // the snapshot boundary the ingest job already knows
+    val cut = spark.read.parquet(staged)
+      .agg(expr("max(doc_id) DIV 2")).collect()(0).getLong(0)
+    @volatile var ranBatches = 0
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", glob)
+      .parquet(staged)
+    val q = stream.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      val delta = batch
+        .select(col("source"), col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("v"))
+        .groupBy("source", "v")
+        .agg(count(when(col("doc_id") <= cut, 1)).as("c1"),
+          count(when(col("doc_id") > cut, 1)).as("c2"))
+      delta.write.mode("overwrite").parquet(s"$storeDir/delta_${runTag}_$id")
+      ranBatches += 1
+    }.start()
+    try q.processAllAvailable() finally q.stop()
+    require(ranBatches > 0, s"no micro-batch ran over $staged ($glob)")
+  }
+
   /** STORE COMPACTION for the incremental band store — the maintenance
     * op a long-running stream needs: appends leave one `batch_*` subdir
     * per micro-batch, so at a daily drop for years the store's listing

@@ -166,4 +166,23 @@ class BpeSpec extends SparkSpec {
       producible += x + y
     }
   }
+
+  test("tokenizer_fertility is the per-lang rollup of bpe_token_count") {
+    val lang = Tables.documents(spark, sf).select("doc_id", "lang", "n_chars")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    val per = q("bpe_token_count").collect()
+      .map(r => (lang(r.getLong(0)), r.getLong(1), r.getLong(2)))
+    val want = per.groupBy(_._1._1).map { case (lg, rs) =>
+      val (bpe, ws) = (rs.map(_._2).sum, rs.map(_._3).sum)
+      val bytes = rs.map(_._1._2).sum
+      (lg, rs.length.toLong, bpe, ws, bytes,
+        bpe.toDouble / ws.toDouble, bytes.toDouble / bpe.toDouble)
+    }.toSeq.sortBy(_._1)
+    val got = q("tokenizer_fertility").collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getDouble(5), r.getDouble(6))).toSeq
+    assert(got === want)
+    // BPE always refines whitespace words: fertility >= 1 per language
+    assert(got.forall(_._6 >= 1.0))
+  }
 }

@@ -453,6 +453,35 @@ class StreamingSpec extends SparkSpec {
     assert(second === first)
   }
 
+  test("foreachBatch incremental KS drift monitor equals the one-shot batch statistic") {
+    // the drift-gate twin of the token-accounting pattern: per-batch
+    // (source, value) conditional counts are additive longs over
+    // disjoint slices and the snapshot cut is corpus-derived once, so
+    // the KS table recomputed from the maintained store == the batch op
+    val streamed = StreamOps.ksDriftMaintainRun(spark, sf).collect()
+    val batch = SparkEntry.queries("quality_ks_drift")(spark, sf).collect()
+    assert(streamed.length === batch.length && streamed.length >= 2)
+    streamed.zip(batch).foreach { case (s, b) =>
+      assert(s.getAs[String]("source") === b.getAs[String]("source"))
+      assert(s.getAs[Long]("n_old") === b.getAs[Long]("n_old"))
+      assert(s.getAs[Long]("n_new") === b.getAs[Long]("n_new"))
+      assert(s.getAs[Long]("d_num") === b.getAs[Long]("d_num"))
+      assert(s.getAs[Double]("ks_stat") === b.getAs[Double]("ks_stat"))
+    }
+  }
+
+  test("KS drift store is replay-idempotent: a re-run batch replaces its delta") {
+    val staged = StreamOps.stageDocSliceFiles(spark, sf, 4,
+      Seq("doc_id", "source", "text"))
+    val storeDir = java.nio.file.Files.createTempDirectory("graft_ks_maint_r")
+      .resolve("ks_store").toString
+    StreamOps.ksDriftMaintainInto(spark, staged, storeDir, "b*.parquet", "all")
+    val first = StreamOps.readKsStore(spark, storeDir).collect()
+    StreamOps.ksDriftMaintainInto(spark, staged, storeDir, "b*.parquet", "all")
+    val second = StreamOps.readKsStore(spark, storeDir).collect()
+    assert(second === first)
+  }
+
   test("Trigger.AvailableNow backfill: self-terminating, rate-limited, batch-equal") {
     // The production BACKFILL pattern: process everything that exists
     // now, in bounded micro-batches (maxFilesPerTrigger is respected,
