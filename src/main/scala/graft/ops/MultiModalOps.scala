@@ -228,7 +228,13 @@ object MultiModalOps {
     * fan one clip out to its frame rows — the audio twin of
     * [[mmFrameSample]] but with a computed feature per frame, fully
     * oracle-checked sample-by-sample. */
-  def mmAudioEnergy(spark: SparkSession, sfDir: String): DataFrame = {
+  def mmAudioEnergy(spark: SparkSession, sfDir: String): DataFrame =
+    audioEnergyFrames(spark, sfDir)
+      .orderBy("doc_id", "frame_idx")
+
+  /** [[mmAudioEnergy]] without the presentation sort — the form composed
+    * consumers ([[mmAudioSegments]]) build on. */
+  private def audioEnergyFrames(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     audioBytes(spark, sfDir)
       .as[(Long, Array[Byte])]
@@ -236,7 +242,47 @@ object MultiModalOps {
         AudioEnergy.frames(id, WavDecoder.decode(bytes).pcm)
       })
       .toDF()
-      .orderBy("doc_id", "frame_idx")
+  }
+
+  /** Activity SEGMENTATION over the energy contour — the VAD-shaped
+    * stage downstream of [[mmAudioEnergy]]: a frame is ACTIVE iff its
+    * mean-square energy exceeds the clip's long-term average (the
+    * classic adaptive energy gate), and maximal runs of active frames
+    * become segments with start/length/energy — the
+    * speech-region/highlight report an audio curation pass consumes.
+    * The gate is the exact integer cross-multiplication
+    * `energy · clip_len > clip_energy · frame_len` (no float threshold,
+    * engine-portable), and run fusion is the islands trick
+    * (`frame_idx − row_number` per doc), the same machinery as
+    * [[DedupOps.substringSpanPairs]].
+    *
+    * Scale shape: the contour is the narrow per-partition decode fan-out
+    * of [[mmAudioEnergy]]; clip totals are one doc-keyed aggregate
+    * joined back (frames of a clip co-locate — the join keys on doc_id);
+    * the islands window and segment rollup touch ACTIVE frames only. */
+  def mmAudioSegments(spark: SparkSession, sfDir: String): DataFrame = {
+    // the contour feeds BOTH the clip totals and the gate probe — persist
+    // it (doc_id + 3 longs per frame, tiny next to the media bytes) or
+    // the per-partition WAV decode runs twice (the dedupIncremental
+    // digest-table lesson applied to a decode that is far more expensive
+    // than a digest)
+    val fr = audioEnergyFrames(spark, sfDir).persist()
+    val tot = fr.groupBy("doc_id").agg(
+      sum(col("energy")).as("clip_energy"),
+      sum(col("frame_len")).as("clip_len"))
+    val wRun = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("frame_idx")
+    fr.join(tot, "doc_id")
+      .filter(col("energy") * col("clip_len") >
+        col("clip_energy") * col("frame_len"))
+      .withColumn("isl", col("frame_idx") - row_number().over(wRun))
+      .groupBy("doc_id", "isl")
+      .agg(min(col("frame_idx")).as("start_frame"),
+        count(lit(1)).as("n_frames"),
+        sum(col("energy")).cast("long").as("seg_energy"))
+      .select(col("doc_id"), col("start_frame"), col("n_frames"),
+        col("seg_energy"))
+      .orderBy("doc_id", "start_frame")
   }
 
   /** The real multi-frame demuxer+decoder: animated-GIF bytes → per-frame
@@ -475,6 +521,7 @@ object MultiModalOps {
     "mm_audio_decode" -> (mmAudioDecode _),
     "mm_audio_agg"    -> (mmAudioAgg _),
     "mm_audio_energy" -> (mmAudioEnergy _),
+    "mm_audio_segments" -> (mmAudioSegments _),
     "mm_resize"       -> (mmResize _),
     "mm_frame_sample" -> (mmFrameSample _),
     "mm_video_decode" -> (mmVideoDecode _),
@@ -562,6 +609,31 @@ object MultiModalOps {
          |    AS energy,
          |  CAST(hi - lo AS BIGINT) AS frame_len
          |FROM fr ORDER BY doc_id, frame_idx""".stripMargin,
+    "mm_audio_segments" ->
+      s"""WITH $sqlAudio,
+         |fr AS (SELECT doc_id, text, n, CAST(f.f AS BIGINT) AS frame_idx,
+         |    f.f * 256 AS lo, least((f.f + 1) * 256, n * 16) AS hi
+         |  FROM au, unnest(range(0, (n * 16 + 255) // 256)) AS f(f)),
+         |en AS (SELECT doc_id, frame_idx,
+         |    CAST(list_sum(list_transform(range(lo, hi),
+         |      i -> ascii(substring(text, CAST((i % n) + 1 AS INTEGER), 1))
+         |         * ascii(substring(text, CAST((i % n) + 1 AS INTEGER), 1))))
+         |      AS BIGINT) AS energy,
+         |    CAST(hi - lo AS BIGINT) AS frame_len
+         |  FROM fr),
+         |tot AS (SELECT doc_id, sum(energy) AS clip_energy,
+         |    sum(frame_len) AS clip_len
+         |  FROM en GROUP BY 1),
+         |act AS (SELECT en.doc_id, en.frame_idx, en.energy,
+         |    en.frame_idx - row_number() OVER (
+         |      PARTITION BY en.doc_id ORDER BY en.frame_idx) AS isl
+         |  FROM en JOIN tot USING (doc_id)
+         |  WHERE en.energy * tot.clip_len > tot.clip_energy * en.frame_len)
+         |SELECT doc_id, min(frame_idx) AS start_frame,
+         |  CAST(count(*) AS BIGINT) AS n_frames,
+         |  CAST(sum(energy) AS BIGINT) AS seg_energy
+         |FROM act GROUP BY doc_id, isl
+         |ORDER BY doc_id, start_frame""".stripMargin,
     "mm_metadata" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  md5(text) AS digest

@@ -274,4 +274,32 @@ class SimUdxSpec extends SparkSpec {
       .find(_.isInstanceOf[org.apache.spark.sql.execution.WholeStageCodegenExec])
     assert(codegen.isDefined, s"no codegen span in:\n${df.queryExecution.executedPlan}")
   }
+
+  test("mm_audio_segments replays the adaptive energy gate + run fusion on the contour") {
+    val frames = q("mm_audio_energy").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val want = frames.groupBy(_._1).toSeq.flatMap { case (doc, fs) =>
+      val clipEnergy = fs.map(_._3).sum
+      val clipLen = fs.map(_._4).sum
+      val active = fs.sortBy(_._2)
+        .filter(f => f._3 * clipLen > clipEnergy * f._4)
+      // fuse consecutive frame indices into maximal runs
+      active.foldLeft(Vector.empty[(Long, Long, Long, Long)]) {
+        case (acc, (_, idx, en, _)) =>
+          acc.lastOption match {
+            case Some((d, s, n, e)) if idx == s + n =>
+              acc.init :+ ((d, s, n + 1, e + en))
+            case _ => acc :+ ((doc, idx, 1L, en))
+          }
+      }
+    }.sortBy { case (d, s, _, _) => (d, s) }
+    val got = q("mm_audio_segments").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got === want.toSeq)
+    // the gate must actually partition frames: some active, some not
+    assert(frames.length > got.map(_._3).sum, "every frame active — gate degenerate")
+    assert(got.nonEmpty, "no active segments — gate degenerate")
+    // and runs must actually fuse somewhere (a segment longer than 1 frame)
+    assert(got.exists(_._3 > 1), "no multi-frame segment — fusion untested")
+  }
 }
