@@ -298,7 +298,9 @@ object ProfileOps {
     * and the statistic is one final IEEE division by n_old·n_new — no
     * float CDFs to merge-order-drift, so the result hash-compares.
     *
-    * Scale shape: one corpus scan → (source, value)-keyed conditional
+    * Scale shape: one counting scan (plus the 1-row snapshot-cut
+    * aggregate's own 2-column scan — in production the cut is the known
+    * snapshot boundary, not derived) → (source, value)-keyed conditional
     * counts (map-side combined — the shuffle carries distinct
     * (source, value) pairs, bounded by |sources|·|support|, not docs) →
     * one per-source cumulative window over the compact support → a
