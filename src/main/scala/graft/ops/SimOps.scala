@@ -32,7 +32,7 @@ object SimOps {
   private def dot(a: Column, b: Column): Column =
     graft.functions.VectorFunctions.vecDot(a, b)
 
-  private def withNorm(df: DataFrame): DataFrame =
+  private[graft] def withNorm(df: DataFrame): DataFrame =
     df.withColumn("nrm", dot(col("embedding"), col("embedding")))
 
   /** DuckDB spelling of the same fold. */
@@ -294,17 +294,35 @@ object SimOps {
     * arithmetic mirrored in the SQL. */
   def annIvfProbe(spark: SparkSession, sfDir: String): DataFrame = {
     val v = withNorm(Tables.embeddings(spark, sfDir))
-    val cents = v.filter(col("vec_id") % graft.GraftConf.annCentroidMod(spark) === 0)
+    ivfProbeCells(ivfAssign(v, ivfCentroids(spark, v)))
+  }
+
+  /** The deterministic coarse quantizer: every `centroidMod`-th vector is
+    * a centroid — factored so the batch probe, the persisted-index probe
+    * and the streaming index maintenance derive the SAME quantizer. */
+  private[graft] def ivfCentroids(spark: SparkSession, v: DataFrame): DataFrame =
+    v.filter(col("vec_id") % graft.GraftConf.annCentroidMod(spark) === 0)
       .select(col("vec_id").as("cent_id"), col("embedding").as("ce"), col("nrm").as("cn"))
-    // assign every vector (and hence every query) to its nearest centroid
+
+  /** Assign vectors to their nearest centroid — the INDEX BUILD step.
+    * Output (vec_id, embedding, nrm, cell) IS the index table: writing it
+    * to parquet bucketed/partitioned by `cell` is the at-rest IVF index. */
+  private[graft] def ivfAssign(vecs: DataFrame, cents: DataFrame): DataFrame = {
     val wAssign = Window.partitionBy("vec_id")
       .orderBy(col("ccos").desc, col("cent_id").asc)
-    val assigned = v.join(broadcast(cents))
+    vecs.join(broadcast(cents))
       .withColumn("ccos",
         dot(col("embedding"), col("ce")) / sqrt(col("nrm") * col("cn")))
       .withColumn("crnk", row_number().over(wAssign))
       .filter(col("crnk") === 1)
       .select(col("vec_id"), col("embedding"), col("nrm"), col("cent_id").as("cell"))
+  }
+
+  /** Probe an IVF index table (vec_id, embedding, nrm, cell): queries are
+    * the indexed vectors with vec_id < 10, candidates their own cell,
+    * exact rerank to top-3 — identical no matter whether the index was
+    * just built, read back from parquet, or maintained by a stream. */
+  private[graft] def ivfProbeCells(assigned: DataFrame): DataFrame = {
     val queries_ = assigned.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
         col("nrm").as("qn"), col("cell"))
@@ -318,6 +336,26 @@ object SimOps {
       .filter(col("rnk") <= 3)
       .select(col("query_id"), col("rnk"), col("neighbor_id"), col("cell"), col("cos"))
       .orderBy("query_id", "rnk")
+  }
+
+  /** IVF index PERSISTENCE — the index-amortization path: build the
+    * index table ONCE, write it to parquet partitioned by `cell`, and
+    * probe the AT-REST index. At 100 TB this is the production shape —
+    * the corpus-sized assign pass is paid per ingest, not per query
+    * batch, and the cell-partitioned layout is what makes a single-cell
+    * point probe a partition-pruned scan (this registry query probes 10
+    * queries' cells through the cell join; dynamic partition pruning
+    * applies the same cut at scale). The result is
+    * bit-identical to [[annIvfProbe]] (same quantizer, same rerank —
+    * float arrays and norms round-trip parquet exactly), so the SAME
+    * DuckDB oracle gates both. */
+  def annIvfPersist(spark: SparkSession, sfDir: String): DataFrame = {
+    val v = withNorm(Tables.embeddings(spark, sfDir))
+    val index = ivfAssign(v, ivfCentroids(spark, v))
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_index")
+      .resolve("index").toString
+    index.write.mode("overwrite").partitionBy("cell").parquet(dir)
+    ivfProbeCells(spark.read.parquet(dir))
   }
 
   // --- IVF with a fitted (k-means) quantizer -------------------------------
@@ -576,6 +614,7 @@ object SimOps {
     "ann_lsh_multiprobe"   -> (annLshMultiprobe _),
     "embed_dedup_clusters" -> (embedDedupClusters _),
     "ann_ivf_probe"        -> (annIvfProbe _),
+    "ann_ivf_persist"      -> (annIvfPersist _),
     "ann_ivf_kmeans"       -> (annIvfKmeans _),
     "pq_encode"            -> (pqEncode _))
 
@@ -655,6 +694,34 @@ object SimOps {
        |FROM cd ORDER BY vec_id""".stripMargin
   }
 
+  /** Shared by ann_ivf_probe AND ann_ivf_persist — the persisted-index
+    * probe is bit-identical to the direct probe by construction, so one
+    * oracle gates both. */
+  private lazy val sqlIvfProbe =
+    s"""WITH v AS ($sqlVec),
+         |n AS (SELECT vec_id, d, ${sqlDot("d", "d")} AS nrm FROM v),
+         |cents AS (SELECT vec_id AS cent_id, d AS ce, nrm AS cn FROM n WHERE vec_id % 32 = 0),
+         |assigned AS (
+         |  SELECT vec_id, d, nrm, cell FROM (
+         |    SELECT n.vec_id, n.d, n.nrm, c.cent_id AS cell,
+         |      row_number() OVER (PARTITION BY n.vec_id
+         |        ORDER BY ${sqlDot("n.d", "c.ce")} / sqrt(n.nrm * c.cn) DESC,
+         |                 c.cent_id ASC) AS crnk
+         |    FROM n CROSS JOIN cents c) t
+         |  WHERE crnk = 1),
+         |q AS (SELECT vec_id AS query_id, d AS qd, nrm AS qn, cell
+         |      FROM assigned WHERE vec_id < 10),
+         |scored AS (
+         |  SELECT q.query_id, a.vec_id AS neighbor_id, q.cell,
+         |    ${sqlDot("q.qd", "a.d")} / sqrt(q.qn * a.nrm) AS cos
+         |  FROM q JOIN assigned a ON q.cell = a.cell AND a.vec_id <> q.query_id)
+         |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, neighbor_id, cell, cos FROM (
+         |  SELECT query_id, neighbor_id, cell, cos,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos DESC, neighbor_id ASC) AS rnk
+         |  FROM scored) t
+         |WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "pq_encode" -> sqlPqEncode,
     "embed_knn_classify" ->
@@ -704,30 +771,8 @@ object SimOps {
          |      ORDER BY cos DESC, neighbor_id ASC) AS rnk
          |  FROM scored) t
          |WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
-    "ann_ivf_probe" ->
-      s"""WITH v AS ($sqlVec),
-         |n AS (SELECT vec_id, d, ${sqlDot("d", "d")} AS nrm FROM v),
-         |cents AS (SELECT vec_id AS cent_id, d AS ce, nrm AS cn FROM n WHERE vec_id % 32 = 0),
-         |assigned AS (
-         |  SELECT vec_id, d, nrm, cell FROM (
-         |    SELECT n.vec_id, n.d, n.nrm, c.cent_id AS cell,
-         |      row_number() OVER (PARTITION BY n.vec_id
-         |        ORDER BY ${sqlDot("n.d", "c.ce")} / sqrt(n.nrm * c.cn) DESC,
-         |                 c.cent_id ASC) AS crnk
-         |    FROM n CROSS JOIN cents c) t
-         |  WHERE crnk = 1),
-         |q AS (SELECT vec_id AS query_id, d AS qd, nrm AS qn, cell
-         |      FROM assigned WHERE vec_id < 10),
-         |scored AS (
-         |  SELECT q.query_id, a.vec_id AS neighbor_id, q.cell,
-         |    ${sqlDot("q.qd", "a.d")} / sqrt(q.qn * a.nrm) AS cos
-         |  FROM q JOIN assigned a ON q.cell = a.cell AND a.vec_id <> q.query_id)
-         |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, neighbor_id, cell, cos FROM (
-         |  SELECT query_id, neighbor_id, cell, cos,
-         |    row_number() OVER (PARTITION BY query_id
-         |      ORDER BY cos DESC, neighbor_id ASC) AS rnk
-         |  FROM scored) t
-         |WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
+    "ann_ivf_probe" -> sqlIvfProbe,
+    "ann_ivf_persist" -> sqlIvfProbe,
     "embed_outlier_knn" ->
       s"""WITH v AS ($sqlVec),
          |n AS (SELECT vec_id, d, ${sqlDot("d", "d")} AS nrm FROM v),

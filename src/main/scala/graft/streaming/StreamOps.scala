@@ -477,16 +477,34 @@ object StreamOps {
       if (cols == Seq("doc_id", "text")) s"docslice_$nFiles"
       else s"docslice_${nFiles}_" +
         cols.mkString("-").replaceAll("[^A-Za-z0-9_-]", "_")
+    stageSliceFiles(spark, sfDir, nFiles, kind,
+      graft.Tables.documents(spark, sfDir).select(cols.map(col): _*), "doc_id")
+  }
+
+  /** The embeddings twin of [[stageDocSliceFiles]] — replays the vector
+    * table as `nFiles` id-ordered micro-batch files (the ingestion shape
+    * an embedding pipeline feeds an index-maintenance stream). */
+  private[graft] def stageVecSliceFiles(
+      spark: SparkSession, sfDir: String, nFiles: Int): String =
+    stageSliceFiles(spark, sfDir, nFiles, s"vecslice_$nFiles",
+      graft.Tables.embeddings(spark, sfDir).select("vec_id", "embedding"), "vec_id")
+
+  /** Shared slicer: `df` split into `nFiles` contiguous `key`-range
+    * parquet files under a [[graft.ops.FileOps.materializeOnce]] cache
+    * dir, one file per micro-batch when replayed with
+    * `maxFilesPerTrigger=1`. */
+  private def stageSliceFiles(
+      spark: SparkSession, sfDir: String, nFiles: Int, kind: String,
+      df: DataFrame, key: String): String =
     graft.ops.FileOps.materializeOnce(spark, kind, sfDir) { dir =>
       val root = new org.apache.hadoop.fs.Path(dir)
       val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val docs = graft.Tables.documents(spark, sfDir).select(cols.map(col): _*)
-      val Array(lo, hi) = docs.agg(min("doc_id"), max("doc_id"))
+      val Array(lo, hi) = df.agg(min(key), max(key))
         .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
       val span = hi - lo + 1
-      val bucket = ((col("doc_id") - lit(lo)) * nFiles / lit(span)).cast("int")
+      val bucket = ((col(key) - lit(lo)) * nFiles / lit(span)).cast("int")
       (0 until nFiles).foreach { i =>
-        docs.filter(bucket === i).coalesce(1)
+        df.filter(bucket === i).coalesce(1)
           .write.mode("overwrite").parquet(s"$dir/_staging_b$i")
         val part = fs.globStatus(
           new org.apache.hadoop.fs.Path(s"$dir/_staging_b$i/part-*.parquet"))(0).getPath
@@ -496,7 +514,6 @@ object StreamOps {
         fs.delete(new org.apache.hadoop.fs.Path(s"$dir/_staging_b$i"), true)
       }
     }
-  }
 
   /** INCREMENTAL near-dup maintenance — the dedup a production corpus
     * actually runs: yesterday's crawl is already deduped and signed; only
@@ -698,6 +715,56 @@ object StreamOps {
       ranBatches += 1
     }.start()
     try q.processAllAvailable() finally q.stop()
+    require(ranBatches > 0, s"no micro-batch ran over $staged ($glob)")
+  }
+
+  /** Streaming IVF INDEX maintenance — the ingestion half of the
+    * [[graft.ops.SimOps.annIvfPersist]] story run CONTINUOUSLY: the
+    * coarse quantizer is pinned once (in production: fitted offline and
+    * versioned; here the same deterministic mod-rule centroids as the
+    * batch index, derived from the staged corpus up front), and each
+    * micro-batch of new vectors is assigned to its cell and APPENDED to
+    * the at-rest index as an idempotent-by-batch-id delta — per-batch
+    * cost is the batch's vectors × centroids, the historical index is
+    * never re-assigned. Probing the maintained store with the SAME
+    * [[graft.ops.SimOps.ivfProbeCells]] yields results bit-identical to
+    * the batch [[graft.ops.SimOps.annIvfProbe]] (StreamingSpec pins the
+    * equality and replay idempotence). */
+  def ivfIndexMaintainRun(spark: SparkSession, sfDir: String): DataFrame = {
+    val staged = stageVecSliceFiles(spark, sfDir, 4)
+    val storeDir = java.nio.file.Files.createTempDirectory("graft_ivf_maint")
+      .resolve("index_store").toString
+    ivfIndexMaintainInto(spark, staged, storeDir, "b*.parquet", "all")
+    graft.ops.SimOps.ivfProbeCells(readIvfIndexStore(spark, storeDir))
+  }
+
+  /** The maintained index read back (vec_id, embedding, nrm, cell). */
+  private[graft] def readIvfIndexStore(
+      spark: SparkSession, storeDir: String): DataFrame =
+    spark.read.option("recursiveFileLookup", "true").parquet(storeDir)
+
+  /** One stream run of the index maintenance over the staged vector
+    * files matching `glob`, appending per-batch delta subdirs. */
+  private[graft] def ivfIndexMaintainInto(
+      spark: SparkSession, staged: String, storeDir: String,
+      glob: String, runTag: String): Unit = {
+    val schema = spark.read.parquet(staged).schema
+    val cents = graft.ops.SimOps.ivfCentroids(spark,
+      graft.ops.SimOps.withNorm(spark.read.parquet(staged)))
+      // the pinned quantizer: centroid-count rows, reused by every batch
+      .persist()
+    @volatile var ranBatches = 0
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", glob)
+      .parquet(staged)
+    val q = stream.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      graft.ops.SimOps.ivfAssign(graft.ops.SimOps.withNorm(batch), cents)
+        .write.mode("overwrite").parquet(s"$storeDir/delta_${runTag}_$id")
+      ranBatches += 1
+    }.start()
+    try q.processAllAvailable()
+    finally { q.stop(); cents.unpersist() }
     require(ranBatches > 0, s"no micro-batch ran over $staged ($glob)")
   }
 

@@ -453,6 +453,34 @@ class StreamingSpec extends SparkSpec {
     assert(second === first)
   }
 
+  test("streamed IVF index maintenance probes bit-identically to the batch index") {
+    val streamed = StreamOps.ivfIndexMaintainRun(spark, sf).collect()
+    val batch = SparkEntry.queries("ann_ivf_probe")(spark, sf).collect()
+    assert(streamed.length === batch.length && streamed.nonEmpty)
+    streamed.zip(batch).foreach { case (s, b) =>
+      assert(s.getAs[Long]("query_id") === b.getAs[Long]("query_id"))
+      assert(s.getAs[Long]("rnk") === b.getAs[Long]("rnk"))
+      assert(s.getAs[Long]("neighbor_id") === b.getAs[Long]("neighbor_id"))
+      assert(s.getAs[Long]("cell") === b.getAs[Long]("cell"))
+      assert(s.getAs[Double]("cos") === b.getAs[Double]("cos"))
+    }
+  }
+
+  test("IVF index store is replay-idempotent: a re-run batch replaces its delta") {
+    val staged = StreamOps.stageVecSliceFiles(spark, sf, 4)
+    val storeDir = java.nio.file.Files.createTempDirectory("graft_ivf_maint_r")
+      .resolve("index_store").toString
+    StreamOps.ivfIndexMaintainInto(spark, staged, storeDir, "b*.parquet", "all")
+    val first = StreamOps.readIvfIndexStore(spark, storeDir)
+      .orderBy("vec_id").collect()
+    StreamOps.ivfIndexMaintainInto(spark, staged, storeDir, "b*.parquet", "all")
+    val second = StreamOps.readIvfIndexStore(spark, storeDir)
+      .orderBy("vec_id").collect()
+    assert(second === first)
+    // and the maintained index covers the whole corpus exactly once
+    assert(first.length === Tables.embeddings(spark, sf).count())
+  }
+
   test("foreachBatch incremental KS drift monitor equals the one-shot batch statistic") {
     // the drift-gate twin of the token-accounting pattern: per-batch
     // (source, value) conditional counts are additive longs over
