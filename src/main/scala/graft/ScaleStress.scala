@@ -110,6 +110,10 @@ object ScaleStress {
       "stats pass + one mixture pass with bounded explode; linear " +
         "(replicas share source names, so per-source budgets scale " +
         "with the corpus)", 1.2),
+    Heavy("shuffle_shards",
+      "one shard-keyed exchange + per-shard rank window; n log(n/shards) " +
+        "~ linear (production scales nShards with the corpus; the op's " +
+        "constant 8 makes this the conservative measurement)", 1.25),
     Heavy("tokenizer_fertility",
       "narrow memoized BPE count + |langs|-row rollup; scan-bound " +
         "linear (the bpe_token_count bound, minus its presentation sort)",

@@ -502,7 +502,35 @@ object CurateOps {
       .limit(64)
   }
 
+  /** Deterministic TRAINING-ORDER shuffle into shards — the last stage
+    * of the prep chain (mixture → dedup → decontaminate → chunk → pack →
+    * SHUFFLE → shards): every document gets a content-independent
+    * pseudorandom position that is IDENTICAL on every rerun at any
+    * parallelism (the property `orderBy(rand())` lacks), so a training
+    * run is reproducible bit-for-bit from the table alone. The shuffle
+    * key is md5(doc_id); shard = first 2 hex digits mod nShards, position
+    * = rank of the key within the shard.
+    *
+    * Scale shape: NO global sort — the only exchange hash-partitions by
+    * `shard` (the write layout a shard-writer needs anyway) and the
+    * position rank is a per-shard window. At 100 TB that is one corpus
+    * exchange + a per-shard sort of corpus/nShards rows; nShards scales
+    * with the corpus so the per-shard sort stays bounded. */
+  def shuffleShards(spark: SparkSession, sfDir: String): DataFrame = {
+    val nShards = 8
+    val keyed = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), md5(col("doc_id").cast("string")).as("k"))
+      .withColumn("shard",
+        (conv(substring(col("k"), 1, 2), 16, 10).cast("long") % nShards)
+          .as("shard"))
+    val w = Window.partitionBy("shard").orderBy(col("k"), col("doc_id"))
+    keyed.withColumn("pos", row_number().over(w).cast("long"))
+      .select(col("doc_id"), col("shard"), col("pos"))
+      .orderBy("shard", "pos")
+  }
+
   val queries: Map[String, Q] = Map(
+    "shuffle_shards"         -> (shuffleShards _),
     "dsir_resample"          -> (dsirResample _),
     "mix_corpora"            -> (mixCorpora _),
     "mix_temperature"        -> (mixTemperature _),
@@ -539,6 +567,16 @@ object CurateOps {
        |  FROM t)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "shuffle_shards" ->
+      """WITH k AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS k
+        |  FROM documents),
+        |s AS (SELECT doc_id, k,
+        |    ('0x' || substr(k, 1, 2))::BIGINT % 8 AS shard
+        |  FROM k)
+        |SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+        |  CAST(row_number() OVER (
+        |    PARTITION BY shard ORDER BY k, doc_id) AS BIGINT) AS pos
+        |FROM s ORDER BY shard, pos""".stripMargin,
     "dsir_resample" ->
       """WITH tk AS (
         |  SELECT doc_id, lang, source,

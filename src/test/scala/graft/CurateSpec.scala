@@ -166,6 +166,32 @@ class CurateSpec extends SparkSpec {
     assert(total - alloc < 2L * rows.size, s"apportionment deficit ${total - alloc}")
   }
 
+  test("shuffle_shards: bijective, contiguous positions, stable under repartition") {
+    val rows = q("shuffle_shards").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._1).distinct.length.toLong === total, "every doc exactly once")
+    rows.groupBy(_._2).foreach { case (shard, rs) =>
+      assert(rs.map(_._3).sorted.toSeq === (1L to rs.length).toSeq,
+        s"shard $shard positions not contiguous from 1")
+    }
+    assert(rows.map(_._2).distinct.length === 8, "all 8 shards populated")
+    // the assignment is a pure function of doc_id: recompute independently
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def key(id: Long): String =
+      md.digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val want = rows.map(_._1).toSeq.map(id => (id, key(id)))
+      .groupBy { case (_, k) => java.lang.Long.parseLong(k.take(2), 16) % 8 }
+      .toSeq.flatMap { case (shard, ds) =>
+        ds.sortBy { case (id, k) => (k, id) }.zipWithIndex
+          .map { case ((id, _), i) => (id, shard, i + 1L) }
+      }.toSet
+    assert(rows.toSet === want)
+    // shuffled order must not be doc_id order within any shard
+    assert(rows.groupBy(_._2).exists { case (_, rs) =>
+      rs.sortBy(_._3).map(_._1).toSeq != rs.map(_._1).sorted.toSeq
+    }, "shuffle left every shard in id order — not a shuffle")
+  }
+
   test("dsir_resample replays the micro-nat scoring and deterministic top-64") {
     val docs = Tables.documents(spark, sf)
       .select("doc_id", "lang", "source", "text").collect()
