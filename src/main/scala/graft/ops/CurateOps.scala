@@ -459,8 +459,13 @@ object CurateOps {
     * variant, unigram order): score every NON-target document by how
     * target-like its unigram distribution is, and select a fixed budget
     * of the most target-like. Target domain = the `lang = 'en'` slice;
-    * pool = everything else. Per-word importance weight
-    *   lw(w) = ⌊10⁶ · ln( p̂_target(w) / p̂_pool(w) ) ⌋    (add-1 smoothed)
+    * candidates = everything else. Per-word importance weight
+    *   lw(w) = ⌊10⁶ · ln( p̂_target(w) / p̂_raw(w) ) ⌋     (add-1 smoothed)
+    * where p̂_raw is the WHOLE raw corpus distribution (target slice
+    * included) — the DSIR convention: the denominator is the raw data
+    * distribution the features were drawn from, not the complement
+    * slice, which also keeps it reusable unchanged when the target set
+    * comes from outside the corpus.
     * and per-doc score = Σ over token OCCURRENCES of lw — the
     * log-likelihood ratio in integer micro-nats, so the cross-doc sum is
     * exact at any merge order (a raw double Σlog would be

@@ -697,19 +697,31 @@ object DedupOps {
     val matches = sh.as("a").join(sh.as("b"),
         col("a.h") === col("b.h") && col("a.source") === col("b.source") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+      .select(col("a.doc_id").as("ka"), col("b.doc_id").as("kb"),
         col("a.pos").as("ia"), col("b.pos").as("ib"))
-    val wRun = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_a"), col("doc_b"), col("ia") - col("ib"))
+    fuseSpans(matches, minSpan)
+      .select(col("ka").as("doc_a"), col("kb").as("doc_b"),
+        col("start_a"), col("start_b"), col("span_len"))
+  }
+
+  /** The islands run-fusion TAIL shared by [[substringSpanPairs]] and
+    * [[decontaminateSpans]] — match points (ka, kb, ia, ib) → maximal
+    * spans (ka, kb, start_a, start_b, span_len). Factored so the two
+    * ops' span arithmetic (the diagonal grouping, the +3 shingle-width
+    * constant, the ≥ minSpan gate) cannot drift apart — the same reason
+    * [[unionRanges]] exists (review finding). */
+  private def fuseSpans(matches: DataFrame, minSpan: Int): DataFrame = {
+    val wRun = Window
+      .partitionBy(col("ka"), col("kb"), col("ia") - col("ib"))
       .orderBy("ia")
     matches
       .withColumn("diag", col("ia") - col("ib"))
       .withColumn("isl", col("ia") - row_number().over(wRun))
-      .groupBy("doc_a", "doc_b", "diag", "isl")
+      .groupBy("ka", "kb", "diag", "isl")
       .agg(min(col("ia")).as("start_a"), (max(col("ia")) - min(col("ia")) + 3)
         .as("span_len"))
       .filter(col("span_len") >= minSpan)
-      .select(col("doc_a"), col("doc_b"), col("start_a"),
+      .select(col("ka"), col("kb"), col("start_a"),
         (col("start_a") - col("diag")).as("start_b"), col("span_len"))
   }
 
@@ -741,22 +753,14 @@ object DedupOps {
       .select(col("doc_id"), posexplode(shingleHashes))
       .select(col("doc_id"), col("pos").cast("long").as("pos"), col("col").as("h"))
     val ev = sh.filter(col("doc_id") % 97 === 0)
-      .select(col("doc_id").as("eval_doc"), col("pos").as("ia"), col("h"))
+      .select(col("doc_id").as("ka"), col("pos").as("ia"), col("h"))
     val tr = sh.filter(col("doc_id") % 97 =!= 0)
-      .select(col("doc_id").as("train_doc"), col("pos").as("ib"), col("h"))
-    val wRun = Window
-      .partitionBy(col("eval_doc"), col("train_doc"), col("ia") - col("ib"))
-      .orderBy("ia")
-    ev.join(tr, "h")
-      .select(col("eval_doc"), col("train_doc"), col("ia"), col("ib"))
-      .withColumn("diag", col("ia") - col("ib"))
-      .withColumn("isl", col("ia") - row_number().over(wRun))
-      .groupBy("eval_doc", "train_doc", "diag", "isl")
-      .agg(min(col("ia")).as("start_eval"),
-        (max(col("ia")) - min(col("ia")) + 3).as("span_len"))
-      .filter(col("span_len") >= minSpan)
-      .select(col("eval_doc"), col("train_doc"), col("start_eval"),
-        (col("start_eval") - col("diag")).as("start_train"), col("span_len"))
+      .select(col("doc_id").as("kb"), col("pos").as("ib"), col("h"))
+    fuseSpans(ev.join(tr, "h").select(col("ka"), col("kb"), col("ia"), col("ib")),
+        minSpan)
+      .select(col("ka").as("eval_doc"), col("kb").as("train_doc"),
+        col("start_a").as("start_eval"), col("start_b").as("start_train"),
+        col("span_len"))
       .orderBy("eval_doc", "train_doc", "start_eval", "start_train")
   }
 

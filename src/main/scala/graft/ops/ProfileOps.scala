@@ -336,8 +336,14 @@ object ProfileOps {
         col("n_old").cast("long").as("n_old"),
         col("n_new").cast("long").as("n_new"),
         col("d_num").cast("long").as("d_num"),
-        (col("d_num").cast("double") /
-          (col("n_old") * col("n_new")).cast("double")).as("ks_stat"))
+        // a source on only ONE side of the cut (new scraper, vanished
+        // feed) is the strongest drift there is: sup|F_old − F_new| = 1
+        // by definition, but the cross-product form degenerates to 0/0
+        // — guard it to the exact value instead of NaN, which would
+        // silently pass every `ks > threshold` monitor (review finding)
+        when(col("n_old") === 0 || col("n_new") === 0, lit(1.0))
+          .otherwise(col("d_num").cast("double") /
+            (col("n_old") * col("n_new")).cast("double")).as("ks_stat"))
       .orderBy("source")
   }
 
@@ -438,8 +444,9 @@ object ProfileOps {
         |SELECT source,
         |  CAST(n_old AS BIGINT) AS n_old, CAST(n_new AS BIGINT) AS n_new,
         |  CAST(max(abs(cum1 * n_new - cum2 * n_old)) AS BIGINT) AS d_num,
-        |  CAST(max(abs(cum1 * n_new - cum2 * n_old)) AS DOUBLE)
-        |    / CAST(n_old * n_new AS DOUBLE) AS ks_stat
+        |  CASE WHEN n_old = 0 OR n_new = 0 THEN CAST(1.0 AS DOUBLE)
+        |    ELSE CAST(max(abs(cum1 * n_new - cum2 * n_old)) AS DOUBLE)
+        |      / CAST(n_old * n_new AS DOUBLE) END AS ks_stat
         |FROM cum JOIN tot USING (source)
         |GROUP BY source, n_old, n_new
         |ORDER BY source""".stripMargin,

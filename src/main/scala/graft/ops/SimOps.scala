@@ -350,12 +350,23 @@ object SimOps {
     * float arrays and norms round-trip parquet exactly), so the SAME
     * DuckDB oracle gates both. */
   def annIvfPersist(spark: SparkSession, sfDir: String): DataFrame = {
-    val v = withNorm(Tables.embeddings(spark, sfDir))
-    val index = ivfAssign(v, ivfCentroids(spark, v))
-    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_index")
-      .resolve("index").toString
-    index.write.mode("overwrite").partitionBy("cell").parquet(dir)
-    ivfProbeCells(spark.read.parquet(dir))
+    // materializeOnce, keyed by the quantizer conf (the only input that
+    // changes the index bytes besides the corpus): first call pays the
+    // ingest-side assign+write, later calls probe the warm at-rest index
+    // — the amortization IS the story; a temp dir per call would leak a
+    // corpus-sized copy per bench reaping nothing (review finding)
+    val mod = graft.GraftConf.annCentroidMod(spark)
+    val dir = FileOps.materializeOnce(spark, s"ivf_index_m$mod", sfDir) { d =>
+      val v = withNorm(Tables.embeddings(spark, sfDir))
+      ivfAssign(v, ivfCentroids(spark, v))
+        .write.mode("overwrite").partitionBy("cell").parquet(d)
+    }
+    // partition-column type inference reads `cell` back as INT; restore
+    // the index schema so the persisted probe is bit-identical to
+    // ann_ivf_probe at the SCHEMA level too (review finding, repro'd on
+    // Spark 4.1.2)
+    ivfProbeCells(spark.read.parquet(dir)
+      .withColumn("cell", col("cell").cast("long")))
   }
 
   // --- IVF with a fitted (k-means) quantizer -------------------------------

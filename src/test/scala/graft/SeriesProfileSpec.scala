@@ -143,6 +143,26 @@ class SeriesProfileSpec extends SparkSpec {
     }
   }
 
+  test("ksFromCounts: a one-sided source reports KS = 1.0, never NaN") {
+    // a source present on only one side of the snapshot cut is the
+    // strongest drift (appeared/vanished feed); the cross-product form
+    // degenerates to 0/0 there — the guard must pin it to exactly 1.0
+    import spark.implicits._
+    val per = Seq(
+      ("new_src", 10L, 0L, 3L), ("new_src", 20L, 0L, 2L),
+      ("old_src", 10L, 4L, 0L),
+      ("both", 10L, 2L, 1L), ("both", 20L, 1L, 2L)
+    ).toDF("source", "v", "c1", "c2")
+    val got = graft.ops.ProfileOps.ksFromCounts(per).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(4))))
+      .toMap
+    assert(got("new_src") === ((0L, 5L, 1.0)))
+    assert(got("old_src") === ((4L, 0L, 1.0)))
+    val (bo, bn, bks) = got("both")
+    assert(bo === 3L && bn === 3L)
+    assert(!bks.isNaN && bks >= 0.0 && bks <= 1.0)
+  }
+
   test("quality_ks_drift replays the exact integer two-sample KS per source") {
     val docs = Tables.documents(spark, sf).select("source", "doc_id", "text")
       .collect().map(r => (r.getString(0), r.getLong(1),
