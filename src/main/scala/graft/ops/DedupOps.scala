@@ -745,7 +745,13 @@ object DedupOps {
     * broadcasts the eval side while it fits, and only MATCH POINTS
     * reach the islands windows — both keyed (eval_doc, train_doc,
     * diagonal), proportional to shared shingles, not the corpus. */
-  def decontaminateSpans(spark: SparkSession, sfDir: String): DataFrame = {
+  def decontaminateSpans(spark: SparkSession, sfDir: String): DataFrame =
+    decontaminateSpanPairs(spark, sfDir)
+      .orderBy("eval_doc", "train_doc", "start_eval", "start_train")
+
+  /** [[decontaminateSpans]] without the presentation sort — the form
+    * composed consumers ([[decontaminateReport]]) build on. */
+  def decontaminateSpanPairs(spark: SparkSession, sfDir: String): DataFrame = {
     val minSpan = 4
     val sh = Tables.documents(spark, sfDir)
       .filter(size(toks) >= 3)
@@ -761,7 +767,30 @@ object DedupOps {
       .select(col("ka").as("eval_doc"), col("kb").as("train_doc"),
         col("start_a").as("start_eval"), col("start_b").as("start_train"),
         col("span_len"))
-      .orderBy("eval_doc", "train_doc", "start_eval", "start_train")
+  }
+
+  /** The per-source LEAK REPORT downstream of [[decontaminateSpans]] —
+    * the rollup a benchmark-hygiene review reads first: for every
+    * training source, how many leak spans it carries, how many distinct
+    * eval documents they reach, how many of its own documents are
+    * implicated, and the total leaked token mass. The actionable
+    * prioritization ("which source do we scrub first") over the span
+    * table's raw evidence.
+    *
+    * Scale shape: the span table is tiny (shared shingles only), so its
+    * join back to the corpus for `source` broadcasts; the rollup is a
+    * |sources|-row aggregate. */
+  def decontaminateReport(spark: SparkSession, sfDir: String): DataFrame = {
+    val spans = decontaminateSpanPairs(spark, sfDir)
+    val src = Tables.documents(spark, sfDir)
+      .select(col("doc_id").as("train_doc"), col("source"))
+    spans.join(src, "train_doc")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_leak_spans"),
+        countDistinct(col("eval_doc")).as("n_eval_docs_hit"),
+        countDistinct(col("train_doc")).as("n_train_docs_hit"),
+        sum(col("span_len")).cast("long").as("n_leaked_tokens"))
+      .orderBy("source")
   }
 
   /** Span EXCISION — the cleanup stage downstream of
@@ -818,6 +847,7 @@ object DedupOps {
     "dedup_incremental"   -> (dedupIncremental _),
     "dedup_cross_source"  -> (dedupCrossSource _),
     "decontaminate_spans" -> (decontaminateSpans _),
+    "decontaminate_report" -> (decontaminateReport _),
     "dup_ngram_spans"     -> (dupNgramSpans _),
     "dedup_containment"   -> (ngramContainment _),
     "dedup_exact_stats"   -> (dedupExactStats _),
@@ -875,30 +905,48 @@ object DedupOps {
       |  FROM hv CROSS JOIN (SELECT unnest(range(0, 64)) AS b) bb
       |  GROUP BY 1, 2)""".stripMargin
 
+  /** Shared CTE chain for the eval-leak span table — the SQL mirror of
+    * [[decontaminateSpanPairs]], used by both the span oracle and the
+    * per-source report oracle so the two restatements cannot drift. */
+  private val sqlLeakSpanCtes =
+    """t AS (SELECT doc_id, string_split(text, ' ') AS w
+      |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
+      |sh AS (SELECT doc_id, CAST(i.i AS BIGINT) AS pos,
+      |    md5(w[CAST(i.i + 1 AS INTEGER)] || ' ' ||
+      |        w[CAST(i.i + 2 AS INTEGER)] || ' ' ||
+      |        w[CAST(i.i + 3 AS INTEGER)]) AS h
+      |  FROM t, unnest(range(0, len(w) - 2)) AS i(i)),
+      |m AS (SELECT a.doc_id AS eval_doc, b.doc_id AS train_doc,
+      |    a.pos AS ia, b.pos AS ib
+      |  FROM sh a JOIN sh b ON a.h = b.h
+      |  WHERE a.doc_id % 97 = 0 AND b.doc_id % 97 <> 0),
+      |isl AS (SELECT eval_doc, train_doc, ia - ib AS diag, ia,
+      |    ia - row_number() OVER (
+      |      PARTITION BY eval_doc, train_doc, ia - ib ORDER BY ia) AS g
+      |  FROM m),
+      |sp AS (SELECT eval_doc, train_doc, diag,
+      |    min(ia) AS start_eval, max(ia) - min(ia) + 3 AS span_len
+      |  FROM isl GROUP BY eval_doc, train_doc, diag, g)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "decontaminate_spans" ->
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
-        |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
-        |sh AS (SELECT doc_id, CAST(i.i AS BIGINT) AS pos,
-        |    md5(w[CAST(i.i + 1 AS INTEGER)] || ' ' ||
-        |        w[CAST(i.i + 2 AS INTEGER)] || ' ' ||
-        |        w[CAST(i.i + 3 AS INTEGER)]) AS h
-        |  FROM t, unnest(range(0, len(w) - 2)) AS i(i)),
-        |m AS (SELECT a.doc_id AS eval_doc, b.doc_id AS train_doc,
-        |    a.pos AS ia, b.pos AS ib
-        |  FROM sh a JOIN sh b ON a.h = b.h
-        |  WHERE a.doc_id % 97 = 0 AND b.doc_id % 97 <> 0),
-        |isl AS (SELECT eval_doc, train_doc, ia - ib AS diag, ia,
-        |    ia - row_number() OVER (
-        |      PARTITION BY eval_doc, train_doc, ia - ib ORDER BY ia) AS g
-        |  FROM m),
-        |sp AS (SELECT eval_doc, train_doc, diag,
-        |    min(ia) AS start_eval, max(ia) - min(ia) + 3 AS span_len
-        |  FROM isl GROUP BY eval_doc, train_doc, diag, g)
-        |SELECT eval_doc, train_doc, start_eval,
-        |  start_eval - diag AS start_train, span_len
-        |FROM sp WHERE span_len >= 4
-        |ORDER BY eval_doc, train_doc, start_eval, start_train""".stripMargin,
+      s"""WITH $sqlLeakSpanCtes
+         |SELECT eval_doc, train_doc, start_eval,
+         |  start_eval - diag AS start_train, span_len
+         |FROM sp WHERE span_len >= 4
+         |ORDER BY eval_doc, train_doc, start_eval, start_train""".stripMargin,
+    "decontaminate_report" ->
+      s"""WITH $sqlLeakSpanCtes,
+         |lk AS (SELECT eval_doc, train_doc, span_len
+         |  FROM sp WHERE span_len >= 4)
+         |SELECT d.source,
+         |  CAST(count(*) AS BIGINT) AS n_leak_spans,
+         |  CAST(count(DISTINCT lk.eval_doc) AS BIGINT) AS n_eval_docs_hit,
+         |  CAST(count(DISTINCT lk.train_doc) AS BIGINT) AS n_train_docs_hit,
+         |  CAST(sum(lk.span_len) AS BIGINT) AS n_leaked_tokens
+         |FROM lk JOIN documents d ON d.doc_id = lk.train_doc
+         |GROUP BY d.source
+         |ORDER BY d.source""".stripMargin,
     "dedup_cross_source" ->
       """WITH hs AS (
         |  SELECT DISTINCT

@@ -303,6 +303,22 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("decontaminate_report is the per-source rollup of the span table") {
+    val src = Tables.documents(spark, sf).select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val spans = q("decontaminate_spans").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(4)))
+    val want = spans.groupBy { case (_, t, _) => src(t) }.map { case (s, rs) =>
+      (s, rs.length.toLong, rs.map(_._1).distinct.length.toLong,
+        rs.map(_._2).distinct.length.toLong, rs.map(_._3).sum)
+    }.toSeq.sortBy(_._1)
+    val got = q("decontaminate_report").collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got === want)
+    assert(got.nonEmpty && got.map(_._2).sum === spans.length.toLong)
+  }
+
   test("dedup_cross_source equals the pair expansion of per-fingerprint source sets") {
     val src = Tables.documents(spark, sf).select("doc_id", "source").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
