@@ -89,17 +89,42 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
-/** Count of positions where two long arrays agree — the MinHash
+/** Count of positions where two integral arrays agree — the MinHash
   * signature-agreement estimator's kernel (matches/K estimates Jaccard).
   * Same rationale as [[DotProduct]]: a per-pair primitive loop that stays
   * inside whole-stage codegen instead of an interpreted higher-order
-  * `zip_with`.
+  * `zip_with`. Accepts `array<int>` (the packed [[MinHashSig]] codomain)
+  * or `array<bigint>`, both sides the SAME element type — a silent
+  * int-vs-long mix would compare raw buffer words, so it is rejected at
+  * analysis time. Nullable ELEMENTS are tolerated (file sources force
+  * read-back schemas nullable, so a signature re-read from a parquet
+  * band store arrives as `array<int, containsNull=true>` even though no
+  * element is ever null); a null slot simply never counts as agreeing.
   */
 case class ArrayEqCount(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = IntegerType
   override def prettyName: String = "array_eq_count"
+
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    (left.dataType, right.dataType) match {
+      case (ArrayType(IntegerType, _), ArrayType(IntegerType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires two int arrays or two long arrays " +
+            s"(same element type both sides), got $l, $r")
+    }
+  }
+
+  private lazy val isInt =
+    left.dataType.asInstanceOf[ArrayType].elementType == IntegerType
+  private lazy val anyNullable =
+    Seq(left, right).exists(_.dataType.asInstanceOf[ArrayType].containsNull)
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -108,7 +133,9 @@ case class ArrayEqCount(left: Expression, right: Expression)
     var c = 0
     var i = 0
     while (i < n) {
-      if (x.getLong(i) == y.getLong(i)) c += 1
+      if (!(anyNullable && (x.isNullAt(i) || y.isNullAt(i))) &&
+        (if (isInt) x.getInt(i) == y.getInt(i)
+         else x.getLong(i) == y.getLong(i))) c += 1
       i += 1
     }
     c
@@ -119,11 +146,14 @@ case class ArrayEqCount(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val c = ctx.freshName("c")
+      val get = if (isInt) "getInt" else "getLong"
+      val nullGuard =
+        if (anyNullable) s"!$a.isNullAt($i) && !$b.isNullAt($i) && " else ""
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |int $c = 0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  if ($a.getLong($i) == $b.getLong($i)) $c++;
+         |  if ($nullGuard$a.$get($i) == $b.$get($i)) $c++;
          |}
          |${ev.value} = $c;
        """.stripMargin
@@ -234,7 +264,14 @@ case class MinHashSig(child: Expression, k: Int)
     with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
   import MinHashSig.P
 
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  // Every slot value lives in [0, P) ⊂ [0, 2³¹−1) — int carries it
+  // exactly, and the packed signature HALVES the dominant band-exchange
+  // payload of the LSH family (the volume knob of the ×1000 scale audit;
+  // 64 slots: 512 B → 256 B per carried row). The empty-input sentinel is
+  // P itself (== Int.MaxValue): unattainable by any real slot (values are
+  // strictly mod P), and two empty docs still collide in every band —
+  // the same equality semantics the Long.MaxValue sentinel had.
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def prettyName: String = "minhash_sig"
 
   private val as: Array[Long] = MinHashSig.aParams(k)
@@ -242,7 +279,7 @@ case class MinHashSig(child: Expression, k: Int)
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
-    val mins = Array.fill(k)(Long.MaxValue)
+    val mins = Array.fill(k)(P) // P == Int.MaxValue: the empty sentinel
     val n = arr.numElements()
     var t = 0
     while (t < n) {
@@ -257,7 +294,8 @@ case class MinHashSig(child: Expression, k: Int)
       }
       t += 1
     }
-    new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array.tabulate(k)(i => mins(i).toInt))
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

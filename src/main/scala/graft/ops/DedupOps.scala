@@ -255,7 +255,8 @@ object DedupOps {
       .persist()
     // (band construction shared with the incremental streaming
     // maintenance — see [[bandExplode]])
-    // Band rows CARRY the signature (512 B/rep) into the bucket join, so
+    // Band rows CARRY the signature (256 B/rep — K packed ints; the
+    // GF(2³¹−1) codomain fits int exactly) into the bucket join, so
     // verification runs INLINE in the join stage and candidates never
     // reach an exchange — see the [[verified]] note below for why this
     // beats the two-phase distinct-then-join-sigs formulation this
@@ -291,7 +292,7 @@ object DedupOps {
     // raw candidates survived the partial agg, which still burned the
     // stage's hash-map + 12 GB spill) — and then joined candidates back
     // to `groups` TWICE to fetch the very signatures the band rows
-    // already knew. Trade: the band exchange grows 24 B → ~540 B/row
+    // already knew. Trade: the band exchange grows 24 B → ~280 B/row
     // (sig payload, ~linear, sequential I/O), in exchange for deleting
     // the candidate-volume exchange, its 1.4e9-row hash aggregation, and
     // both rep-keyed verification joins — every super-linear term the
@@ -617,10 +618,14 @@ object DedupOps {
   }
 
   /** Cross-source contamination matrix — for every source pair
-    * (src_a < src_b), how many distinct documents (by order-insensitive
-    * BAG fingerprint, [[TextOps.bagFingerprint]]) appear in BOTH — the
+    * (src_a < src_b), how many DISTINCT SHARED BAG FINGERPRINTS
+    * (order-insensitive content digests, [[TextOps.bagFingerprint]])
+    * appear in both: `n_shared` counts shared content identities, so
+    * multiple identical documents within a pair collapse to one — the
     * "which corpora overlap, and how much" report run before deciding a
     * corpus mixture ([[CurateOps.mixCorpora]]) or a dedup pass ordering.
+    * (For document multiplicity, aggregate per-source doc counts per
+    * fingerprint instead of the distinct source set.)
     * Keyed on the bag fingerprint for the same reason as
     * [[dedupIncremental]]: raw-text md5 is near-collision-free on this
     * corpus and would report an empty (untested) matrix.

@@ -350,13 +350,20 @@ object SimOps {
     * float arrays and norms round-trip parquet exactly), so the SAME
     * DuckDB oracle gates both. */
   def annIvfPersist(spark: SparkSession, sfDir: String): DataFrame = {
-    // materializeOnce, keyed by the quantizer conf (the only input that
-    // changes the index bytes besides the corpus): first call pays the
-    // ingest-side assign+write, later calls probe the warm at-rest index
-    // — the amortization IS the story; a temp dir per call would leak a
-    // corpus-sized copy per bench reaping nothing (review finding)
+    // materializeOnce, keyed by the quantizer conf AND a cheap corpus
+    // fingerprint (row count + max vec_id — one tiny aggregate per call):
+    // first call pays the ingest-side assign+write, later calls probe the
+    // warm at-rest index — the amortization IS the story; a temp dir per
+    // call would leak a corpus-sized copy per bench reaping nothing
+    // (review finding). The fingerprint invalidates reuse when the
+    // embeddings fixture under the same sfDir is REGENERATED: without it
+    // a bench-only run (no verify gate in the loop) would silently probe
+    // the stale index (ADVICE r13).
     val mod = graft.GraftConf.annCentroidMod(spark)
-    val dir = FileOps.materializeOnce(spark, s"ivf_index_m$mod", sfDir) { d =>
+    val fpRow = Tables.embeddings(spark, sfDir)
+      .agg(count(lit(1)).as("n"), max("vec_id").as("mx")).collect()(0)
+    val fp = s"n${fpRow.getLong(0)}x${fpRow.getLong(1)}"
+    val dir = FileOps.materializeOnce(spark, s"ivf_index_m${mod}_$fp", sfDir) { d =>
       val v = withNorm(Tables.embeddings(spark, sfDir))
       ivfAssign(v, ivfCentroids(spark, v))
         .write.mode("overwrite").partitionBy("cell").parquet(d)

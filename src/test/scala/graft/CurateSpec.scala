@@ -192,6 +192,37 @@ class CurateSpec extends SparkSpec {
     }, "shuffle left every shard in id order — not a shuffle")
   }
 
+  test("dsir micro-nat grid: no fixture weight sits on a floor boundary") {
+    // The oracle-exactness of dsir_resample rests on ⌊ln(r)·1e6⌋ agreeing
+    // between Spark (StrictMath.log) and DuckDB (std::log). Natural log
+    // is NOT correctly rounded in either engine (unlike the IEEE sqrt
+    // mix_temperature uses), so a weight whose ln(r)·1e6 lands within an
+    // ulp of an integer could floor differently across engines/versions.
+    // This pins that NO vocab word on ANY fixture scale is within 1e-7 of
+    // a boundary — ~1000× the worst cross-engine ln drift at this
+    // magnitude (few ulps of a ~1e7-scale double ≈ 1e-9), so the gate
+    // cannot flake on a log-implementation difference.
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1")) {
+      val tk = Tables.documents(spark, dir)
+        .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+      val vocab = tk.groupBy("tok").agg(
+        count(lit(1)).as("ca"),
+        count(when(col("lang") === "en", 1)).as("ct"))
+      val tot = vocab.agg(sum("ca").cast("long").as("na"),
+        sum("ct").cast("long").as("nt"), count(lit(1)).as("v"))
+      val x = log(((col("ct") + 1).cast("double") * (col("na") + col("v")).cast("double")) /
+        ((col("ca") + 1).cast("double") * (col("nt") + col("v")).cast("double"))) * 1e6
+      val minDist = vocab.crossJoin(broadcast(tot))
+        .select(abs(x - round(x)).as("d"))
+        .agg(min("d")).collect()(0).getDouble(0)
+      assert(minDist > 1e-7,
+        s"$dir: a vocab weight is ${minDist} from a micro-nat floor " +
+          "boundary — the cross-engine ⌊ln⌋ gate could flake; requantize " +
+          "or restate the score in integer-exact form")
+    }
+  }
+
   test("dsir_resample replays the micro-nat scoring and deterministic top-64") {
     val docs = Tables.documents(spark, sf)
       .select("doc_id", "lang", "source", "text").collect()
