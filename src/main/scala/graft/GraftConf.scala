@@ -108,4 +108,21 @@ object GraftConf {
     * corpus is where it starts carrying the load. */
   def irSimMaxDf(spark: SparkSession): Long =
     spark.conf.get("spark.graft.ir.simMaxDf", "256").toLong
+
+  /** Document-frequency ceiling for the exact-substring SPAN family's
+    * shingle postings (`dedup_substring_spans` and composed consumers).
+    * A boilerplate shingle with within-source document frequency d emits
+    * d² match points in the postings self-join — the family's known
+    * quadratic tail. With the cap set (> 0), postings of shingles whose
+    * df exceeds it are dropped BEFORE the join, loudly (the no-silent-
+    * caps rule: the operator logs how many shingle keys were capped).
+    * Semantics under the cap: a maximal span that crosses a capped
+    * shingle splits at that shingle (its match points are gone), so
+    * capped output is a refinement of the uncapped spans over the
+    * surviving shingles — the standard suffix-array-family df-prune
+    * tradeoff, acceptable exactly because df ≫ cap shingles are
+    * boilerplate. Default 0 = off: the fixture corpus has no hot tail,
+    * and the correctness gate runs uncapped. */
+  def spansMaxDf(spark: SparkSession): Long =
+    spark.conf.get("spark.graft.spans.maxDf", "0").toLong
 }

@@ -232,6 +232,15 @@ object ScaleStress {
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.memory", "8g")
+      // Shuffle codec override for the disk-bound decades: zstd squeezes
+      // the pair-heavy band exchanges ~2× tighter than lz4 (minhash slot
+      // values are biased small — min of m uniform draws — so their high
+      // bytes are mostly zero). Applied to BOTH scales of a run, so the
+      // exponent is codec-neutral; absolute times are not comparable
+      // across artifacts recorded under different codecs (the JSON
+      // records the codec).
+      .config("spark.io.compression.codec",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_CODEC", "lz4"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -272,10 +281,13 @@ object ScaleStress {
           // JVM GC notices the dropped references, and at ×1000 two
           // reps' worth of the flagship's exchanges exceeds the box's
           // disk (the round-10 ENOSPC abort). Cleanup runs OUTSIDE the
-          // timed span.
+          // timed span — and BLOCKS until the deletions actually land:
+          // a fixed 2 s sleep let rep 2 start while ~50 GB of rep-1
+          // shuffle files were still queued for deletion, and the two
+          // reps' combined footprint ENOSPC'd the box (round-14 abort).
           spark.catalog.clearCache()
           System.gc()
-          Thread.sleep(2000)
+          awaitShuffleCleanup()
           t
         }.min
       } finally conf.keys.foreach(spark.conf.unset)
@@ -304,12 +316,45 @@ object ScaleStress {
         s""""within_model":${e <= h.bound}$confJson}"""
     }.mkString(",")
     val nOver = rows.count { case (h, _, _, _, _, e) => e > h.bound }
+    val codec = spark.conf.get("spark.io.compression.codec", "lz4")
     val json = s"""{"sf_small":"$small","factor":$factor,""" +
+      s""""shuffle_codec":"$codec",""" +
       s""""queries":{$qJson},"n_over_model":$nOver}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(outJson),
       json.getBytes("UTF-8"))
     println(json)
     spark.stop()
+  }
+
+  /** Blocks until the driver-local shuffle dirs (`blockmgr-*` under
+    * java.io.tmpdir) stop shrinking — the ContextCleaner's deletions are
+    * asynchronous, and the between-reps barrier must observe them
+    * COMPLETE, not merely enqueued, before the next rep starts writing.
+    * Bounded at ~2 min; re-GCs halfway in case the first GC ran before
+    * the last RDD references were dropped. */
+  private def awaitShuffleCleanup(): Unit = {
+    def shuffleBytes: Long = {
+      val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+      val roots = Option(tmp.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.startsWith("blockmgr-"))
+      def du(f: java.io.File): Long =
+        if (f.isFile) f.length()
+        else Option(f.listFiles()).getOrElse(Array.empty).map(du).sum
+      roots.map(du).sum
+    }
+    var prev = shuffleBytes
+    var stable = 0
+    var rounds = 0
+    // wait while the footprint is large and still moving; exit once it
+    // drops under 2 GB or sits still for 3 consecutive samples
+    while (prev > (2L << 30) && stable < 3 && rounds < 60) {
+      Thread.sleep(2000)
+      if (rounds == 10) System.gc()
+      val cur = shuffleBytes
+      if (cur >= prev) stable += 1 else stable = 0
+      prev = cur
+      rounds += 1
+    }
   }
 
   /** Builds the ×factor corpus under java.io.tmpdir (idempotent behind a

@@ -681,24 +681,54 @@ object DedupOps {
     * shingle collisions on one diagonal, so the reconstruction is exact
     * — no probabilistic caveat beyond md5 collisions, which could only
     * merge unrelated runs. The known hot spot is a boilerplate shingle
-    * with document frequency d inside one source (d² match points);
-    * the production mitigations are the same as [[ngramJaccard]]'s
-    * blocking discussion (df cap on the postings, salt the source
-    * blocks) and AQE skew splitting on the band join. */
+    * with document frequency d inside one source (d² match points); the
+    * mitigation is IN CODE as the conf-gated [[capPostingsDf]] prefilter
+    * (`spark.graft.spans.maxDf` — default off, loud when it drops;
+    * spec-pinned and ×10-audited with a planted hot shingle), with
+    * source-block salting and AQE skew splitting as the further
+    * [[ngramJaccard]]-style levers. */
   def dedupSubstringSpans(spark: SparkSession, sfDir: String): DataFrame =
     substringSpanPairs(spark, sfDir)
       .orderBy("doc_a", "doc_b", "start_a", "start_b")
+
+  /** Conf-gated df-cap prefilter for span-family shingle postings
+    * ([[graft.GraftConf.spansMaxDf]]): computes within-block document
+    * frequency per shingle key (one support-sized aggregate over the
+    * postings), drops the postings of keys above the cap via a broadcast
+    * anti-join (the hot set is tiny by definition — only keys BEYOND the
+    * cap survive the filter), and logs the capped-key count — a silent
+    * drop would read as "no boilerplate here" when the opposite is true.
+    * No-op (and zero extra passes) when the conf is unset. */
+  private def capPostingsDf(sh: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val spark = sh.sparkSession
+    val cap = graft.GraftConf.spansMaxDf(spark)
+    if (cap <= 0L) sh
+    else {
+      val hot = sh.groupBy(keyCols.map(col): _*)
+        .agg(countDistinct(col("doc_id")).as("df"))
+        .filter(col("df") > cap)
+        .select(keyCols.map(col): _*)
+        .persist()
+      val nHot = hot.count()
+      if (nHot > 0)
+        org.apache.logging.log4j.LogManager.getLogger("graft")
+          .warn(s"spans.maxDf=$cap: dropping the postings of $nHot hot " +
+            "shingle key(s); spans crossing only capped shingles are lost " +
+            "(boilerplate by the cap's assumption)")
+      sh.join(broadcast(hot), keyCols, "left_anti")
+    }
+  }
 
   /** [[dedupSubstringSpans]] without the presentation sort — the form
     * composed consumers ([[spanExcision]]) build on. */
   def substringSpanPairs(spark: SparkSession, sfDir: String): DataFrame = {
     val minSpan = 4
-    val sh = Tables.documents(spark, sfDir)
+    val sh = capPostingsDf(Tables.documents(spark, sfDir)
       .filter(size(toks) >= 3)
       .select(col("doc_id"), col("source"), toks.as("t"), (size(toks) - 2).as("m"))
       .select(col("doc_id"), col("source"), posexplode(shingleHashes))
       .select(col("doc_id"), col("source"), col("pos").cast("long").as("pos"),
-        col("col").as("h"))
+        col("col").as("h")), Seq("h", "source"))
     val matches = sh.as("a").join(sh.as("b"),
         col("a.h") === col("b.h") && col("a.source") === col("b.source") &&
           col("a.doc_id") < col("b.doc_id"))

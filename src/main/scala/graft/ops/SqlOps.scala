@@ -334,6 +334,97 @@ object SqlOps {
     spark.sql(q5Sql)
   }
 
+  private val q4Sql =
+    """SELECT o_orderpriority, count(*) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |  AND o_orderdate <  TIMESTAMP '1997-07-01 00:00:00'
+      |  AND EXISTS (
+      |    SELECT 1 FROM lineitem
+      |    WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  /** TPC-H Q4 order-priority-checking shape as SQL text (the fixture
+    * lineitem has no commit/receipt dates, so the lateness predicate is
+    * `l_shipdate > o_orderdate` — same correlation structure): an EXISTS
+    * whose subquery correlates on the order key AND compares an inner
+    * column against an OUTER column (`o_orderdate`) — a non-equi
+    * residual riding on an outer attribute, the decorrelation case Q21's
+    * self-side residual (`l_suppkey <>` within lineitem) doesn't cover.
+    * Catalyst plans it as ONE left-semi hash join on the key with the
+    * date comparison folded into the join condition, then the grouped
+    * count over the survivors — never a per-order subquery execution.
+    * All-integer output (count), so the hash gate is trivially exact. */
+  def sqlQ4PriorityCheck(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.orders(spark, sfDir).createOrReplaceTempView("orders")
+    Tables.lineitem(spark, sfDir).createOrReplaceTempView("lineitem")
+    spark.sql(q4Sql)
+  }
+
+  private val q11Sql =
+    """SELECT l_partkey,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS part_value
+      |FROM lineitem
+      |GROUP BY l_partkey
+      |HAVING SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+      |    * (SELECT 2 * COUNT(DISTINCT l_partkey) FROM lineitem)
+      |  > (SELECT 3 * SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+      |     FROM lineitem)
+      |ORDER BY part_value DESC, l_partkey ASC""".stripMargin
+
+  /** TPC-H Q11 important-stock shape as SQL text (no partsupp in the
+    * fixture, so the value relation is per-part lineitem revenue — same
+    * query structure): a HAVING clause comparing each group's aggregate
+    * against UNCORRELATED SCALAR subqueries over the same corpus-sized
+    * table — the "group share of global total" gate. Q11's literal
+    * FRACTION·SF threshold is scale-dependent by spec; here the gate is
+    * "part value > 1.5× the mean part value", spelled as the integer
+    * cross-multiplication `part_sum · 2·nparts > 3 · total_sum` so BOTH
+    * sides stay exact DECIMAL/integer products (a decimal DIVISION for
+    * the mean would round differently across engines) and the survivor
+    * set stays populated at every fixture scale. Catalyst evaluates each
+    * scalar ONCE (separate 1-row aggregate subqueries injected into the
+    * post-aggregation filter), never per group, and the group-side
+    * aggregate keeps map-side partials. */
+  def sqlQ11ImportantParts(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.lineitem(spark, sfDir).createOrReplaceTempView("lineitem")
+    spark.sql(q11Sql)
+  }
+
+  private val q15Sql =
+    """WITH revenue AS (
+      |  SELECT l_suppkey AS supplier_no,
+      |    SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+      |      * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS total_rev
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |    AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name,
+      |  CAST(total_rev AS DOUBLE) AS total_revenue
+      |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+      |WHERE total_rev = (SELECT MAX(total_rev) FROM revenue)
+      |ORDER BY s_suppkey""".stripMargin
+
+  /** TPC-H Q15 top-supplier shape as SQL text: the classic VIEW + global
+    * MAX pattern — a derived per-supplier revenue relation referenced
+    * TWICE (once as the join input, once under the scalar MAX), spelled
+    * as a CTE (the modern form of Q15's CREATE VIEW). Catalyst plans the
+    * scalar MAX as a 1-row aggregate over the CTE and the equality as a
+    * post-join filter — the CTE's grouped aggregate is the only
+    * corpus-sized work, and ties at the maximum all return (per the
+    * TPC-H definition) with `s_suppkey` ordering keeping the output
+    * deterministic. Revenue is the exact price×(1−discount) DECIMAL
+    * product, so the max TIE SET — the part a float spelling would get
+    * wrong — is engine-identical. */
+  def sqlQ15TopSupplier(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.supplier(spark, sfDir).createOrReplaceTempView("supplier")
+    Tables.lineitem(spark, sfDir).createOrReplaceTempView("lineitem")
+    spark.sql(q15Sql)
+  }
+
   private val pipeSql =
     """FROM lineitem
       ||> WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -360,6 +451,9 @@ object SqlOps {
 
   val queries: Map[String, Q] = Map(
     "sql_pipe_pricing"  -> (sqlPipePricing _),
+    "sql_q4_prioritycheck" -> (sqlQ4PriorityCheck _),
+    "sql_q11_importantparts" -> (sqlQ11ImportantParts _),
+    "sql_q15_topsupplier" -> (sqlQ15TopSupplier _),
     "sql_q2_mincost"    -> (sqlQ2MinCost _),
     "sql_q5_localvolume" -> (sqlQ5LocalVolume _),
     "sql_q1_pricing"    -> (sqlQ1Pricing _),
@@ -381,6 +475,9 @@ object SqlOps {
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "sql_q4_prioritycheck" -> q4Sql,
+    "sql_q11_importantparts" -> q11Sql,
+    "sql_q15_topsupplier" -> q15Sql,
     "sql_q2_mincost"    -> q2Sql,
     "sql_q5_localvolume" -> q5Sql,
     "sql_q1_pricing"    -> q1Sql,

@@ -88,6 +88,48 @@ class ConfParamSpec extends SparkSpec {
     }
   }
 
+  test("spans.maxDf: caps a planted hot shingle's pair explosion, keeps rare spans") {
+    // Synthetic corpus with the exact skew the cap exists for: a 5-token
+    // boilerplate block shared by 20 docs (every one of its 3 shingles at
+    // df=20 → 190 pair spans uncapped) next to ONE genuine 6-token copy
+    // shared by exactly two docs (all shingles at df=2).
+    val dir = java.nio.file.Files.createTempDirectory("graft_spans_cap").toString
+    import spark.implicits._
+    val boiler = "aa bb cc dd ee"
+    val docs = (0 until 20).map { i =>
+      (i.toLong, s"u${i}x u${i}y $boiler u${i}z u${i}w", "en", "s")
+    } :+ (100L, "p1 q1 r1 s1 t1 v1 one two", "en", "s") :+
+      (101L, "other p1 q1 r1 s1 t1 v1 tail", "en", "s")
+    docs.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")))
+      .write.parquet(s"$dir/documents.parquet")
+    val base = SparkEntry.queries("dedup_substring_spans")(spark, dir).collect()
+    // uncapped: the boilerplate explodes into all 190 pairs + the rare span
+    assert(base.count(_.getAs[Long]("span_len") == 5L) === 190,
+      "planted boilerplate should span every hot-doc pair uncapped")
+    val rare = base.filter(r => r.getAs[Long]("doc_a") == 100L)
+    assert(rare.map(r => (r.getAs[Long]("doc_b"), r.getAs[Long]("span_len")))
+      .toSeq === Seq((101L, 6L)), "the rare 6-token copy must span docs 100-101")
+    withConf("spark.graft.spans.maxDf" -> "8") {
+      val capped = SparkEntry.queries("dedup_substring_spans")(spark, dir).collect()
+      // every boilerplate shingle is above the cap → its pairs vanish...
+      assert(!capped.exists(_.getAs[Long]("span_len") == 5L),
+        "capped run still emits the hot boilerplate spans")
+      // ...while the rare (df=2) span survives bit-identically
+      assert(capped.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Long]("start_a"), r.getAs[Long]("start_b"),
+        r.getAs[Long]("span_len"))).toSeq ===
+        Seq((100L, 101L, 0L, 1L, 6L)))
+      // refinement: capped output over surviving shingles ⊆ the uncapped set
+      val baseSet = base.map(_.toSeq).toSet
+      assert(capped.forall(r => baseSet(r.toSeq)),
+        "capping must only remove spans, never invent or move them")
+    }
+    // conf restored: the fixture gate's uncapped geometry is back
+    assert(SparkEntry.queries("dedup_substring_spans")(spark, dir).count()
+      === base.length.toLong)
+  }
+
   test("compact_files: halving targetBytes produces more shards, same bytes") {
     val base = q("compact_files").collect()
     val fine = withConf("spark.graft.compact.targetBytes" -> "8192") {

@@ -72,6 +72,19 @@ class EmbedAnnSpec extends SparkSpec {
       brute.get(k).foreach(bc => assert(bc === c, s"rerank cosine not exact for $k")) }
   }
 
+  test("ann_sq8_persist: the at-rest probe is bit-identical to the inline probe") {
+    // the persisted index is the SAME quantized table round-tripped
+    // through parquet (float arrays, norms, integral q8 doubles are all
+    // exact round-trips), so the probe output must match to the bit —
+    // rows, schema, and every cosine
+    val inline = q("ann_sq8").collect().map(_.toSeq).toSeq
+    val atRest = q("ann_sq8_persist").collect().map(_.toSeq).toSeq
+    assert(atRest === inline,
+      "persisted SQ8 probe diverged from the inline probe")
+    assert(q("ann_sq8_persist").schema === q("ann_sq8").schema,
+      "persisted SQ8 probe schema drifted")
+  }
+
   test("pq_encode matches a driver-side brute-force argmin encode") {
     val rows = q("pq_encode").collect()
     val vecs = Tables.embeddings(spark, sf)

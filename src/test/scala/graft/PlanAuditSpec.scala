@@ -478,6 +478,49 @@ class PlanAuditSpec extends SparkSpec {
       s"fat sibling leaves not pruned from the scan: $read")
   }
 
+  test("sql_q4_prioritycheck: EXISTS with an outer-column comparison decorrelates into one semi join") {
+    val plan = planOf("sql_q4_prioritycheck")
+    // the subquery correlates on the order key AND compares l_shipdate
+    // against the OUTER o_orderdate; both must land in ONE left-semi hash
+    // join (key equality + date residual in the condition), never a
+    // per-order re-execution or a nested loop
+    assert(plan.contains("LeftSemi"), s"EXISTS not a semi join in:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"outer-column EXISTS not decorrelated in:\n$plan")
+    assert("(LeftSemi)[^\\n]*(o_orderdate|l_shipdate)".r.findFirstIn(plan).isDefined,
+      s"the outer-date comparison must ride the semi-join condition in:\n$plan")
+    // the date range on orders is a pushed scan filter, not a post-join one
+    assert("PushedFilters: \\[[^\\n]*o_orderdate".r.findFirstIn(plan).isDefined,
+      s"order-date range not pushed to the orders scan in:\n$plan")
+  }
+
+  test("sql_q11_importantparts: HAVING over global scalars evaluates each scalar once") {
+    val plan = planOf("sql_q11_importantparts")
+    // the two uncorrelated scalar aggregates must be 1-row subqueries
+    // injected into the post-aggregation filter — never a join against
+    // the corpus-sized group table and never a nested loop
+    assert(plan.contains("Subquery") || plan.contains("scalar-subquery"),
+      s"global threshold not a scalar subquery in:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"nested loop in:\n$plan")
+    // the group-side aggregate keeps map-side partials (partial + final)
+    assert("HashAggregate[^\\n]*partial".r.findFirstIn(plan.toLowerCase).isDefined ||
+      plan.contains("partial_sum") || plan.contains("partial"),
+      s"group aggregate lost its map-side partial in:\n$plan")
+  }
+
+  test("sql_q15_topsupplier: CTE referenced twice plans the scalar MAX as a 1-row aggregate") {
+    val plan = planOf("sql_q15_topsupplier")
+    assert(plan.contains("Subquery") || plan.contains("scalar-subquery"),
+      s"global MAX not a scalar subquery in:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"nested loop in:\n$plan")
+    // the revenue relation's grouped aggregate is the only corpus-sized
+    // work; the shipdate window must reach the lineitem scan
+    assert("PushedFilters: \\[[^\\n]*l_shipdate".r.findFirstIn(plan).isDefined,
+      s"shipdate range not pushed to the lineitem scan in:\n$plan")
+  }
+
   test("sql_q2_mincost: correlated MIN with joins inside decorrelates through the join chain — no nested loop") {
     val plan = planOf("sql_q2_mincost")
     // the correlated scalar subquery carries its own join chain; Catalyst
