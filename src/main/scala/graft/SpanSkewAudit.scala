@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
   * `spark.graft.spans.maxDf` prefilter ([[graft.ops.DedupOps]]).
   *
   * The planted skew is the adversarial case for the postings join: the
-  * SAME (unsuffixed) boilerplate lands on every doc_id ≡ 0 (mod 13)
+  * SAME (unsuffixed) boilerplate lands on every doc_id ≡ 0 (mod 2)
   * across ALL replicas, so the hot shingles' per-source document
   * frequency grows ×factor with the corpus and their match-point volume
   * ×factor² — the quadratic term the df cap exists to cut. The honest
@@ -29,7 +29,7 @@ import org.apache.spark.sql.functions._
   * Usage: runMain graft.SpanSkewAudit [smallDir] [factor] [outJson]
   */
 object SpanSkewAudit {
-  private val Boiler = (0 until 8).map(i => s"zzb$i").mkString(" ")
+  private val Boiler = (0 until 20).map(i => s"zzb$i").mkString(" ")
   private val Cap = 32L
   private val Bound = 1.3
 
@@ -115,7 +115,7 @@ object SpanSkewAudit {
     spark.stop()
   }
 
-  /** Appends the boilerplate block to every doc_id ≡ 0 (mod 13) of `src`
+  /** Appends the boilerplate block to every doc_id ≡ 0 (mod 2) of `src`
     * and writes the planted corpus once behind a marker. */
   private def plant(spark: SparkSession, src: String, tag: String): String = {
     val dst = s"${System.getProperty("java.io.tmpdir")}/graft_$tag"
@@ -124,7 +124,7 @@ object SpanSkewAudit {
       new java.io.File(dst).mkdirs()
       spark.read.parquet(src)
         .withColumn("text",
-          when(col("doc_id") % 13 === 0, concat(col("text"), lit(" " + Boiler)))
+          when(col("doc_id") % 2 === 0, concat(col("text"), lit(" " + Boiler)))
             .otherwise(col("text")))
         .withColumn("n_chars", length(col("text")))
         .write.mode("overwrite").parquet(s"$dst/documents.parquet")
