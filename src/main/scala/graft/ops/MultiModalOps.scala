@@ -157,9 +157,16 @@ object MultiModalOps {
         col("content").as("media"))
   }
 
-  private def audioDecoded(spark: SparkSession, sfDir: String): DataFrame = {
+  private def audioDecoded(spark: SparkSession, sfDir: String): DataFrame =
+    decodeClips(spark, audioBytes(spark, sfDir))
+
+  /** WAV decode over ANY `(doc_id, media)` frame — shared by the
+    * small-files path ([[audioBytes]]) and the packed-parquet path
+    * ([[packedAudioBytes]]), so the two layouts cannot drift: one decode
+    * body, two scan shapes. */
+  private def decodeClips(spark: SparkSession, bytes: DataFrame): DataFrame = {
     import spark.implicits._
-    audioBytes(spark, sfDir)
+    bytes
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         // digest held per partition (digest() resets it after each call)
@@ -181,6 +188,52 @@ object MultiModalOps {
       }
       .toDF()
   }
+
+  /** The WAV corpus re-packed ONCE into a parquet `(doc_id, media)` side
+    * table — the WebDataset/tar-shard answer to the small-files problem.
+    * The audio fixture is deliberately 5000 individual files (it
+    * exercises the `binaryFile` source); at 100 TB that layout is the
+    * classic object-store pathology — listing cost, one request per
+    * clip, splits far below `maxPartitionBytes`. Packing media into a
+    * columnar container with the bytes as a `binary` column restores
+    * fat sequential reads AND predicate/projection pushdown over the
+    * metadata columns, which no tar/binaryFile layout offers. Shard
+    * count targets ~128 MB per shard (floor 1) so the pack step itself
+    * writes scale-sized files rather than inheriting the 5000 input
+    * splits. */
+  private def packedAudioBytes(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = FileOps.materializeOnce(spark, "wavpack", sfDir) { d =>
+      val src = audioBytes(spark, sfDir)
+      val totalBytes = src.agg(sum(length(col("media")))).collect()(0).getLong(0)
+      val nShards = math.max(1L, totalBytes / (128L << 20)).toInt
+      src.repartition(nShards, col("doc_id"))
+        .write.mode("overwrite").parquet(s"$d/packed_audio.parquet")
+    }
+    spark.read.parquet(s"$dir/packed_audio.parquet")
+      .select(col("doc_id").cast("long").as("doc_id"), col("media"))
+  }
+
+  /** Packing accounting per source — the report the layout-migration job
+    * emits: clip count and total container payload. The byte total is
+    * fully oracled via the WAV size law (44-byte canonical PCM header +
+    * 16·n payload on this fixture), so a header regression in the
+    * encoder OR a dropped/truncated clip in the pack step fails the hash
+    * gate. */
+  def mmMediaPack(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir).select(col("doc_id"), col("source"))
+      .join(packedAudioBytes(spark, sfDir), "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_clips"),
+        sum(length(col("media"))).cast("long").as("sum_media_bytes"))
+      .orderBy("source")
+
+  /** [[mmAudioDecode]] over the PACKED layout — byte-identical output by
+    * construction (same decode body via [[decodeClips]]), which the
+    * shared oracle SQL pins: a clip lost, duplicated or corrupted in the
+    * pack step is a hash mismatch. The measured small-files vs packed
+    * delta is the layout evidence (NOTES_r14). */
+  def mmAudioPacked(spark: SparkSession, sfDir: String): DataFrame =
+    decodeClips(spark, packedAudioBytes(spark, sfDir)).orderBy("doc_id")
 
   /** AUDIO decode stage: genuine WAV file bytes → sample rate / count /
     * duration / PCM digest via `mapPartitions`. Fully oracle-checked:
@@ -522,6 +575,8 @@ object MultiModalOps {
     "mm_audio_agg"    -> (mmAudioAgg _),
     "mm_audio_energy" -> (mmAudioEnergy _),
     "mm_audio_segments" -> (mmAudioSegments _),
+    "mm_media_pack"   -> (mmMediaPack _),
+    "mm_audio_packed" -> (mmAudioPacked _),
     "mm_resize"       -> (mmResize _),
     "mm_frame_sample" -> (mmFrameSample _),
     "mm_video_decode" -> (mmVideoDecode _),
@@ -587,6 +642,26 @@ object MultiModalOps {
          |  CAST(16 * list_sum(list_transform(range(1, n + 1),
          |    i -> ascii(substring(text, CAST(i AS INTEGER), 1)))) AS BIGINT) AS pcm_sum
          |FROM au ORDER BY doc_id""".stripMargin,
+    // the packed layout must decode to EXACTLY the small-files result —
+    // same oracle text as mm_audio_decode, so the pack step is gated by
+    // the full clip-level hash, not just row counts
+    "mm_audio_packed" ->
+      s"""WITH $sqlAudio
+         |SELECT doc_id, CAST(8000 AS BIGINT) AS sample_rate,
+         |  CAST(n * 16 AS BIGINT) AS n_samples,
+         |  CAST(n * 16 * 125 AS BIGINT) AS duration_us,
+         |  md5(repeat(text, 16)) AS pcm_digest,
+         |  CAST(16 * list_sum(list_transform(range(1, n + 1),
+         |    i -> ascii(substring(text, CAST(i AS INTEGER), 1)))) AS BIGINT) AS pcm_sum
+         |FROM au ORDER BY doc_id""".stripMargin,
+    // WAV size law: canonical 44-byte RIFF/fmt/data PCM header + 16·n
+    // payload (pinned empirically on the fixture; an extra chunk from a
+    // future encoder change fails this gate loudly)
+    "mm_media_pack" ->
+      s"""WITH $sqlAudio
+         |SELECT source, count(*) AS n_clips,
+         |  CAST(sum(44 + 16 * n) AS BIGINT) AS sum_media_bytes
+         |FROM au GROUP BY source ORDER BY source""".stripMargin,
     "mm_audio_agg" ->
       s"""WITH $sqlAudio,
          |d AS (SELECT doc_id, source, n * 16 AS n_samples, n * 16 * 125 AS duration_us,

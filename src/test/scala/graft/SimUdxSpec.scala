@@ -302,4 +302,28 @@ class SimUdxSpec extends SparkSpec {
     // and runs must actually fuse somewhere (a segment longer than 1 frame)
     assert(got.exists(_._3 > 1), "no multi-frame segment — fusion untested")
   }
+
+  test("mm_audio_packed decodes the packed layout bit-identically to the small-files path") {
+    val direct = q("mm_audio_decode").collect().map(_.toSeq)
+    val packed = q("mm_audio_packed").collect().map(_.toSeq)
+    assert(packed.length === direct.length)
+    assert(packed.toSeq === direct.toSeq)
+  }
+
+  test("mm_media_pack accounting equals the WAV size law and the actual packed bytes") {
+    import org.apache.spark.sql.functions._
+    val got = q("mm_media_pack").collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2)))).toMap
+    // 44-byte canonical PCM header + 16 bytes of payload per text byte
+    val want = graft.Tables.documents(spark, sf)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"),
+        sum(length(col("text")) * 16 + 44).cast("long").as("b"))
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(got === want)
+    // and the totals really are measured off the packed container, whose
+    // clip count must match the catalog (no clip lost or duplicated)
+    assert(got.values.map(_._1).sum ===
+      graft.Tables.documents(spark, sf).count())
+  }
 }
