@@ -425,6 +425,123 @@ object SqlOps {
     spark.sql(q15Sql)
   }
 
+  private val q13Sql =
+    """SELECT c_count, COUNT(*) AS custdist
+      |FROM (
+      |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      |  FROM customer LEFT OUTER JOIN orders
+      |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      |  GROUP BY c_custkey) c_orders
+      |GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  /** TPC-H Q13 customer-distribution shape as SQL text (the priority
+    * filter stands in for the spec's comment NOT LIKE): the
+    * LEFT OUTER JOIN whose non-key predicate lives in the ON clause —
+    * semantically NOT a WHERE (it must preserve customers with no
+    * qualifying orders as zero-count rows, so the optimizer may push it
+    * to the orders SCAN but never below the join as a post-filter) —
+    * followed by the double aggregation: per-customer order counts, then
+    * the histogram over those counts. `COUNT(o_orderkey)` counts
+    * non-null keys only, so outer-join null extension becomes the 0 bin.
+    * All-integer output — the hash gate is exact by construction. */
+  def sqlQ13CustDist(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.customer(spark, sfDir).createOrReplaceTempView("customer")
+    Tables.orders(spark, sfDir).createOrReplaceTempView("orders")
+    spark.sql(q13Sql)
+  }
+
+  private val q14Sql =
+    """SELECT
+      |  CAST(SUM(CASE WHEN p_type = 'PROMO'
+      |    THEN CAST(l_extendedprice AS DECIMAL(18,2))
+      |      * (1 - CAST(l_discount AS DECIMAL(18,2))) END) AS DOUBLE)
+      |    AS promo_revenue,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+      |    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+      |    AS total_revenue,
+      |  COUNT(*) AS n_lines
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+      |  AND l_shipdate <  TIMESTAMP '1997-10-01 00:00:00'""".stripMargin
+
+  /** TPC-H Q14 promotion-effect shape as SQL text: conditional
+    * aggregation — a CASE branch INSIDE the SUM splitting one pass's
+    * revenue by a dimension attribute, over a month-windowed
+    * fact-to-dimension join. The spec's `100·promo/total` float division
+    * is the one part that would round differently across engines, so the
+    * numerator and denominator are returned as separate exact-DECIMAL
+    * sums instead (the caller's division is presentation, not
+    * semantics). The CASE has no ELSE — SUM ignores NULLs, the idiomatic
+    * conditional-sum spelling both engines agree on exactly. Part
+    * broadcasts; the month filter pushes to the fact scan. */
+  def sqlQ14PromoEffect(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.lineitem(spark, sfDir).createOrReplaceTempView("lineitem")
+    Tables.part(spark, sfDir).createOrReplaceTempView("part")
+    spark.sql(q14Sql)
+  }
+
+  private val q16Sql =
+    """SELECT p_brand, p_type, p_size,
+      |  COUNT(DISTINCT l_suppkey) AS supplier_cnt
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE p_brand <> 'Brand#5'
+      |  AND p_type <> 'MEDIUM'
+      |  AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+      |  AND l_suppkey NOT IN (
+      |    SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000)
+      |GROUP BY p_brand, p_type, p_size
+      |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
+
+  /** TPC-H Q16 parts-supplier-relationship shape as SQL text (lineitem
+    * stands in for partsupp; the low-balance exclusion for the spec's
+    * complaints subquery): the NOT IN subquery — the one decorrelation
+    * family none of the other fronts cover, because NOT IN is
+    * THREE-VALUED: if the subquery produced a NULL, the whole predicate
+    * is UNKNOWN for every row and the result is empty, so a plain
+    * left-anti join is wrong unless the planner can prove no nulls.
+    * Catalyst plans it as a broadcast NULL-AWARE anti join
+    * (`isNullAwareAntiJoin` in the physical plan — single-key,
+    * broadcast-able exclusion set), never a per-row subquery or a
+    * cartesian. On top of it: COUNT(DISTINCT) over the surviving
+    * fact side and the dimension predicates pushed to the part scan. */
+  def sqlQ16PartSuppliers(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.lineitem(spark, sfDir).createOrReplaceTempView("lineitem")
+    Tables.part(spark, sfDir).createOrReplaceTempView("part")
+    Tables.supplier(spark, sfDir).createOrReplaceTempView("supplier")
+    spark.sql(q16Sql)
+  }
+
+  private val q19Sql =
+    """SELECT
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+      |    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_lines
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+      |       AND l_quantity BETWEEN 1 AND 11)
+      |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 20
+      |       AND l_quantity BETWEEN 10 AND 20)
+      |   OR (p_brand = 'Brand#21' AND p_size BETWEEN 1 AND 25
+      |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin
+
+  /** TPC-H Q19 discounted-revenue shape as SQL text: the disjunction of
+    * conjunctions — three OR'd arms each constraining BOTH sides of the
+    * join (part brand/size AND lineitem quantity). The naive plan
+    * evaluates the whole disjunction post-join over the full cross of
+    * surviving rows; the right plan extracts each side's implied
+    * disjunction (`p_brand IN (…) AND p_size ≤ 25` to the part scan,
+    * `l_quantity BETWEEN 1 AND 30` to the fact scan) so both inputs
+    * shrink BEFORE the join and the full residual evaluates only on
+    * key-matched pairs — the CNF-extraction behavior PlanAuditSpec pins.
+    * Exact-DECIMAL revenue, so the arm boundaries (quantity endpoints,
+    * size endpoints) are engine-identical. */
+  def sqlQ19DiscountedRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.lineitem(spark, sfDir).createOrReplaceTempView("lineitem")
+    Tables.part(spark, sfDir).createOrReplaceTempView("part")
+    spark.sql(q19Sql)
+  }
+
   private val pipeSql =
     """FROM lineitem
       ||> WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -453,6 +570,10 @@ object SqlOps {
     "sql_pipe_pricing"  -> (sqlPipePricing _),
     "sql_q4_prioritycheck" -> (sqlQ4PriorityCheck _),
     "sql_q11_importantparts" -> (sqlQ11ImportantParts _),
+    "sql_q13_custdist"  -> (sqlQ13CustDist _),
+    "sql_q14_promoeffect" -> (sqlQ14PromoEffect _),
+    "sql_q16_partsuppliers" -> (sqlQ16PartSuppliers _),
+    "sql_q19_discountedrev" -> (sqlQ19DiscountedRevenue _),
     "sql_q15_topsupplier" -> (sqlQ15TopSupplier _),
     "sql_q2_mincost"    -> (sqlQ2MinCost _),
     "sql_q5_localvolume" -> (sqlQ5LocalVolume _),
@@ -477,6 +598,10 @@ object SqlOps {
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "sql_q4_prioritycheck" -> q4Sql,
     "sql_q11_importantparts" -> q11Sql,
+    "sql_q13_custdist"  -> q13Sql,
+    "sql_q14_promoeffect" -> q14Sql,
+    "sql_q16_partsuppliers" -> q16Sql,
+    "sql_q19_discountedrev" -> q19Sql,
     "sql_q15_topsupplier" -> q15Sql,
     "sql_q2_mincost"    -> q2Sql,
     "sql_q5_localvolume" -> q5Sql,

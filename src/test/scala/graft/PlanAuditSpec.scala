@@ -521,6 +521,73 @@ class PlanAuditSpec extends SparkSpec {
       s"shipdate range not pushed to the lineitem scan in:\n$plan")
   }
 
+  test("sql_q13_custdist: outer-join ON-filter pushes to the orders scan, never below the join") {
+    val plan = planOf("sql_q13_custdist")
+    // the priority predicate lives in the LEFT OUTER's ON clause; the only
+    // legal push is into the null-supplying (orders) SCAN — customers with
+    // no qualifying orders must survive as the 0 bin
+    assert(plan.contains("LeftOuter"), s"not an outer join in:\n$plan")
+    assert("PushedFilters: \\[[^\\n]*o_orderpriority".r.findFirstIn(plan).isDefined,
+      s"ON-clause filter not pushed to the orders scan in:\n$plan")
+    // double aggregation: per-customer count, then the histogram — two
+    // grouped HashAggregate pairs, and COUNT(o_orderkey) (null-skipping),
+    // not COUNT(1), on the inner level
+    assert("HashAggregate\\(keys=\\[c_custkey[^\\n]*count\\(o_orderkey".r
+      .findFirstIn(plan).isDefined,
+      s"inner count must be over o_orderkey (null-extension → 0 bin) in:\n$plan")
+    assert("HashAggregate\\(keys=\\[c_count[^\\n]*count\\(1\\)".r.findFirstIn(plan).isDefined,
+      s"histogram aggregate missing in:\n$plan")
+  }
+
+  test("sql_q14_promoeffect: conditional sum keeps map-side partials; month filter reaches the fact scan") {
+    val plan = planOf("sql_q14_promoeffect")
+    // the CASE rides INSIDE the partial aggregate (one pass computes both
+    // sums), part broadcasts, and the month window is a scan filter
+    assert("partial_sum\\(CASE WHEN".r.findFirstIn(plan).isDefined,
+      s"conditional sum not in the map-side partial in:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"part not broadcast in:\n$plan")
+    assert("PushedFilters: \\[[^\\n]*l_shipdate".r.findFirstIn(plan).isDefined,
+      s"month window not pushed to the lineitem scan in:\n$plan")
+  }
+
+  test("sql_q16_partsuppliers: NOT IN plans as a broadcast NULL-AWARE anti join") {
+    val plan = planOf("sql_q16_partsuppliers")
+    // NOT IN is three-valued; the planner may only use an anti join if it
+    // is null-AWARE — Spark spells that as the trailing `true` flag on the
+    // broadcast LeftAnti (isNullAwareAntiJoin)
+    assert("BroadcastHashJoin [^\\n]*LeftAnti, BuildRight, true".r
+      .findFirstIn(plan).isDefined,
+      s"NOT IN not a null-aware broadcast anti join in:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"NOT IN degenerated to a nested loop in:\n$plan")
+    // COUNT(DISTINCT) expands to the two-level plan: dedup on
+    // (group keys, suppkey), then count — both grouped, both partial-first
+    assert("HashAggregate\\(keys=\\[p_brand[^\\n]*l_suppkey[^\\]]*\\], functions=\\[\\]".r
+      .findFirstIn(plan).isDefined,
+      s"distinct-expansion dedup aggregate missing in:\n$plan")
+    assert("PushedFilters: \\[[^\\n]*s_acctbal".r.findFirstIn(plan).isDefined,
+      s"exclusion-set predicate not pushed to the supplier scan in:\n$plan")
+  }
+
+  test("sql_q19_discountedrev: OR-of-ANDs pushes per-side disjunctions below the join") {
+    val plan = planOf("sql_q19_discountedrev")
+    // each arm constrains both sides; the extraction the plan must show:
+    // the lineitem scan carries the quantity-range disjunction, the part
+    // scan carries the brand/size disjunction, and the full residual rides
+    // the join condition — both inputs shrink BEFORE the join
+    assert("FileScan parquet \\[l_partkey[^\\n]*PushedFilters: \\[[^\\n]*Or\\(Or\\(And\\(GreaterThanOrEqual\\(l_quantity".r
+      .findFirstIn(plan).isDefined,
+      s"quantity disjunction not pushed to the fact scan in:\n$plan")
+    assert("FileScan parquet \\[p_partkey[^\\n]*PushedFilters: \\[[^\\n]*p_brand".r
+      .findFirstIn(plan).isDefined
+      || "PushedFilters: \\[[^\\n]*EqualTo\\(p_brand".r.findFirstIn(plan).isDefined,
+      s"brand/size disjunction not pushed to the part scan in:\n$plan")
+    assert("BroadcastHashJoin \\[l_partkey[^\\n]*Brand#".r.findFirstIn(plan).isDefined,
+      s"full residual must ride the join condition in:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"disjunctive join degenerated to a nested loop in:\n$plan")
+  }
+
   test("sql_q2_mincost: correlated MIN with joins inside decorrelates through the join chain — no nested loop") {
     val plan = planOf("sql_q2_mincost")
     // the correlated scalar subquery carries its own join chain; Catalyst
