@@ -876,7 +876,55 @@ object DedupOps {
       .agg(min(col("s")).as("s"), max(col("e")).as("e"))
   }
 
+  /** Unit-granular (CCNet-style "paragraph") dedup with keep-first
+    * semantics: each document is segmented into consecutive
+    * [[ParagraphUnitWords]]-word units (the fixture text has no newline
+    * structure, so the fixed word window stands in for the paragraph
+    * boundary a web corpus would provide); across the corpus, only the
+    * FIRST occurrence of each distinct unit survives (smallest
+    * (doc_id, upos) — the CCNet rule that removes boilerplate repeated
+    * across pages while keeping one copy of it), and each doc's kept
+    * units re-assemble in position order into the cleaned text.
+    *
+    * Scale shape: units are built ARRAY-SIDE from the one split
+    * (`sequence` + `slice`, no word-level explode of the corpus); the
+    * only corpus-sized exchanges are the unit-keyed window that ranks
+    * occurrences (carrying (unit, doc_id, upos) — unit text, not
+    * document bodies) and the doc-keyed regroup. A df-skewed unit (the
+    * same boilerplate on millions of pages) concentrates ONE window
+    * partition; the spans.maxDf prefilter precedent (DedupOps df cap)
+    * applies if that tail ever dominates, and unlike the span family the
+    * per-unit work here is rank-1 selection, not pairwise joins — the
+    * hot partition costs its own size, never its square. */
+  val ParagraphUnitWords = 10
+
+  def dedupParagraphs(spark: SparkSession, sfDir: String): DataFrame = {
+    val k = ParagraphUnitWords
+    val units = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .withColumn("nu",
+        ceil(size(col("t")).cast("double") / k).cast("int"))
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), col("nu") - 1),
+          i => concat_ws(" ", slice(col("t"), i * k + 1, lit(k)))))
+          .as(Seq("upos", "unit")))
+    val wFirst = Window.partitionBy("unit").orderBy("doc_id", "upos")
+    units
+      .withColumn("rk", row_number().over(wFirst))
+      .groupBy("doc_id")
+      .agg(
+        concat_ws(" ", transform(
+          array_sort(collect_list(
+            when(col("rk") === 1, struct(col("upos"), col("unit"))))),
+          s => s.getField("unit"))).as("kept_text"),
+        count(lit(1)).as("n_units"),
+        sum(when(col("rk") > 1, 1L).otherwise(0L)).cast("long")
+          .as("n_dropped_units"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "dedup_paragraphs"    -> (dedupParagraphs _),
     "span_excision"       -> (spanExcision _),
     "dedup_substring_spans" -> (dedupSubstringSpans _),
     "dedup_incremental"   -> (dedupIncremental _),
@@ -964,6 +1012,23 @@ object DedupOps {
       |  FROM isl GROUP BY eval_doc, train_doc, diag, g)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "dedup_paragraphs" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |un AS (
+        |  SELECT doc_id, CAST(t.u AS BIGINT) AS upos,
+        |    array_to_string(ws[(t.u * 10 + 1):(t.u * 10 + 10)], ' ') AS unit
+        |  FROM w, unnest(range(0, CAST(ceil(len(ws) / 10.0) AS BIGINT))) AS t(u)),
+        |rk AS (
+        |  SELECT doc_id, upos, unit,
+        |    row_number() OVER (PARTITION BY unit ORDER BY doc_id, upos) AS rk
+        |  FROM un)
+        |SELECT doc_id,
+        |  coalesce(string_agg(unit, ' ' ORDER BY upos) FILTER (WHERE rk = 1),
+        |    '') AS kept_text,
+        |  count(*) AS n_units,
+        |  CAST(count(*) FILTER (WHERE rk > 1) AS BIGINT) AS n_dropped_units
+        |FROM rk GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "decontaminate_spans" ->
       s"""WITH $sqlLeakSpanCtes
          |SELECT eval_doc, train_doc, start_eval,

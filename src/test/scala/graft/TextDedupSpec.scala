@@ -382,4 +382,43 @@ class TextDedupSpec extends SparkSpec {
         r.getDouble(5), r.getDouble(6))).toSeq
     assert(got === want)
   }
+
+  test("dedup_paragraphs replays keep-first over 10-word units; untouched docs round-trip") {
+    val k = graft.ops.DedupOps.ParagraphUnitWords
+    val docs = graft.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    // reference replay: segment, rank occurrences corpus-wide, keep rk 1
+    val units = docs.flatMap { case (id, text) =>
+      text.split(" ").grouped(k).zipWithIndex
+        .map { case (ws, p) => (id, p.toLong, ws.mkString(" ")) }
+    }
+    val firstOf = units.groupBy(_._3).map { case (u, occ) =>
+      (u, occ.map(o => (o._1, o._2)).min)
+    }
+    val want = units.groupBy(_._1).map { case (id, us) =>
+      val kept = us.filter(u => firstOf(u._3) == ((u._1, u._2)))
+        .sortBy(_._2).map(_._3).mkString(" ")
+      (id, kept, us.length.toLong,
+        us.count(u => firstOf(u._3) != ((u._1, u._2))).toLong)
+    }.toSeq.sortBy(_._1)
+    val got = q("dedup_paragraphs").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got === want)
+    // docs with nothing dropped must round-trip their text exactly
+    val textOf = docs.toMap
+    got.filter(_._4 == 0L).foreach { case (id, kept, _, _) =>
+      assert(kept === textOf(id), s"doc $id mutated without drops")
+    }
+    // the op must actually drop something on this fixture (duplicate docs
+    // exist), and every distinct unit must survive somewhere (keep-FIRST,
+    // not delete-all)
+    assert(got.exists(_._4 > 0L), "no unit dropped — fixture degenerate")
+    val keptUnits = got.flatMap(_._2.split(" ").grouped(k).map(_.mkString(" "))).toSet
+    // kept_text re-segments on the same boundaries only for docs whose
+    // drops didn't shift positions; check instead via the replay's kept set
+    val wantKept = units.filter(u => firstOf(u._3) == ((u._1, u._2))).map(_._3).toSet
+    assert(wantKept === units.map(_._3).toSet, "keep-first lost a distinct unit")
+    assert(keptUnits.nonEmpty)
+  }
 }
