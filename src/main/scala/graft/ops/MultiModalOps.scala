@@ -126,6 +126,87 @@ object MultiModalOps {
         sum(col("px_sum")).cast("long").as("sum_px"))
       .orderBy("source")
 
+  /** Average-hash (aHash) perceptual fingerprint over a decoded
+    * grayscale raster: 64 NEAREST-PIXEL samples on an 8×8 grid
+    * (`r = ⌊i·h/8⌋`, `c = ⌊j·w/8⌋` — integer sampling, not area
+    * averaging, so every operation is exact and the oracle can replay it
+    * bit-for-bit in SQL), thresholded against the 64-sample mean via the
+    * integer cross-multiplication `p·64 > Σp` (no division anywhere).
+    * Emitted as a 64-char bit string — the portable spelling; a
+    * production sink would pack it to int64, which changes storage, not
+    * semantics. */
+  object AHash {
+    def of(w: Int, h: Int, raster: Array[Byte]): String = {
+      val v = new Array[Int](64)
+      var sum = 0L
+      var k = 0
+      while (k < 64) {
+        val p = raster(((k / 8) * h / 8) * w + ((k % 8) * w / 8)) & 0xff
+        v(k) = p; sum += p; k += 1
+      }
+      val sb = new java.lang.StringBuilder(64)
+      k = 0
+      while (k < 64) { sb.append(if (v(k) * 64L > sum) '1' else '0'); k += 1 }
+      sb.toString
+    }
+  }
+
+  final case class ImagePHash(doc_id: Long, width: Long, height: Long, phash: String)
+
+  private def phashFrame(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    imageBytes(spark, sfDir)
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val d = PngDecoder.decode(bytes)
+        ImagePHash(id, d.width.toLong, d.height.toLong,
+          AHash.of(d.width, d.height, d.raster))
+      })
+      .toDF()
+  }
+
+  /** Per-image perceptual hash over the REAL decoded PNG rasters — the
+    * image half of the dedup family's signature tier ([[DedupOps]] covers
+    * text; this covers pixels). Narrow per-partition decode, 64-char
+    * output; fully oracle-checked (the fixture raster is SQL-computable,
+    * so DuckDB replays sampling, mean and thresholding exactly). */
+  def mmImagePhash(spark: SparkSession, sfDir: String): DataFrame =
+    phashFrame(spark, sfDir).orderBy("doc_id")
+
+  /** Image near-dup pairs by perceptual hash: 8 bands of 8 bits bucket
+    * the candidates (pigeonhole: two hashes within hamming ≤ 7 MUST agree
+    * on at least one whole band, so the banded join is provably lossless
+    * at the threshold — the minhash-LSH plan shape with an exactness
+    * guarantee), then the exact hamming distance verifies each candidate
+    * via per-band `conv`→`xor`→`bit_count` (codegen'd, no UDF). At 100 TB
+    * only (band, doc_id, phash) rows cross the exchange — rasters never
+    * do; the band join is the same constant-occupancy story as the LSH
+    * tier, and the oracle replays the SAME band algorithm (lossless ⇒
+    * result-identical to brute force). */
+  def mmImageNeardup(spark: SparkSession, sfDir: String): DataFrame = {
+    val bands = phashFrame(spark, sfDir)
+      .select(col("doc_id"), col("phash"),
+        posexplode(transform(sequence(lit(0), lit(7)),
+          b => col("phash").substr(b * 8 + 1, lit(8))))
+          .as(Seq("band_idx", "band")))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+        col("x.band") === col("y.band") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        col("x.phash").as("pa"), col("y.phash").as("pb"))
+      .distinct()
+    val ham = (0 until 8).map { i =>
+      bit_count(
+        conv(substring(col("pa"), i * 8 + 1, 8), 2, 10).cast("long")
+          .bitwiseXOR(conv(substring(col("pb"), i * 8 + 1, 8), 2, 10).cast("long")))
+    }.reduce(_ + _)
+    cand.withColumn("hamming", ham.cast("long"))
+      .filter(col("hamming") <= 7)
+      .select("a", "b", "hamming")
+      .orderBy("a", "b")
+  }
+
   /** The real audio decoder: WAV bytes → format + raw PCM. Same
     * per-partition discipline as [[PngDecoder]]: `AudioSystem`'s reader
     * dispatch happens inside the task, bytes never visit the driver. */
@@ -577,6 +658,8 @@ object MultiModalOps {
     "mm_audio_segments" -> (mmAudioSegments _),
     "mm_media_pack"   -> (mmMediaPack _),
     "mm_audio_packed" -> (mmAudioPacked _),
+    "mm_image_phash"  -> (mmImagePhash _),
+    "mm_image_neardup" -> (mmImageNeardup _),
     "mm_resize"       -> (mmResize _),
     "mm_frame_sample" -> (mmFrameSample _),
     "mm_video_decode" -> (mmVideoDecode _),
@@ -642,6 +725,45 @@ object MultiModalOps {
          |  CAST(16 * list_sum(list_transform(range(1, n + 1),
          |    i -> ascii(substring(text, CAST(i AS INTEGER), 1)))) AS BIGINT) AS pcm_sum
          |FROM au ORDER BY doc_id""".stripMargin,
+    // aHash replayed in SQL off the text-derived raster: same 8×8
+    // nearest-pixel sampling, same integer cross-multiplied threshold
+    "mm_image_phash" ->
+      s"""WITH $sqlRaster,
+         |s AS (SELECT doc_id, w, h,
+         |    list_transform(range(0, 64), k ->
+         |      ascii(substring(raster,
+         |        CAST(((k // 8) * h // 8) * w + ((k % 8) * w // 8) + 1
+         |          AS INTEGER), 1))) AS v
+         |  FROM r),
+         |m AS (SELECT doc_id, w, h, v, list_sum(v) AS sv FROM s)
+         |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+         |  array_to_string(list_transform(v,
+         |    x -> CASE WHEN x * 64 > sv THEN '1' ELSE '0' END), '') AS phash
+         |FROM m ORDER BY doc_id""".stripMargin,
+    // the SAME 8-band algorithm as the engine (lossless at hamming ≤ 7 by
+    // pigeonhole), with DuckDB's native hamming() as the exact verifier
+    "mm_image_neardup" ->
+      s"""WITH $sqlRaster,
+         |s AS (SELECT doc_id,
+         |    list_transform(range(0, 64), k ->
+         |      ascii(substring(raster,
+         |        CAST(((k // 8) * h // 8) * w + ((k % 8) * w // 8) + 1
+         |          AS INTEGER), 1))) AS v
+         |  FROM r),
+         |ph AS (SELECT doc_id, array_to_string(list_transform(v,
+         |      x -> CASE WHEN x * 64 > list_sum(v) THEN '1' ELSE '0' END), '')
+         |    AS phash
+         |  FROM s),
+         |bd AS (SELECT doc_id, phash, t.b AS band_idx,
+         |    substring(phash, CAST(t.b * 8 + 1 AS INTEGER), 8) AS band
+         |  FROM ph, unnest(range(0, 8)) AS t(b)),
+         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+         |    x.phash AS pa, y.phash AS pb
+         |  FROM bd x JOIN bd y
+         |    ON x.band_idx = y.band_idx AND x.band = y.band
+         |      AND x.doc_id < y.doc_id)
+         |SELECT a, b, CAST(hamming(pa, pb) AS BIGINT) AS hamming
+         |FROM cand WHERE hamming(pa, pb) <= 7 ORDER BY a, b""".stripMargin,
     // the packed layout must decode to EXACTLY the small-files result —
     // same oracle text as mm_audio_decode, so the pack step is gated by
     // the full clip-level hash, not just row counts

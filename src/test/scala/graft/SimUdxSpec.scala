@@ -303,6 +303,28 @@ class SimUdxSpec extends SparkSpec {
     assert(got.exists(_._3 > 1), "no multi-frame segment — fusion untested")
   }
 
+  test("mm_image_neardup: banded join equals brute-force hamming (lossless at t=7)") {
+    val ph = q("mm_image_phash").collect()
+      .map(r => (r.getLong(0), r.getString(3))).sortBy(_._1)
+    // every phash is a 64-char bit string
+    ph.foreach { case (_, p) =>
+      assert(p.length === 64 && p.forall(c => c == '0' || c == '1'))
+    }
+    def hamming(a: String, b: String): Int =
+      a.iterator.zip(b.iterator).count { case (x, y) => x != y }
+    val want = (for {
+      i <- ph.indices.iterator
+      j <- (i + 1) until ph.length
+      h = hamming(ph(i)._2, ph(j)._2) if h <= 7
+    } yield (ph(i)._1, ph(j)._1, h.toLong)).toSeq.sorted
+    val got = q("mm_image_neardup").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === want, "banded candidate set diverged from brute force")
+    // the threshold must actually admit pairs at this scale (15 at
+    // sf0.001) — an empty result would make the equality above vacuous
+    assert(got.nonEmpty, "no near-dup pair — threshold degenerate at fixture scale")
+  }
+
   test("mm_audio_packed decodes the packed layout bit-identically to the small-files path") {
     val direct = q("mm_audio_decode").collect().map(_.toSeq)
     val packed = q("mm_audio_packed").collect().map(_.toSeq)
