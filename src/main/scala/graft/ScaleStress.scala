@@ -204,6 +204,18 @@ object ScaleStress {
       bigConf = dataSizedPartitions),
     // BPE tier: the tokenizer is a pure narrow map (tight bound); the
     // budget selection adds the quality-bucket exchange family
+    Heavy("dedup_paragraphs",
+      "array-side unit segmentation + unit-keyed rank-1 window + " +
+        "doc-keyed regroup; suffixed replica vocab => disjoint unit " +
+        "spaces, linear", 1.3,
+      bigConf = dataSizedPartitions),
+    Heavy("sql_q13_custdist",
+      "outer join + per-customer count + histogram agg; linear", 1.25,
+      bigConf = dataSizedPartitions),
+    Heavy("sql_q16_partsuppliers",
+      "null-aware broadcast anti join + two-level COUNT(DISTINCT) " +
+        "expansion; linear", 1.25,
+      bigConf = dataSizedPartitions),
     Heavy("bpe_token_count",
       "narrow codegen'd map, per-thread distinct-word memo; linear", 1.15),
     Heavy("token_budget_bpe",

@@ -178,11 +178,19 @@ object MultiModalOps {
     * on at least one whole band, so the banded join is provably lossless
     * at the threshold — the minhash-LSH plan shape with an exactness
     * guarantee), then the exact hamming distance verifies each candidate
-    * via per-band `conv`→`xor`→`bit_count` (codegen'd, no UDF). At 100 TB
-    * only (band, doc_id, phash) rows cross the exchange — rasters never
-    * do; the band join is the same constant-occupancy story as the LSH
-    * tier, and the oracle replays the SAME band algorithm (lossless ⇒
-    * result-identical to brute force). */
+    * via per-band `conv`→`xor`→`bit_count` (codegen'd, no UDF). Only
+    * (band, doc_id, phash) rows cross the exchange — rasters never do.
+    *
+    * Scale honesty: each band spans only 2⁸ values, so bucket occupancy
+    * grows ~n/256 and candidate volume ~n²/(256·heap-luck) — EXACT but
+    * quadratic-tailed, unlike the minhash tier whose band space grows
+    * with the corpus. That is intrinsic to a 64-bit fingerprint: at
+    * billions of images the production form is a LONGER perceptual hash
+    * with wider bands (the multi-index hamming-search construction —
+    * same plan shape, bigger band space); the fixture-scale op keeps the
+    * 64-bit form because its losslessness is provable and oracle-checked.
+    * The oracle replays the SAME band algorithm (lossless ⇒
+    * result-identical to brute force, which the spec proves in-JVM). */
   def mmImageNeardup(spark: SparkSession, sfDir: String): DataFrame = {
     val bands = phashFrame(spark, sfDir)
       .select(col("doc_id"), col("phash"),
