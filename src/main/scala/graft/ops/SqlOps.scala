@@ -542,6 +542,201 @@ object SqlOps {
     spark.sql(q19Sql)
   }
 
+  private val q6Sql =
+    """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+      |    * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_lines
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      |  AND l_discount >= 0.05 AND l_discount <= 0.07
+      |  AND l_quantity < 24""".stripMargin
+
+  /** TPC-H Q6 forecasting-revenue shape as SQL text: the pure
+    * scan-predicate aggregate — every predicate (date range, discount
+    * band, quantity cap) must reach the parquet scan as a pushed filter;
+    * no join, no shuffle beyond the 1-row gather. The discount band
+    * compares DOUBLES directly: both engines parse `0.05` to the same
+    * IEEE value the fixture stores, so the band edges are exact without
+    * a cast (a DECIMAL cast here would block parquet pushdown — the
+    * plan pin is the point). Revenue is price×discount in exact
+    * DECIMAL. */
+  def sqlQ6Forecast(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.lineitem(spark, sfDir).createOrReplaceTempView("lineitem")
+    spark.sql(q6Sql)
+  }
+
+  private val q7Sql =
+    """SELECT supp_nation, cust_nation, l_year,
+      |  CAST(SUM(volume) AS DOUBLE) AS revenue
+      |FROM (
+      |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |    CAST(year(l_shipdate) AS BIGINT) AS l_year,
+      |    CAST(l_extendedprice AS DECIMAL(18,2))
+      |      * (1 - CAST(l_discount AS DECIMAL(18,2))) AS volume
+      |  FROM supplier
+      |  JOIN lineitem ON s_suppkey = l_suppkey
+      |  JOIN orders   ON o_orderkey = l_orderkey
+      |  JOIN customer ON c_custkey = o_custkey
+      |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      |  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      |      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      |    AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00') shipping
+      |GROUP BY supp_nation, cust_nation, l_year
+      |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
+
+  /** TPC-H Q7 volume-shipping shape as SQL text: the SAME dimension
+    * table joined TWICE under different roles (supplier's nation and
+    * customer's nation) with a symmetric two-arm disjunction over the
+    * pair — the planner must keep both alias scans independent, push
+    * the per-alias nation-name disjunction (`n_name IN (A,B)` implied on
+    * EACH side) into both tiny scans, and evaluate the cross-arm
+    * residual post-join; plus the derived-column GROUP BY (extract-year)
+    * that must not block partial aggregation. */
+  def sqlQ7VolumeShipping(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.supplier(spark, sfDir).createOrReplaceTempView("supplier")
+    Tables.lineitem(spark, sfDir).createOrReplaceTempView("lineitem")
+    Tables.orders(spark, sfDir).createOrReplaceTempView("orders")
+    Tables.customer(spark, sfDir).createOrReplaceTempView("customer")
+    Tables.nation(spark, sfDir).createOrReplaceTempView("nation")
+    spark.sql(q7Sql)
+  }
+
+  private val q8Sql =
+    """SELECT o_year,
+      |  CAST(SUM(CASE WHEN nation = 'NATION_3' THEN volume END) AS DOUBLE)
+      |    AS nation_volume,
+      |  CAST(SUM(volume) AS DOUBLE) AS total_volume
+      |FROM (
+      |  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+      |    CAST(l_extendedprice AS DECIMAL(18,2))
+      |      * (1 - CAST(l_discount AS DECIMAL(18,2))) AS volume,
+      |    n2.n_name AS nation
+      |  FROM part
+      |  JOIN lineitem ON p_partkey = l_partkey
+      |  JOIN supplier ON s_suppkey = l_suppkey
+      |  JOIN orders   ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      |  JOIN region   ON n1.n_regionkey = r_regionkey
+      |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      |  WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+      |    AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00') all_nations
+      |GROUP BY o_year ORDER BY o_year""".stripMargin
+
+  /** TPC-H Q8 national-market-share shape as SQL text: the eight-way
+    * join (nation twice — the customer side filters through region, the
+    * supplier side labels the volume) feeding a conditional share per
+    * year. The spec's `share = Σ(case)/Σ` float division is returned as
+    * exact numerator and denominator (the Q14 doctrine). The market
+    * nation rides ONLY in the CASE — no filter — so the planner keeps
+    * one pass over the region-filtered join for both sums. */
+  def sqlQ8MarketShare(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.part(spark, sfDir).createOrReplaceTempView("part")
+    Tables.lineitem(spark, sfDir).createOrReplaceTempView("lineitem")
+    Tables.supplier(spark, sfDir).createOrReplaceTempView("supplier")
+    Tables.orders(spark, sfDir).createOrReplaceTempView("orders")
+    Tables.customer(spark, sfDir).createOrReplaceTempView("customer")
+    Tables.nation(spark, sfDir).createOrReplaceTempView("nation")
+    Tables.region(spark, sfDir).createOrReplaceTempView("region")
+    spark.sql(q8Sql)
+  }
+
+  private val q9Sql =
+    """SELECT nation, o_year, CAST(SUM(amount) AS DOUBLE) AS sum_profit
+      |FROM (
+      |  SELECT n_name AS nation,
+      |    CAST(year(o_orderdate) AS BIGINT) AS o_year,
+      |    CAST(l_extendedprice AS DECIMAL(18,2))
+      |        * (1 - CAST(l_discount AS DECIMAL(18,2)))
+      |      - CAST(p_retailprice AS DECIMAL(18,2))
+      |        * CAST(l_quantity AS DECIMAL(18,2)) AS amount
+      |  FROM part
+      |  JOIN lineitem ON p_partkey = l_partkey
+      |  JOIN supplier ON s_suppkey = l_suppkey
+      |  JOIN orders   ON o_orderkey = l_orderkey
+      |  JOIN nation   ON s_nationkey = n_nationkey
+      |  WHERE p_name LIKE '%red%') profit
+      |GROUP BY nation, o_year
+      |ORDER BY nation, o_year DESC""".stripMargin
+
+  /** TPC-H Q9 product-type-profit shape as SQL text (retail price ×
+    * quantity stands in for the missing partsupp supply cost — same
+    * expression structure: a DIFFERENCE of two exact-DECIMAL products):
+    * the contains-LIKE (`%red%`, not a prefix — no range conversion
+    * possible, must evaluate as a scan filter), a five-way join, and
+    * profit aggregated by a dimension attribute × derived year. Amounts
+    * can be NEGATIVE (cost exceeds revenue) — exact DECIMAL keeps the
+    * sign crossings engine-identical where float sums could differ. */
+  def sqlQ9ProductProfit(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.part(spark, sfDir).createOrReplaceTempView("part")
+    Tables.lineitem(spark, sfDir).createOrReplaceTempView("lineitem")
+    Tables.supplier(spark, sfDir).createOrReplaceTempView("supplier")
+    Tables.orders(spark, sfDir).createOrReplaceTempView("orders")
+    Tables.nation(spark, sfDir).createOrReplaceTempView("nation")
+    spark.sql(q9Sql)
+  }
+
+  private val q10Sql =
+    """SELECT c_custkey, c_name,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+      |    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+      |  CAST(c_acctbal AS DOUBLE) AS acctbal, n_name
+      |FROM customer
+      |JOIN orders   ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN nation   ON c_nationkey = n_nationkey
+      |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |  AND o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
+      |  AND l_returnflag = 'R'
+      |GROUP BY c_custkey, c_name, c_acctbal, n_name
+      |ORDER BY revenue DESC, c_custkey ASC
+      |LIMIT 20""".stripMargin
+
+  /** TPC-H Q10 returned-item-reporting shape as SQL text: the
+    * quarter-windowed fact join filtered on the RETURN flag, grouped per
+    * customer with the nation label carried through, top-20 by exact
+    * revenue with the key as tiebreaker (the TakeOrdered pattern — no
+    * full sort). Both the order-date range and the return-flag equality
+    * must reach their respective scans. */
+  def sqlQ10ReturnedItems(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.customer(spark, sfDir).createOrReplaceTempView("customer")
+    Tables.orders(spark, sfDir).createOrReplaceTempView("orders")
+    Tables.lineitem(spark, sfDir).createOrReplaceTempView("lineitem")
+    Tables.nation(spark, sfDir).createOrReplaceTempView("nation")
+    spark.sql(q10Sql)
+  }
+
+  private val q12Sql =
+    """SELECT l_linestatus,
+      |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      |  AND l_shipdate > o_orderdate
+      |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
+
+  /** TPC-H Q12 shipping-mode-priority shape as SQL text (l_linestatus
+    * stands in for the fixture's missing shipmode; the cross-table
+    * lateness inequality `l_shipdate > o_orderdate` echoes the spec's
+    * receipt/commit comparison): a fact-fact join with a NON-EQUI
+    * residual riding the equi-join, feeding the two complementary
+    * conditional counts over an ORDERS attribute grouped by a LINEITEM
+    * attribute — the "count by priority class" split. The integer CASE
+    * sums are cast to BIGINT on both engines (DuckDB sums ints into
+    * HUGEINT). */
+  def sqlQ12ShipPriority(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.orders(spark, sfDir).createOrReplaceTempView("orders")
+    Tables.lineitem(spark, sfDir).createOrReplaceTempView("lineitem")
+    spark.sql(q12Sql)
+  }
+
   private val pipeSql =
     """FROM lineitem
       ||> WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -570,6 +765,12 @@ object SqlOps {
     "sql_pipe_pricing"  -> (sqlPipePricing _),
     "sql_q4_prioritycheck" -> (sqlQ4PriorityCheck _),
     "sql_q11_importantparts" -> (sqlQ11ImportantParts _),
+    "sql_q6_forecast"   -> (sqlQ6Forecast _),
+    "sql_q7_volumeshipping" -> (sqlQ7VolumeShipping _),
+    "sql_q8_marketshare" -> (sqlQ8MarketShare _),
+    "sql_q9_productprofit" -> (sqlQ9ProductProfit _),
+    "sql_q10_returneditems" -> (sqlQ10ReturnedItems _),
+    "sql_q12_shippriority" -> (sqlQ12ShipPriority _),
     "sql_q13_custdist"  -> (sqlQ13CustDist _),
     "sql_q14_promoeffect" -> (sqlQ14PromoEffect _),
     "sql_q16_partsuppliers" -> (sqlQ16PartSuppliers _),
@@ -598,6 +799,12 @@ object SqlOps {
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "sql_q4_prioritycheck" -> q4Sql,
     "sql_q11_importantparts" -> q11Sql,
+    "sql_q6_forecast"   -> q6Sql,
+    "sql_q7_volumeshipping" -> q7Sql,
+    "sql_q8_marketshare" -> q8Sql,
+    "sql_q9_productprofit" -> q9Sql,
+    "sql_q10_returneditems" -> q10Sql,
+    "sql_q12_shippriority" -> q12Sql,
     "sql_q13_custdist"  -> q13Sql,
     "sql_q14_promoeffect" -> q14Sql,
     "sql_q16_partsuppliers" -> q16Sql,

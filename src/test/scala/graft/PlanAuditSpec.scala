@@ -521,6 +521,79 @@ class PlanAuditSpec extends SparkSpec {
       s"shipdate range not pushed to the lineitem scan in:\n$plan")
   }
 
+  test("sql_q6_forecast: pure scan-predicate aggregate — every predicate pushed, no join, no wide shuffle") {
+    val plan = planOf("sql_q6_forecast")
+    assert(!plan.contains("Join"), s"Q6 must not join in:\n$plan")
+    // all three predicates reach the parquet scan
+    assert("PushedFilters: \\[[^\\n]*l_shipdate".r.findFirstIn(plan).isDefined &&
+      "DataFilters: \\[[^\\n]*l_discount".r.findFirstIn(plan).isDefined &&
+      "DataFilters: \\[[^\\n]*l_quantity".r.findFirstIn(plan).isDefined,
+      s"Q6 predicates not pushed in:\n$plan")
+    // only the 1-row gather exchange — never a hash repartition
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"Q6 grew a wide shuffle in:\n$plan")
+  }
+
+  test("sql_q7_volumeshipping: per-alias nation disjunction pushed into BOTH dimension scans") {
+    val plan = planOf("sql_q7_volumeshipping")
+    // the symmetric two-arm OR implies n_name IN (A,B) on EACH alias —
+    // either both tiny nation scans carry it, or (better) the planner
+    // notices the two filtered subplans are identical and REUSES one
+    // broadcast exchange for both roles
+    val pushed = "DataFilters: \\[[^\\n]*NATION_1\\) OR \\(n_name[^\\n]* = NATION_2".r
+      .findAllIn(plan).size
+    assert(pushed >= 2 || (pushed == 1 && plan.contains("ReusedExchange")),
+      s"per-alias nation disjunction not pushed/reused on both scans in:\n$plan")
+    // the cross-arm residual evaluates on a join, not a post-join filter
+    assert("BroadcastHashJoin [^\\n]*NATION_1[^\\n]*NATION_2".r.findFirstIn(plan).isDefined,
+      s"cross-arm residual not on the join in:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"nested loop in:\n$plan")
+  }
+
+  test("sql_q8_marketshare: one pass computes both share sums; region filter prunes the customer side") {
+    val plan = planOf("sql_q8_marketshare")
+    // numerator CASE and denominator ride the SAME partial aggregate
+    assert("partial_sum\\(CASE WHEN [^\\n]*NATION_3[^\\n]*partial_sum\\(volume".r
+      .findFirstIn(plan).isDefined,
+      s"share sums split across passes in:\n$plan")
+    assert("DataFilters: \\[[^\\n]*r_name[^\\n]* = ASIA".r.findFirstIn(plan).isDefined,
+      s"region filter not pushed in:\n$plan")
+    assert("DataFilters: \\[[^\\n]*p_type[^\\n]* = PROMO".r.findFirstIn(plan).isDefined,
+      s"part-type filter not pushed in:\n$plan")
+  }
+
+  test("sql_q9_productprofit: contains-LIKE evaluates as a pushed scan filter") {
+    val plan = planOf("sql_q9_productprofit")
+    // %red% cannot become a range; it must still reach the part scan as a
+    // Contains data filter, not a post-join residual
+    assert("DataFilters: \\[[^\\n]*Contains\\(p_name#\\d+, red\\)".r.findFirstIn(plan).isDefined,
+      s"contains-LIKE not a scan filter in:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"nested loop in:\n$plan")
+  }
+
+  test("sql_q10_returneditems: top-20 is TakeOrdered; flag and date ranges reach their scans") {
+    val plan = planOf("sql_q10_returneditems")
+    assert(plan.contains("TakeOrderedAndProject(limit=20"),
+      s"limit not TakeOrdered in:\n$plan")
+    assert("DataFilters: \\[[^\\n]*l_returnflag[^\\n]* = R".r.findFirstIn(plan).isDefined,
+      s"return-flag not pushed in:\n$plan")
+    assert("DataFilters: \\[[^\\n]*o_orderdate".r.findFirstIn(plan).isDefined,
+      s"quarter window not pushed in:\n$plan")
+  }
+
+  test("sql_q12_shippriority: non-equi lateness residual rides the equi join; CASE counts stay map-side") {
+    val plan = planOf("sql_q12_shippriority")
+    assert("BroadcastHashJoin \\[o_orderkey[^\\n]*l_shipdate[^\\n]*> o_orderdate".r
+      .findFirstIn(plan).isDefined,
+      s"lateness residual not on the join condition in:\n$plan")
+    assert("partial_sum\\(CASE WHEN o_orderpriority".r.findFirstIn(plan).isDefined,
+      s"priority-class counts not in the map-side partial in:\n$plan")
+    assert("DataFilters: \\[[^\\n]*l_shipdate".r.findFirstIn(plan).isDefined,
+      s"ship-date range not pushed in:\n$plan")
+  }
+
   test("sql_q13_custdist: outer-join ON-filter pushes to the orders scan, never below the join") {
     val plan = planOf("sql_q13_custdist")
     // the priority predicate lives in the LEFT OUTER's ON clause; the only
