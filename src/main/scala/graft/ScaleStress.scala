@@ -216,6 +216,33 @@ object ScaleStress {
       "null-aware broadcast anti join + two-level COUNT(DISTINCT) " +
         "expansion; linear", 1.25,
       bigConf = dataSizedPartitions),
+    Heavy("dedup_semantic",
+      "broadcast-centroid cell assign + per-cell blocked pairs + CC over " +
+        "edge-involved nodes; centroid count grows with the corpus " +
+        "(constant cell occupancy), ±1-mask replicas keep within-replica " +
+        "similarity structure => linear", 1.3,
+      bigConf = dataSizedPartitions),
+    Heavy("dedup_bloom_prefilter",
+      "batch-side bloom tree-agg + ONE narrow snapshot scan/filter + " +
+        "survivor-only exact join; linear", 1.2,
+      bigConf = dataSizedPartitions),
+    Heavy("sql_q6_forecast",
+      "pure scan-predicate aggregate, zero wide shuffle; linear", 1.15),
+    Heavy("sql_q7_volumeshipping",
+      "nation under two roles (reused broadcast), fact join + yearly " +
+        "rollup; linear", 1.25, bigConf = dataSizedPartitions),
+    Heavy("sql_q8_marketshare",
+      "eight-way join, dims broadcast, ONE partial agg carries both " +
+        "share sums; linear", 1.25, bigConf = dataSizedPartitions),
+    Heavy("sql_q9_productprofit",
+      "contains-LIKE part prune + six-way join + nation/year rollup; " +
+        "linear", 1.25, bigConf = dataSizedPartitions),
+    Heavy("sql_q10_returneditems",
+      "quarter+returnflag scan prune, 4-way join, TakeOrdered-20; " +
+        "linear", 1.25, bigConf = dataSizedPartitions),
+    Heavy("sql_q12_shippriority",
+      "fact-fact equi join with non-equi lateness residual on the " +
+        "condition; linear", 1.25, bigConf = dataSizedPartitions),
     Heavy("bpe_token_count",
       "narrow codegen'd map, per-thread distinct-word memo; linear", 1.15),
     Heavy("token_budget_bpe",

@@ -617,6 +617,58 @@ object DedupOps {
       .orderBy("doc_id")
   }
 
+  /** Day-2 dedup with a BLOOM-PREFILTERED snapshot scan — the form of
+    * [[dedupIncremental]] a production lake runs when the at-rest
+    * snapshot dwarfs the daily batch (the 100-TB-vs-100-GB asymmetry).
+    * The summary-aggregate form shuffles EVERY digest, snapshot included;
+    * here the batch's digest set is summarized into a Bloom sketch
+    * (`DataFrameStatFunctions.bloomFilter` — Spark's own
+    * `util.sketch.BloomFilter`, the same class the engine's runtime
+    * row-level filtering broadcasts for joins), the sketch rides the
+    * closure to the snapshot scan, and only snapshot digests that MIGHT
+    * match a batch digest survive to the exact-confirm join. The bloom
+    * never changes the answer: false NEGATIVES are impossible by the
+    * sketch contract (every true snapshot dup reaches the join), and a
+    * false POSITIVE matches no batch digest in the exact equi-join and
+    * drops out — so the output is bit-identical to the unfiltered
+    * computation and the SAME exact SQL oracles it (DedupBloomSpec also
+    * replays the unfiltered path and asserts equality plus measured
+    * prune effectiveness).
+    *
+    * Scale shape: the snapshot side is touched by exactly ONE narrow
+    * scan+filter pass (no snapshot-sized shuffle anywhere — the only
+    * exchange carries `matches + fpp·|snapshot|` survivor digests,
+    * broadcastable once the batch fits); the sketch is built by one
+    * tree-aggregate over the batch (the SMALL side) and is
+    * driver-bounded at ~1.2 MB per 1M batch digests at the 1% fpp used
+    * here — the same bounded-driver-state budget as the BPE vocabulary
+    * gather. At petabyte snapshots fpp is the knob: survivor volume is
+    * fpp-proportional, so size the sketch to what the exact-confirm join
+    * should pay. */
+  def dedupBloomPrefilter(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), TextOps.bagFingerprint.as("content_hash"))
+      .persist()
+    val cut = docs.agg(expr("max(doc_id) DIV 2").as("cut"))
+    val keyed = docs.crossJoin(broadcast(cut))
+    val batch = keyed.filter(col("doc_id") > col("cut"))
+      .select(col("doc_id"), col("content_hash"))
+    // one bounded action sizes the sketch; one tree-aggregate builds it
+    val nBatch = math.max(1L, batch.count())
+    val bloom = batch.stat.bloomFilter("content_hash", nBatch, 0.01)
+    val mightMatch = udf((h: String) => bloom.mightContain(h))
+    val snapSurvivors = keyed.filter(col("doc_id") <= col("cut"))
+      .select(col("content_hash"))
+      .filter(mightMatch(col("content_hash")))
+      .distinct()
+      .withColumn("in_snap", lit(1L))
+    batch.join(snapSurvivors, Seq("content_hash"), "left_outer")
+      .select(col("doc_id"), col("content_hash"),
+        when(col("in_snap") === 1L, lit("dup_of_snapshot"))
+          .otherwise(lit("new")).as("decision"))
+      .orderBy("doc_id")
+  }
+
   /** Cross-source contamination matrix — for every source pair
     * (src_a < src_b), how many DISTINCT SHARED BAG FINGERPRINTS
     * (order-insensitive content digests, [[TextOps.bagFingerprint]])
@@ -928,6 +980,7 @@ object DedupOps {
     "span_excision"       -> (spanExcision _),
     "dedup_substring_spans" -> (dedupSubstringSpans _),
     "dedup_incremental"   -> (dedupIncremental _),
+    "dedup_bloom_prefilter" -> (dedupBloomPrefilter _),
     "dedup_cross_source"  -> (dedupCrossSource _),
     "decontaminate_spans" -> (decontaminateSpans _),
     "decontaminate_report" -> (decontaminateReport _),
@@ -1136,6 +1189,22 @@ object DedupOps {
         |FROM batch b
         |LEFT JOIN snap s USING (content_hash)
         |JOIN fb USING (content_hash)
+        |ORDER BY doc_id""".stripMargin,
+    // the bloom is a prefilter, never a semantics change — the oracle is
+    // the plain exact two-way decision (no in-batch tier here; that is
+    // dedup_incremental's job)
+    "dedup_bloom_prefilter" ->
+      """WITH d AS (SELECT doc_id,
+        |  md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))),
+        |    ' ')) AS content_hash FROM documents),
+        |c AS (SELECT max(doc_id) // 2 AS cut FROM d),
+        |snap AS (SELECT DISTINCT content_hash FROM d, c WHERE doc_id <= cut),
+        |batch AS (SELECT d.doc_id, d.content_hash FROM d, c WHERE doc_id > cut)
+        |SELECT b.doc_id, b.content_hash,
+        |  CASE WHEN s.content_hash IS NOT NULL THEN 'dup_of_snapshot'
+        |       ELSE 'new' END AS decision
+        |FROM batch b
+        |LEFT JOIN snap s USING (content_hash)
         |ORDER BY doc_id""".stripMargin,
     "dedup_exact_stats" ->
       """WITH g AS (SELECT md5(text) AS h, count(*) AS c FROM documents GROUP BY 1)

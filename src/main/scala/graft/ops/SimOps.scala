@@ -307,7 +307,13 @@ object SimOps {
   /** Assign vectors to their nearest centroid — the INDEX BUILD step.
     * Output (vec_id, embedding, nrm, cell) IS the index table: writing it
     * to parquet bucketed/partitioned by `cell` is the at-rest IVF index. */
-  private[graft] def ivfAssign(vecs: DataFrame, cents: DataFrame): DataFrame = {
+  private[graft] def ivfAssign(vecs: DataFrame, cents: DataFrame): DataFrame =
+    ivfAssignScored(vecs, cents).drop("ccos")
+
+  /** [[ivfAssign]] keeping the winning centroid similarity (`ccos`) —
+    * the extra column [[dedupSemantic]]'s keep policy ranks on; the
+    * index tiers drop it so the at-rest layout stays 4 columns. */
+  private[graft] def ivfAssignScored(vecs: DataFrame, cents: DataFrame): DataFrame = {
     val wAssign = Window.partitionBy("vec_id")
       .orderBy(col("ccos").desc, col("cent_id").asc)
     vecs.join(broadcast(cents))
@@ -315,7 +321,62 @@ object SimOps {
         dot(col("embedding"), col("ce")) / sqrt(col("nrm") * col("cn")))
       .withColumn("crnk", row_number().over(wAssign))
       .filter(col("crnk") === 1)
-      .select(col("vec_id"), col("embedding"), col("nrm"), col("cent_id").as("cell"))
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        col("cent_id").as("cell"), col("ccos"))
+  }
+
+  /** SemDeDup — SEMANTIC deduplication of the embedding corpus by the
+    * cluster-then-prune recipe (the published SemDeDup method, Abbas et
+    * al. 2023, arXiv:2303.09540):
+    * the corpus is coarse-quantized into cells by the SAME deterministic
+    * quantizer the IVF ANN tier serves from ([[ivfCentroids]] +
+    * [[ivfAssignScored]]), near-duplicate GROUPS form within cells
+    * (pairs at cosine ≥ [[ClusterCosThreshold]], connected components),
+    * and each group keeps exactly ONE representative — the member LEAST
+    * similar to its own cell centroid (ties to the smallest vec_id).
+    * Keeping the boundary point rather than the densest interior copy is
+    * the paper's policy: the survivor set preserves each cell's spread
+    * while the near-identical interior collapses.
+    *
+    * Differs from [[embedDedupClusters]] in BOTH halves: candidates are
+    * blocked by the k-means-style cell (not LSH band buckets), and the
+    * keeper is centroid-distance-ranked (not min-id). Within-cell
+    * blocking is the documented SemDeDup approximation — a near-dup pair
+    * straddling a cell boundary is not considered, the same recall cut
+    * the ANN tradeoff table quantifies for this quantizer.
+    *
+    * Scale shape: centroids broadcast (|corpus|/centroidMod rows); ONE
+    * corpus exchange keyed by `cell`; the per-cell pair space is
+    * enumerated through [[PairEnum.blockedSelfJoinPairs]] (task work
+    * bounded by B² whatever the cell sizes); the CC fixpoint touches
+    * edge-involved vectors only; the keeper window partitions by group
+    * (group sizes are near-dup family sizes, never corpus-sized).
+    * Output is corpus-sized — every vector, its group, and the keep/drop
+    * decision a downstream training-set writer consumes. */
+  def dedupSemantic(spark: SparkSession, sfDir: String): DataFrame = {
+    val v = withNorm(Tables.embeddings(spark, sfDir))
+    val assigned = ivfAssignScored(v, ivfCentroids(spark, v)).persist()
+    val pairs = DedupOps.eagerCheckpoint(
+      PairEnum.blockedSelfJoinPairs(assigned, Seq("cell"), "vec_id",
+          Seq("embedding", "nrm"))
+        .withColumn("cos",
+          dot(col("a_embedding"), col("b_embedding")) /
+            sqrt(col("a_nrm") * col("b_nrm")))
+        .filter(col("cos") >= ClusterCosThreshold)
+        .select(col("a_vec_id").as("vec_a"), col("b_vec_id").as("vec_b")))
+    val labels = DedupOps.connectedComponents(assigned.select(col("vec_id")), pairs)
+      .select(col("doc_id").as("vec_id"), col("label").as("group_id"))
+    val sizes = labels.groupBy("group_id")
+      .agg(count(lit(1)).as("group_size"))
+    val wKeep = Window.partitionBy("group_id")
+      .orderBy(col("ccos").asc, col("vec_id").asc)
+    labels
+      .join(assigned.select("vec_id", "cell", "ccos"), "vec_id")
+      .withColumn("rnk", row_number().over(wKeep))
+      .join(sizes, "group_id")
+      .select(col("vec_id"), col("cell"), col("group_id"), col("group_size"),
+        (col("rnk") === 1).as("is_keeper"))
+      .orderBy("vec_id")
   }
 
   /** Probe an IVF index table (vec_id, embedding, nrm, cell): queries are
@@ -671,6 +732,7 @@ object SimOps {
     "ann_lsh_bucket"       -> (annLshBucket _),
     "ann_lsh_multiprobe"   -> (annLshMultiprobe _),
     "embed_dedup_clusters" -> (embedDedupClusters _),
+    "dedup_semantic"       -> (dedupSemantic _),
     "ann_ivf_probe"        -> (annIvfProbe _),
     "ann_ivf_persist"      -> (annIvfPersist _),
     "ann_sq8_persist"      -> (annSq8Persist _),
@@ -957,5 +1019,42 @@ object SimOps {
          |       FROM lab GROUP BY 1)
          |SELECT lab.vec_id, lab.cluster_id, sz.cluster_size,
          |  lab.vec_id = lab.cluster_id AS is_keeper
-         |FROM lab JOIN sz USING (cluster_id) ORDER BY vec_id""".stripMargin)
+         |FROM lab JOIN sz USING (cluster_id) ORDER BY vec_id""".stripMargin,
+    "dedup_semantic" ->
+      s"""WITH RECURSIVE v AS ($sqlVec),
+         |n AS (SELECT vec_id, d, ${sqlDot("d", "d")} AS nrm FROM v),
+         |cents AS (SELECT vec_id AS cent_id, d AS ce, nrm AS cn FROM n
+         |          WHERE vec_id % 32 = 0),
+         |scoredc AS (
+         |  SELECT n.vec_id, n.d, n.nrm, c.cent_id,
+         |    ${sqlDot("n.d", "c.ce")} / sqrt(n.nrm * c.cn) AS ccos
+         |  FROM n CROSS JOIN cents c),
+         |asg AS (
+         |  SELECT vec_id, d, nrm, cent_id AS cell, ccos FROM (
+         |    SELECT vec_id, d, nrm, cent_id, ccos,
+         |      row_number() OVER (PARTITION BY vec_id
+         |        ORDER BY ccos DESC, cent_id ASC) AS crnk
+         |    FROM scoredc) t
+         |  WHERE crnk = 1),
+         |np AS (
+         |  SELECT a.vec_id AS va, b.vec_id AS vb
+         |  FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  WHERE ${sqlDot("a.d", "b.d")} / sqrt(a.nrm * b.nrm) >= $ClusterCosThreshold),
+         |e(src, dst) AS (SELECT va, vb FROM np UNION ALL SELECT vb, va FROM np),
+         |reach(x, m) AS (
+         |  SELECT vec_id, vec_id FROM embeddings
+         |  UNION
+         |  SELECT e.dst, reach.m FROM reach JOIN e ON e.src = reach.x),
+         |lab AS (SELECT x AS vec_id, min(m) AS group_id FROM reach GROUP BY 1),
+         |sz AS (SELECT group_id, CAST(count(*) AS BIGINT) AS group_size
+         |       FROM lab GROUP BY 1),
+         |rk AS (SELECT lab.vec_id,
+         |    row_number() OVER (PARTITION BY lab.group_id
+         |      ORDER BY asg.ccos ASC, lab.vec_id ASC) AS r
+         |  FROM lab JOIN asg USING (vec_id))
+         |SELECT lab.vec_id, asg.cell, lab.group_id, sz.group_size,
+         |  rk.r = 1 AS is_keeper
+         |FROM lab JOIN asg USING (vec_id) JOIN sz USING (group_id)
+         |  JOIN rk ON rk.vec_id = lab.vec_id
+         |ORDER BY lab.vec_id""".stripMargin)
 }

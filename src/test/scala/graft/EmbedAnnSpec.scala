@@ -155,4 +155,50 @@ class EmbedAnnSpec extends SparkSpec {
     // 5th-NN distances tie would make the top-20 cut meaningless)
     assert(got.head._3 > got.last._3, "no isolation spread in the fixture")
   }
+
+  test("dedup_semantic replays cell assignment, grouping and the keep policy") {
+    val vecs = Tables.embeddings(spark, sf).select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    def dotLR(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    val nrm = vecs.map { case (id, d) => id -> dotLR(d, d) }.toMap
+    val byId = vecs.toMap
+    // 1. cell assignment: argmax cosine over the every-32nd quantizer,
+    //    ties to the smallest centroid id — plus the winning ccos the
+    //    keep policy ranks on
+    val cents = vecs.filter(_._1 % 32 == 0)
+    val assign = vecs.map { case (id, d) =>
+      val best = cents.map { case (cid, ce) =>
+        (dotLR(d, ce) / math.sqrt(nrm(id) * nrm(cid)), cid)
+      }.minBy { case (c, cid) => (-c, cid) }
+      id -> best
+    }.toMap // id -> (ccos, cell)
+    // 2. within-cell near-dup pairs at the cluster threshold, union-find
+    val parent = collection.mutable.Map(vecs.map(v => v._1 -> v._1): _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    for ((a, da) <- vecs; (b, db) <- vecs
+         if a < b && assign(a)._2 == assign(b)._2 &&
+           dotLR(da, db) / math.sqrt(nrm(a) * nrm(b)) >= ops.SimOps.ClusterCosThreshold) {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val group = vecs.map(v => v._1 -> find(v._1)).toMap
+    val size = group.values.groupBy(identity).map { case (g, m) => g -> m.size.toLong }
+    // 3. keeper = the member LEAST similar to its own centroid (tie: min id)
+    val keeper = group.toSeq.groupBy(_._2).map { case (g, ms) =>
+      g -> ms.map(_._1).minBy(id => (assign(id)._1, id))
+    }
+    val want = vecs.map(_._1).sorted.map { id =>
+      (id, assign(id)._2, group(id), size(group(id)), keeper(group(id)) == id)
+    }.toSeq
+    val got = q("dedup_semantic").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4))).toSeq
+    assert(got === want)
+    // the fixture must form real groups or the policy is untested
+    assert(got.exists(_._4 >= 2), "no non-singleton semantic group in fixture")
+  }
 }

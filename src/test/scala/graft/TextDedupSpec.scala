@@ -205,6 +205,40 @@ class TextDedupSpec extends SparkSpec {
       s"fixture exercises all decision branches, got $kinds")
   }
 
+  test("dedup_bloom_prefilter: exact decisions; bloom prunes without false negatives") {
+    val rows = q("dedup_bloom_prefilter").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    // ground truth: the plain two-way snapshot decision, bloom-free
+    val fp = q("doc_fingerprint").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("fingerprint")).toMap
+    val cut = fp.keys.max / 2
+    val snapH = fp.filter(_._1 <= cut).values.toSet
+    val batch = fp.filter(_._1 > cut).toSeq.sortBy(_._1)
+    assert(rows.map(_._1).toSeq === batch.map(_._1), "batch membership + order")
+    rows.foreach { case (id, h, dec) =>
+      assert(h === fp(id), s"doc $id digest")
+      assert(dec === (if (snapH.contains(h)) "dup_of_snapshot" else "new"), s"doc $id")
+    }
+    assert(rows.map(_._3).toSet === Set("new", "dup_of_snapshot"),
+      "fixture exercises both decision branches")
+    // the prefilter contract, replayed on an identically-built sketch:
+    // every TRUE snapshot dup digest passes (no false negative — a miss
+    // here would have silently dropped a dup above), and the sketch
+    // really prunes the snapshot side on this corpus (a bloom that keeps
+    // everything is dead weight, not a prefilter)
+    import spark.implicits._
+    val batchDf = batch.map(_._2).toDF("content_hash")
+    val bloom = batchDf.stat.bloomFilter("content_hash",
+      math.max(1L, batch.length.toLong), 0.01)
+    val batchH = batch.map(_._2).toSet
+    snapH.filter(batchH.contains).foreach { h =>
+      assert(bloom.mightContain(h), s"false negative on true dup digest $h")
+    }
+    val survivors = snapH.count(bloom.mightContain)
+    assert(survivors < snapH.size,
+      s"bloom prunes nothing: $survivors of ${snapH.size} snapshot digests survive")
+  }
+
   test("dedup_substring_spans spans are verbatim-equal token runs and maximal") {
     val spans = q("dedup_substring_spans").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2).toInt,
