@@ -217,10 +217,10 @@ object ScaleStress {
         "expansion; linear", 1.25,
       bigConf = dataSizedPartitions),
     Heavy("dedup_semantic",
-      "broadcast-centroid cell assign + per-cell blocked pairs + CC over " +
-        "edge-involved nodes; centroid count grows with the corpus " +
-        "(constant cell occupancy), ±1-mask replicas keep within-replica " +
-        "similarity structure => linear", 1.3,
+      "constant cell occupancy => pair space linear; flat assign adds " +
+        "an n^2/mod codegen-dot term, subdominant through the audited " +
+        "decades (indexed assign is the documented next-decade path); " +
+        "±1-mask replicas keep within-replica similarity structure", 1.3,
       bigConf = dataSizedPartitions),
     Heavy("dedup_bloom_prefilter",
       "batch-side bloom tree-agg + ONE narrow snapshot scan/filter + " +

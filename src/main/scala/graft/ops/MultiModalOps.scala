@@ -484,9 +484,15 @@ object MultiModalOps {
     * ASCII bytes in a rolling scan, so DuckDB reconstructs the exact
     * concatenated raster from `documents.text` — one wrong pixel in any
     * frame of encode→write→scan→demux→decode fails the hash gate. */
-  def mmVideoDecode(spark: SparkSession, sfDir: String): DataFrame = {
+  def mmVideoDecode(spark: SparkSession, sfDir: String): DataFrame =
+    decodeGifClips(spark, videoBytes(spark, sfDir)).orderBy("doc_id")
+
+  /** The demux+decode body shared by the small-files and PACKED video
+    * paths — one decode implementation, two scan shapes (the
+    * [[decodeClips]] convention applied to the frame-series modality). */
+  private def decodeGifClips(spark: SparkSession, bytes: DataFrame): DataFrame = {
     import spark.implicits._
-    videoBytes(spark, sfDir)
+    bytes
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
@@ -504,8 +510,29 @@ object MultiModalOps {
         }
       }
       .toDF()
-      .orderBy("doc_id")
   }
+
+  /** The GIF corpus re-packed into the parquet binary container — the
+    * [[packedAudioBytes]] layout applied to the frame-series modality,
+    * so EVERY real-decode modality has its at-scale layout. */
+  private def packedVideoBytes(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = FileOps.materializeOnce(spark, "gifpack", sfDir) { d =>
+      val src = videoBytes(spark, sfDir)
+      val totalBytes = src.agg(sum(length(col("media")))).collect()(0).getLong(0)
+      val nShards = math.max(1L, totalBytes / (128L << 20)).toInt
+      src.repartition(nShards, col("doc_id"))
+        .write.mode("overwrite").parquet(s"$d/packed_video.parquet")
+    }
+    spark.read.parquet(s"$dir/packed_video.parquet")
+      .select(col("doc_id").cast("long").as("doc_id"), col("media"))
+  }
+
+  /** [[mmVideoDecode]] over the PACKED layout — byte-identical by
+    * construction (same demux+decode body via [[decodeGifClips]]), so
+    * the SAME whole-clip raster-hash oracle gates both: a clip lost,
+    * duplicated or corrupted in the pack step is a hash mismatch. */
+  def mmVideoPacked(spark: SparkSession, sfDir: String): DataFrame =
+    decodeGifClips(spark, packedVideoBytes(spark, sfDir)).orderBy("doc_id")
 
   /** Per-FRAME feature extraction over the real multi-frame container:
     * one clip row fans out to its decoded frames, each carrying an exact
@@ -671,6 +698,7 @@ object MultiModalOps {
     "mm_resize"       -> (mmResize _),
     "mm_frame_sample" -> (mmFrameSample _),
     "mm_video_decode" -> (mmVideoDecode _),
+    "mm_video_packed" -> (mmVideoPacked _),
     "mm_video_frames" -> (mmVideoFrames _),
     "mm_video_motion" -> (mmVideoMotion _))
 
@@ -722,6 +750,18 @@ object MultiModalOps {
       |    substring(repeat(text, CAST((nf * w * h + n - 1) // n AS INTEGER)),
       |      1, nf * w * h) AS allras
       |  FROM vg)""".stripMargin
+
+  /** Whole-clip video decode oracle — shared verbatim by
+    * `mm_video_decode` and `mm_video_packed` (the packed probe is
+    * byte-identical by design, so ONE oracle gates both). */
+  private lazy val sqlVideoDecode: String =
+    s"""WITH $sqlVideo
+       |SELECT doc_id, CAST(nf AS BIGINT) AS n_frames,
+       |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+       |  md5(allras) AS px_digest,
+       |  CAST(list_sum(list_transform(range(1, nf * w * h + 1),
+       |    i -> ascii(substring(allras, CAST(i AS INTEGER), 1)))) AS BIGINT) AS px_sum
+       |FROM vr ORDER BY doc_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "mm_audio_decode" ->
@@ -882,14 +922,11 @@ object MultiModalOps {
         |FROM documents,
         |  unnest(range(0, (octet_length(encode(text)) + 255) // 256, 4)) AS t(i)
         |ORDER BY doc_id, frame_idx""".stripMargin,
-    "mm_video_decode" ->
-      s"""WITH $sqlVideo
-         |SELECT doc_id, CAST(nf AS BIGINT) AS n_frames,
-         |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
-         |  md5(allras) AS px_digest,
-         |  CAST(list_sum(list_transform(range(1, nf * w * h + 1),
-         |    i -> ascii(substring(allras, CAST(i AS INTEGER), 1)))) AS BIGINT) AS px_sum
-         |FROM vr ORDER BY doc_id""".stripMargin,
+    "mm_video_decode" -> sqlVideoDecode,
+    // same oracle text as mm_video_decode: the packed path is
+    // byte-identical by construction (shared decode body), so the pack
+    // step is gated by the same whole-clip raster-hash compare
+    "mm_video_packed" -> sqlVideoDecode,
     "mm_video_motion" ->
       s"""WITH $sqlVideo,
          |fr AS (SELECT doc_id, CAST(f.f AS BIGINT) AS frame_idx, w, h,

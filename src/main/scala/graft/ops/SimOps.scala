@@ -345,14 +345,22 @@ object SimOps {
     * straddling a cell boundary is not considered, the same recall cut
     * the ANN tradeoff table quantifies for this quantizer.
     *
-    * Scale shape: centroids broadcast (|corpus|/centroidMod rows); ONE
-    * corpus exchange keyed by `cell`; the per-cell pair space is
-    * enumerated through [[PairEnum.blockedSelfJoinPairs]] (task work
-    * bounded by B² whatever the cell sizes); the CC fixpoint touches
-    * edge-involved vectors only; the keeper window partitions by group
-    * (group sizes are near-dup family sizes, never corpus-sized).
-    * Output is corpus-sized — every vector, its group, and the keep/drop
-    * decision a downstream training-set writer consumes. */
+    * Scale shape: the quantizer holds cell OCCUPANCY constant (cells ∝
+    * corpus), so the within-cell pair space is LINEAR by design and its
+    * enumeration goes through [[PairEnum.blockedSelfJoinPairs]] (task
+    * work bounded by B² whatever the cell sizes); the CC fixpoint
+    * touches edge-involved vectors only; the keeper window partitions by
+    * group (near-dup family sizes, never corpus-sized). The flat assign
+    * shipped here is the honest cost ceiling: argmin over k = n/mod
+    * broadcast centroids is an n·k = n²/mod term — subdominant through
+    * the audited decades (×10/×100 exponents in SCALE_r14_deck /
+    * SCALE_r14_sem_x100) because it is pure codegen dot throughput, but
+    * PAST ~10⁷ vectors the assign must itself become an ANN lookup:
+    * probe the centroid table through the SAME at-rest IVF machinery
+    * this file already ships ([[annIvfPersist]] over the centroid set),
+    * which cuts assign to n·O(√k) with no change to the downstream
+    * group/keeper dataflow. Output is corpus-sized — every vector, its
+    * group, and the keep/drop decision a training-set writer consumes. */
   def dedupSemantic(spark: SparkSession, sfDir: String): DataFrame = {
     val v = withNorm(Tables.embeddings(spark, sfDir))
     val assigned = ivfAssignScored(v, ivfCentroids(spark, v)).persist()

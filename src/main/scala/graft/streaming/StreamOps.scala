@@ -768,6 +768,95 @@ object StreamOps {
     require(ranBatches > 0, s"no micro-batch ran over $staged ($glob)")
   }
 
+  /** Streaming SEMANTIC dedup — the ONLINE form of
+    * [[graft.ops.SimOps.dedupSemantic]]: micro-batches of vectors are
+    * assigned with the FROZEN coarse quantizer, probed against the
+    * store's SAME-CELL vectors, and a vector with an EARLIER near-dup
+    * (cosine ≥ the cluster threshold; earlier = any store row or a
+    * smaller-id row of the same batch) is flagged dropped; every row
+    * appends to the store as an idempotent-by-batch-id delta carrying
+    * its `kept` flag. Two deliberate semantic departures from the batch
+    * pass, both inherent to online dedup and both spec-pinned:
+    * an arrival stream can only keep-FIRST (the offline
+    * least-central-keeper policy needs the whole group before deciding —
+    * by the time a better representative arrives, the first is already
+    * serving), and "earlier" means ANY earlier arrival, kept or dropped
+    * (the [[incrementalDedupInto]] rule: near-dup-of-a-dropped-near-dup
+    * is still a dup — decisions never depend on a chain the stream
+    * would have to re-walk).
+    *
+    * Scale shape: the store is touched ONLY through the cell equi-join
+    * (per-batch work is |batch| · cell occupancy codegen dots — the
+    * streaming twin of the batch op's blocked per-cell enumeration);
+    * deltas are generation subdirs with the minus-self listing, so an
+    * at-least-once replay overwrites its own output and cannot
+    * double-count. */
+  def semanticDedupMaintainRun(spark: SparkSession, sfDir: String): DataFrame = {
+    val staged = stageVecSliceFiles(spark, sfDir, 4)
+    val storeDir = java.nio.file.Files.createTempDirectory("graft_sem_dedup")
+      .resolve("sem_store").toString
+    semanticDedupMaintainInto(spark, staged, storeDir, "b*.parquet", "all")
+    readSemStore(spark, storeDir)
+  }
+
+  /** The maintained semantic store read back (vec_id, cell, kept). */
+  private[graft] def readSemStore(spark: SparkSession, storeDir: String): DataFrame =
+    spark.read.option("recursiveFileLookup", "true").parquet(storeDir)
+      .select("vec_id", "cell", "kept")
+
+  private[graft] def semanticDedupMaintainInto(
+      spark: SparkSession, staged: String, storeDir: String,
+      glob: String, runTag: String): Unit = {
+    import graft.ops.SimOps
+    val schema = spark.read.parquet(staged).schema
+    val cents = SimOps.ivfCentroids(spark,
+      SimOps.withNorm(spark.read.parquet(staged))).persist()
+    @volatile var ranBatches = 0
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", glob)
+      .parquet(staged)
+    val q = stream.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      val asg = SimOps.ivfAssign(SimOps.withNorm(batch), cents).persist()
+      // minus-self generation listing (the incrementalDedupInto replay
+      // doctrine): an at-least-once re-execution must not see the prior
+      // attempt's own delta mid-delete
+      val prevDirs: Array[String] = {
+        val root = new org.apache.hadoop.fs.Path(storeDir)
+        val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!fs.exists(root)) Array.empty
+        else fs.listStatus(root).collect {
+          case s if s.isDirectory &&
+            !s.getPath.getName.startsWith("_") &&
+            s.getPath.getName != s"delta_${runTag}_$id" => s.getPath.toString
+        }
+      }
+      val cos = graft.functions.VectorFunctions
+        .vecDot(col("x.embedding"), col("y.embedding")) /
+        sqrt(col("x.nrm") * col("y.nrm"))
+      def near(earlier: DataFrame): DataFrame =
+        earlier.as("x").join(asg.as("y"),
+            col("x.cell") === col("y.cell") &&
+              col("x.vec_id") < col("y.vec_id"))
+          .filter(cos >= SimOps.ClusterCosThreshold)
+          .select(col("y.vec_id").as("vec_id"))
+      val inBatch = near(asg)
+      val dropped = (if (prevDirs.nonEmpty)
+          near(spark.read.parquet(prevDirs.toSeq: _*).drop("kept"))
+            .unionByName(inBatch)
+        else inBatch).distinct()
+      asg.join(dropped.withColumn("is_dropped", lit(true)), Seq("vec_id"), "left")
+        .withColumn("kept", col("is_dropped").isNull)
+        .select("vec_id", "embedding", "nrm", "cell", "kept")
+        .write.mode("overwrite").parquet(s"$storeDir/delta_${runTag}_$id")
+      asg.unpersist()
+      ranBatches += 1
+    }.start()
+    try q.processAllAvailable()
+    finally { q.stop(); cents.unpersist() }
+    require(ranBatches > 0, s"no micro-batch ran over $staged ($glob)")
+  }
+
   /** Streaming DRIFT monitoring — [[graft.ops.ProfileOps.qualityKsDrift]]'s
     * two-sample KS gate maintained incrementally: each micro-batch adds
     * its per-(source, token-count) conditional counts to the store as an

@@ -726,6 +726,52 @@ class PlanAuditSpec extends SparkSpec {
       s"segment predicate not pushed to the customer scan: $pushed")
   }
 
+  test("dedup_semantic building blocks: broadcast assign; blocked pair join, never a product") {
+    // the final query's executedPlan starts AFTER the CC checkpoints, so
+    // the two stages that carry the scale story are pinned directly.
+    // Cache state from earlier suites (dedup_semantic persists its
+    // assign internally) would plan-fragment-match `assigned` into an
+    // InMemoryTableScan and hide the BroadcastExchange — clear it first
+    spark.catalog.clearCache()
+    val adaptiveWas = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val v = ops.SimOps.withNorm(Tables.embeddings(spark, sf))
+      val assigned = ops.SimOps.ivfAssignScored(v, ops.SimOps.ivfCentroids(spark, v))
+      val aPlan = assigned.queryExecution.executedPlan.toString
+      // the quantizer is the BROADCAST side of the assign product — the
+      // deliberate n·k argmin (every row meets every centroid); what must
+      // NOT appear is a shuffle of the corpus against the centroid table
+      assert(aPlan.contains("BroadcastExchange"),
+        s"centroid set not broadcast in:\n$aPlan")
+      assert(!aPlan.contains("SortMergeJoin") && !aPlan.contains("ShuffledHashJoin"),
+        s"assign shuffled the corpus against the centroid set in:\n$aPlan")
+      // pair enumeration stays the blocked (cell, blockA, blockB)
+      // shuffled equi-join — never a cartesian/BNLJ fallback. The op
+      // persists `assigned` before enumerating (one assign pass feeds
+      // pairs, labels and the keeper rank); mirror that so the pair
+      // STAGE is what the plan shows, not a re-inlined assign.
+      assigned.persist(); assigned.count()
+      try {
+        val pairs = ops.PairEnum.blockedSelfJoinPairs(
+          assigned, Seq("cell"), "vec_id", Seq("embedding", "nrm"))
+        val pPlan = pairs.queryExecution.executedPlan.toString
+        assert(!pPlan.contains("CartesianProduct"),
+          s"pair space degenerated to a product in:\n$pPlan")
+        // InMemoryRelation nodes print their CACHED child plan, which
+        // contains the assign's deliberate broadcast product — every
+        // BNLJ occurrence must be attributable to one of those cached
+        // descriptions, none to the pair stage itself
+        val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(pPlan).length
+        val cached = "InMemoryRelation".r.findAllIn(pPlan).length
+        assert(bnlj <= cached,
+          s"a BNLJ outside the cached assign description in:\n$pPlan")
+        assert(pPlan.contains("ShuffledHashJoin"),
+          s"blocked pair join lost its shuffle_hash shape in:\n$pPlan")
+      } finally assigned.unpersist()
+    } finally spark.conf.set("spark.sql.adaptive.enabled", adaptiveWas)
+  }
+
   test("pack_sequences: the packing running-sum window is PARTITIONED, never a global funnel") {
     val plan = planOf("pack_sequences")
     val windows = "(?m)^\\s*[+:\\-\\s]*\\*?\\(?\\d*\\)?\\s*Window .*$".r

@@ -481,6 +481,53 @@ class StreamingSpec extends SparkSpec {
     assert(first.length === Tables.embeddings(spark, sf).count())
   }
 
+  test("streamed semantic dedup equals the arrival-order keep-first replay") {
+    val got = StreamOps.semanticDedupMaintainRun(spark, sf).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Long]("cell"), r.getAs[Boolean]("kept")))).toMap
+    // independent replay of the online rule: kept(v) iff NO u < v in the
+    // same cell with cos >= threshold (earlier kept OR dropped — the
+    // chain-free incremental rule, which also makes the decision
+    // independent of micro-batch boundaries)
+    val vecs = Tables.embeddings(spark, sf).select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .sortBy(_._1)
+    def dotLR(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    val nrm = vecs.map { case (id, d) => id -> dotLR(d, d) }.toMap
+    val cents = vecs.filter(_._1 % 32 == 0)
+    val cell = vecs.map { case (id, d) =>
+      id -> cents.map { case (cid, ce) =>
+        (dotLR(d, ce) / math.sqrt(nrm(id) * nrm(cid)), cid)
+      }.minBy { case (c, cid) => (-c, cid) }._2
+    }.toMap
+    val want = vecs.map { case (id, d) =>
+      val dup = vecs.exists { case (u, du) =>
+        u < id && cell(u) == cell(id) &&
+          dotLR(du, d) / math.sqrt(nrm(u) * nrm(id)) >=
+            ops.SimOps.ClusterCosThreshold
+      }
+      id -> ((cell(id), !dup))
+    }.toMap
+    assert(got === want)
+    assert(got.values.exists(_._2) && got.values.exists(!_._2),
+      "fixture exercises both keep and drop")
+  }
+
+  test("semantic dedup store is replay-idempotent: a re-run batch replaces its delta") {
+    val staged = StreamOps.stageVecSliceFiles(spark, sf, 4)
+    val storeDir = java.nio.file.Files.createTempDirectory("graft_sem_dedup_r")
+      .resolve("sem_store").toString
+    StreamOps.semanticDedupMaintainInto(spark, staged, storeDir, "b*.parquet", "all")
+    val first = StreamOps.readSemStore(spark, storeDir).orderBy("vec_id").collect()
+    StreamOps.semanticDedupMaintainInto(spark, staged, storeDir, "b*.parquet", "all")
+    val second = StreamOps.readSemStore(spark, storeDir).orderBy("vec_id").collect()
+    assert(second === first)
+    assert(first.length === Tables.embeddings(spark, sf).count())
+  }
+
   test("foreachBatch incremental KS drift monitor equals the one-shot batch statistic") {
     // the drift-gate twin of the token-accounting pattern: per-batch
     // (source, value) conditional counts are additive longs over
