@@ -13,7 +13,7 @@ import org.apache.spark.sql.SparkSession
 object GraftConf {
   /** Build-round provenance stamp for regenerated artifacts
     * (APPROX_BOUNDS.json); bumped in the same commit that regenerates. */
-  val round: String = "r13"
+  val round: String = "r14"
 
   /** `SPARK_GRAFT_CPUS` normalization, shared by EVERY main that builds a
     * local session (one parser, five entry points — round-10 review
