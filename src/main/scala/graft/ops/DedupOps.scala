@@ -587,18 +587,21 @@ object DedupOps {
     * shuffle-free on the store side), and the within-batch keep-first
     * is one map-side-combinable min per digest, not a window over
     * bodies. */
-  def dedupIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Shared day-2 preamble: the per-doc digest table (persisted — in
+    * production this IS the written digest table; here doc_id + 16-byte
+    * hash, ~25 B a row at any corpus size, computed in ONE corpus pass)
+    * with every row carrying the broadcast snapshot/batch `cut`
+    * (max(doc_id) DIV 2 — no driver-side collect). Both day-2 dedup
+    * forms and both their oracles key off this ONE split definition. */
+  private def snapshotBatchSplit(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
       .select(col("doc_id"), TextOps.bagFingerprint.as("content_hash"))
-      // the digest table is computed ONCE and reused by every consumer
-      // below — without this the store probe, the keep-first aggregate
-      // and the batch side each re-scan the corpus and re-digest it
-      // (three full passes at 100 TB). In production this persist IS the
-      // written digest table; here it is doc_id + 16-byte hash, ~25 B a
-      // row at any corpus size.
       .persist()
-    val cut = docs.agg(expr("max(doc_id) DIV 2").as("cut"))
-    val keyed = docs.crossJoin(broadcast(cut))
+    docs.crossJoin(broadcast(docs.agg(expr("max(doc_id) DIV 2").as("cut"))))
+  }
+
+  def dedupIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    val keyed = snapshotBatchSplit(spark, sfDir)
     // one hash exchange carries BOTH decisions: per digest, does the
     // snapshot side hold it (store membership) and what is the batch's
     // first arrival — a map-side-combinable aggregate, then one join of
@@ -631,9 +634,9 @@ object DedupOps {
     * sketch contract (every true snapshot dup reaches the join), and a
     * false POSITIVE matches no batch digest in the exact equi-join and
     * drops out — so the output is bit-identical to the unfiltered
-    * computation and the SAME exact SQL oracles it (DedupBloomSpec also
-    * replays the unfiltered path and asserts equality plus measured
-    * prune effectiveness).
+    * computation and the SAME exact SQL oracles it (TextDedupSpec's
+    * bloom test also replays the unfiltered path and asserts equality
+    * plus measured prune effectiveness).
     *
     * Scale shape: the snapshot side is touched by exactly ONE narrow
     * scan+filter pass (no snapshot-sized shuffle anywhere — the only
@@ -646,11 +649,7 @@ object DedupOps {
     * fpp-proportional, so size the sketch to what the exact-confirm join
     * should pay. */
   def dedupBloomPrefilter(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), TextOps.bagFingerprint.as("content_hash"))
-      .persist()
-    val cut = docs.agg(expr("max(doc_id) DIV 2").as("cut"))
-    val keyed = docs.crossJoin(broadcast(cut))
+    val keyed = snapshotBatchSplit(spark, sfDir)
     val batch = keyed.filter(col("doc_id") > col("cut"))
       .select(col("doc_id"), col("content_hash"))
     // one bounded action sizes the sketch; one tree-aggregate builds it

@@ -290,15 +290,25 @@ object MultiModalOps {
     * count targets ~128 MB per shard (floor 1) so the pack step itself
     * writes scale-sized files rather than inheriting the 5000 input
     * splits. */
-  private def packedAudioBytes(spark: SparkSession, sfDir: String): DataFrame = {
-    val dir = FileOps.materializeOnce(spark, "wavpack", sfDir) { d =>
-      val src = audioBytes(spark, sfDir)
-      val totalBytes = src.agg(sum(length(col("media")))).collect()(0).getLong(0)
+  private def packedAudioBytes(spark: SparkSession, sfDir: String): DataFrame =
+    packedMediaBytes(spark, sfDir, "wavpack", "packed_audio.parquet",
+      audioBytes(spark, sfDir))
+
+  /** Shared pack step: a `(doc_id, media)` corpus re-packed once into a
+    * parquet container sharded toward 128 MB — the layout logic every
+    * packed modality runs, so the sizing rule lives in ONE place. */
+  private def packedMediaBytes(
+      spark: SparkSession, sfDir: String, kind: String, fileName: String,
+      src: => DataFrame): DataFrame = {
+    val dir = FileOps.materializeOnce(spark, kind, sfDir) { d =>
+      val s = src
+      val totalBytes = s.agg(coalesce(sum(length(col("media"))), lit(0L)))
+        .collect()(0).getLong(0)
       val nShards = math.max(1L, totalBytes / (128L << 20)).toInt
-      src.repartition(nShards, col("doc_id"))
-        .write.mode("overwrite").parquet(s"$d/packed_audio.parquet")
+      s.repartition(nShards, col("doc_id"))
+        .write.mode("overwrite").parquet(s"$d/$fileName")
     }
-    spark.read.parquet(s"$dir/packed_audio.parquet")
+    spark.read.parquet(s"$dir/$fileName")
       .select(col("doc_id").cast("long").as("doc_id"), col("media"))
   }
 
@@ -515,17 +525,9 @@ object MultiModalOps {
   /** The GIF corpus re-packed into the parquet binary container — the
     * [[packedAudioBytes]] layout applied to the frame-series modality,
     * so EVERY real-decode modality has its at-scale layout. */
-  private def packedVideoBytes(spark: SparkSession, sfDir: String): DataFrame = {
-    val dir = FileOps.materializeOnce(spark, "gifpack", sfDir) { d =>
-      val src = videoBytes(spark, sfDir)
-      val totalBytes = src.agg(sum(length(col("media")))).collect()(0).getLong(0)
-      val nShards = math.max(1L, totalBytes / (128L << 20)).toInt
-      src.repartition(nShards, col("doc_id"))
-        .write.mode("overwrite").parquet(s"$d/packed_video.parquet")
-    }
-    spark.read.parquet(s"$dir/packed_video.parquet")
-      .select(col("doc_id").cast("long").as("doc_id"), col("media"))
-  }
+  private def packedVideoBytes(spark: SparkSession, sfDir: String): DataFrame =
+    packedMediaBytes(spark, sfDir, "gifpack", "packed_video.parquet",
+      videoBytes(spark, sfDir))
 
   /** [[mmVideoDecode]] over the PACKED layout — byte-identical by
     * construction (same demux+decode body via [[decodeGifClips]]), so

@@ -560,6 +560,25 @@ object StreamOps {
     readBandStore(spark, storeDir)
   }
 
+  /** Minus-self generation listing shared by every maintained store
+    * (band, semantic, …): the store's generation subdirs EXCLUDING the
+    * running batch's own output — on an at-least-once replay the
+    * overwrite deletes that subdir before the join runs, so a listing
+    * that still referenced the prior attempt's files would fail mid-task
+    * with FileNotFound (round-9 review finding). `_`-prefixed dirs are
+    * in-flight compaction staging, never read. */
+  private def listPrevGenerations(
+      spark: SparkSession, storeDir: String, selfName: String): Array[String] = {
+    val root = new org.apache.hadoop.fs.Path(storeDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) Array.empty
+    else fs.listStatus(root).collect {
+      case s if s.isDirectory &&
+        !s.getPath.getName.startsWith("_") &&
+        s.getPath.getName != selfName => s.getPath.toString
+    }
+  }
+
   /** The band STORE as a DataFrame: the union of every generation subdir
     * (`batch_<tag>_<id>` appends and `compact_<n>` rewrites). */
   private[graft] def readBandStore(spark: SparkSession, storeDir: String): DataFrame =
@@ -595,16 +614,7 @@ object StreamOps {
       // documented "a re-executed batch replaces its own output"
       // invariant actually hold. `_`-prefixed dirs are in-flight
       // compaction staging, never read.
-      val prevDirs: Array[String] = {
-        val root = new org.apache.hadoop.fs.Path(storeDir)
-        val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        if (!fs.exists(root)) Array.empty
-        else fs.listStatus(root).collect {
-          case s if s.isDirectory &&
-            !s.getPath.getName.startsWith("_") &&
-            s.getPath.getName != s"batch_${runTag}_$id" => s.getPath.toString
-        }
-      }
+      val prevDirs = listPrevGenerations(spark, storeDir, s"batch_${runTag}_$id")
       val prevBands =
         if (prevDirs.nonEmpty) Some(spark.read.parquet(prevDirs.toSeq: _*))
         else None
@@ -821,16 +831,7 @@ object StreamOps {
       // minus-self generation listing (the incrementalDedupInto replay
       // doctrine): an at-least-once re-execution must not see the prior
       // attempt's own delta mid-delete
-      val prevDirs: Array[String] = {
-        val root = new org.apache.hadoop.fs.Path(storeDir)
-        val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        if (!fs.exists(root)) Array.empty
-        else fs.listStatus(root).collect {
-          case s if s.isDirectory &&
-            !s.getPath.getName.startsWith("_") &&
-            s.getPath.getName != s"delta_${runTag}_$id" => s.getPath.toString
-        }
-      }
+      val prevDirs = listPrevGenerations(spark, storeDir, s"delta_${runTag}_$id")
       val cos = graft.functions.VectorFunctions
         .vecDot(col("x.embedding"), col("y.embedding")) /
         sqrt(col("x.nrm") * col("y.nrm"))
