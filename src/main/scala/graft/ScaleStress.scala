@@ -222,6 +222,9 @@ object ScaleStress {
         "decades (indexed assign is the documented next-decade path); " +
         "±1-mask replicas keep within-replica similarity structure", 1.3,
       bigConf = dataSizedPartitions),
+    Heavy("mm_image_phash",
+      "narrow per-partition PNG decode + 64-pixel aHash per image; " +
+        "linear (file-count bound, no exchange above the final sort)", 1.25),
     Heavy("dedup_bloom_prefilter",
       "batch-side bloom tree-agg + ONE narrow snapshot scan/filter + " +
         "survivor-only exact join; linear", 1.2,
