@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** SemDeDup blocking-recall audit: the within-cell candidate blocking of
+  * [[ops.SimOps.dedupSemantic]] is a documented approximation — a
+  * near-dup pair straddling a cell boundary is never considered. This
+  * main makes that approximation a COMMITTED NUMBER
+  * (`SEMDEDUP_RECALL.json`), the ANN_TRADEOFF doctrine applied to the
+  * semantic dedup tier, at the fixture scale and a ×N replica corpus:
+  *
+  *  - pair recall: of all true near-dup pairs (cos ≥ threshold, NO
+  *    blocking — exact blocked all-pairs enumeration), the fraction
+  *    whose two sides land in the same cell;
+  *  - drop recall / agreement: the documents the blocked pass drops vs
+  *    the drops of an UNBLOCKED ideal pass (same CC + same
+  *    least-central-keeper policy over the true pair set) — the
+  *    decision-level consequence of the missed pairs;
+  *  - wall seconds for both passes — what the blocking buys.
+  *
+  * Usage: runMain graft.SemDedupRecall [smallDir] [factor] [outJson]
+  */
+object SemDedupRecall {
+
+  def main(args: Array[String]): Unit = {
+    val small = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val factor = args.lift(1).map(_.toInt).getOrElse(10)
+    val outJson = args.lift(2).getOrElse("SEMDEDUP_RECALL.json")
+    val spark = SparkSession.builder()
+      .withExtensions(new graft.plans.GraftExtensions)
+      .master(s"local[${GraftConf.cpuSpec(32)._1}]")
+      .appName("graft-semdedup-recall")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val big = ScaleStress.synthesize(spark, small, factor, Some(Set("embeddings")))
+    val scales = Seq("x1" -> small, s"x$factor" -> big)
+    val parts = scales.map { case (tag, dir) =>
+      spark.catalog.clearCache()
+      s""""$tag": ${auditOne(spark, dir)}"""
+    }
+    val json =
+      s"""{
+         |"round": "${GraftConf.round}",
+         |"generated_at": "${java.time.Instant.now()}",
+         |"threshold": ${ops.SimOps.ClusterCosThreshold},
+         |${parts.mkString(",\n")}
+         |}""".stripMargin
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outJson), json)
+    println(json)
+    spark.stop()
+  }
+
+  private def auditOne(spark: SparkSession, dir: String): String = {
+    import ops.{DedupOps, PairEnum, SimOps}
+    val tau = SimOps.ClusterCosThreshold
+    val v = SimOps.withNorm(Tables.embeddings(spark, dir))
+      .select("vec_id", "embedding", "nrm")
+    val dot = graft.functions.VectorFunctions.vecDot _
+
+    // ground truth: every near-dup pair, NO blocking (exact)
+    val t0 = System.nanoTime()
+    val truePairs = DedupOps.eagerCheckpoint(
+      PairEnum.blockedAllPairs(v, "vec_id", Seq("embedding", "nrm"))
+        .filter(dot(col("a_embedding"), col("b_embedding")) /
+          sqrt(col("a_nrm") * col("b_nrm")) >= tau)
+        .select(col("a_vec_id").as("vec_a"), col("b_vec_id").as("vec_b")))
+    val nTrue = truePairs.count()
+
+    // the UNBLOCKED ideal pass: CC over the true pair set, same keeper
+    // policy (least-central in its cell quantizer sense — ccos from the
+    // same assign, so ONLY the candidate set differs between passes)
+    val assigned = SimOps.ivfAssignScored(v, SimOps.ivfCentroids(spark, v))
+      .select("vec_id", "cell", "ccos").persist()
+    val idealDropped = droppedOf(
+      DedupOps.connectedComponents(v.select(col("vec_id")), truePairs), assigned)
+    val nIdealDropped = idealDropped.count()
+    val tIdeal = (System.nanoTime() - t0) / 1e9
+
+    // pair recall: true pairs whose sides share a cell
+    val cellOf = assigned.select(col("vec_id"), col("cell"))
+    val nSameCell = truePairs
+      .join(cellOf.withColumnRenamed("vec_id", "vec_a").withColumnRenamed("cell", "ca"), "vec_a")
+      .join(cellOf.withColumnRenamed("vec_id", "vec_b").withColumnRenamed("cell", "cb"), "vec_b")
+      .filter(col("ca") === col("cb")).count()
+
+    // the blocked pass as shipped
+    val t1 = System.nanoTime()
+    val blockedDropped = SimOps.dedupSemantic(spark, dir)
+      .filter(!col("is_keeper")).select(col("vec_id"))
+    val nBlockedDropped = blockedDropped.count()
+    val tBlocked = (System.nanoTime() - t1) / 1e9
+
+    val nAgree = blockedDropped.join(idealDropped, "vec_id").count()
+    assigned.unpersist()
+    def r(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+    s"""{"n_true_pairs": $nTrue, "n_same_cell_pairs": $nSameCell,
+       | "pair_recall": ${r(nSameCell.toDouble / math.max(1L, nTrue))},
+       | "n_dropped_ideal": $nIdealDropped, "n_dropped_blocked": $nBlockedDropped,
+       | "drop_recall": ${r(nAgree.toDouble / math.max(1L, nIdealDropped))},
+       | "wall_sec_unblocked_ideal": ${r(tIdeal)},
+       | "wall_sec_blocked": ${r(tBlocked)}}""".stripMargin.replace("\n", "")
+  }
+
+  /** Non-keepers of ≥2 groups under the least-central-keeper policy. */
+  private def droppedOf(labels: DataFrame, assigned: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val l = labels.select(col("doc_id").as("vec_id"), col("label").as("group_id"))
+    val w = Window.partitionBy("group_id")
+      .orderBy(col("ccos").asc, col("vec_id").asc)
+    l.join(assigned.select("vec_id", "ccos"), "vec_id")
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") > 1)
+      .select("vec_id")
+  }
+}

@@ -489,7 +489,7 @@ object DedupOps {
   /** Signature width (shared with the incremental streaming dedup). */
   private[graft] def SigK: Int = K
 
-  private[ops] def eagerCheckpoint(df: DataFrame): DataFrame =
+  private[graft] def eagerCheckpoint(df: DataFrame): DataFrame =
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
     else df.localCheckpoint()
 
