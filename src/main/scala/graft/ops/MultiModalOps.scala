@@ -82,9 +82,15 @@ object MultiModalOps {
         col("content").as("media"))
   }
 
-  private def decoded(spark: SparkSession, sfDir: String): DataFrame = {
+  private def decoded(spark: SparkSession, sfDir: String): DataFrame =
+    decodePngImages(spark, imageBytes(spark, sfDir))
+
+  /** The PNG decode body shared by the small-files and PACKED image
+    * paths — one decode implementation, two scan shapes (the
+    * [[decodeClips]]/[[decodeGifClips]] convention, third modality). */
+  private def decodePngImages(spark: SparkSession, bytes: DataFrame): DataFrame = {
     import spark.implicits._
-    imageBytes(spark, sfDir)
+    bytes
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         // per-partition decoder scope: ImageIO's reader dispatch and any
@@ -111,6 +117,16 @@ object MultiModalOps {
     * encode→write→scan→decode fails the hash gate. */
   def mmDecode(spark: SparkSession, sfDir: String): DataFrame =
     decoded(spark, sfDir).orderBy("doc_id")
+
+  /** [[mmDecode]] over the PACKED layout ([[packedMediaBytes]] applied
+    * to the PNG corpus) — byte-identical by construction (same decode
+    * body via [[decodePngImages]]), so the SAME raster-hash oracle gates
+    * both. With audio and video this closes the set: all three
+    * real-decode modalities are dual-layout. */
+  def mmImagePacked(spark: SparkSession, sfDir: String): DataFrame =
+    decodePngImages(spark,
+      packedMediaBytes(spark, sfDir, "pngpack", "packed_image.parquet",
+        imageBytes(spark, sfDir))).orderBy("doc_id")
 
   /** Feature-extract + group: decoded-pixel stats per source — the
     * file-decoded features join back to the catalog table on the
@@ -688,6 +704,7 @@ object MultiModalOps {
   val queries: Map[String, Q] = Map(
     "mm_metadata"     -> (mmMetadata _),
     "mm_decode"       -> (mmDecode _),
+    "mm_image_packed" -> (mmImagePacked _),
     "mm_feature_agg"  -> (mmFeatureAgg _),
     "mm_audio_decode" -> (mmAudioDecode _),
     "mm_audio_agg"    -> (mmAudioAgg _),
@@ -764,6 +781,17 @@ object MultiModalOps {
        |  CAST(list_sum(list_transform(range(1, nf * w * h + 1),
        |    i -> ascii(substring(allras, CAST(i AS INTEGER), 1)))) AS BIGINT) AS px_sum
        |FROM vr ORDER BY doc_id""".stripMargin
+
+  /** Raster decode oracle — shared verbatim by `mm_decode` and
+    * `mm_image_packed` (the packed probe is byte-identical by design,
+    * so ONE oracle gates both). */
+  private lazy val sqlImageDecode: String =
+    s"""WITH $sqlRaster
+       |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+       |  md5(raster) AS px_digest,
+       |  CAST(list_sum(list_transform(range(1, w * h + 1),
+       |    i -> ascii(substring(raster, CAST(i AS INTEGER), 1)))) AS BIGINT) AS px_sum
+       |FROM r ORDER BY doc_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "mm_audio_decode" ->
@@ -885,13 +913,11 @@ object MultiModalOps {
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  md5(text) AS digest
         |FROM documents ORDER BY doc_id""".stripMargin,
-    "mm_decode" ->
-      s"""WITH $sqlRaster
-         |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
-         |  md5(raster) AS px_digest,
-         |  CAST(list_sum(list_transform(range(1, w * h + 1),
-         |    i -> ascii(substring(raster, CAST(i AS INTEGER), 1)))) AS BIGINT) AS px_sum
-         |FROM r ORDER BY doc_id""".stripMargin,
+    "mm_decode" -> sqlImageDecode,
+    // same oracle text as mm_decode: the packed image path is
+    // byte-identical by construction (shared decode body), so the pack
+    // step is gated by the same raster-hash compare
+    "mm_image_packed" -> sqlImageDecode,
     "mm_feature_agg" ->
       s"""WITH $sqlRaster,
          |d AS (SELECT doc_id, w,
