@@ -539,6 +539,99 @@ object FileOps {
       .orderBy("l_returnflag")
   }
 
+  /** Avro schema shared verbatim by the writer and reader halves of
+    * [[avroRoundtrip]] — ONE definition, so the two sides cannot drift. */
+  private val avroCustomerSchema: String =
+    """{"type":"record","name":"Customer","fields":[
+      |{"name":"c_custkey","type":"long"},
+      |{"name":"c_nationkey","type":"int"},
+      |{"name":"c_mktsegment","type":"string"},
+      |{"name":"c_acctbal","type":"double"}]}""".stripMargin
+
+  final case class AvroCust(
+      c_custkey: Long, c_nationkey: Int, c_mktsegment: String, c_acctbal: Double)
+
+  /** Avro object-container round-trip — the row-oriented binary
+    * interchange format. This Spark distribution bundles Avro CORE
+    * (avro-1.12) but NOT the `spark-avro` DataSource module, which is
+    * the realistic lake situation this query exercises: the engine must
+    * ingest a format no DataSource serves. Both halves therefore run
+    * the container API directly with the SAME dual-shape discipline as
+    * the packed-media tier — egress is one genuine `.avro` container
+    * file per partition written through the executor-side Hadoop FS
+    * (writer state per task, never a driver funnel), ingest is a
+    * `binaryFile` scan + per-partition `DataFileStream` demux back to
+    * typed rows. The null codec keeps the bytes a pure function of the
+    * rows. Oracle: the per-segment aggregate recomputed from the SOURCE
+    * parquet — a row lost, duplicated or corrupted anywhere in
+    * encode→write→scan→decode fails the hash gate. */
+  def avroRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dir = materializeOnce(spark, "avro", sfDir) { d =>
+      val hconf = spark.sparkContext.broadcast(
+        new org.apache.spark.util.SerializableConfiguration(
+          spark.sparkContext.hadoopConfiguration))
+      val schemaJson = avroCustomerSchema
+      Tables.customer(spark, sfDir)
+        .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"),
+          col("c_acctbal"))
+        .repartition(spark.sparkContext.defaultParallelism, col("c_custkey"))
+        .foreachPartition { rows: Iterator[Row] =>
+          if (rows.hasNext) {
+            val schema = new org.apache.avro.Schema.Parser().parse(schemaJson)
+            val p = new Path(d)
+            val efs = p.getFileSystem(hconf.value.value)
+            val pid = org.apache.spark.TaskContext.getPartitionId()
+            val out = efs.create(new Path(p, f"cust_$pid%05d.avro"), true)
+            val w = new org.apache.avro.file.DataFileWriter(
+              new org.apache.avro.generic.GenericDatumWriter[
+                org.apache.avro.generic.GenericRecord](schema))
+            w.create(schema, out) // takes ownership of the stream
+            try rows.foreach { r =>
+              val rec = new org.apache.avro.generic.GenericData.Record(schema)
+              rec.put("c_custkey", r.getLong(0))
+              rec.put("c_nationkey", r.getInt(1))
+              rec.put("c_mktsegment", r.getString(2))
+              rec.put("c_acctbal", r.getDouble(3))
+              w.append(rec)
+            } finally w.close()
+          }
+        }
+    }
+    val schemaJson = avroCustomerSchema
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.avro")
+      .load(dir)
+      .select(col("content"))
+      .as[Array[Byte]]
+      .mapPartitions { it =>
+        val schema = new org.apache.avro.Schema.Parser().parse(schemaJson)
+        it.flatMap { bytes =>
+          val in = new org.apache.avro.file.DataFileStream(
+            new java.io.ByteArrayInputStream(bytes),
+            new org.apache.avro.generic.GenericDatumReader[
+              org.apache.avro.generic.GenericRecord](schema))
+          try {
+            val buf = scala.collection.mutable.ArrayBuffer.empty[AvroCust]
+            while (in.hasNext) {
+              val r = in.next()
+              buf += AvroCust(r.get("c_custkey").asInstanceOf[Long],
+                r.get("c_nationkey").asInstanceOf[Int],
+                r.get("c_mktsegment").toString,
+                r.get("c_acctbal").asInstanceOf[Double])
+            }
+            buf
+          } finally in.close()
+        }
+      }
+      .toDF()
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_custs"),
+        sum(col("c_nationkey").cast("long")).as("sum_nkey"),
+        graft.Det.moneySum(col("c_acctbal")).as("sum_bal"))
+      .orderBy("c_mktsegment")
+  }
+
   /** XML sink + source round-trip (the document-markup source format,
     * built into Spark 4's SQL layer): supplier rows egressed as XML
     * elements, re-read with rowTag + explicit schema, aggregated per
@@ -799,6 +892,7 @@ object FileOps {
     "json_roundtrip"    -> (jsonRoundtrip _),
     "orc_roundtrip"     -> (orcRoundtrip _),
     "xml_roundtrip"     -> (xmlRoundtrip _),
+    "avro_roundtrip"   -> (avroRoundtrip _),
     "fixedwidth_scan"   -> (fixedwidthScan _),
     "fixedwidth_roundtrip" -> (fixedwidthRoundtrip _),
     "partitioned_prune" -> (partitionedPrune _))
@@ -845,6 +939,11 @@ object FileOps {
          |  CAST(sum(CAST(l_quantity AS DECIMAL(20,2))) AS BIGINT) AS sum_qty,
          |  ${graft.Det.sqlMoneySum("l_extendedprice")} AS sum_price
          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "avro_roundtrip" ->
+      s"""SELECT c_mktsegment, count(*) AS n_custs,
+         |  CAST(sum(c_nationkey) AS BIGINT) AS sum_nkey,
+         |  ${graft.Det.sqlMoneySum("c_acctbal")} AS sum_bal
+         |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "xml_roundtrip" ->
       s"""SELECT s_nationkey, count(*) AS n_supps,
          |  ${graft.Det.sqlMoneySum("s_acctbal")} AS sum_bal
