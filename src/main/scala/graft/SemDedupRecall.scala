@@ -97,13 +97,26 @@ object SemDedupRecall {
     val nBlockedDropped = blockedDropped.count()
     val tBlocked = (System.nanoTime() - t1) / 1e9
 
-    val nAgree = blockedDropped.join(idealDropped, "vec_id").count()
+    // blocked edges are the true edges restricted to same-cell pairs, so
+    // blocked components REFINE ideal components and (under the shared
+    // least-central keeper) every blocked drop is an ideal drop — the
+    // subset relation is an invariant, asserted rather than reported:
+    // drop_recall is then exactly n_blocked/n_ideal
+    val nOutside = blockedDropped.join(idealDropped, Seq("vec_id"), "left_anti").count()
+    require(nOutside == 0L,
+      s"$nOutside blocked drops outside the ideal drop set — refinement invariant broken")
+    // baseline-degeneracy context: a drop_recall computed against a
+    // baseline that drops nearly everything is cheap to score well on —
+    // report the ideal pass's keeper count so the reader can SEE how
+    // selective the baseline actually was at this threshold/corpus
+    val nVecs = v.count()
     assigned.unpersist()
     def r(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP)
-    s"""{"n_true_pairs": $nTrue, "n_same_cell_pairs": $nSameCell,
+    s"""{"n_vectors": $nVecs, "n_true_pairs": $nTrue, "n_same_cell_pairs": $nSameCell,
        | "pair_recall": ${r(nSameCell.toDouble / math.max(1L, nTrue))},
-       | "n_dropped_ideal": $nIdealDropped, "n_dropped_blocked": $nBlockedDropped,
-       | "drop_recall": ${r(nAgree.toDouble / math.max(1L, nIdealDropped))},
+       | "n_dropped_ideal": $nIdealDropped, "n_keepers_ideal": ${nVecs - nIdealDropped},
+       | "n_dropped_blocked": $nBlockedDropped,
+       | "drop_recall": ${r(nBlockedDropped.toDouble / math.max(1L, nIdealDropped))},
        | "wall_sec_unblocked_ideal": ${r(tIdeal)},
        | "wall_sec_blocked": ${r(tBlocked)}}""".stripMargin.replace("\n", "")
   }

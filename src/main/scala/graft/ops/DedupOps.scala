@@ -569,6 +569,19 @@ object DedupOps {
       .filter(col("n_docs") >= 2)
       .orderBy("shingle_hash")
 
+  /** Shared day-2 preamble: the per-doc digest table (persisted — in
+    * production this IS the written digest table; here doc_id + 16-byte
+    * hash, ~25 B a row at any corpus size, computed in ONE corpus pass)
+    * with every row carrying the broadcast snapshot/batch `cut`
+    * (max(doc_id) DIV 2 — no driver-side collect). Both day-2 dedup
+    * forms and both their oracles key off this ONE split definition. */
+  private def snapshotBatchSplit(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), TextOps.bagFingerprint.as("content_hash"))
+      .persist()
+    docs.crossJoin(broadcast(docs.agg(expr("max(doc_id) DIV 2").as("cut"))))
+  }
+
   /** INCREMENTAL dedup — the day-2 ingestion shape: a new batch of
     * documents is deduplicated against the fingerprint STORE of a prior
     * snapshot (here: the lower half of the doc_id space, a data-derived
@@ -587,19 +600,6 @@ object DedupOps {
     * shuffle-free on the store side), and the within-batch keep-first
     * is one map-side-combinable min per digest, not a window over
     * bodies. */
-  /** Shared day-2 preamble: the per-doc digest table (persisted — in
-    * production this IS the written digest table; here doc_id + 16-byte
-    * hash, ~25 B a row at any corpus size, computed in ONE corpus pass)
-    * with every row carrying the broadcast snapshot/batch `cut`
-    * (max(doc_id) DIV 2 — no driver-side collect). Both day-2 dedup
-    * forms and both their oracles key off this ONE split definition. */
-  private def snapshotBatchSplit(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), TextOps.bagFingerprint.as("content_hash"))
-      .persist()
-    docs.crossJoin(broadcast(docs.agg(expr("max(doc_id) DIV 2").as("cut"))))
-  }
-
   def dedupIncremental(spark: SparkSession, sfDir: String): DataFrame = {
     val keyed = snapshotBatchSplit(spark, sfDir)
     // one hash exchange carries BOTH decisions: per digest, does the

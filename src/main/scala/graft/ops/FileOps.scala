@@ -561,13 +561,26 @@ object FileOps {
     * file per partition written through the executor-side Hadoop FS
     * (writer state per task, never a driver funnel), ingest is a
     * `binaryFile` scan + per-partition `DataFileStream` demux back to
-    * typed rows. The null codec keeps the bytes a pure function of the
-    * rows. Oracle: the per-segment aggregate recomputed from the SOURCE
+    * typed rows. The null codec plus an EXPLICIT sync marker keep the
+    * container bytes a pure function of the rows (DataFileWriter's
+    * default sync marker is random per file — a determinism leak this
+    * repo's byte-digest doctrine would eventually trip over).
+    * Oracle: the per-segment aggregate recomputed from the SOURCE
     * parquet — a row lost, duplicated or corrupted anywhere in
     * encode→write→scan→decode fails the hash gate. */
   def avroRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val dir = materializeOnce(spark, "avro", sfDir) { d =>
+      // self-healing re-run: shard files are keyed by PARTITION id, so a
+      // crashed first attempt re-run at a different parallelism would
+      // otherwise leave stale high-numbered shards for the glob to
+      // re-ingest as duplicate rows — sweep the dir before writing (the
+      // marker is only created after this block succeeds)
+      val root = new Path(d)
+      val dfs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (dfs.exists(root))
+        dfs.listStatus(root).filter(_.getPath.getName.endsWith(".avro"))
+          .foreach(s => dfs.delete(s.getPath, false))
       val hconf = spark.sparkContext.broadcast(
         new org.apache.spark.util.SerializableConfiguration(
           spark.sparkContext.hadoopConfiguration))
@@ -583,18 +596,30 @@ object FileOps {
             val efs = p.getFileSystem(hconf.value.value)
             val pid = org.apache.spark.TaskContext.getPartitionId()
             val out = efs.create(new Path(p, f"cust_$pid%05d.avro"), true)
-            val w = new org.apache.avro.file.DataFileWriter(
-              new org.apache.avro.generic.GenericDatumWriter[
-                org.apache.avro.generic.GenericRecord](schema))
-            w.create(schema, out) // takes ownership of the stream
-            try rows.foreach { r =>
-              val rec = new org.apache.avro.generic.GenericData.Record(schema)
-              rec.put("c_custkey", r.getLong(0))
-              rec.put("c_nationkey", r.getInt(1))
-              rec.put("c_mktsegment", r.getString(2))
-              rec.put("c_acctbal", r.getDouble(3))
-              w.append(rec)
-            } finally w.close()
+            try {
+              val w = new org.apache.avro.file.DataFileWriter(
+                new org.apache.avro.generic.GenericDatumWriter[
+                  org.apache.avro.generic.GenericRecord](schema))
+              // explicit sync marker: DataFileWriter otherwise generates
+              // a RANDOM 16-byte marker per file, which would make the
+              // container bytes differ run to run — with it pinned, the
+              // bytes really are a pure function of the rows
+              val sync = java.security.MessageDigest.getInstance("MD5")
+                .digest("graft-avro-sync".getBytes("UTF-8"))
+              w.create(schema, out, sync) // takes ownership of the stream
+              try rows.foreach { r =>
+                val rec = new org.apache.avro.generic.GenericData.Record(schema)
+                rec.put("c_custkey", r.getLong(0))
+                rec.put("c_nationkey", r.getInt(1))
+                rec.put("c_mktsegment", r.getString(2))
+                rec.put("c_acctbal", r.getDouble(3))
+                w.append(rec)
+              } finally w.close()
+            } catch {
+              case t: Throwable =>
+                try out.close() catch { case _: Throwable => () }
+                throw t
+            }
           }
         }
     }
