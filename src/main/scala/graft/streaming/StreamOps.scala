@@ -781,19 +781,26 @@ object StreamOps {
   /** Streaming SEMANTIC dedup — the ONLINE form of
     * [[graft.ops.SimOps.dedupSemantic]]: micro-batches of vectors are
     * assigned with the FROZEN coarse quantizer, probed against the
-    * store's SAME-CELL vectors, and a vector with an EARLIER near-dup
-    * (cosine ≥ the cluster threshold; earlier = any store row or a
-    * smaller-id row of the same batch) is flagged dropped; every row
-    * appends to the store as an idempotent-by-batch-id delta carrying
-    * its `kept` flag. Two deliberate semantic departures from the batch
-    * pass, both inherent to online dedup and both spec-pinned:
-    * an arrival stream can only keep-FIRST (the offline
-    * least-central-keeper policy needs the whole group before deciding —
-    * by the time a better representative arrives, the first is already
-    * serving), and "earlier" means ANY earlier arrival, kept or dropped
-    * (the [[incrementalDedupInto]] rule: near-dup-of-a-dropped-near-dup
-    * is still a dup — decisions never depend on a chain the stream
-    * would have to re-walk).
+    * store's SAME-CELL vectors, and a vector with a SMALLER-vec_id
+    * near-dup (cosine ≥ the cluster threshold; store row or same-batch
+    * row alike — the id total order is THE precedence rule, applied
+    * uniformly) is flagged dropped; every row appends to the store as an
+    * idempotent-by-batch-id delta carrying its `kept` flag. The id-order
+    * rule is what makes the decision independent of batch boundaries and
+    * replay: the same vector pair resolves the same way whether they met
+    * in one batch or across two. It equals ARRIVAL order only when
+    * vec_ids are assigned monotonically with ingestion (true of this
+    * fixture and of any ingest that stamps ids from a monotone sequence)
+    * — a store row with a LARGER vec_id than a new vector never flags
+    * it, by design, whatever its wall-clock arrival. Two deliberate
+    * semantic departures from the batch pass, both inherent to online
+    * dedup and both spec-pinned: a stream can only keep-FIRST in id
+    * order (the offline least-central-keeper policy needs the whole
+    * group before deciding — by the time a better representative
+    * arrives, the first is already serving), and a smaller-id near-dup
+    * counts kept or DROPPED alike (the [[incrementalDedupInto]] rule:
+    * near-dup-of-a-dropped-near-dup is still a dup — decisions never
+    * depend on a chain the stream would have to re-walk).
     *
     * Scale shape: the store is touched ONLY through the cell equi-join
     * (per-batch work is |batch| · cell occupancy codegen dots — the
@@ -814,13 +821,22 @@ object StreamOps {
     spark.read.option("recursiveFileLookup", "true").parquet(storeDir)
       .select("vec_id", "cell", "kept")
 
+  /** `centroids`: the FROZEN coarse quantizer. An online pipeline cannot
+    * train its quantizer on data it has not seen — production supplies a
+    * pre-built centroid table here (e.g. the at-rest IVF tier's, or
+    * yesterday's [[graft.ops.SimOps.ivfCentroids]] snapshot). The `None`
+    * default trains over the full staged fixture as a STAND-IN for that
+    * externally supplied table — acceptable in the harness only because
+    * the spec's batch-equality pin needs both passes to share one
+    * quantizer; it is not an online-computable step. */
   private[graft] def semanticDedupMaintainInto(
       spark: SparkSession, staged: String, storeDir: String,
-      glob: String, runTag: String): Unit = {
+      glob: String, runTag: String,
+      centroids: Option[DataFrame] = None): Unit = {
     import graft.ops.SimOps
     val schema = spark.read.parquet(staged).schema
-    val cents = SimOps.ivfCentroids(spark,
-      SimOps.withNorm(spark.read.parquet(staged))).persist()
+    val cents = centroids.getOrElse(SimOps.ivfCentroids(spark,
+      SimOps.withNorm(spark.read.parquet(staged)))).persist()
     @volatile var ranBatches = 0
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
