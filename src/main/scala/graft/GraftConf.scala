@@ -13,7 +13,7 @@ import org.apache.spark.sql.SparkSession
 object GraftConf {
   /** Build-round provenance stamp for regenerated artifacts
     * (APPROX_BOUNDS.json); bumped in the same commit that regenerates. */
-  val round: String = "r14"
+  val round: String = "r15"
 
   /** `SPARK_GRAFT_CPUS` normalization, shared by EVERY main that builds a
     * local session (one parser, five entry points — round-10 review
@@ -125,4 +125,25 @@ object GraftConf {
     * and the correctness gate runs uncapped. */
   def spansMaxDf(spark: SparkSession): Long =
     spark.conf.get("spark.graft.spans.maxDf", "0").toLong
+
+  /** Route `dedup_semantic`'s centroid assign through the TWO-LEVEL
+    * (indexed) argmin instead of the flat scan over all k centroids.
+    * The flat assign is n·k = n²/mod dots — the one measured
+    * super-linear term on the r14 board (SCALE_r14_sem_x100); the
+    * indexed form first picks the nearest of ~√k super-centroids, then
+    * scans only that super-cell's ~√k centroids: n·O(√k) total, the
+    * remedy the operator's scaladoc names. Default ON — the registry
+    * oracle mirrors the two-level procedure exactly. OFF exists for
+    * A/B audits (the recall harness compares both candidate sets). */
+  def semIndexedAssign(spark: SparkSession): Boolean =
+    spark.conf.get("spark.graft.sem.indexedAssign", "true").toBoolean
+
+  /** Cosine threshold for the SemDeDup pair graph (`dedup_semantic` and
+    * its streaming twin). Default = the fixture-wide cluster threshold
+    * the registry oracle pins; the recall audit overrides it to measure
+    * blocking recall in the tight-τ production regime (Abbas et al.
+    * operate at ≈0.9+) without forking the operator. */
+  def semCosThreshold(spark: SparkSession): Double =
+    spark.conf.get("spark.graft.sem.cosThreshold",
+      graft.ops.SimOps.ClusterCosThreshold.toString).toDouble
 }

@@ -325,6 +325,80 @@ object SimOps {
         col("cent_id").as("cell"), col("ccos"))
   }
 
+  /** TWO-LEVEL (indexed) centroid assign — [[ivfAssignScored]] with the
+    * flat argmin over all k centroids replaced by the IVF construction
+    * applied to the centroid table ITSELF: every ⌈√k⌉-th centroid (by
+    * cent_id rank) is a SUPER-centroid; each centroid belongs to its
+    * nearest super-centroid's super-cell (centroid-side work, k·√k dots
+    * on a broadcast-sized table); a vector first picks its nearest
+    * super-centroid (n·√k dots), then argmins only over that super-cell's
+    * ~√k centroids (n·√k dots). Total n·O(√k) vs the flat n·k — the
+    * next-decade remedy [[dedupSemantic]]'s scaladoc names, built from
+    * the same machinery the at-rest IVF tier probes with.
+    *
+    * APPROXIMATE by construction: a vector whose true nearest centroid
+    * sits in a different super-cell than its probed one is assigned to
+    * the best centroid of the PROBED super-cell instead — the standard
+    * IVF nprobe=1 cut, applied at the quantizer level. The procedure is
+    * fully deterministic (rank-based super-centroid choice, the pinned
+    * double fold for every score, ties by id), so the registry oracle
+    * replays it EXACTLY in SQL — approximation changes which cell wins,
+    * never whether the two engines agree. Every super-cell is non-empty
+    * (each super-centroid assigns to itself at cos=1 with the smallest
+    * tying id... itself unless an identical twin precedes it — either
+    * way deterministic), so every vector gets an assignment.
+    *
+    * Plan shape: two broadcast joins + two same-key windows — the
+    * vec_id exchange is paid ONCE (the second window reuses the first's
+    * partitioning; broadcast joins preserve it). */
+  private[graft] def ivfAssignScoredIndexed(vecs: DataFrame, cents: DataFrame): DataFrame = {
+    // centroid ordinal rank: the table is broadcast-sized by design, so
+    // the single-partition ordering window is deliberate, not a funnel —
+    // but it ranks the 8-byte ids ONLY (the embedding arrays would make
+    // that one task materialize k·dim floats) and joins the rank back
+    val ord = cents.select(col("cent_id"))
+      .withColumn("ord", row_number().over(Window.orderBy(col("cent_id"))) - 1)
+    val ranked = cents.join(broadcast(ord), "cent_id")
+    // one tiny bounded action sizes the second level (the bloom-sizing
+    // count idiom); mirrored as a scalar subquery in the oracle
+    val k = math.max(1L, cents.count())
+    val mod2 = math.max(1L, math.ceil(math.sqrt(k.toDouble)).toLong)
+    val sup = ranked.filter(col("ord") % mod2 === 0)
+      .select(col("cent_id").as("sup_id"), col("ce").as("se"), col("cn").as("sn"))
+    val wCent = Window.partitionBy("cent_id")
+      .orderBy(col("scos").desc, col("sup_id").asc)
+    val centSup = ranked.join(broadcast(sup))
+      .withColumn("scos", dot(col("ce"), col("se")) / sqrt(col("cn") * col("sn")))
+      .withColumn("srnk", row_number().over(wCent))
+      .filter(col("srnk") === 1)
+      .select(col("cent_id"), col("ce"), col("cn"), col("sup_id").as("csup"))
+    val wProbe = Window.partitionBy("vec_id")
+      .orderBy(col("scos").desc, col("sup_id").asc)
+    val probed = vecs.join(broadcast(sup))
+      .withColumn("scos", dot(col("embedding"), col("se")) / sqrt(col("nrm") * col("sn")))
+      .withColumn("srnk", row_number().over(wProbe))
+      .filter(col("srnk") === 1)
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("sup_id").as("vsup"))
+    val wAssign = Window.partitionBy("vec_id")
+      .orderBy(col("ccos").desc, col("cent_id").asc)
+    probed.join(broadcast(centSup), col("vsup") === col("csup"))
+      .withColumn("ccos", dot(col("embedding"), col("ce")) / sqrt(col("nrm") * col("cn")))
+      .withColumn("crnk", row_number().over(wAssign))
+      .filter(col("crnk") === 1)
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        col("cent_id").as("cell"), col("ccos"))
+  }
+
+  /** The assign [[dedupSemantic]] (and its recall audit) runs: indexed
+    * two-level by default ([[graft.GraftConf.semIndexedAssign]]), flat
+    * for A/B comparison. One definition so the shipped op and the audit
+    * can never diverge on the candidate blocking. */
+  private[graft] def semAssignScored(spark: SparkSession, v: DataFrame): DataFrame = {
+    val cents = ivfCentroids(spark, v)
+    if (graft.GraftConf.semIndexedAssign(spark)) ivfAssignScoredIndexed(v, cents)
+    else ivfAssignScored(v, cents)
+  }
+
   /** SemDeDup — SEMANTIC deduplication of the embedding corpus by the
     * cluster-then-prune recipe (the published SemDeDup method, Abbas et
     * al. 2023, arXiv:2303.09540):
@@ -350,27 +424,31 @@ object SimOps {
     * enumeration goes through [[PairEnum.blockedSelfJoinPairs]] (task
     * work bounded by B² whatever the cell sizes); the CC fixpoint
     * touches edge-involved vectors only; the keeper window partitions by
-    * group (near-dup family sizes, never corpus-sized). The flat assign
-    * shipped here is the honest cost ceiling: argmin over k = n/mod
-    * broadcast centroids is an n·k = n²/mod term — subdominant through
-    * the audited decades (×10/×100 exponents in SCALE_r14_deck /
-    * SCALE_r14_sem_x100) because it is pure codegen dot throughput, but
-    * PAST ~10⁷ vectors the assign must itself become an ANN lookup:
-    * probe the centroid table through the SAME at-rest IVF machinery
-    * this file already ships ([[annIvfPersist]] over the centroid set),
-    * which cuts assign to n·O(√k) with no change to the downstream
-    * group/keeper dataflow. Output is corpus-sized — every vector, its
+    * group (near-dup family sizes, never corpus-sized). The assign is
+    * the TWO-LEVEL indexed argmin ([[ivfAssignScoredIndexed]]) — n·O(√k)
+    * dots instead of the flat n·k = n²/mod term that was the board's one
+    * measured super-linear cost through r14 (SCALE_r14_sem_x100 showed
+    * it visibly entering at ×100; the r15 rerun measures the drop). The
+    * two-level cell choice is an IVF nprobe=1 approximation of the flat
+    * argmin — a different-but-deterministic blocking, replayed exactly
+    * by the oracle and re-measured by the recall audit
+    * (SEMDEDUP_RECALL.json); [[graft.GraftConf.semIndexedAssign]] keeps
+    * the flat path for A/B. The pair threshold reads
+    * [[graft.GraftConf.semCosThreshold]] (default = the oracle-pinned
+    * fixture threshold) so the recall audit can measure the tight-τ
+    * production regime without forking the operator. Output is
+    * corpus-sized — every vector, its
     * group, and the keep/drop decision a training-set writer consumes. */
   def dedupSemantic(spark: SparkSession, sfDir: String): DataFrame = {
     val v = withNorm(Tables.embeddings(spark, sfDir))
-    val assigned = ivfAssignScored(v, ivfCentroids(spark, v)).persist()
+    val assigned = semAssignScored(spark, v).persist()
     val pairs = DedupOps.eagerCheckpoint(
       PairEnum.blockedSelfJoinPairs(assigned, Seq("cell"), "vec_id",
           Seq("embedding", "nrm"))
         .withColumn("cos",
           dot(col("a_embedding"), col("b_embedding")) /
             sqrt(col("a_nrm") * col("b_nrm")))
-        .filter(col("cos") >= ClusterCosThreshold)
+        .filter(col("cos") >= graft.GraftConf.semCosThreshold(spark))
         .select(col("a_vec_id").as("vec_a"), col("b_vec_id").as("vec_b")))
     val labels = DedupOps.connectedComponents(assigned.select(col("vec_id")), pairs)
       .select(col("doc_id").as("vec_id"), col("label").as("group_id"))
@@ -1029,20 +1107,42 @@ object SimOps {
          |  lab.vec_id = lab.cluster_id AS is_keeper
          |FROM lab JOIN sz USING (cluster_id) ORDER BY vec_id""".stripMargin,
     "dedup_semantic" ->
+      // the asg CTE replays the TWO-LEVEL indexed assign exactly:
+      // super-centroids by centroid rank (every ⌈√k⌉-th), centroids and
+      // vectors each argmax over the supers, vectors then argmax within
+      // the probed super-cell — same fold, same tie order as the Spark op
       s"""WITH RECURSIVE v AS ($sqlVec),
          |n AS (SELECT vec_id, d, ${sqlDot("d", "d")} AS nrm FROM v),
          |cents AS (SELECT vec_id AS cent_id, d AS ce, nrm AS cn FROM n
          |          WHERE vec_id % 32 = 0),
-         |scoredc AS (
-         |  SELECT n.vec_id, n.d, n.nrm, c.cent_id,
-         |    ${sqlDot("n.d", "c.ce")} / sqrt(n.nrm * c.cn) AS ccos
-         |  FROM n CROSS JOIN cents c),
+         |crank AS (SELECT cent_id, ce, cn,
+         |    row_number() OVER (ORDER BY cent_id) - 1 AS ord FROM cents),
+         |m2 AS (SELECT CAST(ceil(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT)
+         |         AS mod2 FROM cents),
+         |sup AS (SELECT cent_id AS sup_id, ce AS se, cn AS sn FROM crank
+         |        WHERE ord % (SELECT mod2 FROM m2) = 0),
+         |csup AS (
+         |  SELECT cent_id, ce, cn, sup_id AS cs FROM (
+         |    SELECT c.cent_id, c.ce, c.cn, s.sup_id,
+         |      row_number() OVER (PARTITION BY c.cent_id
+         |        ORDER BY ${sqlDot("c.ce", "s.se")} / sqrt(c.cn * s.sn) DESC,
+         |          s.sup_id ASC) AS srnk
+         |    FROM cents c CROSS JOIN sup s) t WHERE srnk = 1),
+         |vsup AS (
+         |  SELECT vec_id, d, nrm, sup_id AS vs FROM (
+         |    SELECT n.vec_id, n.d, n.nrm, s.sup_id,
+         |      row_number() OVER (PARTITION BY n.vec_id
+         |        ORDER BY ${sqlDot("n.d", "s.se")} / sqrt(n.nrm * s.sn) DESC,
+         |          s.sup_id ASC) AS srnk
+         |    FROM n CROSS JOIN sup s) t WHERE srnk = 1),
          |asg AS (
          |  SELECT vec_id, d, nrm, cent_id AS cell, ccos FROM (
-         |    SELECT vec_id, d, nrm, cent_id, ccos,
-         |      row_number() OVER (PARTITION BY vec_id
-         |        ORDER BY ccos DESC, cent_id ASC) AS crnk
-         |    FROM scoredc) t
+         |    SELECT p.vec_id, p.d, p.nrm, c.cent_id,
+         |      ${sqlDot("p.d", "c.ce")} / sqrt(p.nrm * c.cn) AS ccos,
+         |      row_number() OVER (PARTITION BY p.vec_id
+         |        ORDER BY ${sqlDot("p.d", "c.ce")} / sqrt(p.nrm * c.cn) DESC,
+         |          c.cent_id ASC) AS crnk
+         |    FROM vsup p JOIN csup c ON c.cs = p.vs) t
          |  WHERE crnk = 1),
          |np AS (
          |  SELECT a.vec_id AS va, b.vec_id AS vb

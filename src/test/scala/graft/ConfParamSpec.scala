@@ -140,4 +140,38 @@ class ConfParamSpec extends SparkSpec {
     assert(fine.map(_.getAs[Long]("n_bytes")).sum ===
       base.map(_.getAs[Long]("n_bytes")).sum, "retune lost or grew bytes")
   }
+
+  test("sem.indexedAssign: flat A/B path runs and the two assigns mostly agree") {
+    import ops.SimOps
+    spark.catalog.clearCache()
+    val v = SimOps.withNorm(Tables.embeddings(spark, sf))
+    val indexed = SimOps.semAssignScored(spark, v)
+      .select("vec_id", "cell").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val flat = withConf("spark.graft.sem.indexedAssign" -> "false") {
+      SimOps.semAssignScored(spark, v)
+        .select("vec_id", "cell").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    assert(indexed.keySet === flat.keySet, "an assign lost vectors")
+    // the nprobe=1 cut loses SOME assignments by design — but if the two
+    // paths diverged wholesale the indexed form would not be an
+    // approximation of the flat one at all
+    val agree = indexed.count { case (id, c) => flat(id) == c }
+    assert(agree.toDouble / indexed.size >= 0.5,
+      s"indexed assign agrees on only $agree/${indexed.size} cells")
+    assert(agree < indexed.size || indexed.size < 600,
+      "suspicious: paths identical on a corpus large enough to differ")
+  }
+
+  test("sem.cosThreshold: a tighter pair threshold drops fewer vectors") {
+    spark.catalog.clearCache()
+    val base = q("dedup_semantic").filter(!col("is_keeper")).count()
+    val tight = withConf("spark.graft.sem.cosThreshold" -> "0.9") {
+      q("dedup_semantic").filter(!col("is_keeper")).count()
+    }
+    assert(tight < base,
+      s"tighter threshold did not shrink the drop set: $tight >= $base")
+    // the natural fixture has no pairs at 0.9 (measured in the recall
+    // audit): everything is its own group, nothing drops
+    assert(tight === 0L, s"expected an empty 0.9-pair graph, got $tight drops")
+  }
 }

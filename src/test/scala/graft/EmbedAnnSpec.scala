@@ -165,15 +165,25 @@ class EmbedAnnSpec extends SparkSpec {
     }
     val nrm = vecs.map { case (id, d) => id -> dotLR(d, d) }.toMap
     val byId = vecs.toMap
-    // 1. cell assignment: argmax cosine over the every-32nd quantizer,
-    //    ties to the smallest centroid id — plus the winning ccos the
-    //    keep policy ranks on
-    val cents = vecs.filter(_._1 % 32 == 0)
-    val assign = vecs.map { case (id, d) =>
-      val best = cents.map { case (cid, ce) =>
-        (dotLR(d, ce) / math.sqrt(nrm(id) * nrm(cid)), cid)
+    // 1. cell assignment: the TWO-LEVEL indexed argmin the shipped op
+    //    runs — every ⌈√k⌉-th centroid (by cent_id rank) is a super-
+    //    centroid; centroids and vectors each argmax over the supers
+    //    (ties to the smallest id), vectors then argmax within the
+    //    probed super-cell — plus the winning ccos the keep policy
+    //    ranks on
+    val cents = vecs.filter(_._1 % 32 == 0).sortBy(_._1)
+    val mod2 = math.max(1L, math.ceil(math.sqrt(cents.length.toDouble)).toLong)
+    val sup = cents.zipWithIndex.filter(_._2 % mod2 == 0).map(_._1)
+    def bestOver(cands: Seq[(Long, Array[Double])], d: Array[Double], n: Double) =
+      cands.map { case (cid, ce) =>
+        (dotLR(d, ce) / math.sqrt(n * nrm(cid)), cid)
       }.minBy { case (c, cid) => (-c, cid) }
-      id -> best
+    val centSup = cents.map { case (cid, ce) =>
+      cid -> bestOver(sup, ce, nrm(cid))._2
+    }.toMap
+    val assign = vecs.map { case (id, d) =>
+      val vs = bestOver(sup, d, nrm(id))._2
+      id -> bestOver(cents.filter(c => centSup(c._1) == vs), d, nrm(id))
     }.toMap // id -> (ccos, cell)
     // 2. within-cell near-dup pairs at the cluster threshold, union-find
     val parent = collection.mutable.Map(vecs.map(v => v._1 -> v._1): _*)

@@ -737,15 +737,23 @@ class PlanAuditSpec extends SparkSpec {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       val v = ops.SimOps.withNorm(Tables.embeddings(spark, sf))
-      val assigned = ops.SimOps.ivfAssignScored(v, ops.SimOps.ivfCentroids(spark, v))
+      // the DEPLOYED assign: indexed two-level (semAssignScored resolves
+      // the conf default) — super-centroids and super-cell centroid sets
+      // are the BROADCAST sides of both levels; what must NOT appear is
+      // a shuffle of the corpus against any centroid-derived table
+      val assigned = ops.SimOps.semAssignScored(spark, v)
       val aPlan = assigned.queryExecution.executedPlan.toString
-      // the quantizer is the BROADCAST side of the assign product — the
-      // deliberate n·k argmin (every row meets every centroid); what must
-      // NOT appear is a shuffle of the corpus against the centroid table
       assert(aPlan.contains("BroadcastExchange"),
-        s"centroid set not broadcast in:\n$aPlan")
+        s"centroid tables not broadcast in:\n$aPlan")
       assert(!aPlan.contains("SortMergeJoin") && !aPlan.contains("ShuffledHashJoin"),
-        s"assign shuffled the corpus against the centroid set in:\n$aPlan")
+        s"assign shuffled the corpus against a centroid table in:\n$aPlan")
+      // the corpus pays its vec_id exchange ONCE: the probe window and
+      // the final argmin window share the key, and the broadcast join
+      // between them preserves partitioning
+      val corpusExchanges = "Exchange hashpartitioning\\(vec_id"
+        .r.findAllIn(aPlan).length
+      assert(corpusExchanges == 1,
+        s"expected exactly one corpus-wide vec_id exchange, got $corpusExchanges in:\n$aPlan")
       // pair enumeration stays the blocked (cell, blockA, blockB)
       // shuffled equi-join — never a cartesian/BNLJ fallback. The op
       // persists `assigned` before enumerating (one assign pass feeds
@@ -762,9 +770,11 @@ class PlanAuditSpec extends SparkSpec {
         // contains the assign's deliberate broadcast product — every
         // BNLJ occurrence must be attributable to one of those cached
         // descriptions, none to the pair stage itself
+        // the indexed assign carries TWO deliberate broadcast products
+        // per description (vectors×supers, centroids×supers)
         val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(pPlan).length
         val cached = "InMemoryRelation".r.findAllIn(pPlan).length
-        assert(bnlj <= cached,
+        assert(bnlj <= 2 * cached,
           s"a BNLJ outside the cached assign description in:\n$pPlan")
         assert(pPlan.contains("ShuffledHashJoin"),
           s"blocked pair join lost its shuffle_hash shape in:\n$pPlan")
