@@ -231,6 +231,99 @@ object MultiModalOps {
       .orderBy("a", "b")
   }
 
+  /** 256-bit grid perceptual hash — the MULTI-INDEX scale tier of
+    * [[AHash]]. Same exact-integer construction (one nearest-pixel
+    * sample per cell of a 16×16 grid, thresholded against the 256-sample
+    * mean by cross-multiplication `p·256 > Σp`), four times the bits.
+    * The point is not hash quality on the tiny fixture rasters — it is
+    * BAND SPACE: [[mmImageNeardupMi]] cuts this hash into 16 bands of 16
+    * bits, so each band spans 2¹⁶ values where the 64-bit tier's 8-bit
+    * bands span 2⁸ — the per-bucket occupancy (and the false-candidate
+    * volume, ~n²/band-space) drops 256×, which is exactly the documented
+    * quadratic tail of [[mmImageNeardup]]. Production swaps the sampled
+    * grid for integral-image block means (the published block-mean-value
+    * hash); the banding, verify and plan shape are unchanged by that
+    * substitution — sampling is kept here because it is exactly
+    * SQL-replayable, so the whole tier stays hash-oracled. */
+  object AHash256 {
+    def of(w: Int, h: Int, raster: Array[Byte]): String = {
+      val v = new Array[Int](256)
+      var sum = 0L
+      var k = 0
+      while (k < 256) {
+        val p = raster(((k / 16) * h / 16) * w + ((k % 16) * w / 16)) & 0xff
+        v(k) = p; sum += p; k += 1
+      }
+      val sb = new java.lang.StringBuilder(256)
+      k = 0
+      while (k < 256) { sb.append(if (v(k) * 256L > sum) '1' else '0'); k += 1 }
+      sb.toString
+    }
+  }
+
+  final case class ImagePHash256(doc_id: Long, width: Long, height: Long, phash256: String)
+
+  private def phash256Frame(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    imageBytes(spark, sfDir)
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val d = PngDecoder.decode(bytes)
+        ImagePHash256(id, d.width.toLong, d.height.toLong,
+          AHash256.of(d.width, d.height, d.raster))
+      })
+      .toDF()
+  }
+
+  /** Per-image 256-bit perceptual hash ([[AHash256]]) — the long-hash
+    * half of the multi-index near-dup tier, oracled the same way as
+    * [[mmImagePhash]] (sampling, mean and thresholding replayed exactly
+    * in SQL). */
+  def mmImagePhash256(spark: SparkSession, sfDir: String): DataFrame =
+    phash256Frame(spark, sfDir).orderBy("doc_id")
+
+  /** Image near-dup pairs by MULTI-INDEX hamming search over the 256-bit
+    * hash (the published multi-index hashing construction — Norouzi,
+    * Punjani, Fleet 2012: split the code into m disjoint substrings,
+    * index each, and pigeonhole guarantees any pair within hamming
+    * ≤ m−1 collides on at least one whole substring): 16 bands of 16
+    * bits bucket the candidates, exact hamming ≤ 15 verifies each via
+    * the same inline per-band `conv`→`xor`→`bit_count` as the 64-bit
+    * tier — codegen, no UDF, only (band, doc_id, phash) rows cross the
+    * exchange.
+    *
+    * This IS the scale path [[mmImageNeardup]]'s scaladoc names: same
+    * plan shape (banded equi-join, never a product), but each band spans
+    * 2¹⁶ values instead of 2⁸ — at a billion images expected bucket
+    * occupancy drops from n/256 (hopeless) to n/65536, and the
+    * construction extends to longer codes/wider bands verbatim. The
+    * verify threshold 15 is the pigeonhole bound for 16 bands, so the
+    * banded join is provably LOSSLESS at the threshold, like the 64-bit
+    * tier — the oracle replays the identical band algorithm. */
+  def mmImageNeardupMi(spark: SparkSession, sfDir: String): DataFrame = {
+    val bands = phash256Frame(spark, sfDir)
+      .select(col("doc_id"), col("phash256"),
+        posexplode(transform(sequence(lit(0), lit(15)),
+          b => col("phash256").substr(b * 16 + 1, lit(16))))
+          .as(Seq("band_idx", "band")))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+        col("x.band") === col("y.band") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        col("x.phash256").as("pa"), col("y.phash256").as("pb"))
+      .distinct()
+    val ham = (0 until 16).map { i =>
+      bit_count(
+        conv(substring(col("pa"), i * 16 + 1, 16), 2, 10).cast("long")
+          .bitwiseXOR(conv(substring(col("pb"), i * 16 + 1, 16), 2, 10).cast("long")))
+    }.reduce(_ + _)
+    cand.withColumn("hamming", ham.cast("long"))
+      .filter(col("hamming") <= 15)
+      .select("a", "b", "hamming")
+      .orderBy("a", "b")
+  }
+
   /** The real audio decoder: WAV bytes → format + raw PCM. Same
     * per-partition discipline as [[PngDecoder]]: `AudioSystem`'s reader
     * dispatch happens inside the task, bytes never visit the driver. */
@@ -714,6 +807,8 @@ object MultiModalOps {
     "mm_audio_packed" -> (mmAudioPacked _),
     "mm_image_phash"  -> (mmImagePhash _),
     "mm_image_neardup" -> (mmImageNeardup _),
+    "mm_image_phash256" -> (mmImagePhash256 _),
+    "mm_image_neardup_mi" -> (mmImageNeardupMi _),
     "mm_resize"       -> (mmResize _),
     "mm_frame_sample" -> (mmFrameSample _),
     "mm_video_decode" -> (mmVideoDecode _),
@@ -842,6 +937,43 @@ object MultiModalOps {
          |      AND x.doc_id < y.doc_id)
          |SELECT a, b, CAST(hamming(pa, pb) AS BIGINT) AS hamming
          |FROM cand WHERE hamming(pa, pb) <= 7 ORDER BY a, b""".stripMargin,
+    "mm_image_phash256" ->
+      s"""WITH $sqlRaster,
+         |s AS (SELECT doc_id, w, h,
+         |    list_transform(range(0, 256), k ->
+         |      ascii(substring(raster,
+         |        CAST(((k // 16) * h // 16) * w + ((k % 16) * w // 16) + 1
+         |          AS INTEGER), 1))) AS v
+         |  FROM r),
+         |m AS (SELECT doc_id, w, h, v, list_sum(v) AS sv FROM s)
+         |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+         |  array_to_string(list_transform(v,
+         |    x -> CASE WHEN x * 256 > sv THEN '1' ELSE '0' END), '') AS phash256
+         |FROM m ORDER BY doc_id""".stripMargin,
+    // the SAME 16×16-bit multi-index band algorithm as the engine
+    // (lossless at hamming ≤ 15 by pigeonhole), DuckDB hamming() verifies
+    "mm_image_neardup_mi" ->
+      s"""WITH $sqlRaster,
+         |s AS (SELECT doc_id,
+         |    list_transform(range(0, 256), k ->
+         |      ascii(substring(raster,
+         |        CAST(((k // 16) * h // 16) * w + ((k % 16) * w // 16) + 1
+         |          AS INTEGER), 1))) AS v
+         |  FROM r),
+         |ph AS (SELECT doc_id, array_to_string(list_transform(v,
+         |      x -> CASE WHEN x * 256 > list_sum(v) THEN '1' ELSE '0' END), '')
+         |    AS phash
+         |  FROM s),
+         |bd AS (SELECT doc_id, phash, t.b AS band_idx,
+         |    substring(phash, CAST(t.b * 16 + 1 AS INTEGER), 16) AS band
+         |  FROM ph, unnest(range(0, 16)) AS t(b)),
+         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+         |    x.phash AS pa, y.phash AS pb
+         |  FROM bd x JOIN bd y
+         |    ON x.band_idx = y.band_idx AND x.band = y.band
+         |      AND x.doc_id < y.doc_id)
+         |SELECT a, b, CAST(hamming(pa, pb) AS BIGINT) AS hamming
+         |FROM cand WHERE hamming(pa, pb) <= 15 ORDER BY a, b""".stripMargin,
     // the packed layout must decode to EXACTLY the small-files result —
     // same oracle text as mm_audio_decode, so the pack step is gated by
     // the full clip-level hash, not just row counts

@@ -325,6 +325,50 @@ class SimUdxSpec extends SparkSpec {
     assert(got.nonEmpty, "no near-dup pair — threshold degenerate at fixture scale")
   }
 
+  test("mm_image_neardup_mi: 16×16-bit multi-index equals brute force; finds planted dups") {
+    def hamming(a: String, b: String): Int =
+      a.iterator.zip(b.iterator).count { case (x, y) => x != y }
+    def brute(ph: Seq[(Long, String)]): Seq[(Long, Long, Long)] =
+      (for {
+        i <- ph.indices.iterator
+        j <- (i + 1) until ph.length
+        h = hamming(ph(i)._2, ph(j)._2) if h <= 15
+      } yield (ph(i)._1, ph(j)._1, h.toLong)).toSeq.sorted
+    // fixture: equality vs brute force (the 256-bit space is SPARSE at
+    // this scale — the fixture pair set may be empty, which is exactly
+    // the tier's point; the planted corpus below makes the match branch
+    // non-vacuous)
+    val ph = q("mm_image_phash256").collect()
+      .map(r => (r.getLong(0), r.getString(3))).sortBy(_._1)
+    ph.foreach { case (_, p) =>
+      assert(p.length === 256 && p.forall(c => c == '0' || c == '1'))
+    }
+    val got = q("mm_image_neardup_mi").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === brute(ph.toSeq), "multi-index candidate set diverged from brute force")
+    // planted corpus: two identical-text groups (identical rasters →
+    // hamming 0), one single-char-perturbed doc (same length → same
+    // geometry, whatever hamming it lands at brute force must agree),
+    // one unrelated doc
+    val dir = java.nio.file.Files.createTempDirectory("graft_mi_plant").toString
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    Seq(
+      (0L, base, "en", "s"), (1L, base, "en", "s"),
+      (2L, base.replace('q', 'r'), "en", "s"),
+      (3L, "a completely different text with its own raster geometry !!", "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", org.apache.spark.sql.functions.length(col("text")))
+      .write.parquet(s"$dir/documents.parquet")
+    val php = SparkEntry.queries("mm_image_phash256")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(3))).sortBy(_._1)
+    val gotP = SparkEntry.queries("mm_image_neardup_mi")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(gotP === brute(php.toSeq))
+    assert(gotP.contains((0L, 1L, 0L)), s"identical images not paired at hamming 0: $gotP")
+    assert(gotP.nonEmpty && gotP.size < 6, s"planted pair structure off: $gotP")
+  }
+
   test("mm_audio_packed decodes the packed layout bit-identically to the small-files path") {
     val direct = q("mm_audio_decode").collect().map(_.toSeq)
     val packed = q("mm_audio_packed").collect().map(_.toSeq)
