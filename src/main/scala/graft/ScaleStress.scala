@@ -217,10 +217,10 @@ object ScaleStress {
         "expansion; linear", 1.25,
       bigConf = dataSizedPartitions),
     Heavy("dedup_semantic",
-      "constant cell occupancy => pair space linear; flat assign adds " +
-        "an n^2/mod codegen-dot term, subdominant through the audited " +
-        "decades (indexed assign is the documented next-decade path); " +
-        "±1-mask replicas keep within-replica similarity structure", 1.3,
+      "constant cell occupancy => pair space linear; the two-level " +
+        "indexed assign (r15) cuts the old flat n^2/mod term to " +
+        "n*O(sqrt(k)) — mildly superlinear, subdominant; ±1-mask " +
+        "replicas keep within-replica similarity structure", 1.3,
       bigConf = dataSizedPartitions),
     Heavy("mm_image_phash",
       "narrow per-partition PNG decode + 64-pixel aHash per image; " +
