@@ -1,0 +1,165 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Band-space density audit for the image near-dup tiers — the
+  * [[SpanSkewAudit]] shape applied to perceptual-hash banding: measures
+  * `mm_image_neardup` (64-bit hash, 8 bands of 8 bits) against
+  * `mm_image_neardup_mi` (256-bit, 16 bands of 16 bits) on a DIVERSE
+  * synthetic image corpus at two scales, reporting wall exponents AND the
+  * underlying band-collision candidate volumes.
+  *
+  * Why a synthetic corpus: the fixture's tiny tiled-ASCII rasters
+  * concentrate hash values so heavily that BOTH band spaces saturate at a
+  * few hundred images (measured: 27% of all pairs collide in the 64-bit
+  * bands at sf0.01 — the adversarial-density case, but one where no band
+  * length helps). The planted corpus here is the opposite regime the
+  * tiers actually differ in: deterministic pseudorandom ASCII (chained
+  * md5 hex, varying length → diverse geometry) gives near-uniform band
+  * values, so expected false-candidate volume is bands·n²/(2·space) —
+  * space 2⁸ per band for the 64-bit tier vs 2¹⁶ for the multi-index
+  * tier, a 256× constant.
+  *
+  * The honest claims this buys (mirroring spanskew's uncapped-vs-capped):
+  *  - the 64-bit tier on a diverse corpus is candidate-DOMINATED already
+  *    at the small scale (n²/2⁸ ≫ n), so its wall exponent over the
+  *    decade is expected near 2 — that is its documented quadratic tail,
+  *    now measured rather than asserted;
+  *  - the multi-index tier at the same scales stays scan-dominated
+  *    (n²/2¹⁶ comparable to n), so its wall exponent stays within the
+  *    family bound — the 256× band-space headroom is what the tier buys;
+  *  - NEITHER tier is asymptotically linear: any fixed band space goes
+  *    quadratic once n ≫ space (the candidates column shows the MI
+  *    tier's volume growing too). The next rung is the same multi-index
+  *    construction over longer codes/more bands — the construction
+  *    extends verbatim, which is the point of shipping it as a tier
+  *    rather than a constant.
+  *
+  * Timing protocol = ScaleStress doctrine: count() materialization,
+  * min-of-2 with clearCache + GC between reps, image files materialized
+  * by an untimed warmup pass (they are the fixture, not the query).
+  *
+  * Usage: runMain graft.PhashDensityAudit [nSmall] [factor] [outJson]
+  */
+object PhashDensityAudit {
+  private val Bound = 1.3
+
+  def main(args: Array[String]): Unit = {
+    val nSmall = args.headOption.map(_.toInt).getOrElse(5000)
+    val factor = args.lift(1).map(_.toInt).getOrElse(10)
+    val outJson = args.lift(2).getOrElse("SCALE_r15_phash_density.json")
+    val (cpuStr, cpus) = GraftConf.cpuSpec(32)
+    val spark = SparkSession.builder()
+      .withExtensions(new graft.plans.GraftExtensions)
+      .master(s"local[$cpuStr]")
+      .appName("graft-phash-density-audit")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val small = plant(spark, nSmall, s"phashdens_${nSmall}")
+    val big = plant(spark, nSmall * factor, s"phashdens_${nSmall * factor}")
+
+    // untimed warmup: materializes the PNG files and warms the JVM
+    Seq(small, big).foreach { d =>
+      SparkEntry.queries("mm_image_phash")(spark, d).count()
+    }
+
+    def time(query: String, dir: String, conf: Map[String, String]): Double = {
+      conf.foreach { case (k, v) => spark.conf.set(k, v) }
+      try (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        SparkEntry.queries(query)(spark, dir).count()
+        val t = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        System.gc()
+        Thread.sleep(2000)
+        t
+      }.min
+      finally conf.keys.foreach(spark.conf.unset)
+    }
+    val bigParts = Map("spark.sql.shuffle.partitions" ->
+      math.min(4096, cpus * factor).toString)
+
+    val tiers = Seq(
+      ("mm_image_neardup", "64-bit aHash, 8 bands x 8 bits (space 2^8)", 8, 8,
+        "phash", "mm_image_phash"),
+      ("mm_image_neardup_mi", "256-bit hash, 16 bands x 16 bits (space 2^16)", 16, 16,
+        "phash256", "mm_image_phash256"))
+    val rows = tiers.map { case (qn, desc, nBands, bandW, hashCol, hashQ) =>
+      val candSmall = candidates(spark, small, hashQ, hashCol, nBands, bandW)
+      val candBig = candidates(spark, big, hashQ, hashCol, nBands, bandW)
+      val ts = time(qn, small, Map.empty)
+      val tb = time(qn, big, bigParts)
+      val e = math.log(tb / ts) / math.log(factor.toDouble)
+      val ce = math.log(candBig.toDouble / math.max(1L, candSmall)) /
+        math.log(factor.toDouble)
+      println(f"[phashdens] $qn%-20s small=$ts%7.2fs big=$tb%7.2fs exp=$e%5.2f " +
+        f"cand=$candSmall%,d -> $candBig%,d (exp=$ce%4.2f)")
+      (qn, desc, ts, tb, e, candSmall, candBig, ce)
+    }
+    val mi = rows.find(_._1 == "mm_image_neardup_mi").get
+    val json = s"""{"n_small":$nSmall,"factor":$factor,""" +
+      s""""corpus":"diverse pseudorandom ASCII (chained md5 hex, varying length)",""" +
+      s""""model_exponent_bound":$Bound,"queries":{""" +
+      rows.map { case (n, d, ts, tb, e, cs, cb, ce) =>
+        s""""$n":{"bands":"$d","t_small_sec":${f"$ts%.3f"},""" +
+          s""""t_big_sec":${f"$tb%.3f"},"exponent":${f"$e%.3f"},""" +
+          s""""candidates_small":$cs,"candidates_big":$cb,""" +
+          s""""candidate_exponent":${f"$ce%.3f"},""" +
+          s""""within_model":${e <= Bound}}"""
+      }.mkString(",") +
+      s"""},"mi_within_model":${mi._5 <= Bound}}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get(outJson),
+      json.getBytes("UTF-8"))
+    println(json)
+    spark.stop()
+  }
+
+  /** Distinct band-collision pairs BEFORE the hamming verify — the
+    * volume the exchange and the verify stage actually pay. */
+  private def candidates(spark: SparkSession, dir: String, hashQ: String,
+      hashCol: String, nBands: Int, bandW: Int): Long = {
+    val ph = SparkEntry.queries(hashQ)(spark, dir).select(col("doc_id"), col(hashCol))
+    val bands = ph.select(col("doc_id"),
+      posexplode(transform(sequence(lit(0), lit(nBands - 1)),
+        b => col(hashCol).substr(b * bandW + 1, lit(bandW))))
+        .as(Seq("band_idx", "band")))
+    bands.as("x").join(bands.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+        col("x.band") === col("y.band") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id"), col("y.doc_id"))
+      .distinct()
+      .count()
+  }
+
+  /** Deterministic diverse corpus: pseudorandom ASCII text per doc
+    * (six chained md5 hex blocks, truncated to 100 + id%97 chars so the
+    * image geometries spread over the full (w, h) grid). */
+  private def plant(spark: SparkSession, n: Int, tag: String): String = {
+    val dst = s"${System.getProperty("java.io.tmpdir")}/graft_$tag"
+    val marker = new java.io.File(dst, "_SUCCESS")
+    if (!marker.exists()) {
+      new java.io.File(dst).mkdirs()
+      val blocks = (0 until 6).map(i =>
+        md5(concat(col("id").cast("string"), lit(s"_$i"))))
+      spark.range(n)
+        .select(col("id").as("doc_id"),
+          expr("CAST(100 + id % 97 AS INT)").as("len"),
+          concat(blocks: _*).as("s"))
+        .select(col("doc_id"),
+          expr("substring(s, 1, len)").as("text"),
+          lit("en").as("lang"), lit("synth").as("source"))
+        .withColumn("n_chars", length(col("text")))
+        .write.mode("overwrite").parquet(s"$dst/documents.parquet")
+      marker.createNewFile()
+    }
+    dst
+  }
+}

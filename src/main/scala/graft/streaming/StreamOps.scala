@@ -874,6 +874,95 @@ object StreamOps {
     require(ranBatches > 0, s"no micro-batch ran over $staged ($glob)")
   }
 
+  /** The image-hash twin of [[stageVecSliceFiles]]: the 256-bit
+    * perceptual hashes of the REAL decoded fixture PNGs
+    * ([[graft.ops.MultiModalOps.mmImagePhash256]] — the decode is the
+    * stateless upstream map a production pipeline runs before the
+    * maintenance stream), replayed as `nFiles` id-ordered micro-batch
+    * files. */
+  private[graft] def stagePhashSliceFiles(
+      spark: SparkSession, sfDir: String, nFiles: Int): String =
+    stageSliceFiles(spark, sfDir, nFiles, s"phashslice_$nFiles",
+      graft.ops.MultiModalOps.mmImagePhash256(spark, sfDir)
+        .select("doc_id", "phash256"), "doc_id")
+
+  /** Streaming IMAGE near-dup maintenance — the ONLINE twin of
+    * [[graft.ops.MultiModalOps.mmImageNeardupMi]], the generation-swap
+    * band-store pattern over the 16×16-bit multi-index band keys: each
+    * micro-batch of (doc_id, phash256) rows is band-exploded with the
+    * SAME banding as the batch operator (a pair collides here iff it
+    * collides there; pigeonhole keeps the probe lossless at hamming
+    * ≤ 15), probed against the persisted band store plus the batch's own
+    * lower ids, and a new image with a SMALLER-doc_id near-dup (hamming
+    * ≤ 15; store row or same-batch row alike — the id total order is the
+    * precedence rule, equal to arrival order when ids are stamped
+    * monotonically with ingestion, the [[semanticDedupMaintainInto]]
+    * doctrine) is flagged dropped. A smaller-id near-dup counts kept or
+    * DROPPED alike (the chain-free [[incrementalDedupInto]] rule).
+    * Store rows are `batch_<tag>_<id>` overwrite deltas — replay
+    * idempotent by batch id — compacted by the shared
+    * [[maybeCompactBandStore]] policy; per-batch cost is new-bands ×
+    * matching buckets, the historical corpus touched through the band
+    * join only, never re-hashed. */
+  def phashDedupMaintainRun(spark: SparkSession, sfDir: String): DataFrame = {
+    val staged = stagePhashSliceFiles(spark, sfDir, 4)
+    val storeDir = java.nio.file.Files.createTempDirectory("graft_phash_dedup")
+      .resolve("phash_store").toString
+    phashDedupMaintainInto(spark, staged, storeDir, "b*.parquet", "all")
+    readPhashStore(spark, storeDir)
+  }
+
+  /** The maintained phash band store read back (16 band rows per doc). */
+  private[graft] def readPhashStore(spark: SparkSession, storeDir: String): DataFrame =
+    spark.read.option("recursiveFileLookup", "true").parquet(storeDir)
+      .select("doc_id", "phash256", "band_idx", "band", "kept")
+
+  private[graft] def phashDedupMaintainInto(
+      spark: SparkSession, staged: String, storeDir: String,
+      glob: String, runTag: String): Unit = {
+    val schema = spark.read.parquet(staged).schema
+    @volatile var ranBatches = 0
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", glob)
+      .parquet(staged)
+    val q = stream.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      val newBands = batch.select(col("doc_id"), col("phash256"),
+        posexplode(transform(sequence(lit(0), lit(15)),
+          b => col("phash256").substr(b * 16 + 1, lit(16))))
+          .as(Seq("band_idx", "band"))).persist()
+      val prevDirs = listPrevGenerations(spark, storeDir, s"batch_${runTag}_$id")
+      // same inline per-band conv→xor→bit_count verify as the batch op
+      val ham = (0 until 16).map { i =>
+        bit_count(
+          conv(substring(col("x.phash256"), i * 16 + 1, 16), 2, 10).cast("long")
+            .bitwiseXOR(
+              conv(substring(col("y.phash256"), i * 16 + 1, 16), 2, 10).cast("long")))
+      }.reduce(_ + _)
+      def matches(earlier: DataFrame): DataFrame =
+        earlier.as("x").join(newBands.as("y"),
+            col("x.band_idx") === col("y.band_idx") &&
+              col("x.band") === col("y.band") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .filter(ham <= 15)
+          .select(col("y.doc_id").as("doc_id"))
+      val inBatch = matches(newBands)
+      val dropped = (if (prevDirs.nonEmpty)
+          matches(spark.read.parquet(prevDirs.toSeq: _*).drop("kept"))
+            .unionByName(inBatch)
+        else inBatch).distinct()
+      newBands.join(dropped.withColumn("is_dropped", lit(true)), Seq("doc_id"), "left")
+        .withColumn("kept", col("is_dropped").isNull)
+        .select("doc_id", "phash256", "band_idx", "band", "kept")
+        .write.mode("overwrite").parquet(s"$storeDir/batch_${runTag}_$id")
+      newBands.unpersist()
+      ranBatches += 1
+    }.start()
+    try q.processAllAvailable() finally q.stop()
+    require(ranBatches > 0, s"no micro-batch ran over $staged ($glob)")
+    maybeCompactBandStore(spark, storeDir)
+  }
+
   /** Streaming DRIFT monitoring — [[graft.ops.ProfileOps.qualityKsDrift]]'s
     * two-sample KS gate maintained incrementally: each micro-batch adds
     * its per-(source, token-count) conditional counts to the store as an

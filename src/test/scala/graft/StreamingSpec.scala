@@ -528,6 +528,63 @@ class StreamingSpec extends SparkSpec {
     assert(first.length === Tables.embeddings(spark, sf).count())
   }
 
+  test("streamed phash near-dup maintenance equals the batch pair rule on a planted corpus") {
+    // the fixture has no 256-bit pairs at hamming <= 15 (the tier's
+    // sparsity is its point), so plant one: identical texts -> identical
+    // rasters -> hamming-0 pairs; a perturbed twin and an unrelated doc
+    // keep the keep branch populated
+    val dir = java.nio.file.Files.createTempDirectory("graft_phash_stream").toString
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, length}
+    val base = "stream me a raster that collides with its twin exactly !!"
+    Seq(
+      (0L, base, "en", "s"), (1L, base, "en", "s"), (2L, base, "en", "s"),
+      (3L, base.replace('s', 't'), "en", "s"),
+      (4L, "a wholly different text with its own geometry and content", "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")))
+      .write.parquet(s"$dir/documents.parquet")
+    val got = StreamOps.phashDedupMaintainRun(spark, dir)
+      .select("doc_id", "kept").distinct().collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    // batch rule: kept = all - {b of any verified pair (a < b)} — the
+    // drop-if-any-earlier-match rule derived from the batch operator
+    val pairs = SparkEntry.queries("mm_image_neardup_mi")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val droppedWant = pairs.map(_._2).toSet
+    val all = SparkEntry.queries("mm_image_phash256")(spark, dir).collect()
+      .map(_.getLong(0)).toSet
+    val want = all.map(id => id -> !droppedWant(id)).toMap
+    assert(got === want)
+    assert(got.values.exists(identity) && got.values.exists(!_),
+      "planted corpus must exercise both keep and drop")
+    // the store carries the full band layout: 16 rows per doc
+    assert(StreamOps.phashDedupMaintainRun(spark, dir).count() === all.size * 16L)
+  }
+
+  test("phash near-dup store is replay-idempotent: a re-run batch replaces its delta") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_phash_stream_r").toString
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, length}
+    val base = "replay me a raster that collides with its twin exactly !"
+    Seq((0L, base, "en", "s"), (1L, base, "en", "s"),
+      (2L, "something else entirely for the keeper branch to chew on", "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")))
+      .write.parquet(s"$dir/documents.parquet")
+    val staged = StreamOps.stagePhashSliceFiles(spark, dir, 3)
+    val storeDir = java.nio.file.Files.createTempDirectory("graft_phash_store_r")
+      .resolve("phash_store").toString
+    StreamOps.phashDedupMaintainInto(spark, staged, storeDir, "b*.parquet", "all")
+    val first = StreamOps.readPhashStore(spark, storeDir)
+      .orderBy("doc_id", "band_idx").collect()
+    StreamOps.phashDedupMaintainInto(spark, staged, storeDir, "b*.parquet", "all")
+    val second = StreamOps.readPhashStore(spark, storeDir)
+      .orderBy("doc_id", "band_idx").collect()
+    assert(second === first)
+    assert(first.length === 3 * 16)
+  }
+
   test("foreachBatch incremental KS drift monitor equals the one-shot batch statistic") {
     // the drift-gate twin of the token-accounting pattern: per-batch
     // (source, value) conditional counts are additive longs over
