@@ -16,10 +16,12 @@ import org.apache.spark.sql.functions._
   * bands at sf0.01 — the adversarial-density case, but one where no band
   * length helps). The planted corpus here is the opposite regime the
   * tiers actually differ in: deterministic pseudorandom ASCII (chained
-  * md5 hex, varying length → diverse geometry) gives near-uniform band
-  * values, so expected false-candidate volume is bands·n²/(2·space) —
-  * space 2⁸ per band for the 64-bit tier vs 2¹⁶ for the multi-index
-  * tier, a 256× constant.
+  * md5 hex) at the image law's MAX 16×14 geometry (see [[plant]] for why
+  * the geometry must be pinned), giving the long hash its full sample
+  * budget, so expected false-candidate volume is bands·n²/(2·space) —
+  * space 2⁸ per band for the 64-bit tier vs ~2¹⁴ effective for the
+  * multi-index tier's 16-bit bands (224 distinct samples over 256 grid
+  * cells).
   *
   * The honest claims this buys (mirroring spanskew's uncapped-vs-capped):
   *  - the 64-bit tier on a diverse corpus is candidate-DOMINATED already
@@ -139,22 +141,32 @@ object PhashDensityAudit {
       .count()
   }
 
-  /** Deterministic diverse corpus: pseudorandom ASCII text per doc
-    * (six chained md5 hex blocks, truncated to 100 + id%97 chars so the
-    * image geometries spread over the full (w, h) grid). */
+  /** Deterministic diverse corpus at the image law's MAX geometry:
+    * pseudorandom ASCII text per doc (nine chained md5 hex blocks,
+    * truncated to 285 chars — 285 ≡ 12 (mod 13) and ⌊285/13⌋ ≡ 10
+    * (mod 11), so every image is the law's largest 16×14 raster and its
+    * 224 pixels are DISTINCT text positions). The geometry is pinned to
+    * the maximum deliberately: on the fixture law's smaller rasters the
+    * 16×16 sampling grid revisits pixels, so the 256-bit hash carries
+    * only w·h independent bits and BOTH tiers' band spaces collapse to
+    * the raster entropy (a first run with 100–196-char docs measured
+    * candidate exponent ≈2.0 for both tiers with the MI tier's 16-bit
+    * bands at an effective space of ~800 — the corpus, not the
+    * construction, was the cap). At 16×14 the long hash draws 224
+    * distinct samples (~14 independent bits per 16-bit band) while the
+    * 64-bit tier's 8-bit bands stay at 2⁸ — the regime the tiers
+    * actually differ in. */
   private def plant(spark: SparkSession, n: Int, tag: String): String = {
     val dst = s"${System.getProperty("java.io.tmpdir")}/graft_$tag"
     val marker = new java.io.File(dst, "_SUCCESS")
     if (!marker.exists()) {
       new java.io.File(dst).mkdirs()
-      val blocks = (0 until 6).map(i =>
+      val blocks = (0 until 9).map(i =>
         md5(concat(col("id").cast("string"), lit(s"_$i"))))
       spark.range(n)
-        .select(col("id").as("doc_id"),
-          expr("CAST(100 + id % 97 AS INT)").as("len"),
-          concat(blocks: _*).as("s"))
+        .select(col("id").as("doc_id"), concat(blocks: _*).as("s"))
         .select(col("doc_id"),
-          expr("substring(s, 1, len)").as("text"),
+          expr("substring(s, 1, 285)").as("text"),
           lit("en").as("lang"), lit("synth").as("source"))
         .withColumn("n_chars", length(col("text")))
         .write.mode("overwrite").parquet(s"$dst/documents.parquet")
