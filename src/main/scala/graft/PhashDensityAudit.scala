@@ -107,7 +107,7 @@ object PhashDensityAudit {
     }
     val mi = rows.find(_._1 == "mm_image_neardup_mi").get
     val json = s"""{"n_small":$nSmall,"factor":$factor,""" +
-      s""""corpus":"diverse pseudorandom ASCII (chained md5 hex, varying length)",""" +
+      s""""corpus":"diverse pseudorandom ASCII (chained md5 hex, fixed 285 chars => max 16x14 geometry)",""" +
       s""""model_exponent_bound":$Bound,"queries":{""" +
       rows.map { case (n, d, ts, tb, e, cs, cb, ce) =>
         s""""$n":{"bands":"$d","t_small_sec":${f"$ts%.3f"},""" +
