@@ -208,8 +208,13 @@ object MultiModalOps {
     * The oracle replays the SAME band algorithm (lossless ⇒
     * result-identical to brute force, which the spec proves in-JVM). */
   def mmImageNeardup(spark: SparkSession, sfDir: String): DataFrame = {
+    // pack the 64-bit hash into ONE long per image (two 32-bit convs —
+    // a single 64-bit conv would overflow the signed cast), so the
+    // candidate exchange carries 8 bytes instead of the 64-char string
+    // and the verify is one xor+bit_count instead of 16 re-parses
     val bands = phashFrame(spark, sfDir)
-      .select(col("doc_id"), col("phash"),
+      .withColumn("w", packBits(col("phash"), 0))
+      .select(col("doc_id"), col("w"),
         posexplode(transform(sequence(lit(0), lit(7)),
           b => col("phash").substr(b * 8 + 1, lit(8))))
           .as(Seq("band_idx", "band")))
@@ -218,18 +223,21 @@ object MultiModalOps {
         col("x.band") === col("y.band") &&
         col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
-        col("x.phash").as("pa"), col("y.phash").as("pb"))
+        col("x.w").as("wa"), col("y.w").as("wb"))
       .distinct()
-    val ham = (0 until 8).map { i =>
-      bit_count(
-        conv(substring(col("pa"), i * 8 + 1, 8), 2, 10).cast("long")
-          .bitwiseXOR(conv(substring(col("pb"), i * 8 + 1, 8), 2, 10).cast("long")))
-    }.reduce(_ + _)
-    cand.withColumn("hamming", ham.cast("long"))
+    cand.withColumn("hamming", bit_count(col("wa").bitwiseXOR(col("wb"))).cast("long"))
       .filter(col("hamming") <= 7)
       .select("a", "b", "hamming")
       .orderBy("a", "b")
   }
+
+  /** One 64-bit word of a '0'/'1' bit string, packed via two 32-bit
+    * `conv`s (a single 64-bit conv's unsigned decimal overflows the
+    * signed long cast when the top bit is set). `word` selects which
+    * 64-bit window of the string. */
+  private def packBits(bits: org.apache.spark.sql.Column, word: Int) =
+    shiftleft(conv(bits.substr(word * 64 + 1, 32), 2, 10).cast("long"), 32)
+      .bitwiseOR(conv(bits.substr(word * 64 + 33, 32), 2, 10).cast("long"))
 
   /** 256-bit grid perceptual hash — the MULTI-INDEX scale tier of
     * [[AHash]]. Same exact-integer construction (one nearest-pixel
@@ -301,8 +309,18 @@ object MultiModalOps {
     * banded join is provably LOSSLESS at the threshold, like the 64-bit
     * tier — the oracle replays the identical band algorithm. */
   def mmImageNeardupMi(spark: SparkSession, sfDir: String): DataFrame = {
+    // 256 bits packed into FOUR longs per image ([[packBits]] — once per
+    // doc, not per candidate): the exchange carries ~32 bytes instead of
+    // the 256-char string per side, and the verify is 4 xor+bit_count
+    // terms instead of 32 string re-parses per pair — the candidate
+    // stage is the tier's dominant cost on a dense corpus
     val bands = phash256Frame(spark, sfDir)
-      .select(col("doc_id"), col("phash256"),
+      .withColumn("w", transform(sequence(lit(0), lit(3)),
+        i => shiftleft(conv(col("phash256").substr(i * 64 + 1, lit(32)), 2, 10)
+            .cast("long"), 32)
+          .bitwiseOR(conv(col("phash256").substr(i * 64 + 33, lit(32)), 2, 10)
+            .cast("long"))))
+      .select(col("doc_id"), col("w"),
         posexplode(transform(sequence(lit(0), lit(15)),
           b => col("phash256").substr(b * 16 + 1, lit(16))))
           .as(Seq("band_idx", "band")))
@@ -311,12 +329,10 @@ object MultiModalOps {
         col("x.band") === col("y.band") &&
         col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
-        col("x.phash256").as("pa"), col("y.phash256").as("pb"))
+        col("x.w").as("wa"), col("y.w").as("wb"))
       .distinct()
-    val ham = (0 until 16).map { i =>
-      bit_count(
-        conv(substring(col("pa"), i * 16 + 1, 16), 2, 10).cast("long")
-          .bitwiseXOR(conv(substring(col("pb"), i * 16 + 1, 16), 2, 10).cast("long")))
+    val ham = (1 to 4).map { i =>
+      bit_count(element_at(col("wa"), i).bitwiseXOR(element_at(col("wb"), i)))
     }.reduce(_ + _)
     cand.withColumn("hamming", ham.cast("long"))
       .filter(col("hamming") <= 15)

@@ -932,12 +932,16 @@ object StreamOps {
           b => col("phash256").substr(b * 16 + 1, lit(16))))
           .as(Seq("band_idx", "band"))).persist()
       val prevDirs = listPrevGenerations(spark, storeDir, s"batch_${runTag}_$id")
-      // same inline per-band conv→xor→bit_count verify as the batch op
-      val ham = (0 until 16).map { i =>
-        bit_count(
-          conv(substring(col("x.phash256"), i * 16 + 1, 16), 2, 10).cast("long")
-            .bitwiseXOR(
-              conv(substring(col("y.phash256"), i * 16 + 1, 16), 2, 10).cast("long")))
+      // same packed-long xor+bit_count verify as the batch op (the
+      // store keeps the portable bit string; packing is a per-row map
+      // on the join inputs, never a schema change)
+      def packed(side: String) = transform(sequence(lit(0), lit(3)),
+        i => shiftleft(conv(col(s"$side.phash256").substr(i * 64 + 1, lit(32)), 2, 10)
+            .cast("long"), 32)
+          .bitwiseOR(conv(col(s"$side.phash256").substr(i * 64 + 33, lit(32)), 2, 10)
+            .cast("long")))
+      val ham = (1 to 4).map { i =>
+        bit_count(element_at(packed("x"), i).bitwiseXOR(element_at(packed("y"), i)))
       }.reduce(_ + _)
       def matches(earlier: DataFrame): DataFrame =
         earlier.as("x").join(newBands.as("y"),
