@@ -663,6 +663,19 @@ object SimOps {
         + 2048L) % 2048L - 1024L) / 1024.0
     }
 
+  /** Squared L2 from `embedding`'s m-th subvector to codebook entry
+    * (m, k) — the ONE distance definition both the encoder (corpus
+    * codes = per-subspace argmin over k) and the ADC probe (query
+    * distance table = all M×K of these) share, folded left-to-right
+    * per element so both consumers stay bit-identical to the SQL
+    * spelling ([[sqlPqDist]]). */
+  private def pqSubDist(m: Int, k: Int): Column = {
+    val sub = slice(col("embedding"), 1 + m * PqSub, PqSub)
+    val c = array(pqCent(m, k).map(lit): _*)
+    aggregate(zip_with(sub, c, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, z) => acc + z)
+  }
+
   /** Product-quantization encoding: per subspace, the vector's nearest
     * codebook centroid by squared L2 (argmin ties broken toward the
     * smaller code — the coalesce-of-equality chain, identical in both
@@ -675,15 +688,13 @@ object SimOps {
     * all until the final diagnostic sort); distances fold left-to-right
     * per element, so every distance, argmin, and distortion is
     * bit-identical to the DuckDB mirror. */
-  def pqEncode(spark: SparkSession, sfDir: String): DataFrame = {
-    val base = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
-    val coded = (0 until PqM).foldLeft(base) { (df, m) =>
-      val sub = slice(col("embedding"), 1 + m * PqSub, PqSub)
-      val dists = (0 until PqK).map { k =>
-        val c = array(pqCent(m, k).map(lit): _*)
-        aggregate(zip_with(sub, c, (x, y) => (x - y) * (x - y)),
-          lit(0.0), (acc, z) => acc + z)
-      }
+  /** Adds `code0..3` (per-subspace argmin code) and `dist0..3` (the
+    * argmin's squared L2 — the distortion terms) to a frame carrying
+    * `embedding`. Pure narrow map; shared by [[pqEncode]] and
+    * [[annPqAdc]]'s corpus side. */
+  private def pqCoded(base: DataFrame): DataFrame =
+    (0 until PqM).foldLeft(base) { (df, m) =>
+      val dists = (0 until PqK).map(k => pqSubDist(m, k))
       val minD = least(dists: _*)
       df.withColumn(s"code$m",
           coalesce(dists.zipWithIndex.map { case (d, k) =>
@@ -691,12 +702,74 @@ object SimOps {
           }: _*))
         .withColumn(s"dist$m", minD)
     }
+
+  def pqEncode(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+    val coded = pqCoded(base)
     coded.select(col("vec_id"),
         col("code0"), col("code1"), col("code2"), col("code3"),
         (col("code0") + col("code1") * 8 + col("code2") * 64 + col("code3") * 512)
           .as("pq_code"),
         (col("dist0") + col("dist1") + col("dist2") + col("dist3")).as("distortion"))
       .orderBy("vec_id")
+  }
+
+  /** PQ asymmetric-distance (ADC) search — the probe that makes
+    * [[pqEncode]]'s codes an index rather than a compression curiosity
+    * (Jégou, Douze & Schmid 2011, §IV: keep the query full-precision,
+    * score corpus vectors through their codes). Per query the M×K=32
+    * subspace distances ‖q_sub − c_{m,k}‖² are computed ONCE (the "ADC
+    * distance table", broadcast-sized: 32 doubles per query); a corpus
+    * vector's approximate distance is then M table LOOKUPS selected by
+    * its stored codes — no arithmetic against the original floats, so
+    * at 100 TB the scan touches 12-bit codes (~170× less bandwidth than
+    * float32) plus one tiny broadcast, and the only full-precision
+    * reads are the ≤20 rerank candidates per query. Probe shape = the
+    * [[annSq8]] / [[annBinarySign]] doctrine: ADC-score all candidates,
+    * top-20 cut (adc asc, ties by id), exact-cosine rerank to top-5 —
+    * the exact rerank keeps the output fully hash-oracled. The oracle
+    * replays codes and table entries from the ONE shared distance
+    * definition ([[sqlPqDist]]), so engine and oracle cannot diverge on
+    * the codebook. */
+  def annPqAdc(spark: SparkSession, sfDir: String): DataFrame = {
+    val v = withNorm(Tables.embeddings(spark, sfDir))
+      .select("vec_id", "embedding", "nrm")
+    // corpus side: 12-bit codes only (dist columns dropped — the probe
+    // never sees corpus floats until the rerank join)
+    val corpus = pqCoded(v)
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        col("code0"), col("code1"), col("code2"), col("code3"))
+    // query side: the ADC table — all M×K subspace distances as columns
+    val q = (for (m <- 0 until PqM; k <- 0 until PqK)
+        yield s"t${m}_$k" -> pqSubDist(m, k))
+      .foldLeft(v.filter(col("vec_id") < 10)) { case (df, (n, c)) =>
+        df.withColumn(n, c)
+      }
+      .withColumnRenamed("vec_id", "query_id")
+      .withColumnRenamed("embedding", "qe")
+      .withColumnRenamed("nrm", "qn")
+    val adc = (0 until PqM).map { m =>
+      coalesce((0 until PqK).map { k =>
+        when(col(s"code$m") === k, col(s"t${m}_$k"))
+      }: _*)
+    }.reduce(_ + _)
+    val scored = broadcast(q).join(corpus, col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("qe"), col("qn"), col("embedding"), col("nrm"), adc.as("adc"))
+    val wq = Window.partitionBy("query_id")
+      .orderBy(col("adc").asc, col("neighbor_id").asc)
+    val candidates = scored
+      .withColumn("crnk", row_number().over(wq))
+      .filter(col("crnk") <= 20)
+    val wr = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    candidates
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("qe"), col("embedding")) / sqrt(col("qn") * col("nrm"))).as("cos"))
+      .withColumn("rnk", row_number().over(wr).cast("long"))
+      .filter(col("rnk") <= 5)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"), col("cos"))
+      .orderBy("query_id", "rnk")
   }
 
   // --- Scalar-quantized (int8) ANN -----------------------------------------
@@ -876,7 +949,8 @@ object SimOps {
     "ann_ivf_persist"      -> (annIvfPersist _),
     "ann_sq8_persist"      -> (annSq8Persist _),
     "ann_ivf_kmeans"       -> (annIvfKmeans _),
-    "pq_encode"            -> (pqEncode _))
+    "pq_encode"            -> (pqEncode _),
+    "ann_pq_adc"           -> (annPqAdc _))
 
   private def sqlPlaneList(j: Int): String =
     planes(DefaultPlanes)(j)
@@ -927,7 +1001,11 @@ object SimOps {
     s"list_sum(list_transform(list_zip(d[${1 + m * PqSub}:${(m + 1) * PqSub}], " +
       s"${sqlPqCentList(m, k)}), z -> (z[1] - z[2]) * (z[1] - z[2])))"
 
-  private val sqlPqEncode: String = {
+  /** Shared CTE chain `s` (per-vector M×K subspace distances — corpus
+    * encoding input AND query-side ADC table, one definition) → `m`
+    * (per-subspace minima) → `cd` (codes + distortion). Prefix with a
+    * `v` CTE. */
+  private val sqlPqCdCtes: String = {
     val distCols = (for (m <- 0 until PqM; k <- 0 until PqK)
       yield s"${sqlPqDist(m, k)} AS d${m}_$k").mkString(",\n    ")
     val minCols = (0 until PqM).map(m =>
@@ -938,8 +1016,7 @@ object SimOps {
         s"CASE WHEN d${m}_$k = mn$m THEN CAST($k AS BIGINT) END").mkString(", ")
       s"coalesce($cases) AS code$m"
     }.mkString(",\n    ")
-    s"""WITH v AS ($sqlVec),
-       |s AS (SELECT vec_id,
+    s"""s AS (SELECT vec_id,
        |    $distCols
        |  FROM v),
        |m AS (SELECT *,
@@ -948,10 +1025,51 @@ object SimOps {
        |cd AS (SELECT vec_id,
        |    $codeCols,
        |    mn0 + mn1 + mn2 + mn3 AS distortion
-       |  FROM m)
+       |  FROM m)""".stripMargin
+  }
+
+  private val sqlPqEncode: String =
+    s"""WITH v AS ($sqlVec),
+       |$sqlPqCdCtes
        |SELECT vec_id, code0, code1, code2, code3,
        |  code0 + code1 * 8 + code2 * 64 + code3 * 512 AS pq_code, distortion
        |FROM cd ORDER BY vec_id""".stripMargin
+
+  /** ADC replay: approximate distance = M lookups of the QUERY's own
+    * subspace-distance columns (CTE `s`) selected by the CORPUS row's
+    * codes (CTE `cd`) — left-associated sum, the Spark reduce's order;
+    * exact cosine only for the 20 survivors, like the engine. */
+  private val sqlPqAdc: String = {
+    val adcSum = (0 until PqM).map { m =>
+      "(CASE " + (0 until PqK).map(k =>
+        s"WHEN x.code$m = $k THEN q.d${m}_$k").mkString(" ") + " END)"
+    }.mkString(" + ")
+    s"""WITH v AS ($sqlVec),
+       |n AS (SELECT vec_id, d, ${sqlDot("d", "d")} AS nrm FROM v),
+       |$sqlPqCdCtes,
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+       |    $adcSum AS adc
+       |  FROM s q JOIN cd x ON q.vec_id < 10 AND x.vec_id <> q.vec_id),
+       |cand AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY adc ASC, neighbor_id ASC) AS crnk
+       |    FROM scored) t WHERE crnk <= 20),
+       |cs AS (
+       |  SELECT c.query_id, c.neighbor_id,
+       |    ${sqlDot("nq.d", "nx.d")} / sqrt(nq.nrm * nx.nrm) AS cos
+       |  FROM cand c
+       |  JOIN n nq ON nq.vec_id = c.query_id
+       |  JOIN n nx ON nx.vec_id = c.neighbor_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cos,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cos DESC, neighbor_id ASC) AS BIGINT) AS rnk
+       |  FROM cs)
+       |SELECT query_id, rnk, neighbor_id, cos
+       |FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
   }
 
   /** Shared by ann_ivf_probe AND ann_ivf_persist — the persisted-index
@@ -1015,6 +1133,7 @@ object SimOps {
 
   val oracle: Map[String, String] = Map(
     "pq_encode" -> sqlPqEncode,
+    "ann_pq_adc" -> sqlPqAdc,
     "embed_knn_classify" ->
       s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS d,
          |           CAST(label AS BIGINT) AS label FROM embeddings),

@@ -101,6 +101,54 @@ class EmbedAnnSpec extends SparkSpec {
     assert(got.nonEmpty && got.size === want.size)
   }
 
+  test("ann_pq_adc: ADC through stored codes equals the driver replay; cosines full-precision") {
+    // the codebook formula, restated independently of the engine
+    val M = 4; val K = 8; val S = 16
+    def cent(m: Int, k: Int): Array[Double] =
+      (0 until S).map { d =>
+        (((1103515245L * (m * K * S + k * S + d) + 54321L) % 2048L
+          + 2048L) % 2048L - 1024L) / 1024.0
+      }.toArray
+    def subDist(e: Array[Float], m: Int, k: Int): Double = {
+      val c = cent(m, k); var s = 0.0; var i = 0
+      while (i < S) {
+        val z = e(m * S + i).toDouble - c(i); s += z * z; i += 1
+      }; s
+    }
+    val vecs = Tables.embeddings(spark, sf).select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).sortBy(_._1)
+    def dotLR(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }; s
+    }
+    // corpus codes: per-subspace argmin, ties toward the smaller code
+    def codes(e: Array[Float]): Array[Int] =
+      (0 until M).map { m =>
+        val ds = (0 until K).map(k => subDist(e, m, k))
+        ds.indexOf(ds.min)
+      }.toArray
+    val coded = vecs.map { case (id, e) => (id, e, codes(e)) }
+    val want = vecs.filter(_._1 < 10).flatMap { case (qid, qe) =>
+      val qn = dotLR(qe, qe)
+      // the query's ADC table, then M lookups per corpus row —
+      // left-associated sum, the engine's reduce order
+      val table = Array.tabulate(M, K)((m, k) => subDist(qe, m, k))
+      val cand = coded.filter(_._1 != qid)
+        .map { case (id, e, cs) =>
+          (id, e, (0 until M).map(m => table(m)(cs(m))).reduce(_ + _))
+        }
+        .sortBy { case (id, _, a) => (a, id) }.take(20)
+      cand.map { case (id, e, _) =>
+        (qid, id, dotLR(qe, e) / math.sqrt(qn * dotLR(e, e)))
+      }.sortBy { case (_, id, c) => (-c, id) }.take(5).zipWithIndex
+        .map { case ((q_, id, c), i) => (q_, (i + 1).toLong, id, c) }
+    }.toSeq
+    val got = q("ann_pq_adc").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got === want)
+    assert(got.size === want.size && got.nonEmpty)
+  }
+
   test("ann_sq8_persist: the at-rest probe is bit-identical to the inline probe") {
     // the persisted index is the SAME quantized table round-tripped
     // through parquet (float arrays, norms, integral q8 doubles are all
