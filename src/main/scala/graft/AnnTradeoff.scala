@@ -13,10 +13,11 @@ import org.apache.spark.sql.expressions.Window
   * it would actually run with at that corpus size.
   *
   * Two recall protocols, matching the two query shapes in the engine:
-  *  - top-k probe family (`ann_topk_brute`, `ann_sq8`, `ann_ivf_probe`,
-  *    `ann_ivf_kmeans`): recall@k against the exact brute-force top-k of
-  *    the same query set (vec_id < 10) on the same corpus, k = the
-  *    variant's own depth (5 for sq8, 3 for IVF);
+  *  - top-k probe family (`ann_topk_brute`, `ann_sq8`, `ann_binary_sign`,
+  *    `ann_pq_adc`, `ann_ivf_probe`, `ann_ivf_kmeans`): recall@k against
+  *    the exact brute-force top-k of the same query set (vec_id < 10) on
+  *    the same corpus, k = the variant's own depth (5 for the
+  *    quantized probes, 3 for IVF);
   *  - all-vectors 1-NN family (`ann_lsh_bucket`, `ann_lsh_multiprobe`):
   *    recall@1 on a deterministic 1k-vector sample (vec_id < 1000) whose
   *    true 1-NN is computed by a sample×corpus brute-force pass —
@@ -57,7 +58,8 @@ object AnnTradeoff {
       "ann_lsh_bucket" -> Map("spark.graft.ann.planes" -> planesAtScale.toString),
       "ann_lsh_multiprobe" -> Map("spark.graft.ann.planes" -> planesAtScale.toString),
       "ann_ivf_probe" -> Map("spark.graft.ann.centroidMod" -> centModAtScale),
-      "ann_ivf_kmeans" -> Map("spark.graft.ann.centroidMod" -> centModAtScale))
+      "ann_ivf_kmeans" -> Map("spark.graft.ann.centroidMod" -> centModAtScale),
+      "ann_ivfpq" -> Map("spark.graft.ann.centroidMod" -> centModAtScale))
 
     // warm JVM + table cache
     SparkEntry.queries("ann_topk_brute")(spark, small).count()
@@ -145,8 +147,11 @@ object AnnTradeoff {
         s""""wall_sec":${fmt(tBrute)},"n_queries":${truthTop.size},""" +
         s""""note":"exact — the ground truth the others approximate"}""",
       topkEntry("ann_sq8", 5),
+      topkEntry("ann_binary_sign", 5),
+      topkEntry("ann_pq_adc", 5),
       topkEntry("ann_ivf_probe", 3),
       topkEntry("ann_ivf_kmeans", 3),
+      topkEntry("ann_ivfpq", 3),
       nn1Entry("ann_lsh_bucket"),
       nn1Entry("ann_lsh_multiprobe"), {
         val (t, rows) = timed("pq_encode")
@@ -154,7 +159,7 @@ object AnnTradeoff {
         println(f"[ann] pq_encode            distortion=${meanDist}%.4f t=${t}%.2fs")
         s""""pq_encode":{"protocol":"encoder","mean_distortion":${fmt(meanDist)},""" +
           s""""wall_sec":${fmt(t)},"n_encoded":${rows.length},""" +
-          s""""note":"codebook quality proxy; ADC search not part of the catalog"}"""
+          s""""note":"codebook quality proxy; ann_pq_adc searches these codes"}"""
       })
 
     val round = sys.env.getOrElse("SPARK_GRAFT_ROUND", GraftConf.round)

@@ -246,6 +246,20 @@ object ScaleStress {
     Heavy("sql_q12_shippriority",
       "fact-fact equi join with non-equi lateness residual on the " +
         "condition; linear", 1.25, bigConf = dataSizedPartitions),
+    Heavy("ann_binary_sign",
+      "fixed query set x n corpus: narrow sign-pack + one xor+bit_count " +
+        "per pair, top-20 window, 20-row rerank; linear", 1.2,
+      bigConf = dataSizedPartitions),
+    Heavy("ann_pq_adc",
+      "fixed query set x n corpus: narrow 12-bit encode + 4 ADC table " +
+        "lookups per pair, top-20 window, 20-row rerank; linear", 1.2,
+      bigConf = dataSizedPartitions),
+    Heavy("ann_ivfpq",
+      "broadcast coarse assign (n x k/mod dots) + cell-pruned ADC " +
+        "scoring at constant cell occupancy + 10-row rerank; linear " +
+        "at constant centroid count (centroidMod x factor)", 1.25,
+      bigConf = f => dataSizedPartitions(f) ++
+        Map("spark.graft.ann.centroidMod" -> (32L * f).toString)),
     Heavy("bpe_token_count",
       "narrow codegen'd map, per-thread distinct-word memo; linear", 1.15),
     Heavy("token_budget_bpe",

@@ -731,6 +731,22 @@ object SimOps {
     * replays codes and table entries from the ONE shared distance
     * definition ([[sqlPqDist]]), so engine and oracle cannot diverge on
     * the codebook. */
+  /** Adds the query-side ADC distance table: all M×K subspace distances
+    * as columns `t{m}_{k}`. Narrow map over the (tiny) query set. */
+  private def pqAdcTable(df: DataFrame): DataFrame =
+    (for (m <- 0 until PqM; k <- 0 until PqK)
+        yield s"t${m}_$k" -> pqSubDist(m, k))
+      .foldLeft(df) { case (d, (n, c)) => d.withColumn(n, c) }
+
+  /** The ADC lookup-sum: M picks of the query's `t{m}_{k}` columns
+    * selected by the corpus row's `code{m}` columns, left-associated. */
+  private def pqAdcPick: Column =
+    (0 until PqM).map { m =>
+      coalesce((0 until PqK).map { k =>
+        when(col(s"code$m") === k, col(s"t${m}_$k"))
+      }: _*)
+    }.reduce(_ + _)
+
   def annPqAdc(spark: SparkSession, sfDir: String): DataFrame = {
     val v = withNorm(Tables.embeddings(spark, sfDir))
       .select("vec_id", "embedding", "nrm")
@@ -740,22 +756,13 @@ object SimOps {
       .select(col("vec_id"), col("embedding"), col("nrm"),
         col("code0"), col("code1"), col("code2"), col("code3"))
     // query side: the ADC table — all M×K subspace distances as columns
-    val q = (for (m <- 0 until PqM; k <- 0 until PqK)
-        yield s"t${m}_$k" -> pqSubDist(m, k))
-      .foldLeft(v.filter(col("vec_id") < 10)) { case (df, (n, c)) =>
-        df.withColumn(n, c)
-      }
+    val q = pqAdcTable(v.filter(col("vec_id") < 10))
       .withColumnRenamed("vec_id", "query_id")
       .withColumnRenamed("embedding", "qe")
       .withColumnRenamed("nrm", "qn")
-    val adc = (0 until PqM).map { m =>
-      coalesce((0 until PqK).map { k =>
-        when(col(s"code$m") === k, col(s"t${m}_$k"))
-      }: _*)
-    }.reduce(_ + _)
     val scored = broadcast(q).join(corpus, col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        col("qe"), col("qn"), col("embedding"), col("nrm"), adc.as("adc"))
+        col("qe"), col("qn"), col("embedding"), col("nrm"), pqAdcPick.as("adc"))
     val wq = Window.partitionBy("query_id")
       .orderBy(col("adc").asc, col("neighbor_id").asc)
     val candidates = scored
@@ -769,6 +776,56 @@ object SimOps {
       .withColumn("rnk", row_number().over(wr).cast("long"))
       .filter(col("rnk") <= 5)
       .select(col("query_id"), col("rnk"), col("neighbor_id"), col("cos"))
+      .orderBy("query_id", "rnk")
+  }
+
+  /** IVF-PQ — the two tiers composed the way production serving stacks
+    * compose them (Jégou-Douze-Schmid 2011 §V, the FAISS `IVFx,PQy`
+    * default): the coarse quantizer ([[ivfCentroids]]/[[ivfAssign]],
+    * shared verbatim with the IVF family) prunes the corpus to the
+    * query's own cell, and inside the cell candidates are scored by PQ
+    * ADC lookups instead of full-precision dots. At 100 TB this is THE
+    * index shape: the at-rest layout is cell-partitioned 12-bit codes
+    * (the [[annIvfPersist]] partitioning carrying [[pqEncode]] payloads
+    * — ~170× less storage/scan than float32), a probe reads one
+    * partition-pruned cell, scores it with M table lookups per code,
+    * and touches full-precision floats only for the ≤10 rerank rows.
+    * Codes quantize the RAW vectors, not cell residuals (the FAISS
+    * `by_residual=false` variant) — residual encoding buys accuracy at
+    * the cost of per-cell codebook reconstruction in the oracle; the
+    * raw-vector form keeps ONE shared codebook and the output fully
+    * hash-oracled. Probe depth: ADC top-10 inside the cell (ties by
+    * id), exact-cosine rerank to top-3 — the IVF family's depth, and
+    * the output carries `cell` like its siblings. */
+  def annIvfPq(spark: SparkSession, sfDir: String): DataFrame = {
+    val v = withNorm(Tables.embeddings(spark, sfDir))
+    val assigned = ivfAssign(v, ivfCentroids(spark, v))
+    // at-rest side: cell + 12-bit codes (floats retained only for the
+    // rerank join — production reads them from the exact-payload tier)
+    val corpus = pqCoded(assigned)
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"),
+        col("code0"), col("code1"), col("code2"), col("code3"))
+    val q = pqAdcTable(assigned.filter(col("vec_id") < 10))
+      .withColumnRenamed("vec_id", "query_id")
+      .withColumnRenamed("embedding", "qe")
+      .withColumnRenamed("nrm", "qn")
+    val scored = broadcast(q).join(corpus, Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cell"),
+        col("qe"), col("qn"), col("embedding"), col("nrm"), pqAdcPick.as("adc"))
+    val wq = Window.partitionBy("query_id")
+      .orderBy(col("adc").asc, col("neighbor_id").asc)
+    val candidates = scored
+      .withColumn("crnk", row_number().over(wq))
+      .filter(col("crnk") <= 10)
+    val wr = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    candidates
+      .select(col("query_id"), col("neighbor_id"), col("cell"),
+        (dot(col("qe"), col("embedding")) / sqrt(col("qn") * col("nrm"))).as("cos"))
+      .withColumn("rnk", row_number().over(wr).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"), col("cell"), col("cos"))
       .orderBy("query_id", "rnk")
   }
 
@@ -950,7 +1007,8 @@ object SimOps {
     "ann_sq8_persist"      -> (annSq8Persist _),
     "ann_ivf_kmeans"       -> (annIvfKmeans _),
     "pq_encode"            -> (pqEncode _),
-    "ann_pq_adc"           -> (annPqAdc _))
+    "ann_pq_adc"           -> (annPqAdc _),
+    "ann_ivfpq"            -> (annIvfPq _))
 
   private def sqlPlaneList(j: Int): String =
     planes(DefaultPlanes)(j)
@@ -1075,8 +1133,12 @@ object SimOps {
   /** Shared by ann_ivf_probe AND ann_ivf_persist — the persisted-index
     * probe is bit-identical to the direct probe by construction, so one
     * oracle gates both. */
-  private lazy val sqlIvfProbe =
-    s"""WITH v AS ($sqlVec),
+  /** Shared CTE prefix `v` → `n` → `cents` (every 32nd vector — the
+    * registry-default quantizer) → `assigned` (cos-argmax cell, ties by
+    * cent_id) — the SQL mirror of [[ivfCentroids]] + [[ivfAssign]],
+    * shared by the IVF probe and IVF-PQ oracles. */
+  private lazy val sqlIvfCtes =
+    s"""v AS ($sqlVec),
          |n AS (SELECT vec_id, d, ${sqlDot("d", "d")} AS nrm FROM v),
          |cents AS (SELECT vec_id AS cent_id, d AS ce, nrm AS cn FROM n WHERE vec_id % 32 = 0),
          |assigned AS (
@@ -1086,7 +1148,10 @@ object SimOps {
          |        ORDER BY ${sqlDot("n.d", "c.ce")} / sqrt(n.nrm * c.cn) DESC,
          |                 c.cent_id ASC) AS crnk
          |    FROM n CROSS JOIN cents c) t
-         |  WHERE crnk = 1),
+         |  WHERE crnk = 1)""".stripMargin
+
+  private lazy val sqlIvfProbe =
+    s"""WITH $sqlIvfCtes,
          |q AS (SELECT vec_id AS query_id, d AS qd, nrm AS qn, cell
          |      FROM assigned WHERE vec_id < 10),
          |scored AS (
@@ -1099,6 +1164,46 @@ object SimOps {
          |      ORDER BY cos DESC, neighbor_id ASC) AS rnk
          |  FROM scored) t
          |WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin
+
+  /** IVF-PQ replay: cell from the shared assignment CTEs, ADC inside
+    * the cell from the shared code CTEs — both halves reuse the exact
+    * CTE text their standalone oracles use, so the composition cannot
+    * drift from its parts. */
+  private lazy val sqlIvfPq: String = {
+    val adcSum = (0 until PqM).map { m =>
+      "(CASE " + (0 until PqK).map(k =>
+        s"WHEN x.code$m = $k THEN qs.d${m}_$k").mkString(" ") + " END)"
+    }.mkString(" + ")
+    s"""WITH $sqlIvfCtes,
+         |$sqlPqCdCtes,
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id, q.cell,
+         |    $adcSum AS adc
+         |  FROM assigned q
+         |  JOIN s qs ON qs.vec_id = q.vec_id
+         |  JOIN assigned a ON a.cell = q.cell AND a.vec_id <> q.vec_id
+         |  JOIN cd x ON x.vec_id = a.vec_id
+         |  WHERE q.vec_id < 10),
+         |cand AS (
+         |  SELECT query_id, neighbor_id, cell FROM (
+         |    SELECT query_id, neighbor_id, cell,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY adc ASC, neighbor_id ASC) AS crnk
+         |    FROM scored) t WHERE crnk <= 10),
+         |cs AS (
+         |  SELECT c.query_id, c.neighbor_id, c.cell,
+         |    ${sqlDot("nq.d", "nx.d")} / sqrt(nq.nrm * nx.nrm) AS cos
+         |  FROM cand c
+         |  JOIN n nq ON nq.vec_id = c.query_id
+         |  JOIN n nx ON nx.vec_id = c.neighbor_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, cell, cos,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos DESC, neighbor_id ASC) AS BIGINT) AS rnk
+         |  FROM cs)
+         |SELECT query_id, rnk, neighbor_id, cell, cos
+         |FROM ranked WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin
+  }
 
   /** DuckDB oracle for the SQ8 probe — shared verbatim by `ann_sq8` and
     * `ann_sq8_persist` (the persisted probe is bit-identical by design,
@@ -1134,6 +1239,7 @@ object SimOps {
   val oracle: Map[String, String] = Map(
     "pq_encode" -> sqlPqEncode,
     "ann_pq_adc" -> sqlPqAdc,
+    "ann_ivfpq" -> sqlIvfPq,
     "embed_knn_classify" ->
       s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS d,
          |           CAST(label AS BIGINT) AS label FROM embeddings),

@@ -149,6 +149,61 @@ class EmbedAnnSpec extends SparkSpec {
     assert(got.size === want.size && got.nonEmpty)
   }
 
+  test("ann_ivfpq: cell pruning + ADC scoring equals the driver replay") {
+    val M = 4; val K = 8; val S = 16
+    def cent(m: Int, k: Int): Array[Double] =
+      (0 until S).map { d =>
+        (((1103515245L * (m * K * S + k * S + d) + 54321L) % 2048L
+          + 2048L) % 2048L - 1024L) / 1024.0
+      }.toArray
+    def subDist(e: Array[Float], m: Int, k: Int): Double = {
+      val c = cent(m, k); var s = 0.0; var i = 0
+      while (i < S) {
+        val z = e(m * S + i).toDouble - c(i); s += z * z; i += 1
+      }; s
+    }
+    def dotLR(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }; s
+    }
+    val vecs = Tables.embeddings(spark, sf).select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).sortBy(_._1)
+    // coarse assignment: cos-argmax over every-32nd-vector centroids,
+    // ties toward the smaller cent_id — the IVF family's quantizer
+    val cents = vecs.filter(_._1 % 32 == 0)
+    def cell(e: Array[Float]): Long = {
+      val en = dotLR(e, e)
+      cents.map { case (cid, ce) =>
+        (cid, dotLR(e, ce) / math.sqrt(en * dotLR(ce, ce)))
+      }.sortBy { case (cid, c) => (-c, cid) }.head._1
+    }
+    def codes(e: Array[Float]): Array[Int] =
+      (0 until M).map { m =>
+        val ds = (0 until K).map(k => subDist(e, m, k))
+        ds.indexOf(ds.min)
+      }.toArray
+    val indexed = vecs.map { case (id, e) => (id, e, cell(e), codes(e)) }
+    val want = indexed.filter(_._1 < 10).flatMap { case (qid, qe, qcell, _) =>
+      val qn = dotLR(qe, qe)
+      val table = Array.tabulate(M, K)((m, k) => subDist(qe, m, k))
+      val cand = indexed
+        .filter { case (id, _, c, _) => c == qcell && id != qid }
+        .map { case (id, e, _, cs) =>
+          (id, e, (0 until M).map(m => table(m)(cs(m))).reduce(_ + _))
+        }
+        .sortBy { case (id, _, a) => (a, id) }.take(10)
+      cand.map { case (id, e, _) =>
+        (qid, id, qcell, dotLR(qe, e) / math.sqrt(qn * dotLR(e, e)))
+      }.sortBy { case (_, id, _, c) => (-c, id) }.take(3).zipWithIndex
+        .map { case ((q_, id, cl, c), i) => (q_, (i + 1).toLong, id, cl, c) }
+    }.toSeq
+    val got = q("ann_ivfpq").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSeq
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
   test("ann_sq8_persist: the at-rest probe is bit-identical to the inline probe") {
     // the persisted index is the SAME quantized table round-tripped
     // through parquet (float arrays, norms, integral q8 doubles are all
