@@ -58,8 +58,10 @@ object AnnTradeoff {
       "ann_lsh_bucket" -> Map("spark.graft.ann.planes" -> planesAtScale.toString),
       "ann_lsh_multiprobe" -> Map("spark.graft.ann.planes" -> planesAtScale.toString),
       "ann_ivf_probe" -> Map("spark.graft.ann.centroidMod" -> centModAtScale),
+      "ann_ivf_nprobe" -> Map("spark.graft.ann.centroidMod" -> centModAtScale),
       "ann_ivf_kmeans" -> Map("spark.graft.ann.centroidMod" -> centModAtScale),
-      "ann_ivfpq" -> Map("spark.graft.ann.centroidMod" -> centModAtScale))
+      "ann_ivfpq" -> Map("spark.graft.ann.centroidMod" -> centModAtScale),
+      "ann_ivfpq_residual" -> Map("spark.graft.ann.centroidMod" -> centModAtScale))
 
     // warm JVM + table cache
     SparkEntry.queries("ann_topk_brute")(spark, small).count()
@@ -149,9 +151,12 @@ object AnnTradeoff {
       topkEntry("ann_sq8", 5),
       topkEntry("ann_binary_sign", 5),
       topkEntry("ann_pq_adc", 5),
+      topkEntry("ann_pq_adc_fitted", 5),
       topkEntry("ann_ivf_probe", 3),
+      topkEntry("ann_ivf_nprobe", 3),
       topkEntry("ann_ivf_kmeans", 3),
       topkEntry("ann_ivfpq", 3),
+      topkEntry("ann_ivfpq_residual", 3),
       nn1Entry("ann_lsh_bucket"),
       nn1Entry("ann_lsh_multiprobe"), {
         val (t, rows) = timed("pq_encode")

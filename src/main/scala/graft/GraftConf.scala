@@ -71,6 +71,13 @@ object GraftConf {
     * constant. */
   def annCentroidMod(spark: SparkSession): Long =
     spark.conf.get("spark.graft.ann.centroidMod", "32").toLong
+  /** Cells each QUERY probes in the multi-cell IVF probe
+    * (`ann_ivf_nprobe`) — the production recall/latency knob of an IVF
+    * index: recall rises monotonically in nprobe (candidate supersets),
+    * probe cost grows linearly (nprobe partition-pruned cell scans).
+    * The corpus-side index is unchanged at any value. */
+  def annNprobe(spark: SparkSession): Int =
+    spark.conf.get("spark.graft.ann.nprobe", "2").toInt
   /** Merge steps learned by `bpe_train` (default = the committed fixture
     * vocabulary's length, so the correctness gate retrains exactly it). */
   def bpeTrainMerges(spark: SparkSession): Int =

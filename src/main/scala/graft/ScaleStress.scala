@@ -260,6 +260,31 @@ object ScaleStress {
         "at constant centroid count (centroidMod x factor)", 1.25,
       bigConf = f => dataSizedPartitions(f) ++
         Map("spark.graft.ann.centroidMod" -> (32L * f).toString)),
+    Heavy("mmr_rerank",
+      "broadcast 10-row query set x corpus narrow pool cut; greedy " +
+        "stages bounded by pool^2 rows per query at any corpus size; " +
+        "linear", 1.25, bigConf = dataSizedPartitions),
+    Heavy("ann_pq_adc_fitted",
+      "subspace-Lloyd fit (narrow maps + (m,k,pos)-keyed partial aggs, " +
+        "codebook is 32 rows at any n) + the fixed tier's narrow ADC " +
+        "probe; linear", 1.25, bigConf = dataSizedPartitions),
+    Heavy("ann_ivf_nprobe",
+      "broadcast coarse assign + nprobe partition-pruned cell scans at " +
+        "constant cell occupancy + 3-row rerank; linear at constant " +
+        "centroid count (centroidMod x factor)", 1.25,
+      bigConf = f => dataSizedPartitions(f) ++
+        Map("spark.graft.ann.centroidMod" -> (32L * f).toString)),
+    Heavy("ann_ivfpq_residual",
+      "ann_ivfpq plus one broadcast centroid join + a narrow residual " +
+        "subtract before encoding; same linear shape at constant " +
+        "centroid count (centroidMod x factor)", 1.25,
+      bigConf = f => dataSizedPartitions(f) ++
+        Map("spark.graft.ann.centroidMod" -> (32L * f).toString)),
+    Heavy("hybrid_rrf_fuse",
+      "BM25 side = 1-row stats broadcast + TakeOrdered-50; dense side = " +
+        "1-row query broadcast + TakeOrdered-50; fusion on two 50-row " +
+        "lists; linear in the two scans", 1.25,
+      bigConf = dataSizedPartitions),
     Heavy("bpe_token_count",
       "narrow codegen'd map, per-thread distinct-word memo; linear", 1.15),
     Heavy("token_budget_bpe",

@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Information-retrieval operators over the `documents` corpus
@@ -164,38 +165,118 @@ object IrOps {
       .limit(20)
   }
 
+  /** One RRF contribution: 1/(60 + rank), 0 when the list misses the
+    * document — rank-60 is the published constant (Cormack, Clarke &
+    * Buettcher 2009). Shared verbatim by the Spark `expr` and the
+    * DuckDB oracle: the CASTs keep both engines in IEEE doubles (a bare
+    * numeric literal is DECIMAL in both dialects). */
+  private def rrfTermSql(c: String): String =
+    s"CASE WHEN $c IS NULL THEN 0.0 ELSE " +
+      s"CAST(1 AS DOUBLE) / (CAST(60 AS DOUBLE) + CAST($c AS DOUBLE)) END"
+  private val rrfSql = s"(${rrfTermSql("s_rnk")}) + (${rrfTermSql("d_rnk")})"
+
+  /** Hybrid retrieval with reciprocal-rank fusion — the standard way
+    * production search stacks combine a sparse (lexical) and a dense
+    * (embedding) ranker without score calibration: fuse by RANK, not by
+    * score, since BM25 scores and cosines live on incomparable scales.
+    * Sparse list = [[bm25Rank]]'s top-50 (the 3-term query); dense list
+    * = cosine top-50 against the query embedding (vec_id 0 — the
+    * fixture's embedded form of the query; `vec_id` is the embedding
+    * row of `doc_id`). Fused score = Σ 1/(60 + rank) over the lists
+    * that contain the document, top-20 out, ties by doc_id.
+    *
+    * Scale shape: each side is already 100 TB-sound on its own (BM25 =
+    * 1-row stats broadcast + TakeOrdered; dense = broadcast 1-row query
+    * + TakeOrdered) and fusion only ever sees the two ≤50-row lists —
+    * the rank windows and the full-outer join run on bounded k-row
+    * inputs whatever the corpus size (the single-partition windows are
+    * deliberate: 50 rows each). Fully hash-oracled: ranks are
+    * deterministic integer cuts and the RRF arithmetic is two divisions
+    * and one add on exact inputs, spliced verbatim into both engines. */
+  def hybridRrfFuse(spark: SparkSession, sfDir: String): DataFrame = {
+    val sparse = bm25Rank(spark, sfDir)
+      .select(col("doc_id"),
+        row_number().over(Window.orderBy(col("score").desc, col("doc_id").asc))
+          .cast("long").as("s_rnk"))
+    val v = SimOps.withNorm(Tables.embeddings(spark, sfDir))
+    val qv = v.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qe"), col("nrm").as("qn"))
+    val dense = v.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(qv))
+      .select(col("vec_id").as("doc_id"),
+        (SimOps.dot(col("embedding"), col("qe")) / sqrt(col("nrm") * col("qn")))
+          .as("cos"))
+      .orderBy(col("cos").desc, col("doc_id").asc).limit(50)
+      .select(col("doc_id"),
+        row_number().over(Window.orderBy(col("cos").desc, col("doc_id").asc))
+          .cast("long").as("d_rnk"))
+    sparse.join(dense, Seq("doc_id"), "full_outer")
+      .withColumn("rrf", expr(rrfSql))
+      .select(col("doc_id"), col("s_rnk"), col("d_rnk"), col("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id").asc)
+      .limit(20)
+  }
+
   val queries: Map[String, Q] = Map(
     "bm25_rank"      -> (bm25Rank _),
     "inverted_index" -> (invertedIndex _),
-    "tfidf_doc_sim"  -> (tfidfDocSim _))
+    "tfidf_doc_sim"  -> (tfidfDocSim _),
+    "hybrid_rrf_fuse" -> (hybridRrfFuse _))
+
+  /** The BM25 CTE chain (base → stats → scored) — shared VERBATIM by
+    * the `bm25_rank` oracle and the hybrid fusion's sparse side. */
+  private val sqlBm25Ctes: String = {
+    val tfSelects = Terms.map(t =>
+      s"len(list_filter(string_split(text, ' '), x -> x = '$t')) AS tf_$t")
+      .mkString(",\n      |  ")
+    val dfSelects = Terms.map(t =>
+      s"SUM(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END) AS df_$t")
+      .mkString(", ")
+    val tfCarry = Terms.map(t => s"tf_$t").mkString(", ")
+    val dfCarry = Terms.map(t => s"df_$t").mkString(", ")
+    s"""base AS (
+      |  SELECT doc_id, len(string_split(text, ' ')) AS dl,
+      |  $tfSelects
+      |  FROM documents),
+      |stats AS (
+      |  SELECT count(*) AS n_docs, SUM(dl) AS sum_dl, $dfSelects FROM base),
+      |scored AS (
+      |  SELECT doc_id, dl, $tfCarry,
+      |    $scoreSql AS score
+      |  FROM (SELECT base.*, $avgdlSql AS avgdl, n_docs, $dfCarry
+      |        FROM base CROSS JOIN stats))""".stripMargin
+  }
 
   val oracle: Map[String, String] = Map(
-    "bm25_rank" -> {
-      val tfSelects = Terms.map(t =>
-        s"len(list_filter(string_split(text, ' '), x -> x = '$t')) AS tf_$t")
-        .mkString(",\n        |  ")
-      val dfSelects = Terms.map(t =>
-        s"SUM(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END) AS df_$t")
-        .mkString(", ")
-      val tfCarry = Terms.map(t => s"tf_$t").mkString(", ")
-      val dfCarry = Terms.map(t => s"df_$t").mkString(", ")
-      s"""WITH base AS (
-        |  SELECT doc_id, len(string_split(text, ' ')) AS dl,
-        |  $tfSelects
-        |  FROM documents),
-        |stats AS (
-        |  SELECT count(*) AS n_docs, SUM(dl) AS sum_dl, $dfSelects FROM base),
-        |scored AS (
-        |  SELECT doc_id, dl, $tfCarry,
-        |    $scoreSql AS score
-        |  FROM (SELECT base.*, $avgdlSql AS avgdl, n_docs, $dfCarry
-        |        FROM base CROSS JOIN stats))
+    "bm25_rank" ->
+      s"""WITH $sqlBm25Ctes
         |SELECT doc_id, CAST(dl AS BIGINT) AS dl,
         |  ${Terms.map(t => s"CAST(tf_$t AS BIGINT) AS tf_$t").mkString(", ")},
         |  score
         |FROM scored WHERE score > 0.0
-        |ORDER BY score DESC, doc_id ASC LIMIT 50""".stripMargin
-    },
+        |ORDER BY score DESC, doc_id ASC LIMIT 50""".stripMargin,
+    "hybrid_rrf_fuse" ->
+      s"""WITH $sqlBm25Ctes,
+        |sp0 AS (SELECT doc_id, score FROM scored WHERE score > 0.0
+        |        ORDER BY score DESC, doc_id ASC LIMIT 50),
+        |sparse AS (SELECT doc_id, CAST(row_number() OVER (
+        |             ORDER BY score DESC, doc_id ASC) AS BIGINT) AS s_rnk
+        |           FROM sp0),
+        |v AS (${SimOps.sqlVec}),
+        |n AS (SELECT vec_id, d, ${SimOps.sqlDot("d", "d")} AS nrm FROM v),
+        |qv AS (SELECT d AS qd, nrm AS qn FROM n WHERE vec_id = 0),
+        |de0 AS (SELECT x.vec_id AS doc_id,
+        |          ${SimOps.sqlDot("x.d", "qv.qd")} / sqrt(x.nrm * qv.qn) AS cos
+        |        FROM n x CROSS JOIN qv WHERE x.vec_id <> 0
+        |        ORDER BY cos DESC, doc_id ASC LIMIT 50),
+        |dense AS (SELECT doc_id, CAST(row_number() OVER (
+        |            ORDER BY cos DESC, doc_id ASC) AS BIGINT) AS d_rnk
+        |          FROM de0),
+        |fused AS (SELECT COALESCE(s.doc_id, de.doc_id) AS doc_id,
+        |            s.s_rnk AS s_rnk, de.d_rnk AS d_rnk
+        |          FROM sparse s FULL OUTER JOIN dense de ON s.doc_id = de.doc_id)
+        |SELECT doc_id, s_rnk, d_rnk, ($rrfSql) AS rrf
+        |FROM fused ORDER BY rrf DESC, doc_id ASC LIMIT 20""".stripMargin,
     "tfidf_doc_sim" ->
       s"""WITH tf AS (
          |  SELECT doc_id AS d, token AS t, count(*) AS tf FROM (

@@ -29,16 +29,16 @@ object SimOps {
     * [[graft.functions.DotProduct]] expression (identical fold semantics
     * to `aggregate(zip_with(...))`, ~an order of magnitude faster on the
     * pair-rerank path because it stays inside whole-stage codegen). */
-  private def dot(a: Column, b: Column): Column =
+  private[ops] def dot(a: Column, b: Column): Column =
     graft.functions.VectorFunctions.vecDot(a, b)
 
   private[graft] def withNorm(df: DataFrame): DataFrame =
     df.withColumn("nrm", dot(col("embedding"), col("embedding")))
 
   /** DuckDB spelling of the same fold. */
-  private def sqlDot(a: String, b: String): String =
+  private[ops] def sqlDot(a: String, b: String): String =
     s"list_sum(list_transform(list_zip($a, $b), s -> s[1] * s[2]))"
-  private val sqlVec =
+  private[ops] val sqlVec =
     "SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS d FROM embeddings"
 
   /** Brute-force top-20 most-similar pairs (exact near-dup baseline).
@@ -276,6 +276,81 @@ object SimOps {
       .orderBy("vec_id")
   }
 
+  /** MMR (maximal marginal relevance, Carbonell & Goldstein 1998)
+    * diversified rerank — the retrieval post-processor that trades raw
+    * relevance for novelty: from each query's top-10 relevance pool,
+    * greedily select 3 maximizing `λ·rel − (1−λ)·max sim(cand, already
+    * selected)` at λ = 0.7 (step 1's diversity term is 0 — the empty-max
+    * convention — so it reduces to the relevance argmax). The LLM-data
+    * uses are direct: diverse few-shot example selection, dedup-aware
+    * retrieval, diversity-preserving corpus sampling.
+    *
+    * The greedy loop UNROLLS (3 fixed steps), which is what keeps the
+    * operator fully hash-oracled: each step is a windowed argmax (ties
+    * by id) over deterministic doubles, mirrored CTE-for-CTE in SQL.
+    * Scale shape: the only corpus-sized work is the pool cut (broadcast
+    * 10-row query set × corpus narrow scan + per-query top-10 window —
+    * the [[annTopkBrute]] skeleton); everything after operates on
+    * ≤ pool² rows PER QUERY (≤ 90 sims), so the greedy stages are
+    * bounded by pool geometry whatever the corpus size. */
+  def mmrRerank(spark: SparkSession, sfDir: String): DataFrame = {
+    val v = withNorm(Tables.embeddings(spark, sfDir))
+      .select("vec_id", "embedding", "nrm")
+    val q = v.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("nrm").as("qn"))
+    val wRel = Window.partitionBy("query_id")
+      .orderBy(col("rel").desc, col("cand_id").asc)
+    val pool = broadcast(q).join(v, col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("cand_id"),
+        col("embedding"), col("nrm"),
+        (dot(col("qe"), col("embedding")) / sqrt(col("qn") * col("nrm"))).as("rel"))
+      .withColumn("prnk", row_number().over(wRel))
+      .filter(col("prnk") <= 10)
+    val sims = pool.select(col("query_id"), col("cand_id").as("ca"),
+        col("embedding").as("ea"), col("nrm").as("na"))
+      .join(pool.select(col("query_id"), col("cand_id").as("cb"),
+        col("embedding").as("eb"), col("nrm").as("nb")), Seq("query_id"))
+      .filter(col("ca") =!= col("cb"))
+      .select(col("query_id"), col("ca"), col("cb"),
+        (dot(col("ea"), col("eb")) / sqrt(col("na") * col("nb"))).as("sim"))
+    val rels = pool.select(col("query_id"), col("cand_id"), col("rel"))
+    def pick(df: DataFrame): DataFrame = {
+      val wm = Window.partitionBy("query_id")
+        .orderBy(col("mmr").desc, col("cand_id").asc)
+      df.withColumn("mmr", lit(0.7) * col("rel") - lit(0.3) * col("ms"))
+        .withColumn("r", row_number().over(wm)).filter(col("r") === 1)
+    }
+    // sims keyed for lookup against a named selection column
+    val sim1 = sims.select(col("query_id"), col("ca").as("p1"),
+      col("cb").as("cand_id"), col("sim").as("sim1"))
+    val sim2 = sims.select(col("query_id"), col("ca").as("p2"),
+      col("cb").as("cand_id"), col("sim").as("sim2"))
+    val s1 = pick(rels.withColumn("ms", lit(0.0)))
+      .select(col("query_id"), col("cand_id").as("p1"), col("mmr").as("m1"))
+    val r2 = rels.join(s1.select("query_id", "p1"), Seq("query_id"))
+      .filter(col("cand_id") =!= col("p1"))
+      .join(sim1, Seq("query_id", "p1", "cand_id"))
+      .withColumn("ms", col("sim1"))
+    val s2 = pick(r2)
+      .select(col("query_id"), col("p1"), col("cand_id").as("p2"),
+        col("mmr").as("m2"))
+    val r3 = rels.join(s2.select("query_id", "p1", "p2"), Seq("query_id"))
+      .filter(col("cand_id") =!= col("p1") && col("cand_id") =!= col("p2"))
+      .join(sim1, Seq("query_id", "p1", "cand_id"))
+      .join(sim2, Seq("query_id", "p2", "cand_id"))
+      .withColumn("ms", greatest(col("sim1"), col("sim2")))
+    val s3 = pick(r3)
+      .select(col("query_id"), col("cand_id").as("p3"), col("mmr").as("m3"))
+    s1.select(col("query_id"), lit(1L).as("rnk"),
+        col("p1").as("cand_id"), col("m1").as("mmr"))
+      .unionAll(s2.select(col("query_id"), lit(2L).as("rnk"),
+        col("p2").as("cand_id"), col("m2").as("mmr")))
+      .unionAll(s3.select(col("query_id"), lit(3L).as("rnk"),
+        col("p3").as("cand_id"), col("m3").as("mmr")))
+      .orderBy("query_id", "rnk")
+  }
+
   // --- IVF-style ANN -------------------------------------------------------
 
   /** IVF (inverted-file) ANN: a coarse quantizer partitions the corpus
@@ -485,6 +560,50 @@ object SimOps {
       .orderBy("query_id", "rnk")
   }
 
+  /** Multi-cell IVF probe — the `nprobe > 1` form every production IVF
+    * deployment actually runs (the FAISS `nprobe` recall/latency knob):
+    * the corpus index is EXACTLY [[annIvfProbe]]'s (each vector in its
+    * single nearest cell — the at-rest layout is unchanged), but a
+    * query probes its [[graft.GraftConf.annNprobe]] nearest cells and
+    * reranks over their union. Candidates are a SUPERSET of the
+    * single-cell probe's (the nearest cell ranks first in its own
+    * top-nprobe list), so recall can only rise — EmbedAnnSpec pins the
+    * rank-for-rank cosine dominance and the exact nprobe=1 degeneration
+    * to `ann_ivf_probe`; AnnTradeoff measures the recall/wall point
+    * next to the nprobe=1 tier. At 100 TB the cost is nprobe
+    * partition-pruned cell scans per query instead of one — the knob
+    * that buys back the recall the coarse quantizer's nprobe=1 cut
+    * gives up, without touching the index. Output carries the
+    * NEIGHBOR's cell (each corpus vector lives in exactly one cell; the
+    * query's probed-cell list is not a per-row fact). Fully
+    * hash-oracled: the query-side top-nprobe cell cut is the same
+    * windowed argmax the assign uses, at crnk ≤ nprobe. */
+  def annIvfNprobe(spark: SparkSession, sfDir: String): DataFrame = {
+    val nprobe = graft.GraftConf.annNprobe(spark)
+    val v = withNorm(Tables.embeddings(spark, sfDir))
+    val cents = ivfCentroids(spark, v)
+    val assigned = ivfAssign(v, cents)
+    val wProbe = Window.partitionBy("vec_id")
+      .orderBy(col("ccos").desc, col("cent_id").asc)
+    val qcells = v.filter(col("vec_id") < 10).join(broadcast(cents))
+      .withColumn("ccos",
+        dot(col("embedding"), col("ce")) / sqrt(col("nrm") * col("cn")))
+      .withColumn("crnk", row_number().over(wProbe))
+      .filter(col("crnk") <= nprobe)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("nrm").as("qn"), col("cent_id").as("cell"))
+    val wTop = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    qcells.join(assigned, Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cell"),
+        (dot(col("qe"), col("embedding")) / sqrt(col("qn") * col("nrm"))).as("cos"))
+      .withColumn("rnk", row_number().over(wTop).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"), col("cell"), col("cos"))
+      .orderBy("query_id", "rnk")
+  }
+
   /** IVF index PERSISTENCE — the index-amortization path: build the
     * index table ONCE, write it to parquet partitioned by `cell`, and
     * probe the AT-REST index. At 100 TB this is the production shape —
@@ -530,7 +649,7 @@ object SimOps {
     *     native dot expression, argmin as `min(struct(dist², cent_id))` —
     *     a map-side-combinable aggregate, no window;
     *  2. update: `posexplode` to (cell, dim, value), per-(cell, dim) mean
-    *     in EXACT decimal (merge-order independent ⇒ the fitted centroids
+    *     in exact 2⁻²⁰ fixed point (merge-order independent ⇒ the fitted centroids
     *     are bit-deterministic run to run), re-assembled into an array by
     *     position sort.
     *
@@ -556,11 +675,16 @@ object SimOps {
       val next = assigned
         .select(col("cell"), posexplode(col("e")))
         .groupBy(col("cell"), col("pos"))
-        // exact decimal sum, cast to DOUBLE, THEN divide: decimal division
-        // has engine-specific scale/rounding rules, while double(exact
-        // decimal)/count is two IEEE-defined steps — this is what lets the
-        // fitted centroids be mirrored bit-exactly by the SQL oracle
-        .agg((sum(col("col").cast(DecimalType(28, 12))).cast(DoubleType) / count(lit(1)))
+        // TIE-FREE exact mean: values quantize to the 2⁻²⁰ binary grid by
+        // floor (the idf-grid doctrine), sum as exact BIGINTs, then two
+        // IEEE divisions. The earlier DECIMAL(28,12) cast was latently
+        // engine-divergent: a dyadic double CAN land exactly on the
+        // 1e-12 half boundary, where Spark rounds HALF_UP and DuckDB
+        // HALF_EVEN — observed on pq_train (member 0.1983642578125),
+        // never here only by luck of the member sets. floor has no tie,
+        // and x·2²⁰ is an exact exponent shift on float-derived doubles.
+        .agg(((sum(floor(col("col").cast(DoubleType) * lit(1048576.0)))
+            .cast(DoubleType) / lit(1048576.0)) / count(lit(1)))
           .as("mean"))
         .groupBy(col("cell").as("cent_id"))
         .agg(array_sort(collect_list(struct(col("pos"), col("mean")))).as("pm"))
@@ -669,12 +793,32 @@ object SimOps {
     * distance table = all M×K of these) share, folded left-to-right
     * per element so both consumers stay bit-identical to the SQL
     * spelling ([[sqlPqDist]]). */
-  private def pqSubDist(m: Int, k: Int): Column = {
-    val sub = slice(col("embedding"), 1 + m * PqSub, PqSub)
-    val c = array(pqCent(m, k).map(lit): _*)
-    aggregate(zip_with(sub, c, (x, y) => (x - y) * (x - y)),
+  private def pqSubDist(m: Int, k: Int): Column =
+    pqSubDistOn(col("embedding"), m, k)
+
+  /** [[pqSubDist]] over an arbitrary vector column — the residual tier
+    * encodes `embedding − cell centroid` instead of the raw vector. */
+  private def pqSubDistOn(vec: Column, m: Int, k: Int): Column =
+    l2Fold(slice(vec, 1 + m * PqSub, PqSub), array(pqCent(m, k).map(lit): _*))
+
+  /** Left-to-right squared-L2 fold — THE one distance definition of the
+    * whole PQ family (fixed and fitted codebooks, corpus encode and
+    * query ADC table), bit-identical to the DuckDB
+    * `list_sum(list_transform(list_zip(...)))` spelling. */
+  private def l2Fold(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
       lit(0.0), (acc, z) => acc + z)
-  }
+
+  /** The fixed pseudo-random codebook as a lookup — the default the
+    * parameterized encode/probe helpers close over; the FITTED tier
+    * substitutes [[pqFit]]'s collected (vocabulary-sized) result. */
+  private val pqCbFixed: Map[(Int, Int), Seq[Double]] =
+    (for (m <- 0 until PqM; k <- 0 until PqK) yield (m, k) -> pqCent(m, k)).toMap
+
+  /** Surviving code ids of subspace m under a codebook (Lloyd may drop
+    * an empty cluster; the fixed book always has all K). */
+  private def pqKs(cb: Map[(Int, Int), Seq[Double]], m: Int): Seq[Int] =
+    cb.keysIterator.filter(_._1 == m).map(_._2).toSeq.sorted
 
   /** Product-quantization encoding: per subspace, the vector's nearest
     * codebook centroid by squared L2 (argmin ties broken toward the
@@ -692,16 +836,136 @@ object SimOps {
     * argmin's squared L2 — the distortion terms) to a frame carrying
     * `embedding`. Pure narrow map; shared by [[pqEncode]] and
     * [[annPqAdc]]'s corpus side. */
-  private def pqCoded(base: DataFrame): DataFrame =
+  private def pqCoded(base: DataFrame, vec: Column = col("embedding"),
+      cb: Map[(Int, Int), Seq[Double]] = pqCbFixed): DataFrame =
     (0 until PqM).foldLeft(base) { (df, m) =>
-      val dists = (0 until PqK).map(k => pqSubDist(m, k))
-      val minD = least(dists: _*)
+      val ks = pqKs(cb, m)
+      val dists = ks.map(k =>
+        l2Fold(slice(vec, 1 + m * PqSub, PqSub), array(cb((m, k)).map(lit): _*)))
+      val minD = if (dists.size == 1) dists.head else least(dists: _*)
       df.withColumn(s"code$m",
-          coalesce(dists.zipWithIndex.map { case (d, k) =>
+          coalesce(dists.zip(ks).map { case (d, k) =>
             when(d === minD, lit(k.toLong))
           }: _*))
         .withColumn(s"dist$m", minD)
     }
+
+  /** The corpus exploded into per-subspace DOUBLE subvectors
+    * (vec_id, m, sub) — the training view of the PQ fit. Narrow map. */
+  private def pqSubs(v: DataFrame): DataFrame =
+    v.select(col("vec_id"), posexplode(array((0 until PqM).map(m =>
+        transform(slice(col("embedding"), 1 + m * PqSub, PqSub),
+          _.cast("double"))): _*)))
+      .select(col("vec_id"), col("pos").cast("int").as("m"), col("col").as("sub"))
+
+  /** Subspace k-means — Lloyd fit of a DATA-DEPENDENT PQ codebook
+    * (Jégou-Douze-Schmid 2011 §III.B train their codebooks exactly so;
+    * the fixed pseudo-random book above is the oracle-friendly stand-in
+    * whose cost ANN_TRADEOFF measures: recall@k 0.000 at ×10,
+    * distortion 18.8). Same doctrine as [[kmeansFit]]: deterministic
+    * init (subspace m's centroid k = vec_id k's m-th subvector),
+    * argmin assign via min(struct(dist2, k)) — ties to the smaller
+    * code, the coalesce chain's order — and the exact-decimal
+    * sum→double→divide mean that makes every fitted coordinate
+    * bit-identical in DuckDB; each generation (≤ M·K rows) persists so
+    * iteration i never replays 1..i−1. Empty clusters drop out (codes
+    * are cluster IDS, not positions, so consumers argmin over the
+    * surviving ids). Scale: the corpus only flows through narrow maps
+    * and (vec_id,m)/(m,k,pos)-keyed partial aggregates; the codebook is
+    * vocabulary-sized (≤ 32 rows) at any corpus size. */
+  private[graft] def pqFit(v: DataFrame, iters: Int): DataFrame = {
+    val subs = pqSubs(v)
+    val init = subs.filter(col("vec_id") < PqK)
+      .select(col("m"), col("vec_id").cast("int").as("k"), col("sub").as("ce"))
+    (1 to iters).foldLeft(init) { (cb, _) =>
+      val assigned = subs.join(broadcast(cb), "m")
+        .withColumn("dist2", l2Fold(col("sub"), col("ce")))
+        .groupBy("vec_id", "m")
+        .agg(min(struct(col("dist2"), col("k"))).as("mk"),
+          // per (vec_id, m) the subvector is constant; min() carries it
+          // merge-order-free, the kmeansFit idiom
+          min(col("sub")).as("s"))
+        .select(col("m"), col("mk.k").as("k"), col("s"))
+      val next = assigned
+        .select(col("m"), col("k"), posexplode(col("s")))
+        .groupBy(col("m"), col("k"), col("pos"))
+        // the kmeansFit tie-free floor-grid mean (see its comment: the
+        // half-tie this replaced was FOUND on this very fit)
+        .agg(((sum(floor(col("col") * lit(1048576.0))).cast(DoubleType) /
+          lit(1048576.0)) / count(lit(1))).as("mean"))
+        .groupBy(col("m"), col("k"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("mean")))).as("pm"))
+        .select(col("m"), col("k"), transform(col("pm"), _.getField("mean")).as("ce"))
+      next.persist()
+      next.count()
+      cb.unpersist()
+      next
+    }
+  }
+
+  /** The fitted codebook gathered to the driver — vocabulary-sized
+    * (≤ M·K = 32 rows) by construction at ANY corpus size, the BPE
+    * vocab-gather doctrine: the collect is bounded by the codebook
+    * geometry, never by the corpus. */
+  private def pqFitCodebook(v: DataFrame): Map[(Int, Int), Seq[Double]] =
+    pqFit(v, iters = 2).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2)).toMap
+
+  /** The fitted codebook as a registry query: (m, k, dim, value) rows —
+    * the trainable half of the PQ family, hash-oracled by unrolling both
+    * Lloyd rounds into SQL CTEs exactly like `ann_ivf_kmeans`. */
+  def pqTrain(spark: SparkSession, sfDir: String): DataFrame =
+    pqFit(Tables.embeddings(spark, sfDir).select("vec_id", "embedding"), iters = 2)
+      .select(col("m").cast("long").as("m"), col("k").cast("long").as("k"),
+        posexplode(col("ce")))
+      .select(col("m"), col("k"), col("pos").cast("long").as("dim"),
+        col("col").as("value"))
+      .orderBy("m", "k", "dim")
+
+  /** ADC search through the FITTED codebook — [[annPqAdc]] with
+    * [[pqFit]]'s centroids in place of the pseudo-random constants: the
+    * production form (FAISS trains PQ codebooks always; the fixed book
+    * exists here to keep a literal-constant oracle in the family). The
+    * collected codebook re-enters the plan as literals, so the probe is
+    * the SAME narrow codes-only scan + broadcast ADC table + top-20 cut
+    * + exact rerank — zero extra shuffles over the fixed tier; the fit
+    * adds the subspace-Lloyd passes up front (paid per index build, not
+    * per query batch). ANN_TRADEOFF measures what the training buys:
+    * the fixed book's recall@5 is 0.000 at ×10 — the fitted book is the
+    * accuracy rung that makes the PQ family usable. Fully hash-oracled:
+    * the oracle refits the codebook in CTEs and replays codes, ADC
+    * table and rerank; codes are cluster IDs so a dropped empty cluster
+    * changes nothing on either side. */
+  def annPqAdcFitted(spark: SparkSession, sfDir: String): DataFrame = {
+    val v = withNorm(Tables.embeddings(spark, sfDir))
+      .select("vec_id", "embedding", "nrm")
+    val cb = pqFitCodebook(v.select("vec_id", "embedding"))
+    val corpus = pqCoded(v, col("embedding"), cb)
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        col("code0"), col("code1"), col("code2"), col("code3"))
+    val q = pqAdcTable(v.filter(col("vec_id") < 10), col("embedding"), cb)
+      .withColumnRenamed("vec_id", "query_id")
+      .withColumnRenamed("embedding", "qe")
+      .withColumnRenamed("nrm", "qn")
+    val scored = broadcast(q).join(corpus, col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("qe"), col("qn"), col("embedding"), col("nrm"),
+        pqAdcPick(cb).as("adc"))
+    val wq = Window.partitionBy("query_id")
+      .orderBy(col("adc").asc, col("neighbor_id").asc)
+    val candidates = scored
+      .withColumn("crnk", row_number().over(wq))
+      .filter(col("crnk") <= 20)
+    val wr = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    candidates
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("qe"), col("embedding")) / sqrt(col("qn") * col("nrm"))).as("cos"))
+      .withColumn("rnk", row_number().over(wr).cast("long"))
+      .filter(col("rnk") <= 5)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"), col("cos"))
+      .orderBy("query_id", "rnk")
+  }
 
   def pqEncode(spark: SparkSession, sfDir: String): DataFrame = {
     val base = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
@@ -733,16 +997,18 @@ object SimOps {
     * the codebook. */
   /** Adds the query-side ADC distance table: all M×K subspace distances
     * as columns `t{m}_{k}`. Narrow map over the (tiny) query set. */
-  private def pqAdcTable(df: DataFrame): DataFrame =
-    (for (m <- 0 until PqM; k <- 0 until PqK)
-        yield s"t${m}_$k" -> pqSubDist(m, k))
+  private def pqAdcTable(df: DataFrame, vec: Column = col("embedding"),
+      cb: Map[(Int, Int), Seq[Double]] = pqCbFixed): DataFrame =
+    (for (m <- 0 until PqM; k <- pqKs(cb, m))
+        yield s"t${m}_$k" ->
+          l2Fold(slice(vec, 1 + m * PqSub, PqSub), array(cb((m, k)).map(lit): _*)))
       .foldLeft(df) { case (d, (n, c)) => d.withColumn(n, c) }
 
   /** The ADC lookup-sum: M picks of the query's `t{m}_{k}` columns
     * selected by the corpus row's `code{m}` columns, left-associated. */
-  private def pqAdcPick: Column =
+  private def pqAdcPick(cb: Map[(Int, Int), Seq[Double]] = pqCbFixed): Column =
     (0 until PqM).map { m =>
-      coalesce((0 until PqK).map { k =>
+      coalesce(pqKs(cb, m).map { k =>
         when(col(s"code$m") === k, col(s"t${m}_$k"))
       }: _*)
     }.reduce(_ + _)
@@ -762,7 +1028,7 @@ object SimOps {
       .withColumnRenamed("nrm", "qn")
     val scored = broadcast(q).join(corpus, col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        col("qe"), col("qn"), col("embedding"), col("nrm"), pqAdcPick.as("adc"))
+        col("qe"), col("qn"), col("embedding"), col("nrm"), pqAdcPick().as("adc"))
     val wq = Window.partitionBy("query_id")
       .orderBy(col("adc").asc, col("neighbor_id").asc)
     val candidates = scored
@@ -812,7 +1078,66 @@ object SimOps {
     val scored = broadcast(q).join(corpus, Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cell"),
-        col("qe"), col("qn"), col("embedding"), col("nrm"), pqAdcPick.as("adc"))
+        col("qe"), col("qn"), col("embedding"), col("nrm"), pqAdcPick().as("adc"))
+    val wq = Window.partitionBy("query_id")
+      .orderBy(col("adc").asc, col("neighbor_id").asc)
+    val candidates = scored
+      .withColumn("crnk", row_number().over(wq))
+      .filter(col("crnk") <= 10)
+    val wr = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    candidates
+      .select(col("query_id"), col("neighbor_id"), col("cell"),
+        (dot(col("qe"), col("embedding")) / sqrt(col("qn") * col("nrm"))).as("cos"))
+      .withColumn("rnk", row_number().over(wr).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"), col("cell"), col("cos"))
+      .orderBy("query_id", "rnk")
+  }
+
+  /** Residual IVF-PQ — [[annIvfPq]] with codes quantizing the RESIDUAL
+    * `embedding − cell centroid` instead of the raw vector: the FAISS
+    * `by_residual=true` DEFAULT, and the accuracy move production
+    * indexes actually ship (after coarse assignment the residuals of a
+    * cell live in a ball around the origin, so the shared codebook's
+    * resolution is spent on the ~1/|cells|-sized spread that remains,
+    * not on re-describing the centroid the cell id already encodes —
+    * Jégou-Douze-Schmid 2011 §V.A). The probe stays single-cell, which
+    * is what keeps residual ADC well-defined here: query and candidates
+    * share ONE cell, so the query's ADC table (computed from ITS
+    * residual wrt that cell) and the candidates' stored residual codes
+    * approximate ‖q − x‖² = ‖r_q − r_x‖² against the same origin. A
+    * multi-cell probe recomputes the query table per probed cell — M×K
+    * extra doubles per (query, cell), still broadcast-sized.
+    *
+    * Residuals subtract as DOUBLES (each float widens exactly; the
+    * float-typed difference would round where the oracle's
+    * double-list difference does not), then feed the SAME shared
+    * subspace-distance definition as the raw-vector tiers
+    * ([[pqSubDistOn]]); the oracle splices the IVF assignment CTEs, a
+    * one-line residual CTE and the PQ code CTEs verbatim, so the
+    * composition cannot drift from its parts. Same depths and at-rest
+    * story as [[annIvfPq]]: cell-partitioned 12-bit codes, floats only
+    * for the ≤10 rerank rows. */
+  def annIvfPqResidual(spark: SparkSession, sfDir: String): DataFrame = {
+    val v = withNorm(Tables.embeddings(spark, sfDir))
+    val cents = ivfCentroids(spark, v)
+    val withRes = ivfAssign(v, cents)
+      .join(broadcast(cents.select(col("cent_id").as("cell"), col("ce"))), "cell")
+      .withColumn("res", zip_with(col("embedding"), col("ce"),
+        (x, y) => x.cast("double") - y.cast("double")))
+    val corpus = pqCoded(withRes, col("res"))
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"),
+        col("code0"), col("code1"), col("code2"), col("code3"))
+    val q = pqAdcTable(withRes.filter(col("vec_id") < 10), col("res"))
+      .withColumnRenamed("vec_id", "query_id")
+      .withColumnRenamed("embedding", "qe")
+      .withColumnRenamed("nrm", "qn")
+      .drop("ce", "res")
+    val scored = broadcast(q).join(corpus, Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cell"),
+        col("qe"), col("qn"), col("embedding"), col("nrm"), pqAdcPick().as("adc"))
     val wq = Window.partitionBy("query_id")
       .orderBy(col("adc").asc, col("neighbor_id").asc)
     val candidates = scored
@@ -1003,12 +1328,17 @@ object SimOps {
     "embed_dedup_clusters" -> (embedDedupClusters _),
     "dedup_semantic"       -> (dedupSemantic _),
     "ann_ivf_probe"        -> (annIvfProbe _),
+    "ann_ivf_nprobe"       -> (annIvfNprobe _),
     "ann_ivf_persist"      -> (annIvfPersist _),
     "ann_sq8_persist"      -> (annSq8Persist _),
     "ann_ivf_kmeans"       -> (annIvfKmeans _),
     "pq_encode"            -> (pqEncode _),
     "ann_pq_adc"           -> (annPqAdc _),
-    "ann_ivfpq"            -> (annIvfPq _))
+    "pq_train"             -> (pqTrain _),
+    "ann_pq_adc_fitted"    -> (annPqAdcFitted _),
+    "ann_ivfpq"            -> (annIvfPq _),
+    "ann_ivfpq_residual"   -> (annIvfPqResidual _),
+    "mmr_rerank"           -> (mmrRerank _))
 
   private def sqlPlaneList(j: Int): String =
     planes(DefaultPlanes)(j)
@@ -1046,7 +1376,8 @@ object SimOps {
        |$out AS (
        |  SELECT cell AS cent_id, list(mean ORDER BY pos) AS ce FROM (
        |    SELECT cell, pos,
-       |      CAST(sum(CAST(val AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS mean
+       |      CAST(sum(CAST(floor(val * CAST(1048576 AS DOUBLE)) AS BIGINT)) AS DOUBLE)
+       |        / CAST(1048576 AS DOUBLE) / count(*) AS mean
        |    FROM pd_$out GROUP BY cell, pos) m GROUP BY cell)""".stripMargin
 
   private def sqlPqCentList(m: Int, k: Int): String =
@@ -1061,9 +1392,10 @@ object SimOps {
 
   /** Shared CTE chain `s` (per-vector M×K subspace distances — corpus
     * encoding input AND query-side ADC table, one definition) → `m`
-    * (per-subspace minima) → `cd` (codes + distortion). Prefix with a
-    * `v` CTE. */
-  private val sqlPqCdCtes: String = {
+    * (per-subspace minima) → `cd` (codes + distortion), built over any
+    * source CTE exposing (vec_id, d): `v` for the raw-vector tiers,
+    * `resid` for the residual tier. */
+  private def sqlPqCdCtesFrom(src: String): String = {
     val distCols = (for (m <- 0 until PqM; k <- 0 until PqK)
       yield s"${sqlPqDist(m, k)} AS d${m}_$k").mkString(",\n    ")
     val minCols = (0 until PqM).map(m =>
@@ -1076,7 +1408,7 @@ object SimOps {
     }.mkString(",\n    ")
     s"""s AS (SELECT vec_id,
        |    $distCols
-       |  FROM v),
+       |  FROM $src),
        |m AS (SELECT *,
        |    $minCols
        |  FROM s),
@@ -1085,6 +1417,103 @@ object SimOps {
        |    mn0 + mn1 + mn2 + mn3 AS distortion
        |  FROM m)""".stripMargin
   }
+  private val sqlPqCdCtes: String = sqlPqCdCtesFrom("v")
+
+  /** One subspace-Lloyd round of the PQ fit: assign every (vec_id, m)
+    * subvector to its argmin centroid of `$prev` (ties to the smaller
+    * code — the min(struct) order), then per-(m, k, dim) exact-decimal
+    * mean. The [[sqlLloydIter]] doctrine applied per subspace. */
+  private def sqlPqLloydIter(prev: String, out: String): String =
+    s"""asg_$out AS (
+       |  SELECT vec_id, m, sub, k FROM (
+       |    SELECT s.vec_id, s.m, s.sub, c.k,
+       |      row_number() OVER (PARTITION BY s.vec_id, s.m
+       |        ORDER BY list_sum(list_transform(list_zip(s.sub, c.ce),
+       |                   z -> (z[1] - z[2]) * (z[1] - z[2]))) ASC,
+       |                 c.k ASC) AS rk
+       |    FROM subs s JOIN $prev c ON c.m = s.m) t WHERE rk = 1),
+       |pd_$out AS (SELECT m, k, t.pos, sub[t.pos] AS val
+       |  FROM asg_$out, unnest(range(1, len(sub) + 1)) AS t(pos)),
+       |$out AS (
+       |  SELECT m, k, list(mean ORDER BY pos) AS ce FROM (
+       |    SELECT m, k, pos,
+       |      CAST(sum(CAST(floor(val * CAST(1048576 AS DOUBLE)) AS BIGINT)) AS DOUBLE)
+       |        / CAST(1048576 AS DOUBLE) / count(*) AS mean
+       |    FROM pd_$out GROUP BY m, k, pos) x GROUP BY m, k)""".stripMargin
+
+  /** Shared fit prefix: the per-subspace training view + deterministic
+    * init (centroid k of subspace m = vec_id k's m-th subvector) + both
+    * Lloyd rounds → `cb2`. Prefix with a `v` CTE. */
+  private lazy val sqlPqFitCtes: String =
+    s"""subs AS (
+       |  SELECT vec_id, mm.m,
+       |    list_slice(d, 1 + mm.m * $PqSub, (mm.m + 1) * $PqSub) AS sub
+       |  FROM v CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS m) mm),
+       |cb0 AS (SELECT m, CAST(vec_id AS INT) AS k, sub AS ce
+       |        FROM subs WHERE vec_id < $PqK),
+       |${sqlPqLloydIter("cb0", "cb1")},
+       |${sqlPqLloydIter("cb1", "cb2")}""".stripMargin
+
+  private lazy val sqlPqTrain: String =
+    s"""WITH v AS ($sqlVec),
+       |$sqlPqFitCtes
+       |SELECT CAST(m AS BIGINT) AS m, CAST(k AS BIGINT) AS k,
+       |  CAST(t.pos - 1 AS BIGINT) AS dim, ce[t.pos] AS value
+       |FROM cb2, unnest(range(1, len(ce) + 1)) AS t(pos)
+       |ORDER BY m, k, dim""".stripMargin
+
+  /** Fitted-ADC replay: refit the codebook (the shared CTEs), code the
+    * corpus and build the query tables from ONE `dist` relation, then
+    * the fixed tier's probe tail (top-20 adc cut, exact rerank to 5).
+    * The per-pair adc sums in the SAME left-to-right m-order as the
+    * engine's `t0 + t1 + t2 + t3` pick (each conditional SUM collapses
+    * to the single matching dist2). */
+  private lazy val sqlPqAdcFitted: String =
+    s"""WITH v AS ($sqlVec),
+       |n AS (SELECT vec_id, d, ${sqlDot("d", "d")} AS nrm FROM v),
+       |$sqlPqFitCtes,
+       |dist AS (
+       |  SELECT s.vec_id, s.m, c.k,
+       |    list_sum(list_transform(list_zip(s.sub, c.ce),
+       |      z -> (z[1] - z[2]) * (z[1] - z[2]))) AS dist2
+       |  FROM subs s JOIN cb2 c ON c.m = s.m),
+       |codes AS (
+       |  SELECT vec_id, m, k AS code FROM (
+       |    SELECT vec_id, m, k,
+       |      row_number() OVER (PARTITION BY vec_id, m
+       |        ORDER BY dist2 ASC, k ASC) AS rk
+       |    FROM dist) t WHERE rk = 1),
+       |qt AS (SELECT vec_id AS query_id, m, k, dist2 FROM dist WHERE vec_id < 10),
+       |pair AS (
+       |  SELECT q.query_id, c.vec_id AS neighbor_id, c.m, q.dist2
+       |  FROM codes c
+       |  JOIN qt q ON q.m = c.m AND q.k = c.code AND c.vec_id <> q.query_id),
+       |adc AS (
+       |  SELECT query_id, neighbor_id,
+       |    SUM(CASE WHEN m = 0 THEN dist2 END)
+       |      + SUM(CASE WHEN m = 1 THEN dist2 END)
+       |      + SUM(CASE WHEN m = 2 THEN dist2 END)
+       |      + SUM(CASE WHEN m = 3 THEN dist2 END) AS adc
+       |  FROM pair GROUP BY query_id, neighbor_id),
+       |cand AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY adc ASC, neighbor_id ASC) AS crnk
+       |    FROM adc) t WHERE crnk <= 20),
+       |cs AS (
+       |  SELECT c.query_id, c.neighbor_id,
+       |    ${sqlDot("nq.d", "nx.d")} / sqrt(nq.nrm * nx.nrm) AS cos
+       |  FROM cand c
+       |  JOIN n nq ON nq.vec_id = c.query_id
+       |  JOIN n nx ON nx.vec_id = c.neighbor_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cos,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cos DESC, neighbor_id ASC) AS BIGINT) AS rnk
+       |  FROM cs)
+       |SELECT query_id, rnk, neighbor_id, cos
+       |FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
 
   private val sqlPqEncode: String =
     s"""WITH v AS ($sqlVec),
@@ -1165,18 +1594,15 @@ object SimOps {
          |  FROM scored) t
          |WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin
 
-  /** IVF-PQ replay: cell from the shared assignment CTEs, ADC inside
-    * the cell from the shared code CTEs — both halves reuse the exact
-    * CTE text their standalone oracles use, so the composition cannot
-    * drift from its parts. */
-  private lazy val sqlIvfPq: String = {
+  /** The IVF-PQ probe tail (in-cell ADC scoring → top-10 cut → exact
+    * rerank to top-3) — shared VERBATIM by the raw-vector and residual
+    * oracles; only the code-CTE source differs between them. */
+  private lazy val sqlIvfPqTail: String = {
     val adcSum = (0 until PqM).map { m =>
       "(CASE " + (0 until PqK).map(k =>
         s"WHEN x.code$m = $k THEN qs.d${m}_$k").mkString(" ") + " END)"
     }.mkString(" + ")
-    s"""WITH $sqlIvfCtes,
-         |$sqlPqCdCtes,
-         |scored AS (
+    s"""scored AS (
          |  SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id, q.cell,
          |    $adcSum AS adc
          |  FROM assigned q
@@ -1204,6 +1630,113 @@ object SimOps {
          |SELECT query_id, rnk, neighbor_id, cell, cos
          |FROM ranked WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin
   }
+
+  /** MMR replay: pool → pairwise sims → the three greedy steps unrolled
+    * CTE-for-CTE against the engine's windows (each step's mmr
+    * expression repeated in its ORDER BY — window aliases can't be
+    * referenced in-SELECT). */
+  private lazy val sqlMmr: String = {
+    def mmrExpr(ms: String) =
+      s"CAST(0.7 AS DOUBLE) * rel - CAST(0.3 AS DOUBLE) * $ms"
+    s"""WITH v AS ($sqlVec),
+       |n AS (SELECT vec_id, d, ${sqlDot("d", "d")} AS nrm FROM v),
+       |q AS (SELECT vec_id AS query_id, d AS qd, nrm AS qn FROM n WHERE vec_id < 10),
+       |p0 AS (SELECT q.query_id, x.vec_id AS cand_id, x.d, x.nrm,
+       |    ${sqlDot("q.qd", "x.d")} / sqrt(q.qn * x.nrm) AS rel
+       |  FROM q JOIN n x ON x.vec_id <> q.query_id),
+       |pool AS (SELECT query_id, cand_id, d, nrm, rel FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY rel DESC, cand_id ASC) AS prnk
+       |    FROM p0) t WHERE prnk <= 10),
+       |sims AS (SELECT a.query_id, a.cand_id AS ca, b.cand_id AS cb,
+       |    ${sqlDot("a.d", "b.d")} / sqrt(a.nrm * b.nrm) AS sim
+       |  FROM pool a JOIN pool b
+       |    ON a.query_id = b.query_id AND a.cand_id <> b.cand_id),
+       |rels AS (SELECT query_id, cand_id, rel FROM pool),
+       |s1 AS (SELECT query_id, cand_id AS p1, mmr AS m1 FROM (
+       |    SELECT query_id, cand_id, ${mmrExpr("CAST(0 AS DOUBLE)")} AS mmr,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY ${mmrExpr("CAST(0 AS DOUBLE)")} DESC, cand_id ASC) AS r
+       |    FROM rels) t WHERE r = 1),
+       |r2 AS (SELECT x.query_id, x.cand_id, x.rel, s.sim AS ms, s1.p1
+       |  FROM rels x
+       |  JOIN s1 ON s1.query_id = x.query_id AND x.cand_id <> s1.p1
+       |  JOIN sims s ON s.query_id = x.query_id AND s.ca = s1.p1
+       |    AND s.cb = x.cand_id),
+       |s2 AS (SELECT query_id, p1, cand_id AS p2, mmr AS m2 FROM (
+       |    SELECT query_id, p1, cand_id, ${mmrExpr("ms")} AS mmr,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY ${mmrExpr("ms")} DESC, cand_id ASC) AS r
+       |    FROM r2) t WHERE r = 1),
+       |r3 AS (SELECT x.query_id, x.cand_id, x.rel,
+       |    GREATEST(sa.sim, sb.sim) AS ms
+       |  FROM rels x
+       |  JOIN s2 ON s2.query_id = x.query_id
+       |    AND x.cand_id <> s2.p1 AND x.cand_id <> s2.p2
+       |  JOIN sims sa ON sa.query_id = x.query_id AND sa.ca = s2.p1
+       |    AND sa.cb = x.cand_id
+       |  JOIN sims sb ON sb.query_id = x.query_id AND sb.ca = s2.p2
+       |    AND sb.cb = x.cand_id),
+       |s3 AS (SELECT query_id, cand_id AS p3, mmr AS m3 FROM (
+       |    SELECT query_id, cand_id, ${mmrExpr("ms")} AS mmr,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY ${mmrExpr("ms")} DESC, cand_id ASC) AS r
+       |    FROM r3) t WHERE r = 1)
+       |SELECT query_id, CAST(1 AS BIGINT) AS rnk, p1 AS cand_id, m1 AS mmr FROM s1
+       |UNION ALL SELECT query_id, CAST(2 AS BIGINT), p2, m2 FROM s2
+       |UNION ALL SELECT query_id, CAST(3 AS BIGINT), p3, m3 FROM s3
+       |ORDER BY query_id, rnk""".stripMargin
+  }
+
+  /** Multi-cell probe replay: the query-side top-nprobe cell cut is the
+    * assign's own windowed argmax at crnk ≤ 2 (the registry default of
+    * `spark.graft.ann.nprobe`, pinned here the way `vec_id % 32` pins
+    * the centroid modulus); candidates are the union of the probed
+    * cells' members from the UNCHANGED corpus assignment. */
+  private lazy val sqlIvfNprobe =
+    s"""WITH $sqlIvfCtes,
+         |qc AS (
+         |  SELECT query_id, qd, qn, cell FROM (
+         |    SELECT n.vec_id AS query_id, n.d AS qd, n.nrm AS qn,
+         |      c.cent_id AS cell,
+         |      row_number() OVER (PARTITION BY n.vec_id
+         |        ORDER BY ${sqlDot("n.d", "c.ce")} / sqrt(n.nrm * c.cn) DESC,
+         |                 c.cent_id ASC) AS crnk
+         |    FROM n CROSS JOIN cents c
+         |    WHERE n.vec_id < 10) t
+         |  WHERE crnk <= 2),
+         |scored AS (
+         |  SELECT q.query_id, a.vec_id AS neighbor_id, a.cell,
+         |    ${sqlDot("q.qd", "a.d")} / sqrt(q.qn * a.nrm) AS cos
+         |  FROM qc q JOIN assigned a ON q.cell = a.cell AND a.vec_id <> q.query_id)
+         |SELECT query_id, CAST(rnk AS BIGINT) AS rnk, neighbor_id, cell, cos FROM (
+         |  SELECT query_id, neighbor_id, cell, cos,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos DESC, neighbor_id ASC) AS rnk
+         |  FROM scored) t
+         |WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin
+
+  /** IVF-PQ replay: cell from the shared assignment CTEs, ADC inside
+    * the cell from the shared code CTEs — both halves reuse the exact
+    * CTE text their standalone oracles use, so the composition cannot
+    * drift from its parts. */
+  private lazy val sqlIvfPq: String =
+    s"""WITH $sqlIvfCtes,
+       |$sqlPqCdCtes,
+       |$sqlIvfPqTail""".stripMargin
+
+  /** Residual IVF-PQ replay: the SAME assignment CTEs and probe tail,
+    * with the code CTEs built over a one-line residual CTE (double-list
+    * subtraction — the engine widens floats to doubles before
+    * subtracting for exactly this equivalence). */
+  private lazy val sqlIvfPqResidual: String =
+    s"""WITH $sqlIvfCtes,
+       |resid AS (
+       |  SELECT a.vec_id,
+       |    list_transform(list_zip(a.d, c.ce), z -> z[1] - z[2]) AS d
+       |  FROM assigned a JOIN cents c ON a.cell = c.cent_id),
+       |${sqlPqCdCtesFrom("resid")},
+       |$sqlIvfPqTail""".stripMargin
 
   /** DuckDB oracle for the SQ8 probe — shared verbatim by `ann_sq8` and
     * `ann_sq8_persist` (the persisted probe is bit-identical by design,
@@ -1239,7 +1772,11 @@ object SimOps {
   val oracle: Map[String, String] = Map(
     "pq_encode" -> sqlPqEncode,
     "ann_pq_adc" -> sqlPqAdc,
+    "pq_train" -> sqlPqTrain,
+    "ann_pq_adc_fitted" -> sqlPqAdcFitted,
     "ann_ivfpq" -> sqlIvfPq,
+    "ann_ivfpq_residual" -> sqlIvfPqResidual,
+    "mmr_rerank" -> sqlMmr,
     "embed_knn_classify" ->
       s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS d,
          |           CAST(label AS BIGINT) AS label FROM embeddings),
@@ -1288,6 +1825,7 @@ object SimOps {
          |  FROM scored) t
          |WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
     "ann_ivf_probe" -> sqlIvfProbe,
+    "ann_ivf_nprobe" -> sqlIvfNprobe,
     "ann_ivf_persist" -> sqlIvfProbe,
     "embed_outlier_knn" ->
       s"""WITH v AS ($sqlVec),

@@ -37,6 +37,59 @@ class IrBehaviorSpec extends SparkSpec {
     assert(got.toSeq === expected.toSeq)
   }
 
+  test("hybrid_rrf_fuse equals a sequential RRF recompute over both ranked lists") {
+    // sparse side: the bm25 replay's top-50, ranked
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1)))
+    val terms = Seq("join", "vector", "dup")
+    val n = docs.length.toLong
+    val avgdl = docs.map(_._2.length.toLong).sum.toDouble / n.toDouble
+    val dfT = terms.map(t => t -> docs.count(_._2.contains(t)).toLong).toMap
+    def idf(t: String): Double =
+      qln(1.0 + ((n - dfT(t)).toDouble + 0.5) / (dfT(t).toDouble + 0.5))
+    def contrib(t: String, tf: Long, dl: Long): Double =
+      if (tf == 0) 0.0
+      else idf(t) * (tf.toDouble * 2.2 /
+        (tf.toDouble + 1.2 * (0.25 + 0.75 * dl.toDouble / avgdl)))
+    val sparseRnk = docs.map { case (id, toks) =>
+        val dl = toks.length.toLong
+        (id, terms.map(t => contrib(t, toks.count(_ == t).toLong, dl))
+          .reduceLeft(_ + _))
+      }.filter(_._2 > 0.0).sortBy { case (id, s) => (-s, id) }.take(50)
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1).toLong }.toMap
+    // dense side: exact cosine vs the vec_id-0 query, ranked top-50
+    def dotLR(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }; s
+    }
+    val vecs = Tables.embeddings(spark, sf).select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val qe = vecs.find(_._1 == 0L).get._2
+    val qn = dotLR(qe, qe)
+    val denseRnk = vecs.filter(_._1 != 0L)
+      .map { case (id, e) => (id, dotLR(qe, e) / math.sqrt(qn * dotLR(e, e))) }
+      .sortBy { case (id, c) => (-c, id) }.take(50)
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1).toLong }.toMap
+    def term(r: Option[Long]): Double =
+      r.map(x => 1.0 / (60.0 + x.toDouble)).getOrElse(0.0)
+    val want = (sparseRnk.keySet ++ denseRnk.keySet).toSeq
+      .map(id => (id, sparseRnk.get(id), denseRnk.get(id),
+        term(sparseRnk.get(id)) + term(denseRnk.get(id))))
+      .sortBy { case (id, _, _, s) => (-s, id) }.take(20)
+    val got = q("hybrid_rrf_fuse").collect().map(r =>
+      (r.getLong(0),
+        Option(r.get(1)).map(_.asInstanceOf[Long]),
+        Option(r.get(2)).map(_.asInstanceOf[Long]),
+        r.getDouble(3))).toSeq
+    assert(got === want)
+    assert(got.size === 20)
+    // fusion non-degenerate: both rankers contribute to the fused top-20
+    // (each list's rank-1 doc carries at least 1/61 and cannot be pushed
+    // out of the top-20 by single-list docs alone)
+    assert(got.exists(_._2.nonEmpty), "no sparse-ranked doc in the fused list")
+    assert(got.exists(_._3.nonEmpty), "no dense-ranked doc in the fused list")
+  }
+
   test("inverted_index: df and postings match a sequential rebuild") {
     val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
       .map(r => (r.getLong(0), r.getString(1).split(" ", -1).distinct))
