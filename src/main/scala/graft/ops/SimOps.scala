@@ -307,10 +307,13 @@ object SimOps {
         (dot(col("qe"), col("embedding")) / sqrt(col("qn") * col("nrm"))).as("rel"))
       .withColumn("prnk", row_number().over(wRel))
       .filter(col("prnk") <= 10)
+    // everything from here down is bounded by pool geometry (≤ 10·|q|
+    // rows, ≤ pool² sims) — broadcast the small sides so the greedy
+    // stages plan as broadcast joins, not sort-merges of tiny tables
     val sims = pool.select(col("query_id"), col("cand_id").as("ca"),
         col("embedding").as("ea"), col("nrm").as("na"))
-      .join(pool.select(col("query_id"), col("cand_id").as("cb"),
-        col("embedding").as("eb"), col("nrm").as("nb")), Seq("query_id"))
+      .join(broadcast(pool.select(col("query_id"), col("cand_id").as("cb"),
+        col("embedding").as("eb"), col("nrm").as("nb"))), Seq("query_id"))
       .filter(col("ca") =!= col("cb"))
       .select(col("query_id"), col("ca"), col("cb"),
         (dot(col("ea"), col("eb")) / sqrt(col("na") * col("nb"))).as("sim"))
@@ -328,17 +331,17 @@ object SimOps {
       col("cb").as("cand_id"), col("sim").as("sim2"))
     val s1 = pick(rels.withColumn("ms", lit(0.0)))
       .select(col("query_id"), col("cand_id").as("p1"), col("mmr").as("m1"))
-    val r2 = rels.join(s1.select("query_id", "p1"), Seq("query_id"))
+    val r2 = rels.join(broadcast(s1.select("query_id", "p1")), Seq("query_id"))
       .filter(col("cand_id") =!= col("p1"))
-      .join(sim1, Seq("query_id", "p1", "cand_id"))
+      .join(broadcast(sim1), Seq("query_id", "p1", "cand_id"))
       .withColumn("ms", col("sim1"))
     val s2 = pick(r2)
       .select(col("query_id"), col("p1"), col("cand_id").as("p2"),
         col("mmr").as("m2"))
-    val r3 = rels.join(s2.select("query_id", "p1", "p2"), Seq("query_id"))
+    val r3 = rels.join(broadcast(s2.select("query_id", "p1", "p2")), Seq("query_id"))
       .filter(col("cand_id") =!= col("p1") && col("cand_id") =!= col("p2"))
-      .join(sim1, Seq("query_id", "p1", "cand_id"))
-      .join(sim2, Seq("query_id", "p2", "cand_id"))
+      .join(broadcast(sim1), Seq("query_id", "p1", "cand_id"))
+      .join(broadcast(sim2), Seq("query_id", "p2", "cand_id"))
       .withColumn("ms", greatest(col("sim1"), col("sim2")))
     val s3 = pick(r3)
       .select(col("query_id"), col("cand_id").as("p3"), col("mmr").as("m3"))
@@ -594,7 +597,10 @@ object SimOps {
         col("nrm").as("qn"), col("cent_id").as("cell"))
     val wTop = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id").asc)
-    qcells.join(assigned, Seq("cell"))
+    // the query side is ≤ |queries|·nprobe rows — broadcast it so the
+    // cell probe is a BroadcastHashJoin over the corpus scan, never a
+    // sort-merge of the index table
+    broadcast(qcells).join(assigned, Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cell"),
         (dot(col("qe"), col("embedding")) / sqrt(col("qn") * col("nrm"))).as("cos"))
