@@ -782,6 +782,43 @@ class PlanAuditSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", adaptiveWas)
   }
 
+  test("hybrid_rrf_fuse: zero hash exchanges — both sides TakeOrdered, fusion on bounded lists") {
+    val plan = planOf("hybrid_rrf_fuse")
+    // the 100 TB claim IS this shape: the only corpus-sized work is two
+    // narrow scans feeding TakeOrderedAndProject cuts; nothing ever
+    // hash-repartitions
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"a hash exchange appeared in the fusion plan:\n$plan")
+    val takes = "TakeOrderedAndProject".r.findAllIn(plan).length
+    assert(takes >= 2, s"expected both top-50 cuts as TakeOrdered, got $takes in:\n$plan")
+  }
+
+  test("ann_ivf_nprobe: the cell probe is a broadcast join over the index, never a sort-merge") {
+    val plan = planOf("ann_ivf_nprobe")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"query-cells probe not broadcast in:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the bounded query side sort-merged the index table:\n$plan")
+  }
+
+  test("mmr_rerank: greedy stages are broadcast joins; no sort-merge of pool-bounded tables") {
+    val plan = planOf("mmr_rerank")
+    assert(!plan.contains("SortMergeJoin"),
+      s"a pool-bounded greedy table sort-merged in:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
+  }
+
+  test("ann_pq_adc_fitted: the probe scan stays narrow — codebook enters as literals") {
+    val plan = planOf("ann_pq_adc_fitted")
+    // the serving side must look like the fixed tier: no join between
+    // the corpus scan and any codebook TABLE (the collected book is
+    // folded into expressions), so the only joins are the broadcast
+    // query table and the rerank's self-joins on the 20-row candidates
+    assert(!plan.contains("SortMergeJoin"),
+      s"a codebook/rerank table sort-merged in:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
+  }
+
   test("pack_sequences: the packing running-sum window is PARTITIONED, never a global funnel") {
     val plan = planOf("pack_sequences")
     val windows = "(?m)^\\s*[+:\\-\\s]*\\*?\\(?\\d*\\)?\\s*Window .*$".r
