@@ -842,7 +842,7 @@ object SimOps {
     * argmin's squared L2 — the distortion terms) to a frame carrying
     * `embedding`. Pure narrow map; shared by [[pqEncode]] and
     * [[annPqAdc]]'s corpus side. */
-  private def pqCoded(base: DataFrame, vec: Column = col("embedding"),
+  private[graft] def pqCoded(base: DataFrame, vec: Column = col("embedding"),
       cb: Map[(Int, Int), Seq[Double]] = pqCbFixed): DataFrame =
     (0 until PqM).foldLeft(base) { (df, m) =>
       val ks = pqKs(cb, m)
@@ -913,7 +913,7 @@ object SimOps {
     * (≤ M·K = 32 rows) by construction at ANY corpus size, the BPE
     * vocab-gather doctrine: the collect is bounded by the codebook
     * geometry, never by the corpus. */
-  private def pqFitCodebook(v: DataFrame): Map[(Int, Int), Seq[Double]] =
+  private[graft] def pqFitCodebook(v: DataFrame): Map[(Int, Int), Seq[Double]] =
     pqFit(v, iters = 2).collect()
       .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2)).toMap
 

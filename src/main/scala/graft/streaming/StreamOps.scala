@@ -967,6 +967,79 @@ object StreamOps {
     maybeCompactBandStore(spark, storeDir)
   }
 
+  /** Streaming PQ-CODEBOOK drift monitoring — the maintenance signal the
+    * fitted tier ([[graft.ops.SimOps.annPqAdcFitted]]) needs in
+    * production: a serving PQ index runs a FROZEN codebook, and as the
+    * embedding distribution drifts the book's quantization error rises —
+    * the standard refit trigger watches per-slice mean distortion
+    * against the reference slice. Each micro-batch of vectors is encoded
+    * under the frozen book (the SAME [[graft.ops.SimOps.pqCoded]] argmin
+    * as the batch tier; distortion = the argmin's residual L2 summed
+    * over subspaces), the per-batch contribution floor-quantizes to the
+    * 2⁻²⁰ grid as ADDITIVE LONGS (the [[bpeTokenMaintainInto]] counter
+    * doctrine: overwrite-by-batch-id deltas, so at-least-once replay
+    * cannot double a count), and per-half mean distortion (reference =
+    * vec_id ≤ cut, current = vec_id > cut — the [[ksDriftMaintainInto]]
+    * snapshot-cut convention) is recomputed ON READ from the compact
+    * counter store (2 rows per delta, |slices| rows after rollup —
+    * independent of corpus size). The frozen book defaults to the
+    * full-corpus fit as a fixture stand-in for the externally supplied
+    * production book (the [[semanticDedupMaintainInto]] provenance
+    * convention). StreamingSpec pins equality to the one-shot batch
+    * encode and replay idempotence. */
+  def pqDriftMaintainRun(spark: SparkSession, sfDir: String): DataFrame = {
+    val staged = stageVecSliceFiles(spark, sfDir, 4)
+    val storeDir = java.nio.file.Files.createTempDirectory("graft_pqdrift_maint")
+      .resolve("pq_store").toString
+    pqDriftMaintainInto(spark, staged, storeDir, "b*.parquet", "all")
+    readPqDriftStore(spark, storeDir)
+  }
+
+  /** The counter store rolled up to (slice, n_vectors, mean_distortion):
+    * exact long sums first, then the two pinned IEEE divisions. */
+  private[graft] def readPqDriftStore(spark: SparkSession, storeDir: String): DataFrame =
+    spark.read.option("recursiveFileLookup", "true").parquet(storeDir)
+      .groupBy("slice")
+      .agg(sum("qd").as("qd"), sum("n").as("n_vectors"))
+      .select(col("slice"), col("n_vectors"),
+        ((col("qd").cast("double") / lit(1048576.0)) / col("n_vectors"))
+          .as("mean_distortion"))
+      .orderBy("slice")
+
+  /** One stream run of the distortion-counter maintenance; `codebook`
+    * is the frozen quantizer (None = fit on the full staged corpus — a
+    * fixture stand-in, see run doc). */
+  private[graft] def pqDriftMaintainInto(
+      spark: SparkSession, staged: String, storeDir: String,
+      glob: String, runTag: String,
+      codebook: Option[Map[(Int, Int), Seq[Double]]] = None): Unit = {
+    import graft.ops.SimOps
+    val schema = spark.read.parquet(staged).schema
+    val cb = codebook.getOrElse(
+      SimOps.pqFitCodebook(spark.read.parquet(staged)))
+    val cut = spark.read.parquet(staged)
+      .agg(expr("max(vec_id) DIV 2")).collect()(0).getLong(0)
+    @volatile var ranBatches = 0
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", glob)
+      .parquet(staged)
+    val q = stream.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      val delta = SimOps.pqCoded(batch, col("embedding"), cb)
+        .select(
+          when(col("vec_id") <= cut, lit("reference"))
+            .otherwise(lit("current")).as("slice"),
+          floor((col("dist0") + col("dist1") + col("dist2") + col("dist3"))
+            * lit(1048576.0)).as("qd"))
+        .groupBy("slice")
+        .agg(sum("qd").as("qd"), count(lit(1)).as("n"))
+      delta.write.mode("overwrite").parquet(s"$storeDir/delta_${runTag}_$id")
+      ranBatches += 1
+    }.start()
+    try q.processAllAvailable() finally q.stop()
+    require(ranBatches > 0, s"no micro-batch ran over $staged ($glob)")
+  }
+
   /** Streaming DRIFT monitoring — [[graft.ops.ProfileOps.qualityKsDrift]]'s
     * two-sample KS gate maintained incrementally: each micro-batch adds
     * its per-(source, token-count) conditional counts to the store as an

@@ -585,6 +585,48 @@ class StreamingSpec extends SparkSpec {
     assert(first.length === 3 * 16)
   }
 
+  test("foreachBatch PQ-codebook drift monitor equals the one-shot batch encode") {
+    // additive quantized-distortion longs over disjoint slices: the
+    // rolled-up per-half mean must equal encoding the whole corpus in
+    // one pass under the SAME frozen book
+    val streamed = StreamOps.pqDriftMaintainRun(spark, sf).collect()
+    assert(streamed.map(_.getAs[String]("slice")).toSeq === Seq("current", "reference"))
+    val v = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    val cb = ops.SimOps.pqFitCodebook(v)
+    val cut = v.agg(expr("max(vec_id) DIV 2")).collect()(0).getLong(0)
+    val batch = ops.SimOps.pqCoded(v, col("embedding"), cb)
+      .select(
+        when(col("vec_id") <= cut, lit("reference"))
+          .otherwise(lit("current")).as("slice"),
+        floor((col("dist0") + col("dist1") + col("dist2") + col("dist3"))
+          * lit(1048576.0)).as("qd"))
+      .groupBy("slice")
+      .agg(sum("qd").as("qd"), count(lit(1)).as("n"))
+      .select(col("slice"), col("n").as("n_vectors"),
+        ((col("qd").cast("double") / lit(1048576.0)) / col("n"))
+          .as("mean_distortion"))
+      .orderBy("slice").collect()
+    assert(streamed.map(_.toSeq).toSeq === batch.map(_.toSeq).toSeq)
+    // both halves populated — the monitor is non-degenerate on the fixture
+    streamed.foreach(r => assert(r.getAs[Long]("n_vectors") > 0))
+  }
+
+  test("PQ drift store is replay-idempotent: a re-run batch replaces its delta") {
+    val staged = StreamOps.stageVecSliceFiles(spark, sf, 4)
+    val storeDir = java.nio.file.Files.createTempDirectory("graft_pqdrift_r")
+      .resolve("pq_store").toString
+    // frozen book passed EXPLICITLY (the production shape): both runs
+    // must see the same quantizer for the idempotence claim to be about
+    // the STORE, not the fit
+    val cb = ops.SimOps.pqFitCodebook(
+      spark.read.parquet(staged).select("vec_id", "embedding"))
+    StreamOps.pqDriftMaintainInto(spark, staged, storeDir, "b*.parquet", "all", Some(cb))
+    val first = StreamOps.readPqDriftStore(spark, storeDir).collect()
+    StreamOps.pqDriftMaintainInto(spark, staged, storeDir, "b*.parquet", "all", Some(cb))
+    val second = StreamOps.readPqDriftStore(spark, storeDir).collect()
+    assert(second === first)
+  }
+
   test("foreachBatch incremental KS drift monitor equals the one-shot batch statistic") {
     // the drift-gate twin of the token-accounting pattern: per-batch
     // (source, value) conditional counts are additive longs over
