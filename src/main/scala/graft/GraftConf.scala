@@ -153,4 +153,23 @@ object GraftConf {
   def semCosThreshold(spark: SparkSession): Double =
     spark.conf.get("spark.graft.sem.cosThreshold",
       graft.ops.SimOps.ClusterCosThreshold.toString).toDouble
+
+  /** Cosine threshold for SEMANTIC decontamination
+    * (`decontaminate_semantic`): a corpus vector whose max cosine against
+    * any eval-set vector reaches the threshold is flagged contaminated.
+    * The default is interpolated into the registry oracle, so overriding
+    * it is for ad-hoc runs, not the gate. */
+  val DeconSemTauDefault = "0.30"
+  def deconSemTau(spark: SparkSession): Double =
+    spark.conf.get("spark.graft.decon.semTau", DeconSemTauDefault).toDouble
+
+  /** Eval-set selection modulus for `decontaminate_semantic` (every
+    * mod-th vector is eval). In production the eval set is an external
+    * benchmark table of FIXED size however large the corpus grows; the
+    * fixture derives it from the corpus, so the scale audit multiplies
+    * this modulus by the synthesis factor to hold the eval size constant
+    * — the measurement of the operator as deployed (the
+    * `ann.centroidMod` doctrine). The registry oracle pins the default. */
+  def deconSemEvalMod(spark: SparkSession): Long =
+    spark.conf.get("spark.graft.decon.semEvalMod", "97").toLong
 }

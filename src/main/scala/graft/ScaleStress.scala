@@ -285,6 +285,23 @@ object ScaleStress {
         "1-row query broadcast + TakeOrdered-50; fusion on two 50-row " +
         "lists; linear in the two scans", 1.25,
       bigConf = dataSizedPartitions),
+    Heavy("decontaminate_semantic",
+      "broadcast eval array x corpus narrow max-cosine map, zero corpus " +
+        "shuffle; linear at constant eval size (the production shape: a " +
+        "benchmark table does not grow with the corpus — evalMod x " +
+        "factor holds it)", 1.25,
+      bigConf = f => dataSizedPartitions(f) ++
+        Map("spark.graft.decon.semEvalMod" -> (97L * f).toString)),
+    Heavy("ann_recall_eval",
+      "brute side = fixed query set x n dots; probe side = broadcast " +
+        "coarse assign at constant centroid count + one cell scan; hit " +
+        "check on |queries|*k rows; linear (centroidMod x factor)", 1.25,
+      bigConf = f => dataSizedPartitions(f) ++
+        Map("spark.graft.ann.centroidMod" -> (32L * f).toString)),
+    Heavy("embed_lr_probe",
+      "4 corpus scans (3 GD steps + accuracy), each a narrow map ending " +
+        "in a 66-key partial-agg gather; model re-broadcast per step; " +
+        "linear", 1.25, bigConf = dataSizedPartitions),
     Heavy("bpe_token_count",
       "narrow codegen'd map, per-thread distinct-word memo; linear", 1.15),
     Heavy("token_budget_bpe",

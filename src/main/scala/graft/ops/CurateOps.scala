@@ -123,6 +123,44 @@ object CurateOps {
       .orderBy("source")
   }
 
+  /** SEMANTIC benchmark decontamination — the embedding-space tier of
+    * [[decontaminate]] (the standard escalation once exact/n-gram overlap
+    * is clean: paraphrased or re-tokenized eval content survives a
+    * fingerprint anti-join but sits next to the eval set in embedding
+    * space). A corpus vector is flagged contaminated when its MAX cosine
+    * against any eval-set vector reaches
+    * `spark.graft.decon.semTau` (default 0.30 — non-degenerate on the
+    * fixture: 24/494 flagged at sf0.01); the eval set is every 97th
+    * vector, the [[decontaminate]] convention.
+    *
+    * Scale shape — deliberately EXACT, no LSH/blocking: a contamination
+    * check's eval side is small by construction (benchmarks are 10³–10⁵
+    * rows; the corpus is the 100 TB side), so the whole check is
+    * MAP-ONLY over the corpus. The eval set folds into ONE collected
+    * array row cross-joined broadcast, and the per-row max cosine is an
+    * `aggregate` fold over that array — the corpus never shuffles (the
+    * output sort is the gate's determinism harness, not the operator).
+    * `max` over bit-identical pinned-fold cosines is order-free, so the
+    * DuckDB oracle replays it with a plain cross join + GROUP BY max —
+    * the one embedding op where exact IS the production path. */
+  def decontaminateSemantic(spark: SparkSession, sfDir: String): DataFrame = {
+    val tau = graft.GraftConf.deconSemTau(spark)
+    val evalMod = graft.GraftConf.deconSemEvalMod(spark)
+    val v = SimOps.withNorm(Tables.embeddings(spark, sfDir))
+      .select("vec_id", "label", "embedding", "nrm")
+    val ev = v.filter(col("vec_id") % evalMod === 0)
+      .agg(collect_list(struct(col("embedding"), col("nrm"))).as("ev"))
+    v.filter(col("vec_id") % evalMod =!= 0)
+      .crossJoin(broadcast(ev))
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        aggregate(col("ev"), lit(-2.0d), (acc, e) =>
+          greatest(acc,
+            SimOps.dot(col("embedding"), e.getField("embedding")) /
+              sqrt(col("nrm") * e.getField("nrm")))).as("max_eval_cos"))
+      .withColumn("dropped", col("max_eval_cos") >= lit(tau))
+      .orderBy("vec_id")
+  }
+
   /** Deterministic stratified sampling: per-language keep rates (en 25%,
     * everything else 50%) decided by a content-hash byte — the
     * reproducible form of `sampleBy` used when a sampled corpus must be
@@ -548,6 +586,7 @@ object CurateOps {
     "train_val_split"        -> (trainValSplit _),
     "decontaminate"          -> (decontaminate _),
     "decontaminate_prefilter" -> (decontaminatePrefilter _),
+    "decontaminate_semantic" -> (decontaminateSemantic _),
     "negative_sample"        -> (negativeSample _),
     "stratified_sample"      -> (stratifiedSample _))
 
@@ -879,5 +918,20 @@ object CurateOps {
         |FROM documents
         |WHERE CASE WHEN lang = 'en' THEN substr(md5(text), 3, 2) < '40'
         |           ELSE substr(md5(text), 3, 2) < '80' END
-        |GROUP BY lang ORDER BY lang""".stripMargin)
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+    "decontaminate_semantic" ->
+      s"""WITH v AS (${SimOps.sqlVecLabeled}),
+         |n AS (SELECT vec_id, label, d,
+         |  ${SimOps.sqlDot("d", "d")} AS nrm FROM v),
+         |ev AS (SELECT d, nrm FROM n WHERE vec_id % 97 = 0),
+         |c AS (SELECT vec_id, label, d, nrm FROM n WHERE vec_id % 97 <> 0),
+         |sc AS (
+         |  SELECT c.vec_id,
+         |    max(${SimOps.sqlDot("c.d", "e.d")} / sqrt(c.nrm * e.nrm))
+         |      AS max_eval_cos
+         |  FROM c CROSS JOIN ev e GROUP BY c.vec_id)
+         |SELECT c.vec_id, CAST(c.label AS BIGINT) AS label, sc.max_eval_cos,
+         |  sc.max_eval_cos >= ${graft.GraftConf.DeconSemTauDefault} AS dropped
+         |FROM c JOIN sc ON c.vec_id = sc.vec_id
+         |ORDER BY c.vec_id""".stripMargin)
 }

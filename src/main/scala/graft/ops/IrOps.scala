@@ -65,14 +65,36 @@ object IrOps {
     * TakeOrdered, never a global sort. At 100 TB nothing but the 1-row
     * stats ever crosses the network. */
   def bm25Rank(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = docTermBase(Tables.documents(spark, sfDir))
+    scoreWithStats(base, corpusStats(base))
+  }
+
+  /** Per-doc length + term frequencies, in-row from a (doc_id, text)
+    * frame — stage 1 of [[bm25Rank]], factored so the streaming
+    * stats-maintenance twin tokenizes each micro-batch with the SAME
+    * definition the batch ranker scores with. */
+  private[graft] def docTermBase(docs: DataFrame): DataFrame = {
     val tfCols = Terms.map(t =>
       expr(s"size(filter(toks, x -> x = '$t'))").cast("long").as(s"tf_$t"))
-    val base = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(Seq(col("doc_id"), size(col("toks")).cast("long").as("dl")) ++ tfCols: _*)
+  }
+
+  /** The 1-row corpus statistics (N, Σdl, per-term df) — all ADDITIVE
+    * longs, which is what makes the streaming twin's delta store exact:
+    * stats over disjoint micro-batches sum to the batch stats. */
+  private[graft] def corpusStats(base: DataFrame): DataFrame = {
     val statCols = Seq(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl")) ++
       Terms.map(t => sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L)).as(s"df_$t"))
-    val stats = base.agg(statCols.head, statCols.tail: _*)
+    base.agg(statCols.head, statCols.tail: _*)
+  }
+
+  /** Stage 3 of [[bm25Rank]]: broadcast the 1-row stats back over the
+    * per-doc term base and score narrow; top-50 is a TakeOrdered. Takes
+    * the stats as a parameter so a MAINTAINED stats row (the streaming
+    * store's read-back) scores bit-identically to the inline aggregate —
+    * StreamingSpec pins that equality end-to-end. */
+  private[graft] def scoreWithStats(base: DataFrame, stats: DataFrame): DataFrame =
     base.crossJoin(broadcast(stats))
       .withColumn("avgdl", expr(avgdlSql))
       .select(Seq(col("doc_id"), col("dl")) ++
@@ -80,7 +102,6 @@ object IrOps {
       .filter(col("score") > 0.0)
       .orderBy(col("score").desc, col("doc_id").asc)
       .limit(50)
-  }
 
   /** Inverted-index construction: term → document frequency + the first
     * 10 postings (sorted doc ids, '|'-joined so the row is flat and

@@ -40,6 +40,9 @@ object SimOps {
     s"list_sum(list_transform(list_zip($a, $b), s -> s[1] * s[2]))"
   private[ops] val sqlVec =
     "SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS d FROM embeddings"
+  /** [[sqlVec]] carrying the label column (semantic-decontamination oracle). */
+  private[ops] val sqlVecLabeled =
+    "SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS d FROM embeddings"
 
   /** Brute-force top-20 most-similar pairs (exact near-dup baseline).
     * The blocked/LSH variants replace this at scale; it stays as the
@@ -553,7 +556,10 @@ object SimOps {
         col("nrm").as("qn"), col("cell"))
     val wTop = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id").asc)
-    queries_.join(assigned, Seq("cell"))
+    // the query side is ≤ |queries| rows at any corpus size — broadcast
+    // it explicitly so the cell probe is a BroadcastHashJoin over the
+    // index scan even with AQE out of the loop (the annIvfNprobe idiom)
+    broadcast(queries_).join(assigned, Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cell"),
         (dot(col("qe"), col("embedding")) / sqrt(col("qn") * col("nrm"))).as("cos"))
@@ -608,6 +614,112 @@ object SimOps {
       .filter(col("rnk") <= 3)
       .select(col("query_id"), col("rnk"), col("neighbor_id"), col("cell"), col("cos"))
       .orderBy("query_id", "rnk")
+  }
+
+  /** ANN index-quality EVALUATION as a distributed operator — per-query
+    * recall@3 of the single-cell IVF probe against the exact brute-force
+    * ground truth, the acceptance metric every ANN deployment gates its
+    * index build on (the FAISS-benchmark recall@k protocol). Unlike the
+    * driver-side AnnTradeoff harness (a reporting artifact), this is the
+    * IN-ENGINE form a 100 TB pipeline runs after each index rebuild: both
+    * sides are the registry operators' own plans ([[annTopkBrute]] cut to
+    * depth 3 — the probe's depth — and [[annIvfProbe]]), the hit check is
+    * a broadcast-sized semi-join (10 queries × 3 rows a side), and the
+    * per-query hit count divides by the fixed depth. Recall can be 0/3 —
+    * the left join from the ground-truth query list keeps zero-hit
+    * queries in the report (a probe that returns nothing for a query is
+    * the failure the metric exists to catch). Fully deterministic, so the
+    * oracle composes the two tiers' CTE chains verbatim. */
+  def annRecallEval(spark: SparkSession, sfDir: String): DataFrame = {
+    val truth = annTopkBrute(spark, sfDir).filter(col("rnk") <= 3)
+      .select(col("query_id"), col("neighbor_id"))
+    val probe = annIvfProbe(spark, sfDir)
+      .select(col("query_id"), col("neighbor_id"))
+    // both sides are |queries|·k rows at any corpus size — broadcast them
+    // so the hit check never sort-merges (the plan pin)
+    val hits = probe.join(broadcast(truth), Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+    truth.select("query_id").distinct()
+      .join(broadcast(hits), Seq("query_id"), "left")
+      .select(col("query_id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .withColumn("recall", col("n_hits").cast(DoubleType) / lit(3.0d))
+      .orderBy("query_id")
+  }
+
+  /** Distributed LOGISTIC-REGRESSION training of a linear probe over the
+    * embedding corpus — the engine's model-training primitive: the
+    * fastText-shaped linear classifier production curation stacks train
+    * over their own corpus (the GPT-3 quality filter; CCNet's filters),
+    * here probing the representation for the fixture's label structure
+    * (binary target `label < 5`; linear probing à la Alain & Bengio
+    * 2016), with THREE full-batch gradient-descent steps (lr = 4)
+    * unrolled into one lazy Catalyst plan.
+    *
+    * Scale shape — textbook data-parallel GD: each step is ONE corpus
+    * scan ending in a tree-aggregated gradient row (64 dims + bias + n,
+    * all map-side partial LONG sums — the only bytes that cross the
+    * network are 66 longs per partition), and the updated model re-enters
+    * the next step as a broadcast 1-row frame. Step count is fixed, so
+    * training costs 4 scans (3 steps + the accuracy pass) at any corpus
+    * size, with zero corpus shuffle anywhere.
+    *
+    * Cross-engine exactness: z = w·x + b uses the pinned left-to-right
+    * [[dot]] fold; σ(z) — the one transcendental — quantizes to the 2⁻²⁰
+    * grid immediately (`floor(σ(z)·2²⁰)/2²⁰`, the [[IrOps]] idf
+    * doctrine); each row's per-dimension gradient contribution
+    * floor-quantizes to the same grid as a BIGINT, making the per-step
+    * SUM exact and merge-order-free at any parallelism; the weight
+    * update is pinned-order IEEE ops. The DuckDB oracle replays each
+    * step as a gradient CTE + a scalar weight CTE and hash-matches the
+    * trained model AND its training accuracy; EmbedAnnSpec replays the
+    * whole descent driver-side and pins that the probe beats the
+    * majority class (the representation is actually learnable — the
+    * assertion a degenerate trainer would fail). */
+  def embedLrProbe(spark: SparkSession, sfDir: String): DataFrame = {
+    val grid = lit(1048576.0d)
+    val rate = lit(4.0d)
+    val v = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"),
+        when(col("label") < 5, 1.0d).otherwise(0.0d).as("y"))
+    val w0 = spark.range(1).select(
+      array_repeat(lit(0.0d), DIM).as("w"), lit(0.0d).as("wb"))
+    val z: Column = dot(col("w"), col("embedding")) + col("wb")
+    // Per-step gradient layout: each row emits its 66-long contribution
+    // vector [g_0..g_63, g_bias, 1] and the sums run as a tiny keyed
+    // aggregate over the exploded (dim, contribution) pairs — exact LONG
+    // sums are merge-order-free, so this is value-identical to a single
+    // wide aggregate, but it stays inside whole-stage codegen (66 sum
+    // accumulators in one aggregate blow the 64 KB codegen method limit
+    // and drop the whole stage to interpreted eval — measured 3× slower).
+    def step(w: DataFrame): DataFrame = {
+      val e = v.crossJoin(broadcast(w)).withColumn("e",
+        floor((lit(1.0d) / (lit(1.0d) + exp(-z))) * grid) / grid - col("y"))
+      val gs = e.select(posexplode(concat(
+          transform(col("embedding"),
+            x => floor((col("e") * x.cast("double")) * grid).cast("long")),
+          array(floor(col("e") * grid).cast("long"), lit(1L)))).as(Seq("j", "c")))
+        .groupBy("j").agg(sum(col("c")).as("s"))
+        .agg(transform(array_sort(collect_list(struct(col("j"), col("s")))),
+          s => s.getField("s")).as("gs"))
+      val n = element_at(col("gs"), DIM + 2).cast("double")
+      def upd(prev: Column, g: Column): Column =
+        prev - rate * ((g.cast("double") / grid) / n)
+      w.crossJoin(broadcast(gs)).select(
+        array((0 until DIM).map(j =>
+          upd(element_at(col("w"), j + 1), element_at(col("gs"), j + 1))): _*).as("w"),
+        upd(col("wb"), element_at(col("gs"), DIM + 1)).as("wb"))
+    }
+    val wT = step(step(step(w0)))
+    val acc = v.crossJoin(broadcast(wT))
+      .agg((sum(when((z >= lit(0.0d)) === (col("y") === 1.0d), 1L).otherwise(0L))
+        .cast("double") / count(lit(1)).cast("double")).as("value"))
+      .select(lit("accuracy").as("term"), col("value"))
+    val dims = wT.select(posexplode(col("w")).as(Seq("j", "wj")))
+      .select(concat(lit("w_"), lpad(col("j").cast("string"), 3, "0")).as("term"),
+        col("wj").as("value"))
+    dims.unionByName(wT.select(lit("w_bias").as("term"), col("wb").as("value")))
+      .unionByName(acc)
+      .orderBy("term")
   }
 
   /** IVF index PERSISTENCE — the index-amortization path: build the
@@ -732,7 +844,10 @@ object SimOps {
         col("nrm").as("qn"), col("cell"))
     val wTop = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id").asc)
-    queries_.join(assigned, Seq("cell"))
+    // the query side is ≤ |queries| rows at any corpus size — broadcast
+    // it explicitly so the cell probe is a BroadcastHashJoin over the
+    // index scan even with AQE out of the loop (the annIvfNprobe idiom)
+    broadcast(queries_).join(assigned, Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cell"),
         (dot(col("qe"), col("embedding")) / sqrt(col("qn") * col("nrm"))).as("cos"))
@@ -1335,6 +1450,8 @@ object SimOps {
     "dedup_semantic"       -> (dedupSemantic _),
     "ann_ivf_probe"        -> (annIvfProbe _),
     "ann_ivf_nprobe"       -> (annIvfNprobe _),
+    "ann_recall_eval"      -> (annRecallEval _),
+    "embed_lr_probe"       -> (embedLrProbe _),
     "ann_ivf_persist"      -> (annIvfPersist _),
     "ann_sq8_persist"      -> (annSq8Persist _),
     "ann_ivf_kmeans"       -> (annIvfKmeans _),
@@ -1775,6 +1892,51 @@ object SimOps {
          |SELECT query_id, rnk, neighbor_id, cos
          |FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
 
+  /** The lr-probe oracle: one labeled-feature CTE, then per GD step an
+    * error CTE (σ on the 2⁻²⁰ grid), a gradient CTE (65 exact
+    * grid-BIGINT sums + n) and a scalar weight CTE; same arithmetic
+    * shapes as the Spark plan, generated from the same DIM. */
+  private lazy val sqlLrProbe: String = {
+    val g = "CAST(1048576 AS DOUBLE)"
+    val zS = "(list_sum(list_transform(list_zip(w, d), s -> s[1] * s[2])) + wb)"
+    val pS = s"floor((1.0 / (1.0 + exp(-($zS)))) * $g) / $g"
+    def eCte(i: Int) =
+      s"e$i AS (SELECT d, y, ($pS) - y AS e FROM f CROSS JOIN w${i - 1})"
+    def gCte(i: Int) =
+      s"g$i AS (SELECT " +
+        (0 until DIM).map(j =>
+          s"sum(CAST(floor((e * d[${j + 1}]) * $g) AS BIGINT)) AS g$j").mkString(", ") +
+        s", sum(CAST(floor(e * $g) AS BIGINT)) AS gb, count(*) AS n FROM e$i)"
+    def wCte(i: Int) =
+      s"w$i AS (SELECT [" +
+        (0 until DIM).map(j =>
+          s"w[${j + 1}] - 4.0 * ((CAST(g$j AS DOUBLE) / $g) / CAST(n AS DOUBLE))").mkString(", ") +
+        s"] AS w, wb - 4.0 * ((CAST(gb AS DOUBLE) / $g) / CAST(n AS DOUBLE)) AS wb " +
+        s"FROM w${i - 1} CROSS JOIN g$i)"
+    val dimRows = (0 until DIM).map { j =>
+      val t = "w_%03d".format(j)
+      if (j == 0) s"SELECT '$t' AS term, w[1] AS value FROM w3"
+      else s"UNION ALL SELECT '$t', w[${j + 1}] FROM w3"
+    }.mkString("\n")
+    s"""WITH v AS ($sqlVecLabeled),
+       |f AS (SELECT vec_id, d,
+       |  CAST(CASE WHEN label < 5 THEN 1.0 ELSE 0.0 END AS DOUBLE) AS y FROM v),
+       |w0 AS (SELECT [${Seq.fill(DIM)("CAST(0.0 AS DOUBLE)").mkString(", ")}] AS w,
+       |  CAST(0.0 AS DOUBLE) AS wb),
+       |${eCte(1)}, ${gCte(1)}, ${wCte(1)},
+       |${eCte(2)}, ${gCte(2)}, ${wCte(2)},
+       |${eCte(3)}, ${gCte(3)}, ${wCte(3)},
+       |acc AS (
+       |  SELECT CAST(sum(CASE WHEN ($zS >= 0.0) = (y = 1.0) THEN 1 ELSE 0 END)
+       |    AS DOUBLE) / CAST(count(*) AS DOUBLE) AS value
+       |  FROM f CROSS JOIN w3)
+       |SELECT term, value FROM (
+       |$dimRows
+       |UNION ALL SELECT 'w_bias', wb FROM w3
+       |UNION ALL SELECT 'accuracy', value FROM acc)
+       |ORDER BY term""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "pq_encode" -> sqlPqEncode,
     "ann_pq_adc" -> sqlPqAdc,
@@ -1833,6 +1995,42 @@ object SimOps {
     "ann_ivf_probe" -> sqlIvfProbe,
     "ann_ivf_nprobe" -> sqlIvfNprobe,
     "ann_ivf_persist" -> sqlIvfProbe,
+    "embed_lr_probe" -> sqlLrProbe,
+    "ann_recall_eval" ->
+      s"""WITH $sqlIvfCtes,
+         |q AS (SELECT vec_id AS query_id, d AS qd, nrm AS qn, cell
+         |      FROM assigned WHERE vec_id < 10),
+         |pscored AS (
+         |  SELECT q.query_id, a.vec_id AS neighbor_id,
+         |    ${sqlDot("q.qd", "a.d")} / sqrt(q.qn * a.nrm) AS cos
+         |  FROM q JOIN assigned a ON q.cell = a.cell AND a.vec_id <> q.query_id),
+         |probe AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY cos DESC, neighbor_id ASC) AS rnk
+         |    FROM pscored) t WHERE rnk <= 3),
+         |bscored AS (
+         |  SELECT nq.vec_id AS query_id, nx.vec_id AS neighbor_id,
+         |    ${sqlDot("nq.d", "nx.d")} / sqrt(nq.nrm * nx.nrm) AS cos
+         |  FROM n nq JOIN n nx ON nq.vec_id < 10 AND nx.vec_id <> nq.vec_id),
+         |truth AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY cos DESC, neighbor_id ASC) AS rnk
+         |    FROM bscored) t WHERE rnk <= 3),
+         |hits AS (
+         |  SELECT p.query_id, count(*) AS n_hits
+         |  FROM probe p JOIN truth t
+         |    ON t.query_id = p.query_id AND t.neighbor_id = p.neighbor_id
+         |  GROUP BY p.query_id)
+         |SELECT tq.query_id,
+         |  CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+         |  CAST(coalesce(h.n_hits, 0) AS DOUBLE) / 3.0 AS recall
+         |FROM (SELECT DISTINCT query_id FROM truth) tq
+         |LEFT JOIN hits h ON h.query_id = tq.query_id
+         |ORDER BY tq.query_id""".stripMargin,
     "embed_outlier_knn" ->
       s"""WITH v AS ($sqlVec),
          |n AS (SELECT vec_id, d, ${sqlDot("d", "d")} AS nrm FROM v),

@@ -728,6 +728,56 @@ object StreamOps {
     require(ranBatches > 0, s"no micro-batch ran over $staged ($glob)")
   }
 
+  /** Streaming BM25 CORPUS-STATS maintenance — the ingestion half of the
+    * [[graft.ops.IrOps.bm25Rank]] story run CONTINUOUSLY: a serving BM25
+    * index needs the corpus statistics (N, Σdl, per-term df) current as
+    * documents arrive, and every one of those statistics is an ADDITIVE
+    * long — so the maintenance is the [[bpeTokenMaintainInto]] counter
+    * doctrine verbatim: each micro-batch tokenizes with the batch
+    * ranker's own [[graft.ops.IrOps.docTermBase]] definition, aggregates
+    * its 1-row stats delta, and overwrites `delta_<tag>_<id>` (replay
+    * under at-least-once delivery replaces, never doubles). The
+    * read-back sums the deltas to the exact batch aggregate — and
+    * because [[graft.ops.IrOps.scoreWithStats]] takes the stats row as a
+    * parameter, scoring the corpus with the MAINTAINED stats is
+    * bit-identical to the one-shot `bm25_rank` (StreamingSpec pins the
+    * full top-50 equality, not just the counters). Store size: one
+    * 6-column row per micro-batch, independent of corpus size. */
+  def bm25StatsMaintainRun(spark: SparkSession, sfDir: String): DataFrame = {
+    val staged = stageDocSliceFiles(spark, sfDir, 4)
+    val storeDir = java.nio.file.Files.createTempDirectory("graft_bm25_maint")
+      .resolve("stats_store").toString
+    bm25StatsMaintainInto(spark, staged, storeDir, "b*.parquet", "all")
+    readBm25StatsStore(spark, storeDir)
+  }
+
+  /** The delta store rolled up to the single stats row ([[graft.ops.IrOps
+    * .corpusStats]] schema: exact long sums, column-generic so the term
+    * list lives in one place). */
+  private[graft] def readBm25StatsStore(spark: SparkSession, storeDir: String): DataFrame = {
+    val store = spark.read.option("recursiveFileLookup", "true").parquet(storeDir)
+    val sums = store.columns.map(c => sum(col(c)).cast("long").as(c))
+    store.agg(sums.head, sums.tail: _*)
+  }
+
+  private[graft] def bm25StatsMaintainInto(
+      spark: SparkSession, staged: String, storeDir: String,
+      glob: String, runTag: String): Unit = {
+    val schema = spark.read.parquet(staged).schema
+    @volatile var ranBatches = 0
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", glob)
+      .parquet(staged)
+    val q = stream.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      graft.ops.IrOps.corpusStats(graft.ops.IrOps.docTermBase(batch))
+        .write.mode("overwrite").parquet(s"$storeDir/delta_${runTag}_$id")
+      ranBatches += 1
+    }.start()
+    try q.processAllAvailable() finally q.stop()
+    require(ranBatches > 0, s"no micro-batch ran over $staged ($glob)")
+  }
+
   /** Streaming IVF INDEX maintenance — the ingestion half of the
     * [[graft.ops.SimOps.annIvfPersist]] story run CONTINUOUSLY: the
     * coarse quantizer is pinned once (in production: fitted offline and

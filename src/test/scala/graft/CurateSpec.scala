@@ -27,6 +27,32 @@ class CurateSpec extends SparkSpec {
     assert(df.agg(sum("n_train")).collect()(0).getLong(0) > 0)
   }
 
+  test("decontaminate_semantic replays brute-force max-eval-cosine exactly") {
+    val vecs = Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < math.min(a.length, b.length)) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    val nrm = vecs.map { case (id, v) => id -> dot(v, v) }
+    val ev = vecs.keys.filter(_ % 97 == 0).toSeq
+    val want = vecs.keys.filter(_ % 97 != 0).toSeq.sorted.map { id =>
+      val m = ev.map(e =>
+        dot(vecs(id), vecs(e)) / math.sqrt(nrm(id) * nrm(e))).max
+      (id, m, m >= 0.30)
+    }
+    val got = q("decontaminate_semantic").collect()
+      .map(r => (r.getLong(0), r.getDouble(2), r.getBoolean(3))).toSeq
+    assert(got === want)
+    // conf steering: an unreachable threshold flags nothing
+    spark.conf.set("spark.graft.decon.semTau", "1.1")
+    try assert(q("decontaminate_semantic")
+      .filter(col("dropped")).count() === 0L)
+    finally spark.conf.unset("spark.graft.decon.semTau")
+  }
+
   test("decontamination removes at least the eval set's own members") {
     val clean = q("decontaminate").agg(sum("n_clean")).collect()(0).getLong(0)
     val evalDocs = Tables.documents(spark, sf).filter(col("doc_id") % 97 === 0).count()

@@ -351,6 +351,63 @@ class EmbedAnnSpec extends SparkSpec {
       "nprobe=2 identical to nprobe=1 everywhere — knob unexercised")
   }
 
+  test("ann_recall_eval equals the intersection of its two source tiers") {
+    val probe = q("ann_ivf_probe").select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = q("ann_topk_brute").filter(col("rnk") <= 3)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = brute.map(_._1).toSeq.sorted.map { qid =>
+      val hits = probe.count { case (p, n) => p == qid && brute((qid, n)) }.toLong
+      (qid, hits, hits.toDouble / 3.0)
+    }
+    val got = q("ann_recall_eval").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got === want)
+    // the metric is non-vacuous on the fixture: the single-cell probe
+    // must not be perfect (otherwise the eval gate measures nothing)
+    assert(got.exists(_._2 < 3), "expected at least one query below full recall")
+    assert(got.map(_._1) === (0L until 10L), "every ground-truth query reported")
+  }
+
+  test("embed_lr_probe replays the 3-step grid GD exactly and beats majority") {
+    val rows = Tables.embeddings(spark, sf)
+      .select("embedding", "label").collect()
+    val xs = rows.map(_.getSeq[Float](0).toArray)
+    val ys = rows.map(r => if (r.getInt(1) < 5) 1.0 else 0.0)
+    val d = 64; val grid = 1048576.0; val n = xs.length
+    val w = Array.fill(d)(0.0); var wb = 0.0
+    def zOf(x: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < d) { s += w(i) * x(i).toDouble; i += 1 }
+      s + wb
+    }
+    for (_ <- 1 to 3) {
+      val g = Array.fill(d)(0L); var gb = 0L
+      xs.zip(ys).foreach { case (x, y) =>
+        val p = math.floor((1.0 / (1.0 + math.exp(-zOf(x)))) * grid) / grid
+        val e = p - y
+        var j = 0
+        while (j < d) { g(j) += math.floor((e * x(j).toDouble) * grid).toLong; j += 1 }
+        gb += math.floor(e * grid).toLong
+      }
+      var j = 0
+      while (j < d) { w(j) -= 4.0 * ((g(j).toDouble / grid) / n); j += 1 }
+      wb -= 4.0 * ((gb.toDouble / grid) / n)
+    }
+    val acc = xs.zip(ys).count { case (x, y) =>
+      (zOf(x) >= 0.0) == (y == 1.0) }.toDouble / n
+    val want = (0 until d).map(j => "w_%03d".format(j) -> w(j)).toMap +
+      ("w_bias" -> wb) + ("accuracy" -> acc)
+    val got = q("embed_lr_probe").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got === want)
+    // the probe actually learns: training accuracy beats the majority class
+    val majority = math.max(ys.sum, n - ys.sum) / n
+    assert(acc > majority,
+      s"probe accuracy $acc should beat the majority class $majority")
+  }
+
   test("ann_ivf_nprobe at nprobe=1 degenerates to ann_ivf_probe exactly") {
     spark.conf.set("spark.graft.ann.nprobe", "1")
     try {

@@ -819,6 +819,38 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
   }
 
+  test("decontaminate_semantic: map-only over the corpus — no corpus hash exchange") {
+    val plan = planOf("decontaminate_semantic")
+    // the 100 TB claim: the eval set folds to one broadcast array row and
+    // the per-vector max-cosine is computed in the map — the corpus never
+    // hash-repartitions (the only Exchanges are the eval-side 1-row
+    // gather and the output sort's range partitioning)
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"a corpus hash exchange appeared in the map-only decon plan:\n$plan")
+    // the 1-row eval array crosses in as the deliberate broadcast idiom
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"eval array row not broadcast-crossed in:\n$plan")
+  }
+
+  test("ann_recall_eval: the probe/truth hit check is broadcast, never sort-merged") {
+    val plan = planOf("ann_recall_eval")
+    assert(!plan.contains("SortMergeJoin"),
+      s"a 30-row eval side sort-merged in:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
+  }
+
+  test("embed_lr_probe: gradient sums are partial-aggregated; the corpus never hash-shuffles") {
+    val plan = planOf("embed_lr_probe")
+    // each GD step's only exchange carries 66-key partial LONG sums —
+    // map-side combine must be present, and no exchange may be keyed on
+    // the corpus id (the corpus is scanned, never repartitioned)
+    assert(plan.contains("partial_sum") || plan.contains("partial_"),
+      s"no map-side partial aggregation in:\n$plan")
+    assert(!"Exchange hashpartitioning\\([^)]*vec_id".r.findFirstIn(plan).isDefined,
+      s"corpus-keyed exchange in the GD plan:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"model join sort-merged in:\n$plan")
+  }
+
   test("pack_sequences: the packing running-sum window is PARTITIONED, never a global funnel") {
     val plan = planOf("pack_sequences")
     val windows = "(?m)^\\s*[+:\\-\\s]*\\*?\\(?\\d*\\)?\\s*Window .*$".r

@@ -453,6 +453,35 @@ class StreamingSpec extends SparkSpec {
     assert(second === first)
   }
 
+  test("streamed BM25 stats maintenance scores bit-identically to the batch ranker") {
+    val streamed = StreamOps.bm25StatsMaintainRun(spark, sf)
+    // counter equality: the summed deltas ARE the one-shot batch stats
+    val base = graft.ops.IrOps.docTermBase(
+      Tables.documents(spark, sf).select("doc_id", "text"))
+    val batchStats = graft.ops.IrOps.corpusStats(base)
+    assert(streamed.columns.toSeq === batchStats.columns.toSeq)
+    assert(streamed.collect().map(_.toSeq).toSeq ===
+      batchStats.collect().map(_.toSeq).toSeq)
+    // end-to-end: scoring with the MAINTAINED stats row reproduces the
+    // registry bm25_rank top-50 exactly (scoreWithStats is the shared
+    // definition, so this pins the whole serving path)
+    val got = graft.ops.IrOps.scoreWithStats(base, streamed)
+      .collect().map(_.toSeq).toSeq
+    val want = q("bm25_rank").collect().map(_.toSeq).toSeq
+    assert(got === want && want.nonEmpty)
+  }
+
+  test("BM25 stats store is replay-idempotent: a re-run batch replaces its delta") {
+    val staged = StreamOps.stageDocSliceFiles(spark, sf, 4)
+    val storeDir = java.nio.file.Files.createTempDirectory("graft_bm25_maint_r")
+      .resolve("stats_store").toString
+    StreamOps.bm25StatsMaintainInto(spark, staged, storeDir, "b*.parquet", "all")
+    val first = StreamOps.readBm25StatsStore(spark, storeDir).collect()
+    StreamOps.bm25StatsMaintainInto(spark, staged, storeDir, "b*.parquet", "all")
+    val second = StreamOps.readBm25StatsStore(spark, storeDir).collect()
+    assert(second === first)
+  }
+
   test("streamed IVF index maintenance probes bit-identically to the batch index") {
     val streamed = StreamOps.ivfIndexMaintainRun(spark, sf).collect()
     val batch = SparkEntry.queries("ann_ivf_probe")(spark, sf).collect()
