@@ -285,6 +285,17 @@ object ScaleStress {
         "1-row query broadcast + TakeOrdered-50; fusion on two 50-row " +
         "lists; linear in the two scans", 1.25,
       bigConf = dataSizedPartitions),
+    Heavy("dedup_yield_curve",
+      "PPJoin prefix enumeration at the 0.8 floor + array-side tau " +
+        "fanout + (tau, doc) rollup; suffixed replica vocab => disjoint " +
+        "token spaces, linear", 1.3, bigConf = dataSizedPartitions),
+    Heavy("dedup_recall_eval",
+      "composes the PPJoin truth enumeration and the banded LSH pass " +
+        "(both individually audited linear) + a pair-keyed semi join; " +
+        "linear", 1.3, bigConf = dataSizedPartitions),
+    Heavy("hard_negatives",
+      "fixed query set x n corpus dots with the label filter fused in " +
+        "the broadcast join; linear", 1.2, bigConf = dataSizedPartitions),
     Heavy("decontaminate_semantic",
       "broadcast eval array x corpus narrow max-cosine map, zero corpus " +
         "shuffle; linear at constant eval size (the production shape: a " +

@@ -569,6 +569,102 @@ object DedupOps {
       .filter(col("n_docs") >= 2)
       .orderBy("shingle_hash")
 
+  /** Dedup YIELD CURVE — how many documents a near-dup pass would drop
+    * at each candidate threshold (τ ∈ {0.80, 0.85, 0.90, 0.95, 1.0}),
+    * the sizing query run BEFORE committing to a threshold (the dedup
+    * twin of `quality_yield_curve`; every production near-dup deployment
+    * picks τ off exactly this curve). Drops follow the chain-free
+    * keep-first rule the dedup family ships: a document is dropped at τ
+    * iff it has ANY smaller-id neighbor with jaccard ≥ τ — so the curve
+    * is monotone non-increasing in τ by construction.
+    *
+    * Scale shape: the exact pair space is enumerated ONCE at the curve's
+    * floor (τ = 0.8 — the same PPJoin prefix filter as
+    * [[ngramJaccardPairs]], prefix length n − ⌈0.8n⌉ + 1 and the 0.8
+    * length-ratio window, all exact integer arithmetic), each pair then
+    * fans out array-side to the thresholds it clears, and the counts are
+    * one tiny (τ, doc)-distinct + rollup. Below ~0.8 exact enumeration
+    * stops being the production shape (candidate volume grows steeply as
+    * the prefix filter weakens) — practice extends the curve's low end
+    * by sampling, which this operator deliberately does not fold in. */
+  def dedupYieldCurve(spark: SparkSession, sfDir: String): DataFrame = {
+    val spread = spark.sparkContext.defaultParallelism
+    val sets = Tables.documents(spark, sfDir)
+      .repartition(spread)
+      .select(col("doc_id"), col("source"),
+        array_sort(array_distinct(toks)).as("tokset"))
+      .withColumn("n", size(col("tokset")))
+      .persist()
+    // prefix length n − ⌈0.8n⌉ + 1 (⌈4n/5⌉ = (4n+4) div 5, exact ints)
+    val prefix = sets.select(col("doc_id"), col("source"), col("n"),
+      explode(slice(col("tokset"), lit(1),
+        (col("n") - expr("(n * 4 + 4) div 5") + 1).cast("int"))).as("tok"))
+      .select(col("doc_id"), col("source"), col("n"),
+        xxhash64(col("tok"), col("source")).as("tokh"))
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.tokh") === col("b.tokh") && col("a.source") === col("b.source") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          col("a.n") * 5 >= col("b.n") * 4 && col("b.n") * 5 >= col("a.n") * 4)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val isect = graft.functions.VectorFunctions
+      .sortedIntersectCount(col("set_a"), col("set_b")).cast("long")
+    val taus = Seq(0.80, 0.85, 0.90, 0.95, 1.0)
+    val pairs = cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("tokset").as("set_a"),
+        col("n").as("na")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("tokset").as("set_b"),
+        col("n").as("nb")), "doc_b")
+      .withColumn("c", isect)
+      .withColumn("jaccard", col("c") * lit(1.0) / (col("na") + col("nb") - col("c")))
+      .filter(col("jaccard") >= 0.8)
+      .select(col("doc_b"), col("jaccard"))
+    val dropped = pairs
+      .select(col("doc_b"), explode(filter(
+        array(taus.map(lit): _*), t => col("jaccard") >= t)).as("tau"))
+      .groupBy("tau").agg(countDistinct(col("doc_b")).as("n_dropped"))
+    val total = sets.agg(count(lit(1)).as("n_docs"))
+    // left join from the full τ list so thresholds dropping nothing
+    // still chart (n_dropped = 0)
+    spark.range(1).select(explode(array(taus.map(lit): _*)).as("tau"))
+      .join(dropped, Seq("tau"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("tau"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+        (col("n_docs") - coalesce(col("n_dropped"), lit(0L))).as("n_kept"))
+      .orderBy("tau")
+  }
+
+  /** Dedup-pipeline acceptance metric as a DISTRIBUTED operator — the
+    * near-dup analogue of [[SimOps.annRecallEval]]: pair recall of the
+    * deployed MinHash-LSH banding ([[minhashLsh]]: K=64, 16 bands × 4
+    * rows, est ≥ 0.8) against the exact ngram-Jaccard ground truth
+    * ([[ngramJaccardPairs]]: within-source jac ≥ 0.9). Pair recall is
+    * the number a dedup deployment gates a banding configuration on
+    * (the SEMDEDUP_RECALL doctrine, here as an in-engine query a 100 TB
+    * pipeline runs after a banding change rather than a committed audit
+    * artifact). Both sides are the registry operators' OWN plans — the
+    * metric measures exactly what ships; the hit check is a pair-keyed
+    * semi-join of the two pair sets (each ≪ corpus-sized), and the
+    * output is one scalar row. Fully deterministic, so the oracle
+    * composes the two tiers' CTE chains (minhash CTEs renamed m* to
+    * coexist with the Jaccard chain's names). n_lsh is reported next to
+    * recall because banding changes trade exactly those two numbers
+    * (candidate volume vs misses). */
+  def dedupRecallEval(spark: SparkSession, sfDir: String): DataFrame = {
+    val truth = ngramJaccardPairs(spark, sfDir).select("doc_a", "doc_b")
+    val found = minhashLsh(spark, sfDir).select("doc_a", "doc_b")
+    val nTruth = truth.agg(count(lit(1)).as("n_truth"))
+    val nFound = truth.join(found, Seq("doc_a", "doc_b"), "left_semi")
+      .agg(count(lit(1)).as("n_found"))
+    val nLsh = found.agg(count(lit(1)).as("n_lsh"))
+    nTruth.crossJoin(nFound).crossJoin(nLsh)
+      .select(col("n_truth"), col("n_found"),
+        (col("n_found").cast("double") / col("n_truth").cast("double"))
+          .as("recall"),
+        col("n_lsh"))
+  }
+
   /** One persisted digest table per (application, corpus), shared by
     * BOTH day-2 dedup forms and across repeated registry runs — before
     * this cache each call pinned its own copy for the session lifetime,
@@ -1019,6 +1115,8 @@ object DedupOps {
     "dedup_minhash_lsh"   -> (minhashLsh _),
     "dedup_simhash"       -> (simhash _),
     "dedup_simhash_pairs" -> (simhashPairs _),
+    "dedup_recall_eval"   -> (dedupRecallEval _),
+    "dedup_yield_curve"   -> (dedupYieldCurve _),
     "dedup_clusters"      -> (dedupClusters _))
 
   /** Every tier is oracled: the md5-portable base hash plus GF(2³¹−1)
@@ -1262,6 +1360,75 @@ object DedupOps {
          |FROM shared
          |WHERE c * 1.0 / (na + nb - c) >= 0.9
          |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_yield_curve" ->
+      """WITH ydt AS (
+        |  SELECT DISTINCT doc_id, source, tok FROM (
+        |    SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok
+        |    FROM documents) t),
+        |ysizes AS (SELECT doc_id, count(*) AS n FROM ydt GROUP BY 1),
+        |ydtn AS (SELECT ydt.doc_id, ydt.source, ydt.tok, ysizes.n
+        |         FROM ydt JOIN ysizes USING (doc_id)),
+        |yshared AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c,
+        |    max(a.n) AS na, max(b.n) AS nb
+        |  FROM ydtn a JOIN ydtn b
+        |    ON a.tok = b.tok AND a.source = b.source AND a.doc_id < b.doc_id
+        |   AND a.n * 5 >= b.n * 4 AND b.n * 5 >= a.n * 4
+        |  GROUP BY 1, 2),
+        |pairs AS (SELECT doc_b, c * 1.0 / (na + nb - c) AS jaccard
+        |          FROM yshared WHERE c * 1.0 / (na + nb - c) >= 0.8),
+        |taus AS (SELECT CAST(unnest([0.80, 0.85, 0.90, 0.95, 1.0]) AS DOUBLE) AS tau),
+        |drops AS (SELECT t.tau, count(DISTINCT p.doc_b) AS n_dropped
+        |          FROM taus t JOIN pairs p ON p.jaccard >= t.tau GROUP BY 1),
+        |tot AS (SELECT count(*) AS n_docs FROM documents)
+        |SELECT t.tau, CAST(coalesce(d.n_dropped, 0) AS BIGINT) AS n_dropped,
+        |  CAST(tot.n_docs - coalesce(d.n_dropped, 0) AS BIGINT) AS n_kept
+        |FROM taus t LEFT JOIN drops d ON d.tau = t.tau CROSS JOIN tot
+        |ORDER BY t.tau""".stripMargin,
+    // truth/lsh are MATERIALIZED: DuckDB inlines plain CTEs per
+    // reference, and the stats row references each chain twice — without
+    // materialization the whole minhash chain re-evaluates per scalar
+    // subquery (observed >79 GB of temp spill at sf0.1; materialized it
+    // runs each chain once, like the Spark side's shared plan)
+    "dedup_recall_eval" ->
+      s"""WITH $sqlNgramPairCtes,
+         |truth AS MATERIALIZED (SELECT doc_a, doc_b FROM shared
+         |          WHERE c * 1.0 / (na + nb - c) >= 0.9),
+         |mdt AS (SELECT DISTINCT doc_id, tok FROM (
+         |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+         |    FROM documents) t),
+         |mhv AS (SELECT doc_id,
+         |    (('0x' || substr(md5(tok), 1, 15))::BIGINT) % $sqlP AS hm FROM mdt),
+         |mparams(i, a, b) AS (VALUES $sqlMinhashParams),
+         |msig AS (SELECT doc_id, i, min((hm * a + b) % $sqlP) AS s
+         |        FROM mhv CROSS JOIN mparams GROUP BY 1, 2),
+         |mbands AS (SELECT doc_id, i // 4 AS band_idx,
+         |    (CAST(sum((s * (CASE i % 4 WHEN 0 THEN ${BC(0)} WHEN 1 THEN ${BC(1)}
+         |                    WHEN 2 THEN ${BC(2)} ELSE ${BC(3)} END)) % $sqlP) AS BIGINT)
+         |     + ((i // 4) * ${BC(4)}) % $sqlP) % $sqlP AS band_val
+         |  FROM msig GROUP BY 1, 2),
+         |mcand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM mbands a JOIN mbands b
+         |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+         |   AND a.doc_id < b.doc_id),
+         |magree AS (SELECT mc.doc_a, mc.doc_b,
+         |    count(*) FILTER (WHERE sa.s = sb.s) AS cnt
+         |  FROM mcand mc
+         |    JOIN msig sa ON sa.doc_id = mc.doc_a
+         |    JOIN msig sb ON sb.doc_id = mc.doc_b AND sb.i = sa.i
+         |  GROUP BY 1, 2),
+         |lsh AS MATERIALIZED (SELECT doc_a, doc_b FROM magree WHERE cnt / 64.0 >= 0.8),
+         |stats AS (SELECT
+         |  (SELECT count(*) FROM truth) AS n_truth,
+         |  (SELECT count(*) FROM truth t WHERE EXISTS (
+         |     SELECT 1 FROM lsh l
+         |     WHERE l.doc_a = t.doc_a AND l.doc_b = t.doc_b)) AS n_found,
+         |  (SELECT count(*) FROM lsh) AS n_lsh)
+         |SELECT CAST(n_truth AS BIGINT) AS n_truth,
+         |  CAST(n_found AS BIGINT) AS n_found,
+         |  CAST(n_found AS DOUBLE) / CAST(n_truth AS DOUBLE) AS recall,
+         |  CAST(n_lsh AS BIGINT) AS n_lsh
+         |FROM stats""".stripMargin,
     "dedup_containment" ->
       """WITH dt AS (
         |  SELECT DISTINCT doc_id, source, tok FROM (

@@ -646,6 +646,41 @@ object SimOps {
       .orderBy("query_id")
   }
 
+  /** HARD-NEGATIVE mining for contrastive training — the pair-mining
+    * step of every dense-retriever / embedding-model training pipeline
+    * (DPR, Karpukhin et al. 2020; Sentence-BERT): for each query vector,
+    * the top-3 most-similar vectors carrying a DIFFERENT label.
+    * Semantically close but labeled wrong is exactly the negative that
+    * moves a contrastive loss; random negatives are trivially separable.
+    *
+    * Exact brute tier (the [[annTopkBrute]] convention): broadcast query
+    * set × corpus narrow scan with the label-mismatch predicate fused
+    * into the join condition (candidates with the query's own label are
+    * dropped BEFORE scoring, not after), per-query bounded top-3 via the
+    * rank-1 window (TopKPerKey under the extensions), no global sort.
+    * At scale the bucketed ANN front ends (LSH/IVF) swap in ahead of the
+    * same label filter + rerank, unchanged — the recall cost of that
+    * swap is what [[annRecallEval]] measures. */
+  def hardNegatives(spark: SparkSession, sfDir: String): DataFrame = {
+    val v = withNorm(Tables.embeddings(spark, sfDir))
+      .select("vec_id", "label", "embedding", "nrm")
+    val q = v.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
+        col("embedding").as("qe"), col("nrm").as("qn"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    broadcast(q).join(v,
+        col("vec_id") =!= col("query_id") && col("label") =!= col("qlabel"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("label").cast("long").as("neg_label"),
+        (dot(col("qe"), col("embedding")) / sqrt(col("qn") * col("nrm"))).as("cos"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"),
+        col("neg_label"), col("cos"))
+      .orderBy("query_id", "rnk")
+  }
+
   /** Distributed LOGISTIC-REGRESSION training of a linear probe over the
     * embedding corpus — the engine's model-training primitive: the
     * fastText-shaped linear classifier production curation stacks train
@@ -1452,6 +1487,7 @@ object SimOps {
     "ann_ivf_nprobe"       -> (annIvfNprobe _),
     "ann_recall_eval"      -> (annRecallEval _),
     "embed_lr_probe"       -> (embedLrProbe _),
+    "hard_negatives"       -> (hardNegatives _),
     "ann_ivf_persist"      -> (annIvfPersist _),
     "ann_sq8_persist"      -> (annSq8Persist _),
     "ann_ivf_kmeans"       -> (annIvfKmeans _),
@@ -1996,6 +2032,22 @@ object SimOps {
     "ann_ivf_nprobe" -> sqlIvfNprobe,
     "ann_ivf_persist" -> sqlIvfProbe,
     "embed_lr_probe" -> sqlLrProbe,
+    "hard_negatives" ->
+      s"""WITH v AS ($sqlVecLabeled),
+         |n AS (SELECT vec_id, label, d, ${sqlDot("d", "d")} AS nrm FROM v),
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+         |    CAST(x.label AS BIGINT) AS neg_label,
+         |    ${sqlDot("q.d", "x.d")} / sqrt(q.nrm * x.nrm) AS cos
+         |  FROM n q JOIN n x
+         |    ON q.vec_id < 10 AND x.vec_id <> q.vec_id AND x.label <> q.label),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, neg_label, cos,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos DESC, neighbor_id ASC) AS BIGINT) AS rnk
+         |  FROM scored)
+         |SELECT query_id, rnk, neighbor_id, neg_label, cos
+         |FROM ranked WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
     "ann_recall_eval" ->
       s"""WITH $sqlIvfCtes,
          |q AS (SELECT vec_id AS query_id, d AS qd, nrm AS qn, cell

@@ -370,6 +370,34 @@ class EmbedAnnSpec extends SparkSpec {
     assert(got.map(_._1) === (0L until 10L), "every ground-truth query reported")
   }
 
+  test("hard_negatives replays the label-filtered brute top-3 exactly") {
+    val rows = Tables.embeddings(spark, sf)
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2).toArray))
+    def dotF(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < math.min(a.length, b.length)) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    val nrm = rows.map { case (id, _, v) => id -> dotF(v, v) }.toMap
+    val byId = rows.map { case (id, l, v) => id -> ((l, v)) }.toMap
+    val want = rows.filter(_._1 < 10).sortBy(_._1).flatMap { case (qid, ql, qv) =>
+      rows.filter { case (id, l, _) => id != qid && l != ql }
+        .map { case (id, l, v) =>
+          (id, l.toLong, dotF(qv, v) / math.sqrt(nrm(qid) * nrm(id))) }
+        .sortBy { case (id, _, cos) => (-cos, id) }
+        .take(3).zipWithIndex
+        .map { case ((id, l, cos), i) => (qid, (i + 1).toLong, id, l, cos) }
+    }.toSeq
+    val got = q("hard_negatives").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSeq
+    assert(got === want)
+    // every mined negative is labeled differently from its query
+    got.foreach { case (qid, _, _, negLabel, _) =>
+      assert(negLabel !== byId(qid)._1.toLong) }
+  }
+
   test("embed_lr_probe replays the 3-step grid GD exactly and beats majority") {
     val rows = Tables.embeddings(spark, sf)
       .select("embedding", "label").collect()

@@ -851,6 +851,26 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), s"model join sort-merged in:\n$plan")
   }
 
+  test("hard_negatives: broadcast query set over the corpus scan, label filter in the join") {
+    val plan = planOf("hard_negatives")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      s"query set not broadcast in:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the 10-row query side sort-merged the corpus in:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
+  }
+
+  test("dedup_yield_curve: one prefix-filtered enumeration, no cartesian") {
+    val plan = planOf("dedup_yield_curve")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
+    // the candidate join must KEY on the hashed prefix token (a
+    // hash-family join in any physical form — broadcast at fixture
+    // stats, shuffled-on-tokh at scale; never a nested loop over docs)
+    assert("(BroadcastHashJoin|ShuffledHashJoin|SortMergeJoin) \\[tokh".r
+        .findFirstIn(plan).isDefined,
+      s"prefix-token-keyed candidate join missing in:\n$plan")
+  }
+
   test("pack_sequences: the packing running-sum window is PARTITIONED, never a global funnel") {
     val plan = planOf("pack_sequences")
     val windows = "(?m)^\\s*[+:\\-\\s]*\\*?\\(?\\d*\\)?\\s*Window .*$".r

@@ -10,6 +10,38 @@ class TextDedupSpec extends SparkSpec {
     assert(total === tokens)
   }
 
+  test("dedup_recall_eval equals the intersection of its two source tiers") {
+    val truth = q("dedup_ngram_jaccard").select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = q("dedup_minhash_lsh").select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val row = q("dedup_recall_eval").collect()(0)
+    val nFound = truth.count(lsh.contains).toLong
+    assert(row.getLong(0) === truth.size.toLong)
+    assert(row.getLong(1) === nFound)
+    assert(row.getDouble(2) === nFound.toDouble / truth.size.toDouble)
+    assert(row.getLong(3) === lsh.size.toLong)
+    // non-vacuous: the fixture has true pairs, and the deployed banding
+    // finds a meaningful fraction of them
+    assert(truth.nonEmpty && row.getDouble(2) > 0.5)
+  }
+
+  test("dedup_yield_curve: monotone, conserving, and exact at the 0.9 tier") {
+    val curve = q("dedup_yield_curve").collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2)))
+    assert(curve.map(_._1).toSeq === Seq(0.80, 0.85, 0.90, 0.95, 1.0))
+    // keep-first drops can only shrink as the threshold tightens
+    curve.sliding(2).foreach { w => assert(w(0)._2 >= w(1)._2) }
+    val total = Tables.documents(spark, sf).count()
+    curve.foreach { case (_, d, k) => assert(d + k === total) }
+    // the τ=0.9 point must agree EXACTLY with the registry's own 0.9
+    // tier (both enumerations are complete above their thresholds, so
+    // the pair sets coincide there)
+    val d90 = q("dedup_ngram_jaccard").select("doc_b").distinct().count()
+    assert(curve.find(_._1 == 0.90).get._2 === d90)
+    assert(curve.head._2 > curve.last._2, "the curve should actually slope")
+  }
+
   test("text_stats: distinct tokens never exceed tokens") {
     assert(q("text_stats").filter(col("n_distinct_tokens") > col("n_tokens")).count() === 0)
   }
