@@ -172,4 +172,14 @@ object GraftConf {
     * `ann.centroidMod` doctrine). The registry oracle pins the default. */
   def deconSemEvalMod(spark: SparkSession): Long =
     spark.conf.get("spark.graft.decon.semEvalMod", "97").toLong
+
+  /** Input vectors for `pq_train`'s subspace-Lloyd fit: `raw` (the
+    * registry default the oracle pins) or `residual` — fit on the IVF
+    * residuals `embedding − cell centroid`, the input the
+    * fitted-residual serving tier (`ann_ivfpq_fitted`) encodes. The
+    * FAISS `by_residual=true` default trains exactly so (JDS 2011
+    * §V.A); the raw mode remains for the standalone (non-IVF) ADC
+    * tier's book. */
+  def pqFitInput(spark: SparkSession): String =
+    spark.conf.get("spark.graft.pq.fitInput", "raw")
 }

@@ -152,6 +152,13 @@ object CurateOps {
       .agg(collect_list(struct(col("embedding"), col("nrm"))).as("ev"))
     v.filter(col("vec_id") % evalMod =!= 0)
       .crossJoin(broadcast(ev))
+      // degenerate-eval guard (r15 advice): with semEvalMod larger than
+      // any vec_id the eval set is EMPTY — collect_list still emits one
+      // empty-array row, and the fold below would surface its -2.0 seed
+      // as a "cosine" on every corpus row while the oracle's cross
+      // join/inner join returns zero rows. An empty eval set means
+      // "nothing to check", so emit zero rows, exactly like the oracle.
+      .filter(size(col("ev")) > 0)
       .select(col("vec_id"), col("label").cast("long").as("label"),
         aggregate(col("ev"), lit(-2.0d), (acc, e) =>
           greatest(acc,

@@ -95,13 +95,7 @@ object DedupOps {
     * operators ([[dedupClusters]]) consume, so they don't pay for a
     * total order they immediately destroy. */
   def ngramJaccardPairs(spark: SparkSession, sfDir: String): DataFrame = {
-    val spread = spark.sparkContext.defaultParallelism
-    val sets = Tables.documents(spark, sfDir)
-      .repartition(spread) // compact source must not serialize the pipeline
-      .select(col("doc_id"), col("source"),
-        array_sort(array_distinct(toks)).as("tokset"))
-      .withColumn("n", size(col("tokset")))
-      .persist()
+    val sets = toksetTable(spark, sfDir)
     // prefix length n − ⌈0.9n⌉ + 1, in exact integer arithmetic
     // (⌈9n/10⌉ = (9n+9) div 10); float ceil(n*0.9) rounds wrong at e.g.
     // n=10 and would silently drop qualifying pairs.
@@ -151,13 +145,7 @@ object DedupOps {
     * collisions. No length-ratio filter applies — containment pairs are
     * precisely the ones whose sizes diverge. */
   def ngramContainment(spark: SparkSession, sfDir: String): DataFrame = {
-    val spread = spark.sparkContext.defaultParallelism
-    val sets = Tables.documents(spark, sfDir)
-      .repartition(spread)
-      .select(col("doc_id"), col("source"),
-        array_sort(array_distinct(toks)).as("tokset"))
-      .withColumn("n", size(col("tokset")))
-      .persist()
+    val sets = toksetTable(spark, sfDir)
     val prefix = sets.select(col("doc_id"), col("source"), col("n"),
       explode(slice(col("tokset"), lit(1),
         (col("n") - expr("(n * 9 + 9) div 10") + 1).cast("int"))).as("tok"))
@@ -588,13 +576,7 @@ object DedupOps {
     * the prefix filter weakens) — practice extends the curve's low end
     * by sampling, which this operator deliberately does not fold in. */
   def dedupYieldCurve(spark: SparkSession, sfDir: String): DataFrame = {
-    val spread = spark.sparkContext.defaultParallelism
-    val sets = Tables.documents(spark, sfDir)
-      .repartition(spread)
-      .select(col("doc_id"), col("source"),
-        array_sort(array_distinct(toks)).as("tokset"))
-      .withColumn("n", size(col("tokset")))
-      .persist()
+    val sets = toksetTable(spark, sfDir)
     // prefix length n − ⌈0.8n⌉ + 1 (⌈4n/5⌉ = (4n+4) div 5, exact ints)
     val prefix = sets.select(col("doc_id"), col("source"), col("n"),
       explode(slice(col("tokset"), lit(1),
@@ -652,8 +634,17 @@ object DedupOps {
     * recall because banding changes trade exactly those two numbers
     * (candidate volume vs misses). */
   def dedupRecallEval(spark: SparkSession, sfDir: String): DataFrame = {
-    val truth = ngramJaccardPairs(spark, sfDir).select("doc_a", "doc_b")
-    val found = minhashLsh(spark, sfDir).select("doc_a", "doc_b")
+    // the truth chain feeds two aggregates (n_truth, n_found) and the
+    // LSH chain two (n_found, n_lsh) — pin both pair sets so the
+    // expensive candidate joins run ONCE instead of relying on AQE
+    // exchange reuse (r15 advice; the oracle pins the same reuse with
+    // MATERIALIZED CTEs). eagerCheckpoint (the dedupSemantic idiom)
+    // also truncates the lineage, so neither aggregate can re-derive
+    // the PPJoin/band joins.
+    val truth = eagerCheckpoint(
+      ngramJaccardPairs(spark, sfDir).select("doc_a", "doc_b"))
+    val found = eagerCheckpoint(
+      minhashLsh(spark, sfDir).select("doc_a", "doc_b"))
     val nTruth = truth.agg(count(lit(1)).as("n_truth"))
     val nFound = truth.join(found, Seq("doc_a", "doc_b"), "left_semi")
       .agg(count(lit(1)).as("n_found"))
@@ -676,6 +667,33 @@ object DedupOps {
     * rebuilds rather than silently running the consumers uncached. */
   private val digestCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  /** One persisted TOKEN-SET projection per (application, corpus) —
+    * the [[digestCache]] doctrine applied to the PPJoin family's input
+    * (r15 advice): [[ngramJaccardPairs]], [[ngramContainment]] and
+    * [[dedupYieldCurve]] all project documents to
+    * (doc_id, source, sorted-distinct token set, n) and previously each
+    * persisted a PRIVATE copy per call for the session lifetime —
+    * three copies of essentially the same data. Deliberately
+    * session-lifetime like the digest table (in production it IS the
+    * written shingle-set table, rebuilt per ingest); a `clearCache()`
+    * drops the storage and the `storageLevel == NONE` check rebuilds. */
+  private val toksetCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private def toksetTable(spark: SparkSession, sfDir: String): DataFrame = {
+    val key = spark.sparkContext.applicationId + "|" + sfDir
+    toksetCache.compute(key, (_, old) =>
+      if (old != null &&
+          old.storageLevel != org.apache.spark.storage.StorageLevel.NONE) old
+      else Tables.documents(spark, sfDir)
+        // compact source must not serialize the pipeline
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(col("doc_id"), col("source"),
+          array_sort(array_distinct(toks)).as("tokset"))
+        .withColumn("n", size(col("tokset")))
+        .persist())
+  }
 
   /** Shared day-2 preamble: the per-doc digest table (persisted once per
     * corpus via [[digestCache]]; doc_id + 16-byte hash, ~25 B a row at

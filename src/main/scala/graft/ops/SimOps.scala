@@ -1070,13 +1070,24 @@ object SimOps {
   /** The fitted codebook as a registry query: (m, k, dim, value) rows —
     * the trainable half of the PQ family, hash-oracled by unrolling both
     * Lloyd rounds into SQL CTEs exactly like `ann_ivf_kmeans`. */
-  def pqTrain(spark: SparkSession, sfDir: String): DataFrame =
-    pqFit(Tables.embeddings(spark, sfDir).select("vec_id", "embedding"), iters = 2)
+  def pqTrain(spark: SparkSession, sfDir: String): DataFrame = {
+    // residual-input mode (spark.graft.pq.fitInput = residual): fit the
+    // book on the IVF residuals — the input the fitted-residual serving
+    // tier actually encodes. Same fit, same tie-free grid mean; the
+    // registry oracle pins the raw default, PqFamilySpec pins the
+    // steering (residual-fitted book ≠ raw-fitted book, non-vacuous).
+    val in = graft.GraftConf.pqFitInput(spark) match {
+      case "residual" => ivfResiduals(spark, sfDir)
+        .select(col("vec_id"), col("res").as("embedding"))
+      case _ => Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
+    }
+    pqFit(in, iters = 2)
       .select(col("m").cast("long").as("m"), col("k").cast("long").as("k"),
         posexplode(col("ce")))
       .select(col("m"), col("k"), col("pos").cast("long").as("dim"),
         col("col").as("value"))
       .orderBy("m", "k", "dim")
+  }
 
   /** ADC search through the FITTED codebook — [[annPqAdc]] with
     * [[pqFit]]'s centroids in place of the pseudo-random constants: the
@@ -1275,13 +1286,23 @@ object SimOps {
     * composition cannot drift from its parts. Same depths and at-rest
     * story as [[annIvfPq]]: cell-partitioned 12-bit codes, floats only
     * for the ≤10 rerank rows. */
-  def annIvfPqResidual(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The IVF-residual view shared by the residual tiers: corpus assigned
+    * to cells with `res = embedding − cell centroid` as DOUBLES (each
+    * float widens exactly; a float-typed difference would round where
+    * the oracle's double-list difference does not). One definition so
+    * the fixed-book probe, the fitted-book probe and the residual
+    * `pq_train` input cannot diverge on what a residual is. */
+  private def ivfResiduals(spark: SparkSession, sfDir: String): DataFrame = {
     val v = withNorm(Tables.embeddings(spark, sfDir))
     val cents = ivfCentroids(spark, v)
-    val withRes = ivfAssign(v, cents)
+    ivfAssign(v, cents)
       .join(broadcast(cents.select(col("cent_id").as("cell"), col("ce"))), "cell")
       .withColumn("res", zip_with(col("embedding"), col("ce"),
         (x, y) => x.cast("double") - y.cast("double")))
+  }
+
+  def annIvfPqResidual(spark: SparkSession, sfDir: String): DataFrame = {
+    val withRes = ivfResiduals(spark, sfDir)
     val corpus = pqCoded(withRes, col("res"))
       .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"),
         col("code0"), col("code1"), col("code2"), col("code3"))
@@ -1294,6 +1315,61 @@ object SimOps {
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cell"),
         col("qe"), col("qn"), col("embedding"), col("nrm"), pqAdcPick().as("adc"))
+    val wq = Window.partitionBy("query_id")
+      .orderBy(col("adc").asc, col("neighbor_id").asc)
+    val candidates = scored
+      .withColumn("crnk", row_number().over(wq))
+      .filter(col("crnk") <= 10)
+    val wr = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    candidates
+      .select(col("query_id"), col("neighbor_id"), col("cell"),
+        (dot(col("qe"), col("embedding")) / sqrt(col("qn") * col("nrm"))).as("cos"))
+      .withColumn("rnk", row_number().over(wr).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"), col("cell"), col("cos"))
+      .orderBy("query_id", "rnk")
+  }
+
+  /** FITTED-residual IVF-PQ — [[annIvfPqResidual]] with the codebook
+    * TRAINED on the residuals instead of the fixed pseudo-random book:
+    * the production FAISS default in full (`by_residual=true` with a
+    * trained quantizer — Jégou-Douze-Schmid 2011 §V.A), and the
+    * composition the r15 tradeoff table showed the ladder was missing:
+    * the fixed book's recall@5 measured 0.000 at ×10 and training is
+    * what buys it back, so the flagship composed tier must train on the
+    * SAME vectors it encodes — the residuals, whose in-cell spread is
+    * exactly what the book's 8 centroids per subspace should describe.
+    *
+    * Construction: [[ivfResiduals]] (the one residual definition) →
+    * [[pqFit]] on the residual view (same tie-free 2⁻²⁰ floor-grid
+    * mean, deterministic init — the `pq_train` residual-input mode) →
+    * the collected vocabulary-sized book re-enters the plan as literals
+    * → the residual tier's probe verbatim ([[pqCoded]]/[[pqAdcTable]]/
+    * [[pqAdcPick]] parameterized by the fitted book). Serving is
+    * therefore the SAME narrow codes-only scan + broadcast ADC table as
+    * the fixed tier — zero extra shuffles per query batch; the
+    * subspace-Lloyd passes are paid once per index build. Fully
+    * hash-oracled: the oracle splices the IVF assignment CTEs, the
+    * residual CTE and the residual-input fit CTEs verbatim, then codes
+    * corpus and query tables from ONE `dist` relation (the
+    * `ann_pq_adc_fitted` doctrine) with the cell constraint fused into
+    * the pair join. */
+  def annIvfPqFitted(spark: SparkSession, sfDir: String): DataFrame = {
+    val withRes = ivfResiduals(spark, sfDir)
+    val cb = pqFitCodebook(withRes.select(col("vec_id"), col("res").as("embedding")))
+    val corpus = pqCoded(withRes, col("res"), cb)
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"),
+        col("code0"), col("code1"), col("code2"), col("code3"))
+    val q = pqAdcTable(withRes.filter(col("vec_id") < 10), col("res"), cb)
+      .withColumnRenamed("vec_id", "query_id")
+      .withColumnRenamed("embedding", "qe")
+      .withColumnRenamed("nrm", "qn")
+      .drop("ce", "res")
+    val scored = broadcast(q).join(corpus, Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cell"),
+        col("qe"), col("qn"), col("embedding"), col("nrm"), pqAdcPick(cb).as("adc"))
     val wq = Window.partitionBy("query_id")
       .orderBy(col("adc").asc, col("neighbor_id").asc)
     val candidates = scored
@@ -1497,6 +1573,7 @@ object SimOps {
     "ann_pq_adc_fitted"    -> (annPqAdcFitted _),
     "ann_ivfpq"            -> (annIvfPq _),
     "ann_ivfpq_residual"   -> (annIvfPqResidual _),
+    "ann_ivfpq_fitted"     -> (annIvfPqFitted _),
     "mmr_rerank"           -> (mmrRerank _))
 
   private def sqlPlaneList(j: Int): String =
@@ -1602,16 +1679,20 @@ object SimOps {
 
   /** Shared fit prefix: the per-subspace training view + deterministic
     * init (centroid k of subspace m = vec_id k's m-th subvector) + both
-    * Lloyd rounds → `cb2`. Prefix with a `v` CTE. */
-  private lazy val sqlPqFitCtes: String =
+    * Lloyd rounds → `cb2`, built over any source CTE exposing
+    * (vec_id, d): `v` for the raw fit, `resid` for the residual-input
+    * mode the fitted-residual tier trains in. */
+  private def sqlPqFitCtesFrom(src: String): String =
     s"""subs AS (
        |  SELECT vec_id, mm.m,
        |    list_slice(d, 1 + mm.m * $PqSub, (mm.m + 1) * $PqSub) AS sub
-       |  FROM v CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS m) mm),
+       |  FROM $src CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS m) mm),
        |cb0 AS (SELECT m, CAST(vec_id AS INT) AS k, sub AS ce
        |        FROM subs WHERE vec_id < $PqK),
        |${sqlPqLloydIter("cb0", "cb1")},
        |${sqlPqLloydIter("cb1", "cb2")}""".stripMargin
+
+  private lazy val sqlPqFitCtes: String = sqlPqFitCtesFrom("v")
 
   private lazy val sqlPqTrain: String =
     s"""WITH v AS ($sqlVec),
@@ -1897,6 +1978,69 @@ object SimOps {
        |${sqlPqCdCtesFrom("resid")},
        |$sqlIvfPqTail""".stripMargin
 
+  /** Fitted-residual IVF-PQ replay: the shared assignment CTEs + the
+    * residual CTE (verbatim from the fixed-book residual oracle) + the
+    * residual-INPUT fit CTEs ([[sqlPqFitCtesFrom]]) — then corpus codes
+    * and query ADC tables from ONE `dist` relation (the
+    * `ann_pq_adc_fitted` doctrine: the fitted book's surviving code ids
+    * are data, so codes must come from a relation, not pivoted
+    * columns), with the cell constraint fused into the pair join and
+    * the residual tier's probe depths (ADC top-10 in-cell, exact rerank
+    * to 3). */
+  private lazy val sqlIvfPqFitted: String =
+    s"""WITH $sqlIvfCtes,
+       |resid AS (
+       |  SELECT a.vec_id,
+       |    list_transform(list_zip(a.d, c.ce), z -> z[1] - z[2]) AS d
+       |  FROM assigned a JOIN cents c ON a.cell = c.cent_id),
+       |${sqlPqFitCtesFrom("resid")},
+       |dist AS (
+       |  SELECT s.vec_id, s.m, c.k,
+       |    list_sum(list_transform(list_zip(s.sub, c.ce),
+       |      z -> (z[1] - z[2]) * (z[1] - z[2]))) AS dist2
+       |  FROM subs s JOIN cb2 c ON c.m = s.m),
+       |codes AS (
+       |  SELECT vec_id, m, k AS code FROM (
+       |    SELECT vec_id, m, k,
+       |      row_number() OVER (PARTITION BY vec_id, m
+       |        ORDER BY dist2 ASC, k ASC) AS rk
+       |    FROM dist) t WHERE rk = 1),
+       |qt AS (SELECT vec_id AS query_id, m, k, dist2 FROM dist WHERE vec_id < 10),
+       |pair AS (
+       |  SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id, a.cell,
+       |    c.m, qt.dist2
+       |  FROM assigned q
+       |  JOIN assigned a ON a.cell = q.cell AND a.vec_id <> q.vec_id
+       |  JOIN codes c ON c.vec_id = a.vec_id
+       |  JOIN qt ON qt.query_id = q.vec_id AND qt.m = c.m AND qt.k = c.code
+       |  WHERE q.vec_id < 10),
+       |adc AS (
+       |  SELECT query_id, neighbor_id, cell,
+       |    SUM(CASE WHEN m = 0 THEN dist2 END)
+       |      + SUM(CASE WHEN m = 1 THEN dist2 END)
+       |      + SUM(CASE WHEN m = 2 THEN dist2 END)
+       |      + SUM(CASE WHEN m = 3 THEN dist2 END) AS adc
+       |  FROM pair GROUP BY query_id, neighbor_id, cell),
+       |cand AS (
+       |  SELECT query_id, neighbor_id, cell FROM (
+       |    SELECT query_id, neighbor_id, cell,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY adc ASC, neighbor_id ASC) AS crnk
+       |    FROM adc) t WHERE crnk <= 10),
+       |cs AS (
+       |  SELECT c.query_id, c.neighbor_id, c.cell,
+       |    ${sqlDot("nq.d", "nx.d")} / sqrt(nq.nrm * nx.nrm) AS cos
+       |  FROM cand c
+       |  JOIN n nq ON nq.vec_id = c.query_id
+       |  JOIN n nx ON nx.vec_id = c.neighbor_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cell, cos,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cos DESC, neighbor_id ASC) AS BIGINT) AS rnk
+       |  FROM cs)
+       |SELECT query_id, rnk, neighbor_id, cell, cos
+       |FROM ranked WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin
+
   /** DuckDB oracle for the SQ8 probe — shared verbatim by `ann_sq8` and
     * `ann_sq8_persist` (the persisted probe is bit-identical by design,
     * so ONE oracle gates both). */
@@ -1980,6 +2124,7 @@ object SimOps {
     "ann_pq_adc_fitted" -> sqlPqAdcFitted,
     "ann_ivfpq" -> sqlIvfPq,
     "ann_ivfpq_residual" -> sqlIvfPqResidual,
+    "ann_ivfpq_fitted" -> sqlIvfPqFitted,
     "mmr_rerank" -> sqlMmr,
     "embed_knn_classify" ->
       s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS d,

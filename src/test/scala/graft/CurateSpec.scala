@@ -51,6 +51,15 @@ class CurateSpec extends SparkSpec {
     try assert(q("decontaminate_semantic")
       .filter(col("dropped")).count() === 0L)
     finally spark.conf.unset("spark.graft.decon.semTau")
+    // degenerate-eval guard (r15 advice): on a corpus with NO vec_id
+    // divisible by the modulus (synthesized corpora need not carry id
+    // 0) the eval set is EMPTY — the engine must emit zero rows like
+    // the oracle's cross join, never the -2.0 fold seed. The fixture
+    // always has vec_id 0, so the empty case needs its own corpus.
+    val tmp = java.nio.file.Files.createTempDirectory("decon_empty").toString
+    Tables.embeddings(spark, sf).filter(col("vec_id") % 97 =!= 0).limit(5)
+      .write.parquet(tmp + "/embeddings.parquet")
+    assert(graft.ops.CurateOps.decontaminateSemantic(spark, tmp).count() === 0L)
   }
 
   test("decontamination removes at least the eval set's own members") {

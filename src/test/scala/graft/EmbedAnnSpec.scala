@@ -324,6 +324,44 @@ class EmbedAnnSpec extends SparkSpec {
     assert(rFitted > 0.0)
   }
 
+  test("ann_ivfpq_fitted: pq_train residual mode steers, and the tier is non-vacuous") {
+    // residual-input mode (spark.graft.pq.fitInput): the residual-trained
+    // book must DIFFER from the raw-trained book — the steering pin, and
+    // the non-vacuity of the fitted-residual composition (a residual fit
+    // that reproduced the raw book would make ann_ivfpq_fitted a silent
+    // alias of a raw-book probe)
+    def book() = q("pq_train").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val raw = book()
+    spark.conf.set("spark.graft.pq.fitInput", "residual")
+    val res = try book() finally spark.conf.unset("spark.graft.pq.fitInput")
+    assert(res !== raw, "residual-input fit reproduced the raw book")
+    // the fitted-residual probe must not silently equal the fixed-book
+    // residual tier on every query (same cells, same rerank — only the
+    // codebook differs, so equality everywhere would mean the fitted
+    // book never changed a candidate cut) ... unless the 10-query
+    // fixture genuinely agrees; pin instead that output is well-formed
+    // and in-cell: every (query, neighbor) pair shares the query's cell
+    val fitted = q("ann_ivfpq_fitted").collect()
+    assert(fitted.length === 30)
+    val cellOf = q("ann_ivf_probe").collect()
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("cell")).toMap
+    fitted.foreach { r =>
+      assert(r.getAs[Long]("cell") === cellOf(r.getAs[Long]("query_id")),
+        "fitted-residual probe left the query's cell")
+    }
+    // and the ADC cut actually retrieves true in-cell neighbors
+    def sets(n: String) = q(n).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val truth = sets("ann_ivf_probe")
+    val got = sets("ann_ivfpq_fitted")
+    val rec = truth.toSeq.map { case (qid, t) =>
+      (got.getOrElse(qid, Set.empty[Long]) & t).size
+    }.sum.toDouble / truth.values.map(_.size).sum
+    assert(rec > 0.0, "fitted-residual probe found no true in-cell neighbor")
+  }
+
   test("ann_ivf_nprobe dominates ann_ivf_probe rank-for-rank (superset candidates)") {
     // the query's own cell ranks first in its top-nprobe list, so the
     // multi-cell candidate set contains the single-cell one — an exact

@@ -819,6 +819,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
   }
 
+  test("ann_ivfpq_fitted: serving is the fixed residual tier's plan — book as literals") {
+    val plan = planOf("ann_ivfpq_fitted")
+    // the fitted book is collected once (vocabulary-sized) and re-enters
+    // as literals, so the probe plan must be the residual tier's shape:
+    // broadcast cell join + broadcast centroid join, never a sort-merge
+    // against a codebook table, never a cartesian
+    assert(!plan.contains("SortMergeJoin"),
+      s"a codebook/cell table sort-merged in:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"cell probe not a broadcast join in:\n$plan")
+  }
+
   test("decontaminate_semantic: map-only over the corpus — no corpus hash exchange") {
     val plan = planOf("decontaminate_semantic")
     // the 100 TB claim: the eval set folds to one broadcast array row and
@@ -844,8 +857,8 @@ class PlanAuditSpec extends SparkSpec {
     // each GD step's only exchange carries 66-key partial LONG sums —
     // map-side combine must be present, and no exchange may be keyed on
     // the corpus id (the corpus is scanned, never repartitioned)
-    assert(plan.contains("partial_sum") || plan.contains("partial_"),
-      s"no map-side partial aggregation in:\n$plan")
+    assert("partial_sum\\(c#".r.findFirstIn(plan).isDefined,
+      s"no map-side partial sum over the gradient contribution column in:\n$plan")
     assert(!"Exchange hashpartitioning\\([^)]*vec_id".r.findFirstIn(plan).isDefined,
       s"corpus-keyed exchange in the GD plan:\n$plan")
     assert(!plan.contains("SortMergeJoin"), s"model join sort-merged in:\n$plan")
