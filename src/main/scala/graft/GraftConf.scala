@@ -182,4 +182,19 @@ object GraftConf {
     * tier's book. */
   def pqFitInput(spark: SparkSession): String =
     spark.conf.get("spark.graft.pq.fitInput", "raw")
+
+  /** Per-bucket occupancy cap for the 64-bit perceptual-hash banded
+    * join (`mm_image_neardup`): band buckets holding more than this
+    * many images have their postings dropped (loudly) before the
+    * candidate join — the `spans.maxDf` doctrine applied to the tier
+    * whose 2⁸-value band space saturates on dense corpora (candidate
+    * exponent 2.00 measured in SCALE_r15_phash_density). A saturated
+    * bucket is the band-space analogue of a boilerplate shingle: its
+    * candidates are overwhelmingly false (space-exhaustion collisions),
+    * and pairs colliding ONLY there are lost — the cap's stated
+    * assumption. Default 0 = off (the registry/oracle path: the banded
+    * join stays provably lossless at hamming ≤ 7). The scale-safe
+    * default for dense corpora remains `mm_image_neardup_mi`. */
+  def phashMaxBucket(spark: SparkSession): Long =
+    spark.conf.get("spark.graft.phash.maxBucket", "0").toLong
 }

@@ -88,22 +88,32 @@ object PhashDensityAudit {
     val bigParts = Map("spark.sql.shuffle.partitions" ->
       math.min(4096, cpus * factor).toString)
 
+    // capped 64-bit tier: the r15 verdict's remedy measured — a FIXED
+    // per-bucket occupancy cap bounds candidates to n·bands·cap (linear
+    // in n) whatever the bucket skew; 64 ≈ 3× the small corpus's
+    // expected occupancy n/2⁸, so genuine sparse-regime buckets survive
+    // and only saturated ones drop
+    val CapConf = Map("spark.graft.phash.maxBucket" -> "64")
     val tiers = Seq(
       ("mm_image_neardup", "64-bit aHash, 8 bands x 8 bits (space 2^8)", 8, 8,
-        "phash", "mm_image_phash"),
+        "phash", "mm_image_phash", Map.empty[String, String], 0L),
+      ("mm_image_neardup[maxBucket=64]",
+        "64-bit aHash, 8x8-bit bands, bucket cap 64 (candidates <= n*8*64)", 8, 8,
+        "phash", "mm_image_phash", CapConf, 64L),
       ("mm_image_neardup_mi", "256-bit hash, 16 bands x 16 bits (space 2^16)", 16, 16,
-        "phash256", "mm_image_phash256"))
-    val rows = tiers.map { case (qn, desc, nBands, bandW, hashCol, hashQ) =>
-      val candSmall = candidates(spark, small, hashQ, hashCol, nBands, bandW)
-      val candBig = candidates(spark, big, hashQ, hashCol, nBands, bandW)
-      val ts = time(qn, small, Map.empty)
-      val tb = time(qn, big, bigParts)
+        "phash256", "mm_image_phash256", Map.empty[String, String], 0L))
+    val rows = tiers.map { case (label, desc, nBands, bandW, hashCol, hashQ, conf, cap) =>
+      val qn = label.takeWhile(_ != '[')
+      val candSmall = candidates(spark, small, hashQ, hashCol, nBands, bandW, cap)
+      val candBig = candidates(spark, big, hashQ, hashCol, nBands, bandW, cap)
+      val ts = time(qn, small, conf)
+      val tb = time(qn, big, bigParts ++ conf)
       val e = math.log(tb / ts) / math.log(factor.toDouble)
       val ce = math.log(candBig.toDouble / math.max(1L, candSmall)) /
         math.log(factor.toDouble)
-      println(f"[phashdens] $qn%-20s small=$ts%7.2fs big=$tb%7.2fs exp=$e%5.2f " +
+      println(f"[phashdens] $label%-28s small=$ts%7.2fs big=$tb%7.2fs exp=$e%5.2f " +
         f"cand=$candSmall%,d -> $candBig%,d (exp=$ce%4.2f)")
-      (qn, desc, ts, tb, e, candSmall, candBig, ce)
+      (label, desc, ts, tb, e, candSmall, candBig, ce)
     }
     val mi = rows.find(_._1 == "mm_image_neardup_mi").get
     val json = s"""{"n_small":$nSmall,"factor":$factor,""" +
@@ -126,12 +136,22 @@ object PhashDensityAudit {
   /** Distinct band-collision pairs BEFORE the hamming verify — the
     * volume the exchange and the verify stage actually pay. */
   private def candidates(spark: SparkSession, dir: String, hashQ: String,
-      hashCol: String, nBands: Int, bandW: Int): Long = {
+      hashCol: String, nBands: Int, bandW: Int, cap: Long = 0L): Long = {
     val ph = SparkEntry.queries(hashQ)(spark, dir).select(col("doc_id"), col(hashCol))
-    val bands = ph.select(col("doc_id"),
+    val allBands = ph.select(col("doc_id"),
       posexplode(transform(sequence(lit(0), lit(nBands - 1)),
         b => col(hashCol).substr(b * bandW + 1, lit(bandW))))
         .as(Seq("band_idx", "band")))
+    // mirror of MultiModalOps.capBandBuckets for the capped row's
+    // candidate measurement
+    val bands =
+      if (cap <= 0L) allBands
+      else {
+        val hot = allBands.groupBy("band_idx", "band")
+          .agg(count(lit(1)).as("occ")).filter(col("occ") > cap)
+          .select("band_idx", "band")
+        allBands.join(broadcast(hot), Seq("band_idx", "band"), "left_anti")
+      }
     bands.as("x").join(bands.as("y"),
         col("x.band_idx") === col("y.band_idx") &&
         col("x.band") === col("y.band") &&

@@ -199,14 +199,19 @@ object MultiModalOps {
     *
     * Scale honesty: each band spans only 2⁸ values, so bucket occupancy
     * grows ~n/256 and candidate volume ~n²/(256·heap-luck) — EXACT but
-    * quadratic-tailed, unlike the minhash tier whose band space grows
-    * with the corpus. That is intrinsic to a 64-bit fingerprint: at
-    * billions of images the production form is a LONGER perceptual hash
-    * with wider bands (the multi-index hamming-search construction —
-    * same plan shape, bigger band space); the fixture-scale op keeps the
-    * 64-bit form because its losslessness is provable and oracle-checked.
-    * The oracle replays the SAME band algorithm (lossless ⇒
-    * result-identical to brute force, which the spec proves in-JVM). */
+    * quadratic-tailed (MEASURED: candidate exponent 2.00 on the diverse
+    * planted corpus, SCALE_r15_phash_density), unlike the minhash tier
+    * whose band space grows with the corpus. That is intrinsic to a
+    * 64-bit fingerprint, and the tier now ships BOTH remedies: the
+    * scale-safe default for dense corpora is [[mmImageNeardupMi]]
+    * (256-bit hash, 2¹⁶-value bands — same plan shape, 256× the band
+    * space), and for a user pinned to the 64-bit hash the quadratic
+    * tail is CAPPED by the conf-gated [[capBandBuckets]] prefilter
+    * (`spark.graft.phash.maxBucket` — default off, loud when it drops,
+    * density-audited with the cap on). With the cap off the banded join
+    * is provably lossless at the threshold, and the oracle replays the
+    * SAME band algorithm (lossless ⇒ result-identical to brute force,
+    * which the spec proves in-JVM). */
   def mmImageNeardup(spark: SparkSession, sfDir: String): DataFrame = {
     // pack the 64-bit hash into ONE long per image (two 32-bit convs —
     // a single 64-bit conv would overflow the signed cast), so the
@@ -218,7 +223,8 @@ object MultiModalOps {
         posexplode(transform(sequence(lit(0), lit(7)),
           b => col("phash").substr(b * 8 + 1, lit(8))))
           .as(Seq("band_idx", "band")))
-    val cand = bands.as("x").join(bands.as("y"),
+    val capped = capBandBuckets(bands)
+    val cand = capped.as("x").join(capped.as("y"),
         col("x.band_idx") === col("y.band_idx") &&
         col("x.band") === col("y.band") &&
         col("x.doc_id") < col("y.doc_id"))
@@ -229,6 +235,42 @@ object MultiModalOps {
       .filter(col("hamming") <= 7)
       .select("a", "b", "hamming")
       .orderBy("a", "b")
+  }
+
+  /** Conf-gated occupancy cap for the 64-bit tier's band buckets
+    * ([[graft.GraftConf.phashMaxBucket]]) — the [[DedupOps]]
+    * `capPostingsDf` doctrine applied to the band space whose quadratic
+    * candidate tail is MEASURED (exponent 2.00 on the diverse planted
+    * corpus, SCALE_r15_phash_density): one bucket-sized aggregate finds
+    * saturated (band_idx, band) buckets, their postings drop via a
+    * broadcast anti-join (the hot set is tiny by definition — at most
+    * bands·2⁸ buckets exist at all), and the drop is LOUD — a silent
+    * cap would read as "no dense region here" when the opposite is
+    * true. Candidates are then bounded by n·bands·cap instead of
+    * Σ occupancy². Pairs colliding only in capped buckets are lost
+    * (space-exhaustion noise by the cap's assumption — at occupancy ≫
+    * expected n/2⁸ a bucket's pairs are dominated by unrelated images
+    * sharing one low-information band value). No-op and zero extra
+    * passes when unset, so the registry/oracle path is untouched. */
+  private def capBandBuckets(bands: DataFrame): DataFrame = {
+    val spark = bands.sparkSession
+    val cap = graft.GraftConf.phashMaxBucket(spark)
+    if (cap <= 0L) bands
+    else {
+      val hot = bands.groupBy("band_idx", "band")
+        .agg(count(lit(1)).as("occ"))
+        .filter(col("occ") > cap)
+        .select("band_idx", "band")
+        .persist()
+      val nHot = hot.count()
+      if (nHot > 0)
+        org.apache.logging.log4j.LogManager.getLogger("graft")
+          .warn(s"phash.maxBucket=$cap: dropping the postings of $nHot " +
+            "saturated band bucket(s); pairs colliding only in capped " +
+            "buckets are lost (band-space exhaustion by the cap's " +
+            "assumption — use mm_image_neardup_mi for dense corpora)")
+      bands.join(broadcast(hot), Seq("band_idx", "band"), "left_anti")
+    }
   }
 
   /** One 64-bit word of a '0'/'1' bit string, packed via two 32-bit

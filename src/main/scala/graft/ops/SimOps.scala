@@ -630,11 +630,24 @@ object SimOps {
     * queries in the report (a probe that returns nothing for a query is
     * the failure the metric exists to catch). Fully deterministic, so the
     * oracle composes the two tiers' CTE chains verbatim. */
-  def annRecallEval(spark: SparkSession, sfDir: String): DataFrame = {
-    val truth = annTopkBrute(spark, sfDir).filter(col("rnk") <= 3)
+  def annRecallEval(spark: SparkSession, sfDir: String): DataFrame =
+    recallEvalOf(spark, sfDir, annIvfProbe(spark, sfDir), depth = 3)
+
+  /** The recall gate GENERALIZED across the serving ladder (r15 verdict
+    * #4): the same hit check against the same brute truth, at each
+    * tier's own probe depth — the acceptance protocol a rebuild
+    * actually runs is a COMPARISON of tiers, not one number. Each tier
+    * gets its own registry query (`ann_recall_*`) so a pipeline can
+    * gate any subset; the oracles wrap each tier's own oracle statement
+    * verbatim ([[sqlRecallOf]]), so the evaluated probe and the gate
+    * cannot diverge. Scale shape unchanged from [[annRecallEval]]: both
+    * pair sets are |queries|·depth rows at any corpus size, broadcast
+    * so the hit check never sort-merges. */
+  private def recallEvalOf(spark: SparkSession, sfDir: String,
+      probeDf: DataFrame, depth: Int): DataFrame = {
+    val truth = annTopkBrute(spark, sfDir).filter(col("rnk") <= depth)
       .select(col("query_id"), col("neighbor_id"))
-    val probe = annIvfProbe(spark, sfDir)
-      .select(col("query_id"), col("neighbor_id"))
+    val probe = probeDf.select(col("query_id"), col("neighbor_id"))
     // both sides are |queries|·k rows at any corpus size — broadcast them
     // so the hit check never sort-merges (the plan pin)
     val hits = probe.join(broadcast(truth), Seq("query_id", "neighbor_id"), "left_semi")
@@ -642,9 +655,21 @@ object SimOps {
     truth.select("query_id").distinct()
       .join(broadcast(hits), Seq("query_id"), "left")
       .select(col("query_id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
-      .withColumn("recall", col("n_hits").cast(DoubleType) / lit(3.0d))
+      .withColumn("recall", col("n_hits").cast(DoubleType) / lit(depth.toDouble))
       .orderBy("query_id")
   }
+
+  def annRecallNprobe(spark: SparkSession, sfDir: String): DataFrame =
+    recallEvalOf(spark, sfDir, annIvfNprobe(spark, sfDir), depth = 3)
+
+  def annRecallSq8(spark: SparkSession, sfDir: String): DataFrame =
+    recallEvalOf(spark, sfDir, annSq8(spark, sfDir), depth = 5)
+
+  def annRecallBinary(spark: SparkSession, sfDir: String): DataFrame =
+    recallEvalOf(spark, sfDir, annBinarySign(spark, sfDir), depth = 5)
+
+  def annRecallPqFitted(spark: SparkSession, sfDir: String): DataFrame =
+    recallEvalOf(spark, sfDir, annPqAdcFitted(spark, sfDir), depth = 5)
 
   /** HARD-NEGATIVE mining for contrastive training — the pair-mining
     * step of every dense-retriever / embedding-model training pipeline
@@ -1562,6 +1587,10 @@ object SimOps {
     "ann_ivf_probe"        -> (annIvfProbe _),
     "ann_ivf_nprobe"       -> (annIvfNprobe _),
     "ann_recall_eval"      -> (annRecallEval _),
+    "ann_recall_nprobe"    -> (annRecallNprobe _),
+    "ann_recall_sq8"       -> (annRecallSq8 _),
+    "ann_recall_binary"    -> (annRecallBinary _),
+    "ann_recall_pq_fitted" -> (annRecallPqFitted _),
     "embed_lr_probe"       -> (embedLrProbe _),
     "hard_negatives"       -> (hardNegatives _),
     "ann_ivf_persist"      -> (annIvfPersist _),
@@ -2072,6 +2101,66 @@ object SimOps {
          |SELECT query_id, rnk, neighbor_id, cos
          |FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
 
+  /** The sign-quantized probe oracle — hamming replayed as the COUNT of
+    * sign-disagreeing dimensions, the same integer the engine's packed
+    * xor+bit_count computes. A val (not inline) because the recall
+    * ladder wraps it as a subquery. */
+  private lazy val sqlBinarySign: String =
+    s"""WITH v AS ($sqlVec),
+       |n AS (SELECT vec_id, d, ${sqlDot("d", "d")} AS nrm FROM v),
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+       |    len(list_filter(list_zip(q.d, x.d),
+       |      s -> (s[1] > 0) <> (s[2] > 0))) AS hd,
+       |    ${sqlDot("q.d", "x.d")} / sqrt(q.nrm * x.nrm) AS cos
+       |  FROM n q JOIN n x ON q.vec_id < 10 AND x.vec_id <> q.vec_id),
+       |cand AS (
+       |  SELECT query_id, neighbor_id, cos FROM (
+       |    SELECT query_id, neighbor_id, cos,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY hd ASC, neighbor_id ASC) AS crnk
+       |    FROM scored) t WHERE crnk <= 20),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cos,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cos DESC, neighbor_id ASC) AS BIGINT) AS rnk
+       |  FROM cand)
+       |SELECT query_id, rnk, neighbor_id, cos
+       |FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
+
+  /** Generic recall-ladder oracle: the TIER's own full oracle statement
+    * runs verbatim as a subquery (DuckDB scopes its WITH names locally,
+    * so the tier's `v`/`n` shadow the outer ones) and its (query_id,
+    * neighbor_id) pairs are hit-checked against the shared brute-force
+    * truth at the tier's own depth — the oracle cannot drift from the
+    * tier it evaluates because it IS the tier's oracle text. */
+  private def sqlRecallOf(tierSql: String, depth: Int): String =
+    s"""WITH v AS ($sqlVec),
+       |n AS (SELECT vec_id, d, ${sqlDot("d", "d")} AS nrm FROM v),
+       |probe AS (
+       |  SELECT query_id, neighbor_id FROM ($tierSql) p),
+       |bscored AS (
+       |  SELECT nq.vec_id AS query_id, nx.vec_id AS neighbor_id,
+       |    ${sqlDot("nq.d", "nx.d")} / sqrt(nq.nrm * nx.nrm) AS cos
+       |  FROM n nq JOIN n nx ON nq.vec_id < 10 AND nx.vec_id <> nq.vec_id),
+       |truth AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY cos DESC, neighbor_id ASC) AS rnk
+       |    FROM bscored) t WHERE rnk <= $depth),
+       |hits AS (
+       |  SELECT p.query_id, count(*) AS n_hits
+       |  FROM probe p JOIN truth t
+       |    ON t.query_id = p.query_id AND t.neighbor_id = p.neighbor_id
+       |  GROUP BY p.query_id)
+       |SELECT tq.query_id,
+       |  CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       |  CAST(coalesce(h.n_hits, 0) AS DOUBLE) / $depth.0 AS recall
+       |FROM (SELECT DISTINCT query_id FROM truth) tq
+       |LEFT JOIN hits h ON h.query_id = tq.query_id
+       |ORDER BY tq.query_id""".stripMargin
+
   /** The lr-probe oracle: one labeled-feature CTE, then per GD step an
     * error CTE (σ on the 2⁻²⁰ grid), a gradient CTE (65 exact
     * grid-BIGINT sums + n) and a scalar weight CTE; same arithmetic
@@ -2254,30 +2343,13 @@ object SimOps {
          |ORDER BY cos DESC, vec_a ASC, vec_b ASC LIMIT 20""".stripMargin,
     "ann_sq8" -> sqlSq8Probe,
     "ann_sq8_persist" -> sqlSq8Probe,
+    "ann_recall_nprobe" -> sqlRecallOf(sqlIvfNprobe, 3),
+    "ann_recall_sq8" -> sqlRecallOf(sqlSq8Probe, 5),
+    "ann_recall_binary" -> sqlRecallOf(sqlBinarySign, 5),
+    "ann_recall_pq_fitted" -> sqlRecallOf(sqlPqAdcFitted, 5),
     // hamming replayed as the COUNT of sign-disagreeing dimensions —
     // the same integer the engine's packed xor+bit_count computes
-    "ann_binary_sign" ->
-      s"""WITH v AS ($sqlVec),
-         |n AS (SELECT vec_id, d, ${sqlDot("d", "d")} AS nrm FROM v),
-         |scored AS (
-         |  SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
-         |    len(list_filter(list_zip(q.d, x.d),
-         |      s -> (s[1] > 0) <> (s[2] > 0))) AS hd,
-         |    ${sqlDot("q.d", "x.d")} / sqrt(q.nrm * x.nrm) AS cos
-         |  FROM n q JOIN n x ON q.vec_id < 10 AND x.vec_id <> q.vec_id),
-         |cand AS (
-         |  SELECT query_id, neighbor_id, cos FROM (
-         |    SELECT query_id, neighbor_id, cos,
-         |      row_number() OVER (PARTITION BY query_id
-         |        ORDER BY hd ASC, neighbor_id ASC) AS crnk
-         |    FROM scored) t WHERE crnk <= 20),
-         |ranked AS (
-         |  SELECT query_id, neighbor_id, cos,
-         |    CAST(row_number() OVER (PARTITION BY query_id
-         |      ORDER BY cos DESC, neighbor_id ASC) AS BIGINT) AS rnk
-         |  FROM cand)
-         |SELECT query_id, rnk, neighbor_id, cos
-         |FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+    "ann_binary_sign" -> sqlBinarySign,
     "ann_topk_brute" ->
       s"""WITH v AS ($sqlVec),
          |n AS (SELECT vec_id, d, ${sqlDot("d", "d")} AS nrm FROM v),

@@ -325,6 +325,46 @@ class SimUdxSpec extends SparkSpec {
     assert(got.nonEmpty, "no near-dup pair — threshold degenerate at fixture scale")
   }
 
+  test("mm_image_neardup: the conf-gated bucket cap replays exactly and no-ops above occupancy") {
+    val ph = q("mm_image_phash").collect()
+      .map(r => (r.getLong(0), r.getString(3))).sortBy(_._1)
+    def hamming(a: String, b: String): Int =
+      a.iterator.zip(b.iterator).count { case (x, y) => x != y }
+    // driver-side replay of the capped band algorithm: per-band buckets,
+    // drop buckets with occupancy > cap, pairs from surviving buckets,
+    // exact hamming verify — the capBandBuckets contract
+    def cappedBrute(cap: Int): Seq[(Long, Long, Long)] = {
+      val buckets = (for {
+        (id, p) <- ph.iterator
+        b <- 0 until 8
+      } yield ((b, p.substring(b * 8, b * 8 + 8)), id)).toSeq
+        .groupBy(_._1).values.map(_.map(_._2)).filter(_.size <= cap)
+      val byId = ph.toMap
+      buckets.flatMap(ids =>
+        for { i <- ids; j <- ids if i < j } yield (i, j))
+        .toSeq.distinct
+        .map { case (i, j) => (i, j, hamming(byId(i), byId(j)).toLong) }
+        .filter(_._3 <= 7).sorted
+    }
+    val uncapped = q("mm_image_neardup").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    def withCap(c: Long) = {
+      spark.conf.set("spark.graft.phash.maxBucket", c.toString)
+      try q("mm_image_neardup").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      finally spark.conf.unset("spark.graft.phash.maxBucket")
+    }
+    // a cap above every bucket's occupancy is a no-op — bit-identical
+    assert(withCap(1000000000L) === uncapped, "huge cap changed the result")
+    // a binding cap replays the driver-side capped algorithm exactly,
+    // and on this dense fixture (saturated 2⁸ buckets) it actually binds
+    val capped = withCap(4L)
+    assert(capped === cappedBrute(4), "capped band join diverged from replay")
+    assert(capped.toSet.subsetOf(uncapped.toSet), "cap invented a pair")
+    assert(capped.size < uncapped.size,
+      "cap=4 did not bind on the saturated fixture — the pin is vacuous")
+  }
+
   test("mm_image_neardup_mi: 16×16-bit multi-index equals brute force; finds planted dups") {
     def hamming(a: String, b: String): Int =
       a.iterator.zip(b.iterator).count { case (x, y) => x != y }
