@@ -61,7 +61,8 @@ object AnnTradeoff {
       "ann_ivf_nprobe" -> Map("spark.graft.ann.centroidMod" -> centModAtScale),
       "ann_ivf_kmeans" -> Map("spark.graft.ann.centroidMod" -> centModAtScale),
       "ann_ivfpq" -> Map("spark.graft.ann.centroidMod" -> centModAtScale),
-      "ann_ivfpq_residual" -> Map("spark.graft.ann.centroidMod" -> centModAtScale))
+      "ann_ivfpq_residual" -> Map("spark.graft.ann.centroidMod" -> centModAtScale),
+      "ann_ivfpq_fitted" -> Map("spark.graft.ann.centroidMod" -> centModAtScale))
 
     // warm JVM + table cache
     SparkEntry.queries("ann_topk_brute")(spark, small).count()
@@ -157,6 +158,7 @@ object AnnTradeoff {
       topkEntry("ann_ivf_kmeans", 3),
       topkEntry("ann_ivfpq", 3),
       topkEntry("ann_ivfpq_residual", 3),
+      topkEntry("ann_ivfpq_fitted", 3),
       nn1Entry("ann_lsh_bucket"),
       nn1Entry("ann_lsh_multiprobe"), {
         val (t, rows) = timed("pq_encode")

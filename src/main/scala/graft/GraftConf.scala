@@ -197,4 +197,28 @@ object GraftConf {
     * default for dense corpora remains `mm_image_neardup_mi`. */
   def phashMaxBucket(spark: SparkSession): Long =
     spark.conf.get("spark.graft.phash.maxBucket", "0").toLong
+
+  /** Super-cells each VECTOR probes in the two-level semantic assign
+    * (`dedup_semantic`'s indexed argmin) — the `ann.nprobe` knob applied
+    * at the quantizer level: the tight-τ pair recall the nprobe=1 cut
+    * gives up across a decade (0.830 → 0.703, SEMDEDUP_RECALL r15) is
+    * bought back by probing more super-cells at n·nprobe·O(√k) assign
+    * cost. Default 1 = the registry/oracle procedure; the recall audit
+    * measures the nprobe=2 operating point. */
+  def semNprobe(spark: SparkSession): Int =
+    spark.conf.get("spark.graft.sem.nprobe", "1").toInt
+
+  /** Step budget for `embed_lr_converged` — the loud upper bound of the
+    * convergence-gated trainer. Default = the fixed trainer's 3 steps,
+    * which BINDS on the fixture (the oracle pins the bounded form). */
+  def lrMaxSteps(spark: SparkSession): Int =
+    spark.conf.get("spark.graft.lr.maxSteps", "3").toInt
+
+  /** Mean-|error| improvement below which `embed_lr_converged` stops.
+    * The loss is grid-exact (2⁻²⁰ longs), so the stop decision is
+    * deterministic at any parallelism. The default is far below the
+    * fixture's step-3 improvement (spec-asserted), so the registry runs
+    * the full budget. */
+  def lrTol(spark: SparkSession): Double =
+    spark.conf.get("spark.graft.lr.tol", "1e-6").toDouble
 }

@@ -68,16 +68,27 @@ object SemDedupRecall {
     val runs = Seq(
       // registry threshold, natural fixture — the continuity point
       ("registry_tau", ops.SimOps.ClusterCosThreshold, "fixture",
+        Map.empty[String, String],
         Seq("x1" -> small, s"x$factor" -> big)),
       // tight production threshold, planted-clique corpus
       ("tight_tau_planted", 0.9, "fixture+planted near-dup cliques",
+        Map.empty[String, String],
+        Seq("x1" -> plantedSmall, s"x$factor" -> plantedBig)),
+      // the recall knob's second operating point (r15 verdict #6): the
+      // same tight-τ planted regime under sem.nprobe=2 — what probing a
+      // second super-cell buys back of the 0.830 → 0.703 decade drop
+      ("tight_tau_planted_nprobe2", 0.9,
+        "fixture+planted near-dup cliques, sem.nprobe=2",
+        Map("spark.graft.sem.nprobe" -> "2"),
         Seq("x1" -> plantedSmall, s"x$factor" -> plantedBig)))
-    val parts = runs.map { case (tag, tau, corpus, scales) =>
+    val parts = runs.map { case (tag, tau, corpus, conf, scales) =>
       spark.conf.set("spark.graft.sem.cosThreshold", tau.toString)
+      conf.foreach { case (k, vv) => spark.conf.set(k, vv) }
       val inner = scales.map { case (stag, dir) =>
         spark.catalog.clearCache()
         s""""$stag": ${auditOne(spark, dir, tau)}"""
       }
+      conf.keys.foreach(spark.conf.unset)
       s""""$tag": {"threshold": $tau, "corpus": "$corpus",
          |${inner.mkString(",\n")}}""".stripMargin
     }

@@ -453,12 +453,22 @@ object SimOps {
       .withColumn("srnk", row_number().over(wCent))
       .filter(col("srnk") === 1)
       .select(col("cent_id"), col("ce"), col("cn"), col("sup_id").as("csup"))
+    // recall knob (r15 verdict #6): a vector probes its top-nprobe
+    // super-cells and argmins over the UNION of their centroids — the
+    // ann_ivf_nprobe construction applied at the quantizer level.
+    // Candidate centroids are supersets of the nprobe=1 cut, so the
+    // winning ccos can only rise (spec-pinned dominance), and probing
+    // every super-cell degenerates to the flat assign exactly
+    // (spec-pinned). Cost: the probe side emits nprobe rows per vector
+    // before the final argmin — n·nprobe·O(√k) dots. Default 1 = the
+    // oracle-pinned registry procedure.
+    val nprobe = graft.GraftConf.semNprobe(vecs.sparkSession)
     val wProbe = Window.partitionBy("vec_id")
       .orderBy(col("scos").desc, col("sup_id").asc)
     val probed = vecs.join(broadcast(sup))
       .withColumn("scos", dot(col("embedding"), col("se")) / sqrt(col("nrm") * col("sn")))
       .withColumn("srnk", row_number().over(wProbe))
-      .filter(col("srnk") === 1)
+      .filter(col("srnk") <= nprobe)
       .select(col("vec_id"), col("embedding"), col("nrm"), col("sup_id").as("vsup"))
     val wAssign = Window.partitionBy("vec_id")
       .orderBy(col("ccos").desc, col("cent_id").asc)
@@ -735,51 +745,126 @@ object SimOps {
     * whole descent driver-side and pins that the probe beats the
     * majority class (the representation is actually learnable — the
     * assertion a degenerate trainer would fail). */
-  def embedLrProbe(spark: SparkSession, sfDir: String): DataFrame = {
-    val grid = lit(1048576.0d)
-    val rate = lit(4.0d)
-    val v = Tables.embeddings(spark, sfDir)
+  private val LrGrid = lit(1048576.0d)
+  private val LrRate = lit(4.0d)
+  private val lrZ: Column = dot(col("w"), col("embedding")) + col("wb")
+
+  /** The labeled-feature view shared by both LR trainers. */
+  private def lrFeatures(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding"),
         when(col("label") < 5, 1.0d).otherwise(0.0d).as("y"))
-    val w0 = spark.range(1).select(
-      array_repeat(lit(0.0d), DIM).as("w"), lit(0.0d).as("wb"))
-    val z: Column = dot(col("w"), col("embedding")) + col("wb")
-    // Per-step gradient layout: each row emits its 66-long contribution
-    // vector [g_0..g_63, g_bias, 1] and the sums run as a tiny keyed
-    // aggregate over the exploded (dim, contribution) pairs — exact LONG
-    // sums are merge-order-free, so this is value-identical to a single
-    // wide aggregate, but it stays inside whole-stage codegen (66 sum
-    // accumulators in one aggregate blow the 64 KB codegen method limit
-    // and drop the whole stage to interpreted eval — measured 3× slower).
-    def step(w: DataFrame): DataFrame = {
-      val e = v.crossJoin(broadcast(w)).withColumn("e",
-        floor((lit(1.0d) / (lit(1.0d) + exp(-z))) * grid) / grid - col("y"))
-      val gs = e.select(posexplode(concat(
-          transform(col("embedding"),
-            x => floor((col("e") * x.cast("double")) * grid).cast("long")),
-          array(floor(col("e") * grid).cast("long"), lit(1L)))).as(Seq("j", "c")))
-        .groupBy("j").agg(sum(col("c")).as("s"))
-        .agg(transform(array_sort(collect_list(struct(col("j"), col("s")))),
-          s => s.getField("s")).as("gs"))
-      val n = element_at(col("gs"), DIM + 2).cast("double")
-      def upd(prev: Column, g: Column): Column =
-        prev - rate * ((g.cast("double") / grid) / n)
-      w.crossJoin(broadcast(gs)).select(
-        array((0 until DIM).map(j =>
-          upd(element_at(col("w"), j + 1), element_at(col("gs"), j + 1))): _*).as("w"),
-        upd(col("wb"), element_at(col("gs"), DIM + 1)).as("wb"))
-    }
-    val wT = step(step(step(w0)))
+
+  /** One full-batch GD step — shared by the fixed-step and the
+    * convergence-gated trainers so they cannot diverge on the
+    * arithmetic. Per-step gradient layout: each row emits its 66-long
+    * contribution vector [g_0..g_63, g_bias, 1] and the sums run as a
+    * tiny keyed aggregate over the exploded (dim, contribution) pairs —
+    * exact LONG sums are merge-order-free, so this is value-identical
+    * to a single wide aggregate, but it stays inside whole-stage
+    * codegen (66 sum accumulators in one aggregate blow the 64 KB
+    * codegen method limit and drop the whole stage to interpreted eval
+    * — measured 3× slower). */
+  private def lrStep(v: DataFrame, w: DataFrame): DataFrame = {
+    val e = v.crossJoin(broadcast(w)).withColumn("e",
+      floor((lit(1.0d) / (lit(1.0d) + exp(-lrZ))) * LrGrid) / LrGrid - col("y"))
+    val gs = e.select(posexplode(concat(
+        transform(col("embedding"),
+          x => floor((col("e") * x.cast("double")) * LrGrid).cast("long")),
+        array(floor(col("e") * LrGrid).cast("long"), lit(1L)))).as(Seq("j", "c")))
+      .groupBy("j").agg(sum(col("c")).as("s"))
+      .agg(transform(array_sort(collect_list(struct(col("j"), col("s")))),
+        s => s.getField("s")).as("gs"))
+    val n = element_at(col("gs"), DIM + 2).cast("double")
+    def upd(prev: Column, g: Column): Column =
+      prev - LrRate * ((g.cast("double") / LrGrid) / n)
+    w.crossJoin(broadcast(gs)).select(
+      array((0 until DIM).map(j =>
+        upd(element_at(col("w"), j + 1), element_at(col("gs"), j + 1))): _*).as("w"),
+      upd(col("wb"), element_at(col("gs"), DIM + 1)).as("wb"))
+  }
+
+  /** The trained-model report: per-dimension weight rows + bias +
+    * training accuracy (+ any extra scalar terms, e.g. the converged
+    * trainer's step count). */
+  private def lrReport(spark: SparkSession, v: DataFrame, wT: DataFrame,
+      extra: Seq[(String, Double)]): DataFrame = {
     val acc = v.crossJoin(broadcast(wT))
-      .agg((sum(when((z >= lit(0.0d)) === (col("y") === 1.0d), 1L).otherwise(0L))
+      .agg((sum(when((lrZ >= lit(0.0d)) === (col("y") === 1.0d), 1L).otherwise(0L))
         .cast("double") / count(lit(1)).cast("double")).as("value"))
       .select(lit("accuracy").as("term"), col("value"))
     val dims = wT.select(posexplode(col("w")).as(Seq("j", "wj")))
       .select(concat(lit("w_"), lpad(col("j").cast("string"), 3, "0")).as("term"),
         col("wj").as("value"))
-    dims.unionByName(wT.select(lit("w_bias").as("term"), col("wb").as("value")))
+    val base = dims
+      .unionByName(wT.select(lit("w_bias").as("term"), col("wb").as("value")))
       .unionByName(acc)
-      .orderBy("term")
+    extra.foldLeft(base) { case (df, (t, x)) =>
+      df.unionByName(spark.range(1).select(lit(t).as("term"), lit(x).as("value")))
+    }.orderBy("term")
+  }
+
+  def embedLrProbe(spark: SparkSession, sfDir: String): DataFrame = {
+    val v = lrFeatures(spark, sfDir)
+    val w0 = spark.range(1).select(
+      array_repeat(lit(0.0d), DIM).as("w"), lit(0.0d).as("wb"))
+    lrReport(spark, v, lrStep(v, lrStep(v, lrStep(v, w0))), Nil)
+  }
+
+  /** CONVERGENCE-GATED LR training — [[embedLrProbe]]'s production
+    * shape (r15 verdict stretch #7): instead of a fixed unrolled step
+    * count, the driver drains GD steps until the mean-|error| loss
+    * improvement falls below `spark.graft.lr.tol` or
+    * `spark.graft.lr.maxSteps` binds — the [[GraphOps]]
+    * `graph_bfs_converged` fixpoint doctrine applied to training. LOUD
+    * at the bound: a training loop that silently stops at maxSteps
+    * reads as "converged" when it is merely out of budget.
+    *
+    * Determinism: the loss is the mean |e| over the SAME 2⁻²⁰-grid
+    * error the gradient uses — e is grid-quantized, so |e|·2²⁰ is an
+    * exact LONG and the per-step loss sum is merge-order-free; the
+    * stop decision therefore replays identically at any parallelism.
+    * Each step's 65-double model is collected (1 row, bounded) and
+    * re-enters as literals, so step i+1 is ONE corpus scan — the lazy
+    * unrolled form would replay steps 1..i under the per-step loss
+    * action. Convergence costs one extra loss scan per step (2 scans
+    * per step vs the fixed trainer's 1) — the price of the gate.
+    *
+    * With the registry defaults (maxSteps=3, tol=1e-6) the bound BINDS
+    * on the fixture (the step-3 improvement is far above tol — asserted
+    * by the spec), so the oracle is the fixed 3-step replay plus the
+    * `n_steps` row; EmbedAnnSpec pins the fixed-step equivalence and
+    * the early stop under a loose tol. */
+  def embedLrConverged(spark: SparkSession, sfDir: String): DataFrame = {
+    val maxSteps = graft.GraftConf.lrMaxSteps(spark)
+    val tol = graft.GraftConf.lrTol(spark)
+    val v = lrFeatures(spark, sfDir)
+    def asFrame(w: Seq[Double], wb: Double): DataFrame =
+      spark.range(1).select(array(w.map(lit): _*).as("w"), lit(wb).as("wb"))
+    def lossOf(w: DataFrame): Double = {
+      val e = floor((lit(1.0d) / (lit(1.0d) + exp(-lrZ))) * LrGrid) / LrGrid - col("y")
+      val r = v.crossJoin(broadcast(w))
+        .agg(sum(abs(e * LrGrid).cast("long")).as("s"), count(lit(1)).as("n"))
+        .collect()(0)
+      r.getLong(0).toDouble / 1048576.0d / r.getLong(1).toDouble
+    }
+    var cur = asFrame(Seq.fill(DIM)(0.0d), 0.0d)
+    var prevLoss = lossOf(cur)
+    var steps = 0
+    var converged = false
+    while (steps < maxSteps && !converged) {
+      val row = lrStep(v, cur).collect()(0)
+      cur = asFrame(row.getSeq[Double](0), row.getDouble(1))
+      steps += 1
+      val loss = lossOf(cur)
+      if (prevLoss - loss < tol) converged = true
+      prevLoss = loss
+    }
+    if (!converged)
+      org.apache.logging.log4j.LogManager.getLogger("graft")
+        .warn(s"lr.maxSteps=$maxSteps bound binds (last improvement still " +
+          s">= tol=$tol) — the model below is budget-stopped, NOT converged")
+    lrReport(spark, v, cur, Seq("n_steps" -> steps.toDouble))
   }
 
   /** IVF index PERSISTENCE — the index-amortization path: build the
@@ -1592,6 +1677,7 @@ object SimOps {
     "ann_recall_binary"    -> (annRecallBinary _),
     "ann_recall_pq_fitted" -> (annRecallPqFitted _),
     "embed_lr_probe"       -> (embedLrProbe _),
+    "embed_lr_converged"   -> (embedLrConverged _),
     "hard_negatives"       -> (hardNegatives _),
     "ann_ivf_persist"      -> (annIvfPersist _),
     "ann_sq8_persist"      -> (annSq8Persist _),
@@ -2165,7 +2251,15 @@ object SimOps {
     * error CTE (σ on the 2⁻²⁰ grid), a gradient CTE (65 exact
     * grid-BIGINT sums + n) and a scalar weight CTE; same arithmetic
     * shapes as the Spark plan, generated from the same DIM. */
-  private lazy val sqlLrProbe: String = {
+  private lazy val sqlLrProbe: String = sqlLrProbeWith("")
+
+  /** The converged trainer's oracle is the fixed 3-step replay plus the
+    * `n_steps` row — the registry defaults make the maxSteps bound bind
+    * on the fixture (spec-asserted), so the bounded form IS 3 steps. */
+  private lazy val sqlLrConverged: String =
+    sqlLrProbeWith("UNION ALL SELECT 'n_steps', CAST(3.0 AS DOUBLE)")
+
+  private def sqlLrProbeWith(extraRows: String): String = {
     val g = "CAST(1048576 AS DOUBLE)"
     val zS = "(list_sum(list_transform(list_zip(w, d), s -> s[1] * s[2])) + wb)"
     val pS = s"floor((1.0 / (1.0 + exp(-($zS)))) * $g) / $g"
@@ -2202,7 +2296,8 @@ object SimOps {
        |SELECT term, value FROM (
        |$dimRows
        |UNION ALL SELECT 'w_bias', wb FROM w3
-       |UNION ALL SELECT 'accuracy', value FROM acc)
+       |UNION ALL SELECT 'accuracy', value FROM acc
+       |$extraRows)
        |ORDER BY term""".stripMargin
   }
 
@@ -2266,6 +2361,7 @@ object SimOps {
     "ann_ivf_nprobe" -> sqlIvfNprobe,
     "ann_ivf_persist" -> sqlIvfProbe,
     "embed_lr_probe" -> sqlLrProbe,
+    "embed_lr_converged" -> sqlLrConverged,
     "hard_negatives" ->
       s"""WITH v AS ($sqlVecLabeled),
          |n AS (SELECT vec_id, label, d, ${sqlDot("d", "d")} AS nrm FROM v),

@@ -162,6 +162,32 @@ class ConfParamSpec extends SparkSpec {
       "suspicious: paths identical on a corpus large enough to differ")
   }
 
+  test("sem.nprobe: winning ccos dominates nprobe=1; probing every super equals flat") {
+    import ops.SimOps
+    spark.catalog.clearCache()
+    val v = SimOps.withNorm(Tables.embeddings(spark, sf))
+    def assign() = SimOps.semAssignScored(spark, v)
+      .select("vec_id", "cell", "ccos").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val p1 = assign()
+    // nprobe=2 argmins over a SUPERSET of centroids, so each vector's
+    // winning similarity can only hold or rise — the dominance pin
+    val p2 = withConf("spark.graft.sem.nprobe" -> "2")(assign())
+    assert(p1.keySet === p2.keySet)
+    p2.foreach { case (id, (_, c2)) =>
+      assert(c2 >= p1(id)._2 - 1e-12, s"vec $id ccos fell at nprobe=2")
+    }
+    // probing EVERY super-cell is the flat argmin exactly — the
+    // degeneration pin (the ann_ivf_nprobe doctrine at the quantizer)
+    val pAll = withConf("spark.graft.sem.nprobe" -> "1000000")(assign())
+    val flat = withConf("spark.graft.sem.indexedAssign" -> "false")(assign())
+    assert(pAll === flat, "nprobe=all did not degenerate to the flat assign")
+    // and the knob is non-vacuous on this corpus: nprobe=2 must actually
+    // change at least one assignment (else the pin above is trivial)
+    assert(p2.exists { case (id, (cell, _)) => p1(id)._1 != cell },
+      "nprobe=2 changed no assignment — fixture too easy for the pin")
+  }
+
   test("sem.cosThreshold: a tighter pair threshold drops fewer vectors") {
     spark.catalog.clearCache()
     val base = q("dedup_semantic").filter(!col("is_keeper")).count()

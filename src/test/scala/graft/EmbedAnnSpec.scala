@@ -324,6 +324,27 @@ class EmbedAnnSpec extends SparkSpec {
     assert(rFitted > 0.0)
   }
 
+  test("embed_lr_converged: equals the fixed trainer when the bound binds; stops early on loose tol") {
+    def rows(name: String) = q(name).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toSeq
+    val fixed = rows("embed_lr_probe")
+    val conv = rows("embed_lr_converged")
+    // registry defaults: tol=1e-6 is far below the fixture's per-step
+    // improvement, so maxSteps=3 BINDS and the bounded form is the fixed
+    // 3-step trainer exactly, plus the n_steps row — the oracle's pin
+    assert(conv.filter(_._1 != "n_steps") === fixed,
+      "bounded converged trainer diverged from the fixed 3-step trainer")
+    assert(conv.find(_._1 == "n_steps").map(_._2) === Some(3.0d),
+      "maxSteps=3 did not bind at default tol")
+    // a tolerance looser than any achievable improvement stops the drain
+    // after the first non-improving step — the gate actually gates
+    spark.conf.set("spark.graft.lr.tol", "1.0")
+    val early = try rows("embed_lr_converged")
+    finally spark.conf.unset("spark.graft.lr.tol")
+    assert(early.find(_._1 == "n_steps").map(_._2) === Some(1.0d),
+      s"loose tol did not stop the drain: ${early.find(_._1 == "n_steps")}")
+  }
+
   test("ann_ivfpq_fitted: pq_train residual mode steers, and the tier is non-vacuous") {
     // residual-input mode (spark.graft.pq.fitInput): the residual-trained
     // book must DIFFER from the raw-trained book — the steering pin, and
