@@ -313,6 +313,28 @@ object ScaleStress {
       "4 corpus scans (3 GD steps + accuracy), each a narrow map ending " +
         "in a 66-key partial-agg gather; model re-broadcast per step; " +
         "linear", 1.25, bigConf = dataSizedPartitions),
+    Heavy("embed_lr_converged",
+      "embed_lr_probe's steps driven by the driver drain: per step one " +
+        "gradient scan + one grid-exact loss scan, model re-entered as " +
+        "literals; <= 2*maxSteps+2 scans; linear", 1.25,
+      bigConf = dataSizedPartitions),
+    Heavy("ann_ivfpq_fitted",
+      "ann_ivfpq_residual's probe with the book subspace-Lloyd-FIT on " +
+        "the residuals (codebook 32 rows at any n, re-entered as " +
+        "literals); linear at constant centroid count (centroidMod x " +
+        "factor)", 1.25,
+      bigConf = f => dataSizedPartitions(f) ++
+        Map("spark.graft.ann.centroidMod" -> (32L * f).toString)),
+    Heavy("ann_recall_nprobe",
+      "composes the audited-linear nprobe probe and the fixed-query " +
+        "brute truth + a |queries|*k hit check; linear (centroidMod x " +
+        "factor)", 1.25,
+      bigConf = f => dataSizedPartitions(f) ++
+        Map("spark.graft.ann.centroidMod" -> (32L * f).toString)),
+    Heavy("ann_recall_pq_fitted",
+      "composes the audited-linear fitted-ADC probe (vocab-sized fit) " +
+        "and the fixed-query brute truth + a |queries|*k hit check; " +
+        "linear", 1.25, bigConf = dataSizedPartitions),
     Heavy("bpe_token_count",
       "narrow codegen'd map, per-thread distinct-word memo; linear", 1.15),
     Heavy("token_budget_bpe",
