@@ -1559,6 +1559,58 @@ object SimOps {
     s"n${r.getLong(0)}x${r.getLong(1)}"
   }
 
+  /** IVF-PQ index PERSISTENCE — the at-rest form of THE 100 TB index
+    * shape the IVF-PQ scaladocs name: cell-partitioned parquet whose
+    * payload is the 12-bit codes (plus the exact floats/norms standing
+    * in for the exact-payload tier the ≤10-row rerank reads — in
+    * production that tier is a separate colocated table). Build is paid
+    * ONCE per ingest ([[FileOps.materializeOnce]] keyed by quantizer
+    * conf + corpus fingerprint, the [[annIvfPersist]] doctrine); a
+    * probe then reads one partition-pruned cell directory and scores it
+    * with M ADC lookups per stored code — scan bytes per probe are the
+    * cell's codes, not the corpus's floats. Probe is bit-identical to
+    * [[annIvfPq]] (floats/norms/codes round-trip parquet exactly; the
+    * query-side ADC table rebuilds from the stored raw vector), so the
+    * SAME DuckDB oracle gates both and the spec pins bit-equality. */
+  def annIvfPqPersist(spark: SparkSession, sfDir: String): DataFrame = {
+    val mod = graft.GraftConf.annCentroidMod(spark)
+    val fp = embCorpusFp(spark, sfDir)
+    val dir = FileOps.materializeOnce(spark, s"ivfpq_index_m${mod}_$fp", sfDir) { d =>
+      val v = withNorm(Tables.embeddings(spark, sfDir))
+      pqCoded(ivfAssign(v, ivfCentroids(spark, v)))
+        .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"),
+          col("code0"), col("code1"), col("code2"), col("code3"))
+        .write.mode("overwrite").partitionBy("cell").parquet(d)
+    }
+    // partition-column inference reads `cell` back as INT — restore the
+    // index schema (the annIvfPersist review finding, same root cause)
+    val corpus = spark.read.parquet(dir)
+      .withColumn("cell", col("cell").cast("long"))
+    val q = pqAdcTable(corpus.select("vec_id", "embedding", "nrm", "cell")
+        .filter(col("vec_id") < 10))
+      .withColumnRenamed("vec_id", "query_id")
+      .withColumnRenamed("embedding", "qe")
+      .withColumnRenamed("nrm", "qn")
+    val scored = broadcast(q).join(corpus, Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cell"),
+        col("qe"), col("qn"), col("embedding"), col("nrm"), pqAdcPick().as("adc"))
+    val wq = Window.partitionBy("query_id")
+      .orderBy(col("adc").asc, col("neighbor_id").asc)
+    val candidates = scored
+      .withColumn("crnk", row_number().over(wq))
+      .filter(col("crnk") <= 10)
+    val wr = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    candidates
+      .select(col("query_id"), col("neighbor_id"), col("cell"),
+        (dot(col("qe"), col("embedding")) / sqrt(col("qn") * col("nrm"))).as("cos"))
+      .withColumn("rnk", row_number().over(wr).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"), col("cell"), col("cos"))
+      .orderBy("query_id", "rnk")
+  }
+
   /** SQ8 index PERSISTENCE — the at-rest form of the tier the tradeoff
     * table (ANN_TRADEOFF*.json) shows holding recall 1.0 at ~1.2× brute
     * cost at both measured scales: the quantized codes are written ONCE
@@ -1680,6 +1732,7 @@ object SimOps {
     "embed_lr_converged"   -> (embedLrConverged _),
     "hard_negatives"       -> (hardNegatives _),
     "ann_ivf_persist"      -> (annIvfPersist _),
+    "ann_ivfpq_persist"    -> (annIvfPqPersist _),
     "ann_sq8_persist"      -> (annSq8Persist _),
     "ann_ivf_kmeans"       -> (annIvfKmeans _),
     "pq_encode"            -> (pqEncode _),
@@ -2360,6 +2413,7 @@ object SimOps {
     "ann_ivf_probe" -> sqlIvfProbe,
     "ann_ivf_nprobe" -> sqlIvfNprobe,
     "ann_ivf_persist" -> sqlIvfProbe,
+    "ann_ivfpq_persist" -> sqlIvfPq,
     "embed_lr_probe" -> sqlLrProbe,
     "embed_lr_converged" -> sqlLrConverged,
     "hard_negatives" ->

@@ -546,6 +546,15 @@ class EmbedAnnSpec extends SparkSpec {
       "MMR identical to pure relevance for every query — diversity term unexercised")
   }
 
+  test("ann_ivfpq_persist: the at-rest probe is bit-identical to the inline probe") {
+    val inline = q("ann_ivfpq").collect().map(_.toSeq).toSeq
+    val atRest = q("ann_ivfpq_persist").collect().map(_.toSeq).toSeq
+    assert(atRest === inline,
+      "cell-partitioned codes index diverged from the inline IVF-PQ probe")
+    assert(q("ann_ivfpq_persist").schema === q("ann_ivfpq").schema,
+      "at-rest schema drifted (partition-column type inference?)")
+  }
+
   test("ann_sq8_persist: the at-rest probe is bit-identical to the inline probe") {
     // the persisted index is the SAME quantized table round-tripped
     // through parquet (float arrays, norms, integral q8 doubles are all
