@@ -832,6 +832,18 @@ class PlanAuditSpec extends SparkSpec {
       s"cell probe not a broadcast join in:\n$plan")
   }
 
+  test("ann_ivfpq_persist: the at-rest probe partition-prunes the cell directories") {
+    val plan = planOf("ann_ivfpq_persist")
+    // the 100 TB claim made literal: the corpus-side scan of the
+    // cell-partitioned codes index must carry a dynamic partition-pruning
+    // expression on `cell` (the broadcast query side feeds it), so a
+    // probe reads the probed cells' directories, not the corpus
+    assert(plan.contains("dynamicpruning"),
+      s"no dynamic partition pruning on the cell-partitioned index in:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"index sort-merged in:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
+  }
+
   test("decontaminate_semantic: map-only over the corpus — no corpus hash exchange") {
     val plan = planOf("decontaminate_semantic")
     // the 100 TB claim: the eval set folds to one broadcast array row and
