@@ -145,6 +145,50 @@ object AnnTradeoff {
         .mkString(""","scale_conf":{""", ",", "}")
     }
 
+    // ---- in-cell truths for the IVF-PQ family ----
+    // The coarse quantizer caps the GLOBAL recall of every single-cell
+    // tier identically (measured 0.067 at ×1 and ×10 — the exact in-cell
+    // probe's own ceiling), so global recall cannot distinguish the
+    // codebooks. The family's differentiator is IN-CELL ordering quality:
+    // recall against the exact in-cell probe (ann_ivf_probe) at the same
+    // depth, reported at BOTH scales (the ×1 regime is where the 12-bit
+    // code budget still orders a ~32-vector cell; at ×10 the top-10-of-
+    // ~320 ADC cut dominates every book — reported honestly).
+    def setsOf(rows: Array[org.apache.spark.sql.Row]): Map[Long, Set[Long]] =
+      rows.map(r => (r.getLong(0), r.getLong(2)))
+        .groupBy(_._1).map { case (qq, rs) => qq -> rs.map(_._2).toSet }
+    def recallVs(got: Map[Long, Set[Long]], truth: Map[Long, Set[Long]]): Double =
+      truth.toSeq.map { case (qq, t) =>
+        (got.getOrElse(qq, Set.empty[Long]) & t).size
+      }.sum.toDouble / truth.values.map(_.size).sum
+    val cellTruthBig = {
+      scaleConf("ann_ivf_probe").foreach { case (k, v) => spark.conf.set(k, v) }
+      try setsOf(SparkEntry.queries("ann_ivf_probe")(spark, big).collect())
+      finally scaleConf("ann_ivf_probe").keys.foreach(spark.conf.unset)
+    }
+    val cellTruthSmall =
+      setsOf(SparkEntry.queries("ann_ivf_probe")(spark, small).collect())
+
+    /** topkEntry + the codebook-isolating in-cell recalls at both scales. */
+    def ivfPqEntry(name: String): String = {
+      val (t, rows) = timed(name)
+      val found = rows.map(r => (r.getLong(0), r.getLong(2)))
+        .groupBy(_._1).map { case (qq, rs) => qq -> rs.map(_._2).toSet }
+      val recall = truthTop.map { case (qq, topk) =>
+        val want = topk.take(3)
+        want.count(found.getOrElse(qq, Set.empty).contains).toDouble / want.size
+      }.sum / truthTop.size
+      val icBig = recallVs(setsOf(rows), cellTruthBig)
+      val icSmall = recallVs(
+        setsOf(SparkEntry.queries(name)(spark, small).collect()), cellTruthSmall)
+      println(f"[ann] $name%-20s k=3 recall=${recall}%.3f " +
+        f"in_cell_x1=${icSmall}%.3f in_cell_x$factor%d=${icBig}%.3f t=${t}%.2fs")
+      s""""$name":{"protocol":"topk_probe","k":3,"recall_at_k":${fmt(recall)},""" +
+        s""""in_cell_recall_x1":${fmt(icSmall)},""" +
+        s""""in_cell_recall_x$factor":${fmt(icBig)},""" +
+        s""""wall_sec":${fmt(t)},"n_queries":${truthTop.size}${confJson(name)}}"""
+    }
+
     val entries = Seq(
       s""""ann_topk_brute":{"protocol":"topk_probe","k":5,"recall_at_k":1.0,""" +
         s""""wall_sec":${fmt(tBrute)},"n_queries":${truthTop.size},""" +
@@ -156,9 +200,9 @@ object AnnTradeoff {
       topkEntry("ann_ivf_probe", 3),
       topkEntry("ann_ivf_nprobe", 3),
       topkEntry("ann_ivf_kmeans", 3),
-      topkEntry("ann_ivfpq", 3),
-      topkEntry("ann_ivfpq_residual", 3),
-      topkEntry("ann_ivfpq_fitted", 3),
+      ivfPqEntry("ann_ivfpq"),
+      ivfPqEntry("ann_ivfpq_residual"),
+      ivfPqEntry("ann_ivfpq_fitted"),
       nn1Entry("ann_lsh_bucket"),
       nn1Entry("ann_lsh_multiprobe"), {
         val (t, rows) = timed("pq_encode")
