@@ -257,7 +257,16 @@ object MultiModalOps {
     val cap = graft.GraftConf.phashMaxBucket(spark)
     if (cap <= 0L) bands
     else {
-      val hot = bands.groupBy("band_idx", "band")
+      // the postings feed THREE consumers on the capped path (the
+      // hot-bucket aggregate materialized below, then both sides of the
+      // candidate self-join) and their lineage contains the PNG decode —
+      // uncached, the capped query decodes the corpus three times
+      // (measured 4× wall at the audit's small scale). Postings are
+      // doc_id + band + 4 packed longs (~50 B/row), far smaller than the
+      // decode they absorb; persist is capped-path-only, so the registry
+      // default (cap off) pins nothing.
+      val pinned = bands.persist()
+      val hot = pinned.groupBy("band_idx", "band")
         .agg(count(lit(1)).as("occ"))
         .filter(col("occ") > cap)
         .select("band_idx", "band")
@@ -269,7 +278,7 @@ object MultiModalOps {
             "saturated band bucket(s); pairs colliding only in capped " +
             "buckets are lost (band-space exhaustion by the cap's " +
             "assumption — use mm_image_neardup_mi for dense corpora)")
-      bands.join(broadcast(hot), Seq("band_idx", "band"), "left_anti")
+      pinned.join(broadcast(hot), Seq("band_idx", "band"), "left_anti")
     }
   }
 
