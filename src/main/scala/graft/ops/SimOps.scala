@@ -468,7 +468,11 @@ object SimOps {
     val probed = vecs.join(broadcast(sup))
       .withColumn("scos", dot(col("embedding"), col("se")) / sqrt(col("nrm") * col("sn")))
       .withColumn("srnk", row_number().over(wProbe))
-      .filter(col("srnk") <= nprobe)
+      // spelled `=== 1` at the default: rank-equality rewrites to the
+      // same WindowGroupLimit as `<= 1`, but the `<=` spelling costs a
+      // SECOND corpus vec_id exchange downstream (the single-exchange
+      // invariant PlanAuditSpec pins — see the comment there)
+      .filter(if (nprobe == 1) col("srnk") === 1 else col("srnk") <= nprobe)
       .select(col("vec_id"), col("embedding"), col("nrm"), col("sup_id").as("vsup"))
     val wAssign = Window.partitionBy("vec_id")
       .orderBy(col("ccos").desc, col("cent_id").asc)
