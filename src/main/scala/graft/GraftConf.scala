@@ -13,7 +13,7 @@ import org.apache.spark.sql.SparkSession
 object GraftConf {
   /** Build-round provenance stamp for regenerated artifacts
     * (APPROX_BOUNDS.json); bumped in the same commit that regenerates. */
-  val round: String = "r15"
+  val round: String = "r17"
 
   /** `SPARK_GRAFT_CPUS` normalization, shared by EVERY main that builds a
     * local session (one parser, five entry points — round-10 review
@@ -76,8 +76,13 @@ object GraftConf {
     * index: recall rises monotonically in nprobe (candidate supersets),
     * probe cost grows linearly (nprobe partition-pruned cell scans).
     * The corpus-side index is unchanged at any value. */
-  def annNprobe(spark: SparkSession): Int =
-    spark.conf.get("spark.graft.ann.nprobe", "2").toInt
+  def annNprobe(spark: SparkSession): Int = {
+    val n = spark.conf.get("spark.graft.ann.nprobe", "2").toInt
+    // same loud-failure guard as [[semNprobe]]: nprobe < 1 silently
+    // empties every probe instead of failing fast
+    require(n >= 1, s"spark.graft.ann.nprobe must be >= 1, got $n")
+    n
+  }
   /** Merge steps learned by `bpe_train` (default = the committed fixture
     * vocabulary's length, so the correctness gate retrains exactly it). */
   def bpeTrainMerges(spark: SparkSession): Int =
@@ -198,6 +203,17 @@ object GraftConf {
   def phashMaxBucket(spark: SparkSession): Long =
     spark.conf.get("spark.graft.phash.maxBucket", "0").toLong
 
+  /** Per-bucket occupancy cap for the MULTI-INDEX (256-bit, 16×16-bit
+    * bands) perceptual-hash tier (`mm_image_neardup_mi`) — the
+    * `phash.maxBucket` twin for the tier whose own candidate exponent
+    * measured 1.995 at planted density (SCALE_r16_phash_density): the
+    * 2¹⁶-value band space buys 256× headroom over the 64-bit tier, but
+    * a corpus dense enough still saturates it, and the remedy is the
+    * same occupancy cap. Default 0 = off (the registry/oracle path:
+    * the banded join stays provably lossless at hamming ≤ 15). */
+  def phashMiMaxBucket(spark: SparkSession): Long =
+    spark.conf.get("spark.graft.phash.mi.maxBucket", "0").toLong
+
   /** Super-cells each VECTOR probes in the two-level semantic assign
     * (`dedup_semantic`'s indexed argmin) — the `ann.nprobe` knob applied
     * at the quantizer level: the tight-τ pair recall the nprobe=1 cut
@@ -205,8 +221,13 @@ object GraftConf {
     * bought back by probing more super-cells at n·nprobe·O(√k) assign
     * cost. Default 1 = the registry/oracle procedure; the recall audit
     * measures the nprobe=2 operating point. */
-  def semNprobe(spark: SparkSession): Int =
-    spark.conf.get("spark.graft.sem.nprobe", "1").toInt
+  def semNprobe(spark: SparkSession): Int = {
+    val n = spark.conf.get("spark.graft.sem.nprobe", "1").toInt
+    // loud-failure doctrine: nprobe < 1 would make the probe filter drop
+    // every row and the semantic assign silently return empty (r16 advice)
+    require(n >= 1, s"spark.graft.sem.nprobe must be >= 1, got $n")
+    n
+  }
 
   /** Step budget for `embed_lr_converged` — the loud upper bound of the
     * convergence-gated trainer. Default = the fixed trainer's 3 steps,

@@ -50,7 +50,7 @@ object PhashDensityAudit {
   def main(args: Array[String]): Unit = {
     val nSmall = args.headOption.map(_.toInt).getOrElse(5000)
     val factor = args.lift(1).map(_.toInt).getOrElse(10)
-    val outJson = args.lift(2).getOrElse("SCALE_r15_phash_density.json")
+    val outJson = args.lift(2).getOrElse(s"SCALE_${GraftConf.round}_phash_density.json")
     val (cpuStr, cpus) = GraftConf.cpuSpec(32)
     val spark = SparkSession.builder()
       .withExtensions(new graft.plans.GraftExtensions)
@@ -94,6 +94,11 @@ object PhashDensityAudit {
     // expected occupancy n/2⁸, so genuine sparse-regime buckets survive
     // and only saturated ones drop
     val CapConf = Map("spark.graft.phash.maxBucket" -> "64")
+    // capped MI tier (r16 verdict #1): the same fixed occupancy cap
+    // applied to the multi-index bands — its uncapped candidate exponent
+    // measured 1.995 at this planted density (SCALE_r16), so the audit
+    // now measures the cap's effect on the SAME corpus
+    val MiCapConf = Map("spark.graft.phash.mi.maxBucket" -> "64")
     val tiers = Seq(
       ("mm_image_neardup", "64-bit aHash, 8 bands x 8 bits (space 2^8)", 8, 8,
         "phash", "mm_image_phash", Map.empty[String, String], 0L),
@@ -101,7 +106,10 @@ object PhashDensityAudit {
         "64-bit aHash, 8x8-bit bands, bucket cap 64 (candidates <= n*8*64)", 8, 8,
         "phash", "mm_image_phash", CapConf, 64L),
       ("mm_image_neardup_mi", "256-bit hash, 16 bands x 16 bits (space 2^16)", 16, 16,
-        "phash256", "mm_image_phash256", Map.empty[String, String], 0L))
+        "phash256", "mm_image_phash256", Map.empty[String, String], 0L),
+      ("mm_image_neardup_mi[mi.maxBucket=64]",
+        "256-bit hash, 16x16-bit bands, bucket cap 64 (candidates <= n*16*64)", 16, 16,
+        "phash256", "mm_image_phash256", MiCapConf, 64L))
     val rows = tiers.map { case (label, desc, nBands, bandW, hashCol, hashQ, conf, cap) =>
       val qn = label.takeWhile(_ != '[')
       val candSmall = candidates(spark, small, hashQ, hashCol, nBands, bandW, cap)

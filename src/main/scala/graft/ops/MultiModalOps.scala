@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing (north-star): media as opaque `binary`
@@ -223,7 +224,7 @@ object MultiModalOps {
         posexplode(transform(sequence(lit(0), lit(7)),
           b => col("phash").substr(b * 8 + 1, lit(8))))
           .as(Seq("band_idx", "band")))
-    val capped = capBandBuckets(bands)
+    val capped = capBandBuckets(bands, graft.GraftConf.phashMaxBucket(spark), "b64")
     val cand = capped.as("x").join(capped.as("y"),
         col("x.band_idx") === col("y.band_idx") &&
         col("x.band") === col("y.band") &&
@@ -237,49 +238,84 @@ object MultiModalOps {
       .orderBy("a", "b")
   }
 
-  /** Conf-gated occupancy cap for the 64-bit tier's band buckets
-    * ([[graft.GraftConf.phashMaxBucket]]) — the [[DedupOps]]
-    * `capPostingsDf` doctrine applied to the band space whose quadratic
-    * candidate tail is MEASURED (exponent 2.00 on the diverse planted
-    * corpus, SCALE_r15_phash_density): one bucket-sized aggregate finds
-    * saturated (band_idx, band) buckets, their postings drop via a
-    * broadcast anti-join (the hot set is tiny by definition — at most
-    * bands·2⁸ buckets exist at all), and the drop is LOUD — a silent
-    * cap would read as "no dense region here" when the opposite is
-    * true. Candidates are then bounded by n·bands·cap instead of
-    * Σ occupancy². Pairs colliding only in capped buckets are lost
-    * (space-exhaustion noise by the cap's assumption — at occupancy ≫
-    * expected n/2⁸ a bucket's pairs are dominated by unrelated images
-    * sharing one low-information band value). No-op and zero extra
-    * passes when unset, so the registry/oracle path is untouched. */
-  private def capBandBuckets(bands: DataFrame): DataFrame = {
-    val spark = bands.sparkSession
-    val cap = graft.GraftConf.phashMaxBucket(spark)
+  /** Conf-gated occupancy cap for a perceptual-hash tier's band buckets
+    * — the [[DedupOps]] `capPostingsDf` doctrine applied to the band
+    * space whose quadratic candidate tail is MEASURED (exponent 2.00 on
+    * the diverse planted corpus for the 64-bit tier, 1.995 for the
+    * multi-index tier at planted density — SCALE_r15/r16_phash_density):
+    * postings in saturated (band_idx, band) buckets are dropped before
+    * the candidate self-join, so candidates are bounded by n·bands·cap
+    * instead of Σ occupancy². Pairs colliding only in capped buckets are
+    * lost (space-exhaustion noise by the cap's assumption — at occupancy
+    * ≫ the expected n/band-space a bucket's pairs are dominated by
+    * unrelated images sharing one low-information band value).
+    *
+    * Band-layout-AGNOSTIC (r16 verdict #1): it caps (band_idx, band)
+    * occupancy whatever the band width, so one helper serves the 64-bit
+    * tier's 8×8-bit bands ([[graft.GraftConf.phashMaxBucket]]) and the
+    * multi-index tier's 16×16-bit bands
+    * ([[graft.GraftConf.phashMiMaxBucket]]).
+    *
+    * Shape: occupancy is a window count over (band_idx, band) — the SAME
+    * keys the candidate self-join shuffles on, so the capped plan adds a
+    * filter to the uncapped plan's one postings exchange instead of the
+    * r16 form's separate hot-bucket aggregate + anti-join (which needed
+    * an eager count and a session-lifetime persist of corpus-sized
+    * postings — the r16 advice leak; this form pins NOTHING and runs no
+    * job at construction). The drop stays LOUD, moved to execution time
+    * where the work actually happens: an `observe` metric counts dropped
+    * postings and [[CapObserver]] warns when any execution drops > 0 (a
+    * silent cap would read as "no dense region here" when the opposite
+    * is true). No-op and zero extra passes when unset, so the
+    * registry/oracle path is untouched. */
+  private[ops] def capBandBuckets(bands: DataFrame, cap: Long,
+      tier: String): DataFrame = {
     if (cap <= 0L) bands
     else {
-      // the postings feed THREE consumers on the capped path (the
-      // hot-bucket aggregate materialized below, then both sides of the
-      // candidate self-join) and their lineage contains the PNG decode —
-      // uncached, the capped query decodes the corpus three times
-      // (measured 4× wall at the audit's small scale). Postings are
-      // doc_id + band + 4 packed longs (~50 B/row), far smaller than the
-      // decode they absorb; persist is capped-path-only, so the registry
-      // default (cap off) pins nothing.
-      val pinned = bands.persist()
-      val hot = pinned.groupBy("band_idx", "band")
-        .agg(count(lit(1)).as("occ"))
-        .filter(col("occ") > cap)
-        .select("band_idx", "band")
-        .persist()
-      val nHot = hot.count()
-      if (nHot > 0)
-        org.apache.logging.log4j.LogManager.getLogger("graft")
-          .warn(s"phash.maxBucket=$cap: dropping the postings of $nHot " +
-            "saturated band bucket(s); pairs colliding only in capped " +
-            "buckets are lost (band-space exhaustion by the cap's " +
-            "assumption — use mm_image_neardup_mi for dense corpora)")
-      pinned.join(broadcast(hot), Seq("band_idx", "band"), "left_anti")
+      CapObserver.install(bands.sparkSession)
+      val w = Window.partitionBy("band_idx", "band")
+      bands
+        .withColumn("occ", count(lit(1)).over(w))
+        .observe(s"graft.phash.cap.$tier",
+          sum(when(col("occ") > cap, 1L).otherwise(0L)).as("dropped_postings"),
+          max(col("occ")).as("max_occupancy"))
+        .filter(col("occ") <= cap)
+        .drop("occ")
     }
+  }
+
+  /** Execution-time loudness for [[capBandBuckets]]: a per-session
+    * QueryExecutionListener that warns whenever a capped query's observe
+    * metric reports dropped postings. Self-joins evaluate the observed
+    * node once per enumeration pass, so the count is per-pass, not
+    * deduplicated — the warn says so. Sessions are held weakly (tests
+    * spin up and discard many). */
+  private object CapObserver {
+    private val installed =
+      java.util.Collections.synchronizedSet(
+        java.util.Collections.newSetFromMap(
+          new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()))
+    def install(spark: SparkSession): Unit =
+      if (installed.add(spark))
+        spark.listenerManager.register(
+          new org.apache.spark.sql.util.QueryExecutionListener {
+            override def onSuccess(funcName: String,
+                qe: org.apache.spark.sql.execution.QueryExecution,
+                durationNs: Long): Unit =
+              qe.observedMetrics.foreach { case (name, row) =>
+                if (name.startsWith("graft.phash.cap.") &&
+                    !row.isNullAt(0) && row.getLong(0) > 0L)
+                  org.apache.logging.log4j.LogManager.getLogger("graft")
+                    .warn(s"$name: dropped ${row.getLong(0)} posting(s) " +
+                      s"(per enumeration pass; max bucket occupancy " +
+                      s"${row.getLong(1)}) — pairs colliding only in " +
+                      "capped buckets are lost (band-space exhaustion " +
+                      "by the cap's assumption)")
+              }
+            override def onFailure(funcName: String,
+                qe: org.apache.spark.sql.execution.QueryExecution,
+                exception: Exception): Unit = ()
+          })
   }
 
   /** One 64-bit word of a '0'/'1' bit string, packed via two 32-bit
@@ -358,7 +394,15 @@ object MultiModalOps {
     * construction extends to longer codes/wider bands verbatim. The
     * verify threshold 15 is the pigeonhole bound for 16 bands, so the
     * banded join is provably LOSSLESS at the threshold, like the 64-bit
-    * tier — the oracle replays the identical band algorithm. */
+    * tier — the oracle replays the identical band algorithm.
+    *
+    * The 256× band-space headroom delays saturation but does not repeal
+    * it: at planted density the tier's OWN candidate exponent measured
+    * 1.995 (SCALE_r16_phash_density — a corpus dense enough saturates
+    * any fixed band space). The same conf-gated occupancy cap as the
+    * 64-bit tier bounds that tail ([[capBandBuckets]] via
+    * `spark.graft.phash.mi.maxBucket`, default off = the lossless
+    * registry/oracle path): candidates ≤ n·16·cap, loud when it drops. */
   def mmImageNeardupMi(spark: SparkSession, sfDir: String): DataFrame = {
     // 256 bits packed into FOUR longs per image ([[packBits]] — once per
     // doc, not per candidate): the exchange carries ~32 bytes instead of
@@ -375,7 +419,9 @@ object MultiModalOps {
         posexplode(transform(sequence(lit(0), lit(15)),
           b => col("phash256").substr(b * 16 + 1, lit(16))))
           .as(Seq("band_idx", "band")))
-    val cand = bands.as("x").join(bands.as("y"),
+    val capped =
+      capBandBuckets(bands, graft.GraftConf.phashMiMaxBucket(spark), "mi")
+    val cand = capped.as("x").join(capped.as("y"),
         col("x.band_idx") === col("y.band_idx") &&
         col("x.band") === col("y.band") &&
         col("x.doc_id") < col("y.doc_id"))

@@ -409,6 +409,58 @@ class SimUdxSpec extends SparkSpec {
     assert(gotP.nonEmpty && gotP.size < 6, s"planted pair structure off: $gotP")
   }
 
+  test("mm_image_neardup_mi: the conf-gated bucket cap replays exactly and no-ops above occupancy") {
+    def hamming(a: String, b: String): Int =
+      a.iterator.zip(b.iterator).count { case (x, y) => x != y }
+    // planted DENSE corpus (the fixture's 2¹⁶ band space is sparse, so a
+    // cap could never bind there): six identical docs — identical rasters,
+    // all 16 bands collide at occupancy 6 — plus two distinct docs
+    val dir = java.nio.file.Files.createTempDirectory("graft_mi_cap").toString
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    ((0L to 5L).map(i => (i, base, "en", "s")) ++ Seq(
+      (6L, base.replace('q', 'r'), "en", "s"),
+      (7L, "a completely different text with its own raster geometry !!", "en", "s")))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", org.apache.spark.sql.functions.length(col("text")))
+      .write.parquet(s"$dir/documents.parquet")
+    val ph = SparkEntry.queries("mm_image_phash256")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(3))).sortBy(_._1)
+    // driver-side replay of the capped band algorithm: 16×16-bit band
+    // buckets, drop buckets with occupancy > cap, pairs from surviving
+    // buckets, exact hamming verify — the capBandBuckets contract
+    def cappedBrute(cap: Int): Seq[(Long, Long, Long)] = {
+      val buckets = (for {
+        (id, p) <- ph.iterator
+        b <- 0 until 16
+      } yield ((b, p.substring(b * 16, b * 16 + 16)), id)).toSeq
+        .groupBy(_._1).values.map(_.map(_._2)).filter(_.size <= cap)
+      val byId = ph.toMap
+      buckets.flatMap(ids =>
+        for { i <- ids; j <- ids if i < j } yield (i, j))
+        .toSeq.distinct
+        .map { case (i, j) => (i, j, hamming(byId(i), byId(j)).toLong) }
+        .filter(_._3 <= 15).sorted
+    }
+    def run() = SparkEntry.queries("mm_image_neardup_mi")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val uncapped = run()
+    def withCap(c: Long) = {
+      spark.conf.set("spark.graft.phash.mi.maxBucket", c.toString)
+      try run()
+      finally spark.conf.unset("spark.graft.phash.mi.maxBucket")
+    }
+    // a cap above every bucket's occupancy is a no-op — bit-identical
+    assert(withCap(1000000000L) === uncapped, "huge cap changed the result")
+    // a binding cap replays the driver-side capped algorithm exactly, and
+    // on the planted corpus (occupancy-6 buckets) cap=4 actually binds
+    val capped = withCap(4L)
+    assert(capped === cappedBrute(4), "capped MI band join diverged from replay")
+    assert(capped.toSet.subsetOf(uncapped.toSet), "cap invented a pair")
+    assert(capped.size < uncapped.size,
+      "cap=4 did not bind on the planted dense corpus — the pin is vacuous")
+  }
+
   test("mm_audio_packed decodes the packed layout bit-identically to the small-files path") {
     val direct = q("mm_audio_decode").collect().map(_.toSeq)
     val packed = q("mm_audio_packed").collect().map(_.toSeq)
