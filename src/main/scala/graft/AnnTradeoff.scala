@@ -62,7 +62,8 @@ object AnnTradeoff {
       "ann_ivf_kmeans" -> Map("spark.graft.ann.centroidMod" -> centModAtScale),
       "ann_ivfpq" -> Map("spark.graft.ann.centroidMod" -> centModAtScale),
       "ann_ivfpq_residual" -> Map("spark.graft.ann.centroidMod" -> centModAtScale),
-      "ann_ivfpq_fitted" -> Map("spark.graft.ann.centroidMod" -> centModAtScale))
+      "ann_ivfpq_fitted" -> Map("spark.graft.ann.centroidMod" -> centModAtScale),
+      "ann_ivfpq_nprobe" -> Map("spark.graft.ann.centroidMod" -> centModAtScale))
 
     // warm JVM + table cache
     SparkEntry.queries("ann_topk_brute")(spark, small).count()
@@ -203,6 +204,7 @@ object AnnTradeoff {
       ivfPqEntry("ann_ivfpq"),
       ivfPqEntry("ann_ivfpq_residual"),
       ivfPqEntry("ann_ivfpq_fitted"),
+      ivfPqEntry("ann_ivfpq_nprobe"),
       nn1Entry("ann_lsh_bucket"),
       nn1Entry("ann_lsh_multiprobe"), {
         val (t, rows) = timed("pq_encode")

@@ -229,11 +229,22 @@ object GraftConf {
     n
   }
 
+  /** The LR family's ONE step constant (r16 advice): the fixed
+    * trainer's unroll depth (`embed_lr_probe`), the converged trainer's
+    * default budget (`lr.maxSteps`) and both SQL oracles' replay depth
+    * all derive from this value, so changing it moves engine, conf
+    * default and oracle together instead of silently diverging. The
+    * remaining fixture assumption — the step-S improvement stays above
+    * `lr.tol`, so the bound BINDS and the bounded form IS the S-step
+    * replay — is spec-asserted (EmbedAnnSpec's loose-tol test). */
+  val LrStepsDefault: Int = 3
+
   /** Step budget for `embed_lr_converged` — the loud upper bound of the
-    * convergence-gated trainer. Default = the fixed trainer's 3 steps,
-    * which BINDS on the fixture (the oracle pins the bounded form). */
+    * convergence-gated trainer. Default = the fixed trainer's
+    * [[LrStepsDefault]] steps, which BINDS on the fixture (the oracle
+    * pins the bounded form). */
   def lrMaxSteps(spark: SparkSession): Int =
-    spark.conf.get("spark.graft.lr.maxSteps", "3").toInt
+    spark.conf.get("spark.graft.lr.maxSteps", LrStepsDefault.toString).toInt
 
   /** Mean-|error| improvement below which `embed_lr_converged` stops.
     * The loss is grid-exact (2⁻²⁰ longs), so the stop decision is

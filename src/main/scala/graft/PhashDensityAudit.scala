@@ -66,9 +66,17 @@ object PhashDensityAudit {
 
     val small = plant(spark, nSmall, s"phashdens_${nSmall}")
     val big = plant(spark, nSmall * factor, s"phashdens_${nSmall * factor}")
+    // the SATURATED-regime corpora for the MI cap measurement (see the
+    // dense tier rows below): 100-char docs → the law's small rasters,
+    // where the 16-bit bands' effective space collapses to the raster
+    // entropy and occupancy actually crosses any fixed cap over the
+    // measured decade — the regime the cap is designed for
+    val denseSmall = plant(spark, nSmall, s"phashdens_d_${nSmall}", chars = 100)
+    val denseBig = plant(spark, nSmall * factor,
+      s"phashdens_d_${nSmall * factor}", chars = 100)
 
     // untimed warmup: materializes the PNG files and warms the JVM
-    Seq(small, big).foreach { d =>
+    Seq(small, big, denseSmall, denseBig).foreach { d =>
       SparkEntry.queries("mm_image_phash")(spark, d).count()
     }
 
@@ -98,24 +106,40 @@ object PhashDensityAudit {
     // applied to the multi-index bands — its uncapped candidate exponent
     // measured 1.995 at this planted density (SCALE_r16), so the audit
     // now measures the cap's effect on the SAME corpus
+    // diffuse-regime MI cap (64 ≈ 40× the small-scale mean occupancy):
+    // expected and measured TRANSPARENT here — the diffuse bulk's
+    // n²/space growth is not a hot tail and a cap must not touch it
     val MiCapConf = Map("spark.graft.phash.mi.maxBucket" -> "64")
+    // saturated-regime MI cap, sized by the 64-bit row's doctrine
+    // (~2.5× the small-scale mean bucket occupancy of the DENSE corpus):
+    // this is where occupancy crosses the cap over the decade and the
+    // cap actually bounds the tail
+    val MiDenseCapConf = Map("spark.graft.phash.mi.maxBucket" -> "4")
     val tiers = Seq(
       ("mm_image_neardup", "64-bit aHash, 8 bands x 8 bits (space 2^8)", 8, 8,
-        "phash", "mm_image_phash", Map.empty[String, String], 0L),
+        "phash", "mm_image_phash", Map.empty[String, String], 0L, small, big),
       ("mm_image_neardup[maxBucket=64]",
         "64-bit aHash, 8x8-bit bands, bucket cap 64 (candidates <= n*8*64)", 8, 8,
-        "phash", "mm_image_phash", CapConf, 64L),
+        "phash", "mm_image_phash", CapConf, 64L, small, big),
       ("mm_image_neardup_mi", "256-bit hash, 16 bands x 16 bits (space 2^16)", 16, 16,
-        "phash256", "mm_image_phash256", Map.empty[String, String], 0L),
+        "phash256", "mm_image_phash256", Map.empty[String, String], 0L, small, big),
       ("mm_image_neardup_mi[mi.maxBucket=64]",
-        "256-bit hash, 16x16-bit bands, bucket cap 64 (candidates <= n*16*64)", 16, 16,
-        "phash256", "mm_image_phash256", MiCapConf, 64L))
-    val rows = tiers.map { case (label, desc, nBands, bandW, hashCol, hashQ, conf, cap) =>
+        "256-bit hash, 16x16-bit bands, bucket cap 64 (diffuse regime: transparent by design)", 16, 16,
+        "phash256", "mm_image_phash256", MiCapConf, 64L, small, big),
+      ("mm_image_neardup_mi[dense]",
+        "256-bit hash on the SMALL-geometry corpus (effective band space ~ raster entropy)", 16, 16,
+        "phash256", "mm_image_phash256", Map.empty[String, String], 0L,
+        denseSmall, denseBig),
+      ("mm_image_neardup_mi[dense,mi.maxBucket=4]",
+        "256-bit hash, small-geometry corpus, bucket cap 4 (candidates <= n*16*4)", 16, 16,
+        "phash256", "mm_image_phash256", MiDenseCapConf, 4L,
+        denseSmall, denseBig))
+    val rows = tiers.map { case (label, desc, nBands, bandW, hashCol, hashQ, conf, cap, dSmall, dBig) =>
       val qn = label.takeWhile(_ != '[')
-      val candSmall = candidates(spark, small, hashQ, hashCol, nBands, bandW, cap)
-      val candBig = candidates(spark, big, hashQ, hashCol, nBands, bandW, cap)
-      val ts = time(qn, small, conf)
-      val tb = time(qn, big, bigParts ++ conf)
+      val candSmall = candidates(spark, dSmall, hashQ, hashCol, nBands, bandW, cap)
+      val candBig = candidates(spark, dBig, hashQ, hashCol, nBands, bandW, cap)
+      val ts = time(qn, dSmall, conf)
+      val tb = time(qn, dBig, bigParts ++ conf)
       val e = math.log(tb / ts) / math.log(factor.toDouble)
       val ce = math.log(candBig.toDouble / math.max(1L, candSmall)) /
         math.log(factor.toDouble)
@@ -125,7 +149,7 @@ object PhashDensityAudit {
     }
     val mi = rows.find(_._1 == "mm_image_neardup_mi").get
     val json = s"""{"n_small":$nSmall,"factor":$factor,""" +
-      s""""corpus":"diverse pseudorandom ASCII (chained md5 hex, fixed 285 chars => max 16x14 geometry)",""" +
+      s""""corpus":"diverse pseudorandom ASCII (chained md5 hex, fixed 285 chars => max 16x14 geometry); [dense] rows: 100-char docs => small rasters, effective MI band space ~ raster entropy (the saturated regime the cap is designed for)",""" +
       s""""model_exponent_bound":$Bound,"queries":{""" +
       rows.map { case (n, d, ts, tb, e, cs, cb, ce) =>
         s""""$n":{"bands":"$d","t_small_sec":${f"$ts%.3f"},""" +
@@ -184,7 +208,8 @@ object PhashDensityAudit {
     * distinct samples (~14 independent bits per 16-bit band) while the
     * 64-bit tier's 8-bit bands stay at 2⁸ — the regime the tiers
     * actually differ in. */
-  private def plant(spark: SparkSession, n: Int, tag: String): String = {
+  private def plant(spark: SparkSession, n: Int, tag: String,
+      chars: Int = 285): String = {
     val dst = s"${System.getProperty("java.io.tmpdir")}/graft_$tag"
     val marker = new java.io.File(dst, "_SUCCESS")
     if (!marker.exists()) {
@@ -194,7 +219,7 @@ object PhashDensityAudit {
       spark.range(n)
         .select(col("id").as("doc_id"), concat(blocks: _*).as("s"))
         .select(col("doc_id"),
-          expr("substring(s, 1, 285)").as("text"),
+          expr(s"substring(s, 1, $chars)").as("text"),
           lit("en").as("lang"), lit("synth").as("source"))
         .withColumn("n_chars", length(col("text")))
         .write.mode("overwrite").parquet(s"$dst/documents.parquet")

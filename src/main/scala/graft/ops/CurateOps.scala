@@ -473,7 +473,7 @@ object CurateOps {
     val tok = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("source"),
         size(split(col("text"), " ")).cast("long").as("t"))
-    val st = tok.groupBy("source").agg(sum("t").as("toks")).persist()
+    val st = PinCache.pinned(tok.groupBy("source").agg(sum("t").as("toks")))
     // the weighting is ENTIRELY the callback's: it derives whatever
     // totals it needs from the cached per-source stats and returns
     // (source, toks, budget) — the core stays weighting-agnostic
@@ -530,13 +530,12 @@ object CurateOps {
   def dsirResample(spark: SparkSession, sfDir: String): DataFrame = {
     val tk = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("lang"), col("source"), explode(toks).as("tok"))
-    val vocab = tk.groupBy("tok").agg(
+    // vocab-sized (not corpus-sized) and read twice below — totals and
+    // the per-word weights; without the pin both consumers re-run the
+    // corpus token pass
+    val vocab = PinCache.pinned(tk.groupBy("tok").agg(
       count(lit(1)).as("ca"),
-      count(when(col("lang") === "en", 1)).as("ct"))
-      // vocab-sized (not corpus-sized) and read twice below — totals and
-      // the per-word weights; without the persist both consumers re-run
-      // the corpus token pass
-      .persist()
+      count(when(col("lang") === "en", 1)).as("ct")))
     val tot = vocab.agg(sum("ca").cast("long").as("na"),
       sum("ct").cast("long").as("nt"), count(lit(1)).as("v"))
     val weights = vocab.crossJoin(broadcast(tot))

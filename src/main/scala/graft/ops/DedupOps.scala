@@ -237,10 +237,9 @@ object DedupOps {
     // pair volume 3× at sf0.1 and restores ~linear scaling; member pairs
     // are re-expanded AFTER verification, so the output is IDENTICAL
     // row for row (within-group pairs carry est = 1.0 by construction).
-    val groups = sig.groupBy("sig")
+    val groups = PinCache.pinned(sig.groupBy("sig")
       .agg(min(col("doc_id")).as("rep"),
-        sort_array(collect_list(col("doc_id"))).as("members"))
-      .persist()
+        sort_array(collect_list(col("doc_id"))).as("members")))
     // (band construction shared with the incremental streaming
     // maintenance — see [[bandExplode]])
     // Band rows CARRY the signature (256 B/rep — K packed ints; the
@@ -356,10 +355,9 @@ object DedupOps {
     // signature goes through banding; member pairs are re-expanded
     // after the Hamming verify (within-family pairs have distance 0 by
     // construction, cross-family pairs all share their reps' distance).
-    val groups = sh.groupBy("simhash64")
+    val groups = PinCache.pinned(sh.groupBy("simhash64")
       .agg(min(col("doc_id")).as("rep"),
-        sort_array(collect_list(col("doc_id"))).as("members"))
-      .persist()
+        sort_array(collect_list(col("doc_id"))).as("members")))
     val bands = groups.select(col("rep"), col("simhash64"),
       posexplode(array((0 until 4).map(j =>
         expr(s"shiftright(simhash64, ${16 * j}) & 65535")): _*)).as(Seq("band_idx", "band_val")))
@@ -477,6 +475,19 @@ object DedupOps {
   /** Signature width (shared with the incremental streaming dedup). */
   private[graft] def SigK: Int = K
 
+  /** EAGER by design (r16 advice, documented): checkpoint/localCheckpoint
+    * execute the checkpointed subtree at CALL time, so a query builder
+    * routed through this helper (dedup_clusters' pair set,
+    * dedup_recall_eval's truth/found enumerations) runs its expensive
+    * joins during DataFrame CONSTRUCTION — merely building or explaining
+    * the query does work. That is the accepted trade here: the
+    * checkpointed sets feed multiple consumers and a lazy plan would
+    * re-execute the candidate joins per consumer; all timed harnesses
+    * (Bench, ScaleStress, the audits) time build+collect together, so
+    * the cost lands inside the timed region either way. localCheckpoint
+    * blocks are executor-resident and lost on executor failure —
+    * acceptable under local[N]; a cluster deployment sets a
+    * checkpoint dir and gets the durable form automatically. */
   private[graft] def eagerCheckpoint(df: DataFrame): DataFrame =
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
     else df.localCheckpoint()
@@ -897,11 +908,10 @@ object DedupOps {
     val cap = graft.GraftConf.spansMaxDf(spark)
     if (cap <= 0L) sh
     else {
-      val hot = sh.groupBy(keyCols.map(col): _*)
+      val hot = PinCache.pinned(sh.groupBy(keyCols.map(col): _*)
         .agg(countDistinct(col("doc_id")).as("df"))
         .filter(col("df") > cap)
-        .select(keyCols.map(col): _*)
-        .persist()
+        .select(keyCols.map(col): _*))
       val nHot = hot.count()
       if (nHot > 0)
         org.apache.logging.log4j.LogManager.getLogger("graft")

@@ -640,7 +640,7 @@ object MultiModalOps {
     // the per-partition WAV decode runs twice (the dedupIncremental
     // digest-table lesson applied to a decode that is far more expensive
     // than a digest)
-    val fr = audioEnergyFrames(spark, sfDir).persist()
+    val fr = PinCache.pinned(audioEnergyFrames(spark, sfDir))
     val tot = fr.groupBy("doc_id").agg(
       sum(col("energy")).as("clip_energy"),
       sum(col("frame_len")).as("clip_len"))

@@ -1,0 +1,40 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.storage.StorageLevel
+
+/** The ONE unpersist-or-cache rule for pinned intermediates (r16 verdict
+  * stretch #9): a query builder that calls `.persist()` on a derived
+  * frame pins a fresh copy per INVOCATION for the session lifetime — the
+  * pattern the r15/r16 reviews found three separate times (the PPJoin
+  * token-set table, the digest table, `capBandBuckets`' postings). Any
+  * builder that wants a multi-consumer intermediate pinned routes it
+  * through [[pinned]] instead: ONE persisted copy per (application,
+  * canonical plan), rebuilt transparently if evicted (`clearCache()`
+  * drops the storage and the `storageLevel == NONE` check rebuilds — the
+  * `toksetCache` doctrine, generalized).
+  *
+  * The cache key is the md5 of the CANONICALIZED logical plan, so it
+  * needs no per-site key discipline: two calls that build the same plan
+  * over the same source share the entry, while a different corpus dir
+  * (different scan path) or a different steering conf (different
+  * literals baked into the plan — e.g. `sem.nprobe`'s rank bound) keys
+  * separately by construction. Deliberately session-lifetime, like the
+  * digest table: in production these ARE the materialized intermediate
+  * tables of the ingest, rebuilt per corpus version, not per query.
+  */
+private[graft] object PinCache {
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  def pinned(df: DataFrame): DataFrame = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val planKey = md.digest(
+        df.queryExecution.logical.canonicalized.toString.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val key = df.sparkSession.sparkContext.applicationId + "|" + planKey
+    cache.compute(key, (_, old) =>
+      if (old != null && old.storageLevel != StorageLevel.NONE) old
+      else df.persist())
+  }
+}

@@ -536,7 +536,7 @@ object SimOps {
     * group, and the keep/drop decision a training-set writer consumes. */
   def dedupSemantic(spark: SparkSession, sfDir: String): DataFrame = {
     val v = withNorm(Tables.embeddings(spark, sfDir))
-    val assigned = semAssignScored(spark, v).persist()
+    val assigned = PinCache.pinned(semAssignScored(spark, v))
     val pairs = DedupOps.eagerCheckpoint(
       PairEnum.blockedSelfJoinPairs(assigned, Seq("cell"), "vec_id",
           Seq("embedding", "nrm"))
@@ -685,6 +685,19 @@ object SimOps {
   def annRecallPqFitted(spark: SparkSession, sfDir: String): DataFrame =
     recallEvalOf(spark, sfDir, annPqAdcFitted(spark, sfDir), depth = 5)
 
+  /** The recall ladder extended over the composed IVF-PQ serving tiers
+    * (r16 verdict #5): the flagship production family was the one rung
+    * measured only by the driver-side AnnTradeoff artifact — these make
+    * its acceptance gate a registry operator like the four shipped
+    * gates, through the same [[recallEvalOf]]/[[sqlRecallOf]] pair so
+    * the evaluated probe and the gate cannot diverge. Depth 3 = the
+    * tiers' own probe depth. */
+  def annRecallIvfPq(spark: SparkSession, sfDir: String): DataFrame =
+    recallEvalOf(spark, sfDir, annIvfPq(spark, sfDir), depth = 3)
+
+  def annRecallIvfPqFitted(spark: SparkSession, sfDir: String): DataFrame =
+    recallEvalOf(spark, sfDir, annIvfPqFitted(spark, sfDir), depth = 3)
+
   /** HARD-NEGATIVE mining for contrastive training — the pair-mining
     * step of every dense-retriever / embedding-model training pipeline
     * (DPR, Karpukhin et al. 2020; Sentence-BERT): for each query vector,
@@ -812,7 +825,10 @@ object SimOps {
     val v = lrFeatures(spark, sfDir)
     val w0 = spark.range(1).select(
       array_repeat(lit(0.0d), DIM).as("w"), lit(0.0d).as("wb"))
-    lrReport(spark, v, lrStep(v, lrStep(v, lrStep(v, w0))), Nil)
+    // unroll depth = the family's one step constant, shared with the
+    // converged trainer's default budget and both oracles' replay
+    val wT = (1 to graft.GraftConf.LrStepsDefault).foldLeft(w0)((w, _) => lrStep(v, w))
+    lrReport(spark, v, wT, Nil)
   }
 
   /** CONVERGENCE-GATED LR training — [[embedLrProbe]]'s production
@@ -1177,9 +1193,46 @@ object SimOps {
     * (≤ M·K = 32 rows) by construction at ANY corpus size, the BPE
     * vocab-gather doctrine: the collect is bounded by the codebook
     * geometry, never by the corpus. */
-  private[graft] def pqFitCodebook(v: DataFrame): Map[(Int, Int), Seq[Double]] =
+  private[graft] def pqFitCodebook(v: DataFrame): Map[(Int, Int), Seq[Double]] = {
+    pqFitRuns.incrementAndGet()
     pqFit(v, iters = 2).collect()
       .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2)).toMap
+  }
+
+  /** Count of subspace-Lloyd fits actually executed — the spec's witness
+    * that [[pqFitCodebookCached]] trains once per (corpus, mode) and the
+    * second build of a `*_fitted` query triggers NO Lloyd jobs. */
+  private[graft] val pqFitRuns = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** The fitted book MEMOIZED per (application, corpus dir, input mode,
+    * quantizer conf, corpus fingerprint) — the r16 verdict #3: the
+    * two-round subspace-Lloyd fit (two corpus scans per round) was paid
+    * at every query-BUILD of the three `*_fitted` consumers, although
+    * the tier's own scaladoc story is "train once, serve narrow". Same
+    * key discipline as the at-rest index ([[FileOps.materializeOnce]] in
+    * [[annIvfPqPersist]]): [[embCorpusFp]] folds row count + max vec_id
+    * into the key, so a regenerated fixture under the same dir refits
+    * instead of serving a stale book; the residual mode additionally
+    * keys on `ann.centroidMod` (its input is the IVF residuals, which
+    * move with the coarse quantizer). The cached value is the collected
+    * vocabulary-sized map (≤ M·K = 32 rows at ANY corpus size), so
+    * unlike the DataFrame caches there is no executor storage to pin or
+    * leak — driver memory only, bounded by the book geometry. */
+  private val pqBookCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Map[(Int, Int), Seq[Double]]]()
+
+  private def pqFitCodebookCached(spark: SparkSession, sfDir: String,
+      input: String): Map[(Int, Int), Seq[Double]] = {
+    val modKey =
+      if (input == "residual") s"|m${graft.GraftConf.annCentroidMod(spark)}" else ""
+    val key = spark.sparkContext.applicationId + "|" + sfDir + "|" + input +
+      modKey + "|" + embCorpusFp(spark, sfDir)
+    pqBookCache.computeIfAbsent(key, _ => pqFitCodebook(input match {
+      case "residual" => ivfResiduals(spark, sfDir)
+        .select(col("vec_id"), col("res").as("embedding"))
+      case _ => Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
+    }))
+  }
 
   /** The fitted codebook as a registry query: (m, k, dim, value) rows —
     * the trainable half of the PQ family, hash-oracled by unrolling both
@@ -1220,7 +1273,7 @@ object SimOps {
   def annPqAdcFitted(spark: SparkSession, sfDir: String): DataFrame = {
     val v = withNorm(Tables.embeddings(spark, sfDir))
       .select("vec_id", "embedding", "nrm")
-    val cb = pqFitCodebook(v.select("vec_id", "embedding"))
+    val cb = pqFitCodebookCached(spark, sfDir, "raw")
     val corpus = pqCoded(v, col("embedding"), cb)
       .select(col("vec_id"), col("embedding"), col("nrm"),
         col("code0"), col("code1"), col("code2"), col("code3"))
@@ -1471,7 +1524,7 @@ object SimOps {
     * the pair join. */
   def annIvfPqFitted(spark: SparkSession, sfDir: String): DataFrame = {
     val withRes = ivfResiduals(spark, sfDir)
-    val cb = pqFitCodebook(withRes.select(col("vec_id"), col("res").as("embedding")))
+    val cb = pqFitCodebookCached(spark, sfDir, "residual")
     val corpus = pqCoded(withRes, col("res"), cb)
       .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"),
         col("code0"), col("code1"), col("code2"), col("code3"))
@@ -1499,6 +1552,77 @@ object SimOps {
       .select(col("query_id"), col("rnk"), col("neighbor_id"), col("cell"), col("cos"))
       .orderBy("query_id", "rnk")
   }
+
+  /** nprobe-COMPOSED fitted-residual IVF-PQ — the full FAISS serving
+    * default assembled (`nprobe × by_residual=true × trained book`), and
+    * the r16 verdict #4 directive: ANN_TRADEOFF measured the coarse
+    * quantizer's single-cell cut capping EVERY one-cell tier's global
+    * recall at 0.133 while `ann_ivf_nprobe` buys 0.200 — this applies
+    * that measured lever to the production PQ serving tier. A query
+    * probes its [[graft.GraftConf.annNprobe]] nearest cells; because
+    * codes quantize RESIDUALS, the query-side ADC table is per
+    * (query, probed cell) — the MULTI-ORIGIN form: the query's residual
+    * is recomputed against each probed cell's centroid, so each cell's
+    * stored codes are compared against a table sharing their origin and
+    * every ADC value approximates the same ‖q − x‖² (which is what makes
+    * the cross-cell top-10 cut well-defined). Candidates from the
+    * probed cells union WITHOUT dedup — a corpus vector lives in
+    * exactly one cell. Cost at 100 TB: nprobe partition-pruned cell
+    * scans per query and nprobe M×K-double query tables instead of one —
+    * still broadcast-sized; the index at rest is unchanged. nprobe=1
+    * degenerates EXACTLY to [[annIvfPqFitted]] (the assign's argmax IS
+    * the top-1 probe — spec-pinned). Fully hash-oracled: the oracle
+    * splices the IVF/residual/fit CTEs verbatim and adds the windowed
+    * top-nprobe cell cut with a per-cell residual, the [[sqlIvfNprobe]]
+    * doctrine lifted to the multi-origin query table. */
+  def annIvfPqNprobe(spark: SparkSession, sfDir: String): DataFrame = {
+    val nprobe = graft.GraftConf.annNprobe(spark)
+    val v = withNorm(Tables.embeddings(spark, sfDir))
+    val cents = ivfCentroids(spark, v)
+    val cb = pqFitCodebookCached(spark, sfDir, "residual")
+    val corpus = pqCoded(ivfResiduals(spark, sfDir), col("res"), cb)
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"),
+        col("code0"), col("code1"), col("code2"), col("code3"))
+    // query side: top-nprobe cells, each with the query's residual wrt
+    // THAT cell's centroid (the multi-origin table), then the ADC table
+    // from the per-cell residual — ≤ |queries|·nprobe broadcast rows
+    val wProbe = Window.partitionBy("vec_id")
+      .orderBy(col("ccos").desc, col("cent_id").asc)
+    val qres = v.filter(col("vec_id") < 10).join(broadcast(cents))
+      .withColumn("ccos",
+        dot(col("embedding"), col("ce")) / sqrt(col("nrm") * col("cn")))
+      .withColumn("crnk", row_number().over(wProbe))
+      .filter(col("crnk") <= nprobe)
+      .withColumn("qres", zip_with(col("embedding"), col("ce"),
+        (x, y) => x.cast("double") - y.cast("double")))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("nrm").as("qn"), col("cent_id").as("cell"), col("qres"))
+    val q = pqAdcTable(qres, col("qres"), cb).drop("qres")
+    val scored = broadcast(q).join(corpus, Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cell"),
+        col("qe"), col("qn"), col("embedding"), col("nrm"), pqAdcPick(cb).as("adc"))
+    val wq = Window.partitionBy("query_id")
+      .orderBy(col("adc").asc, col("neighbor_id").asc)
+    val candidates = scored
+      .withColumn("crnk", row_number().over(wq))
+      .filter(col("crnk") <= 10)
+    val wr = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    candidates
+      .select(col("query_id"), col("neighbor_id"), col("cell"),
+        (dot(col("qe"), col("embedding")) / sqrt(col("qn") * col("nrm"))).as("cos"))
+      .withColumn("rnk", row_number().over(wr).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"), col("cell"), col("cos"))
+      .orderBy("query_id", "rnk")
+  }
+
+  /** The nprobe-composed tier's own recall gate — the production
+    * serving stack measured by the same in-engine protocol as its
+    * single-cell siblings. */
+  def annRecallIvfPqNprobe(spark: SparkSession, sfDir: String): DataFrame =
+    recallEvalOf(spark, sfDir, annIvfPqNprobe(spark, sfDir), depth = 3)
 
   // --- Scalar-quantized (int8) ANN -----------------------------------------
 
@@ -1590,6 +1714,16 @@ object SimOps {
     // index schema (the annIvfPersist review finding, same root cause)
     val corpus = spark.read.parquet(dir)
       .withColumn("cell", col("cell").cast("long"))
+    ivfPqProbeCodes(corpus)
+  }
+
+  /** Probe an IVF-PQ codes table (vec_id, embedding, nrm, cell,
+    * code0..3) — identical no matter whether the codes were just
+    * encoded, read back from the at-rest index, or maintained by a
+    * stream (the [[ivfProbeCells]] convention lifted to the PQ tier):
+    * queries are the indexed vectors with vec_id < 10, in-cell ADC
+    * top-10 cut, exact rerank to top-3. */
+  private[graft] def ivfPqProbeCodes(corpus: DataFrame): DataFrame = {
     val q = pqAdcTable(corpus.select("vec_id", "embedding", "nrm", "cell")
         .filter(col("vec_id") < 10))
       .withColumnRenamed("vec_id", "query_id")
@@ -1732,6 +1866,8 @@ object SimOps {
     "ann_recall_sq8"       -> (annRecallSq8 _),
     "ann_recall_binary"    -> (annRecallBinary _),
     "ann_recall_pq_fitted" -> (annRecallPqFitted _),
+    "ann_recall_ivfpq"     -> (annRecallIvfPq _),
+    "ann_recall_ivfpq_fitted" -> (annRecallIvfPqFitted _),
     "embed_lr_probe"       -> (embedLrProbe _),
     "embed_lr_converged"   -> (embedLrConverged _),
     "hard_negatives"       -> (hardNegatives _),
@@ -1746,6 +1882,8 @@ object SimOps {
     "ann_ivfpq"            -> (annIvfPq _),
     "ann_ivfpq_residual"   -> (annIvfPqResidual _),
     "ann_ivfpq_fitted"     -> (annIvfPqFitted _),
+    "ann_ivfpq_nprobe"     -> (annIvfPqNprobe _),
+    "ann_recall_ivfpq_nprobe" -> (annRecallIvfPqNprobe _),
     "mmr_rerank"           -> (mmrRerank _))
 
   private def sqlPlaneList(j: Int): String =
@@ -2213,6 +2351,84 @@ object SimOps {
        |SELECT query_id, rnk, neighbor_id, cell, cos
        |FROM ranked WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin
 
+  /** nprobe-composed fitted-residual IVF-PQ replay: the fitted oracle's
+    * assignment/residual/fit CTEs verbatim, with the single-cell `qt`
+    * swapped for a MULTI-ORIGIN query table — the windowed top-nprobe
+    * cell cut ([[sqlIvfNprobe]]'s `qc` doctrine) carrying the query's
+    * residual wrt EACH probed cell, subspace-distanced against the same
+    * fitted book. The pair join ties a query table row to candidates of
+    * its own origin cell, so every ADC value approximates ‖q − x‖²
+    * against a shared origin and the cross-cell top-10 cut is
+    * well-defined. */
+  private lazy val sqlIvfPqNprobe: String =
+    s"""WITH $sqlIvfCtes,
+       |resid AS (
+       |  SELECT a.vec_id,
+       |    list_transform(list_zip(a.d, c.ce), z -> z[1] - z[2]) AS d
+       |  FROM assigned a JOIN cents c ON a.cell = c.cent_id),
+       |${sqlPqFitCtesFrom("resid")},
+       |dist AS (
+       |  SELECT s.vec_id, s.m, c.k,
+       |    list_sum(list_transform(list_zip(s.sub, c.ce),
+       |      z -> (z[1] - z[2]) * (z[1] - z[2]))) AS dist2
+       |  FROM subs s JOIN cb2 c ON c.m = s.m),
+       |codes AS (
+       |  SELECT vec_id, m, k AS code FROM (
+       |    SELECT vec_id, m, k,
+       |      row_number() OVER (PARTITION BY vec_id, m
+       |        ORDER BY dist2 ASC, k ASC) AS rk
+       |    FROM dist) t WHERE rk = 1),
+       |qprobe AS (
+       |  SELECT query_id, cell, qres FROM (
+       |    SELECT n.vec_id AS query_id, c.cent_id AS cell,
+       |      list_transform(list_zip(n.d, c.ce), z -> z[1] - z[2]) AS qres,
+       |      row_number() OVER (PARTITION BY n.vec_id
+       |        ORDER BY ${sqlDot("n.d", "c.ce")} / sqrt(n.nrm * c.cn) DESC,
+       |                 c.cent_id ASC) AS crnk
+       |    FROM n CROSS JOIN cents c WHERE n.vec_id < 10) t
+       |  WHERE crnk <= 2),
+       |qsubs AS (
+       |  SELECT query_id, cell, mm.m,
+       |    list_slice(qres, 1 + mm.m * $PqSub, (mm.m + 1) * $PqSub) AS sub
+       |  FROM qprobe CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS m) mm),
+       |qt AS (
+       |  SELECT sq.query_id, sq.cell, sq.m, c.k,
+       |    list_sum(list_transform(list_zip(sq.sub, c.ce),
+       |      z -> (z[1] - z[2]) * (z[1] - z[2]))) AS dist2
+       |  FROM qsubs sq JOIN cb2 c ON c.m = sq.m),
+       |pair AS (
+       |  SELECT qt.query_id, a.vec_id AS neighbor_id, a.cell,
+       |    c.m, qt.dist2
+       |  FROM qt
+       |  JOIN assigned a ON a.cell = qt.cell AND a.vec_id <> qt.query_id
+       |  JOIN codes c ON c.vec_id = a.vec_id AND c.m = qt.m AND qt.k = c.code),
+       |adc AS (
+       |  SELECT query_id, neighbor_id, cell,
+       |    SUM(CASE WHEN m = 0 THEN dist2 END)
+       |      + SUM(CASE WHEN m = 1 THEN dist2 END)
+       |      + SUM(CASE WHEN m = 2 THEN dist2 END)
+       |      + SUM(CASE WHEN m = 3 THEN dist2 END) AS adc
+       |  FROM pair GROUP BY query_id, neighbor_id, cell),
+       |cand AS (
+       |  SELECT query_id, neighbor_id, cell FROM (
+       |    SELECT query_id, neighbor_id, cell,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY adc ASC, neighbor_id ASC) AS crnk
+       |    FROM adc) t WHERE crnk <= 10),
+       |cs AS (
+       |  SELECT c.query_id, c.neighbor_id, c.cell,
+       |    ${sqlDot("nq.d", "nx.d")} / sqrt(nq.nrm * nx.nrm) AS cos
+       |  FROM cand c
+       |  JOIN n nq ON nq.vec_id = c.query_id
+       |  JOIN n nx ON nx.vec_id = c.neighbor_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cell, cos,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cos DESC, neighbor_id ASC) AS BIGINT) AS rnk
+       |  FROM cs)
+       |SELECT query_id, rnk, neighbor_id, cell, cos
+       |FROM ranked WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin
+
   /** DuckDB oracle for the SQ8 probe — shared verbatim by `ann_sq8` and
     * `ann_sq8_persist` (the persisted probe is bit-identical by design,
     * so ONE oracle gates both). */
@@ -2310,11 +2526,15 @@ object SimOps {
     * shapes as the Spark plan, generated from the same DIM. */
   private lazy val sqlLrProbe: String = sqlLrProbeWith("")
 
-  /** The converged trainer's oracle is the fixed 3-step replay plus the
+  /** The converged trainer's oracle is the fixed S-step replay plus the
     * `n_steps` row — the registry defaults make the maxSteps bound bind
-    * on the fixture (spec-asserted), so the bounded form IS 3 steps. */
+    * on the fixture (spec-asserted), so the bounded form IS the replay;
+    * S = [[graft.GraftConf.LrStepsDefault]], the same constant the
+    * engine's budget default and the fixed trainer's unroll use (r16
+    * advice: the coupling is now structural, not textual). */
   private lazy val sqlLrConverged: String =
-    sqlLrProbeWith("UNION ALL SELECT 'n_steps', CAST(3.0 AS DOUBLE)")
+    sqlLrProbeWith(
+      s"UNION ALL SELECT 'n_steps', CAST(${graft.GraftConf.LrStepsDefault}.0 AS DOUBLE)")
 
   private def sqlLrProbeWith(extraRows: String): String = {
     val g = "CAST(1048576 AS DOUBLE)"
@@ -2333,26 +2553,29 @@ object SimOps {
           s"w[${j + 1}] - 4.0 * ((CAST(g$j AS DOUBLE) / $g) / CAST(n AS DOUBLE))").mkString(", ") +
         s"] AS w, wb - 4.0 * ((CAST(gb AS DOUBLE) / $g) / CAST(n AS DOUBLE)) AS wb " +
         s"FROM w${i - 1} CROSS JOIN g$i)"
+    // replay depth = the family's one step constant (r16 advice)
+    val nSteps = graft.GraftConf.LrStepsDefault
+    val stepCtes = (1 to nSteps)
+      .map(i => s"${eCte(i)}, ${gCte(i)}, ${wCte(i)},").mkString("\n")
+    val wT = s"w$nSteps"
     val dimRows = (0 until DIM).map { j =>
       val t = "w_%03d".format(j)
-      if (j == 0) s"SELECT '$t' AS term, w[1] AS value FROM w3"
-      else s"UNION ALL SELECT '$t', w[${j + 1}] FROM w3"
+      if (j == 0) s"SELECT '$t' AS term, w[1] AS value FROM $wT"
+      else s"UNION ALL SELECT '$t', w[${j + 1}] FROM $wT"
     }.mkString("\n")
     s"""WITH v AS ($sqlVecLabeled),
        |f AS (SELECT vec_id, d,
        |  CAST(CASE WHEN label < 5 THEN 1.0 ELSE 0.0 END AS DOUBLE) AS y FROM v),
        |w0 AS (SELECT [${Seq.fill(DIM)("CAST(0.0 AS DOUBLE)").mkString(", ")}] AS w,
        |  CAST(0.0 AS DOUBLE) AS wb),
-       |${eCte(1)}, ${gCte(1)}, ${wCte(1)},
-       |${eCte(2)}, ${gCte(2)}, ${wCte(2)},
-       |${eCte(3)}, ${gCte(3)}, ${wCte(3)},
+       |$stepCtes
        |acc AS (
        |  SELECT CAST(sum(CASE WHEN ($zS >= 0.0) = (y = 1.0) THEN 1 ELSE 0 END)
        |    AS DOUBLE) / CAST(count(*) AS DOUBLE) AS value
-       |  FROM f CROSS JOIN w3)
+       |  FROM f CROSS JOIN $wT)
        |SELECT term, value FROM (
        |$dimRows
-       |UNION ALL SELECT 'w_bias', wb FROM w3
+       |UNION ALL SELECT 'w_bias', wb FROM $wT
        |UNION ALL SELECT 'accuracy', value FROM acc
        |$extraRows)
        |ORDER BY term""".stripMargin
@@ -2366,6 +2589,8 @@ object SimOps {
     "ann_ivfpq" -> sqlIvfPq,
     "ann_ivfpq_residual" -> sqlIvfPqResidual,
     "ann_ivfpq_fitted" -> sqlIvfPqFitted,
+    "ann_ivfpq_nprobe" -> sqlIvfPqNprobe,
+    "ann_recall_ivfpq_nprobe" -> sqlRecallOf(sqlIvfPqNprobe, 3),
     "mmr_rerank" -> sqlMmr,
     "embed_knn_classify" ->
       s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS d,
@@ -2501,6 +2726,8 @@ object SimOps {
     "ann_recall_sq8" -> sqlRecallOf(sqlSq8Probe, 5),
     "ann_recall_binary" -> sqlRecallOf(sqlBinarySign, 5),
     "ann_recall_pq_fitted" -> sqlRecallOf(sqlPqAdcFitted, 5),
+    "ann_recall_ivfpq" -> sqlRecallOf(sqlIvfPq, 3),
+    "ann_recall_ivfpq_fitted" -> sqlRecallOf(sqlIvfPqFitted, 3),
     // hamming replayed as the COUNT of sign-disagreeing dimensions —
     // the same integer the engine's packed xor+bit_count computes
     "ann_binary_sign" -> sqlBinarySign,

@@ -828,6 +828,57 @@ object StreamOps {
     require(ranBatches > 0, s"no micro-batch ran over $staged ($glob)")
   }
 
+  /** Streaming IVF-PQ CODES maintenance — the ingestion half of the
+    * [[graft.ops.SimOps.annIvfPqPersist]] story run CONTINUOUSLY (the
+    * [[ivfIndexMaintainInto]] doctrine plus codes, r16 verdict #6): the
+    * coarse quantizer AND the PQ codebook are both FROZEN (in
+    * production: fitted offline and versioned; here the same
+    * deterministic mod-rule centroids and the fixed book the batch
+    * index uses), and each micro-batch of new vectors is assigned to
+    * its cell, ENCODED to 12-bit codes, and appended to the codes store
+    * as an idempotent-by-batch-id delta — per-batch cost is the batch's
+    * vectors × (centroids + M·K code distances), the historical codes
+    * are never re-encoded. Probing the maintained store with the SAME
+    * [[graft.ops.SimOps.ivfPqProbeCodes]] yields results bit-identical
+    * to the batch `ann_ivfpq`/`ann_ivfpq_persist` (StreamingSpec pins
+    * the equality and replay idempotence). */
+  def ivfPqIndexMaintainRun(spark: SparkSession, sfDir: String): DataFrame = {
+    val staged = stageVecSliceFiles(spark, sfDir, 4)
+    val storeDir = java.nio.file.Files.createTempDirectory("graft_ivfpq_maint")
+      .resolve("codes_store").toString
+    ivfPqIndexMaintainInto(spark, staged, storeDir, "b*.parquet", "all")
+    graft.ops.SimOps.ivfPqProbeCodes(readIvfIndexStore(spark, storeDir))
+  }
+
+  /** One stream run of the codes-index maintenance over the staged
+    * vector files matching `glob`, appending per-batch delta subdirs of
+    * (vec_id, embedding, nrm, cell, code0..3). */
+  private[graft] def ivfPqIndexMaintainInto(
+      spark: SparkSession, staged: String, storeDir: String,
+      glob: String, runTag: String): Unit = {
+    val schema = spark.read.parquet(staged).schema
+    val cents = graft.ops.SimOps.ivfCentroids(spark,
+      graft.ops.SimOps.withNorm(spark.read.parquet(staged)))
+      // the pinned quantizer: centroid-count rows, reused by every batch
+      .persist()
+    @volatile var ranBatches = 0
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", glob)
+      .parquet(staged)
+    val q = stream.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      graft.ops.SimOps.pqCoded(
+          graft.ops.SimOps.ivfAssign(graft.ops.SimOps.withNorm(batch), cents))
+        .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"),
+          col("code0"), col("code1"), col("code2"), col("code3"))
+        .write.mode("overwrite").parquet(s"$storeDir/delta_${runTag}_$id")
+      ranBatches += 1
+    }.start()
+    try q.processAllAvailable()
+    finally { q.stop(); cents.unpersist() }
+    require(ranBatches > 0, s"no micro-batch ran over $staged ($glob)")
+  }
+
   /** Streaming SEMANTIC dedup — the ONLINE form of
     * [[graft.ops.SimOps.dedupSemantic]]: micro-batches of vectors are
     * assigned with the FROZEN coarse quantizer, probed against the

@@ -510,6 +510,43 @@ class StreamingSpec extends SparkSpec {
     assert(first.length === Tables.embeddings(spark, sf).count())
   }
 
+  test("streamed IVF-PQ codes maintenance probes bit-identically to the batch index") {
+    val streamed = StreamOps.ivfPqIndexMaintainRun(spark, sf).collect()
+    // ann_ivfpq IS ann_ivfpq_persist's probe (one oracle gates both), so
+    // pinning against the inline tier pins against the at-rest build too
+    val batch = SparkEntry.queries("ann_ivfpq")(spark, sf).collect()
+    assert(streamed.length === batch.length && streamed.nonEmpty)
+    streamed.zip(batch).foreach { case (s, b) =>
+      assert(s.getAs[Long]("query_id") === b.getAs[Long]("query_id"))
+      assert(s.getAs[Long]("rnk") === b.getAs[Long]("rnk"))
+      assert(s.getAs[Long]("neighbor_id") === b.getAs[Long]("neighbor_id"))
+      assert(s.getAs[Long]("cell") === b.getAs[Long]("cell"))
+      assert(s.getAs[Double]("cos") === b.getAs[Double]("cos"))
+    }
+  }
+
+  test("IVF-PQ codes store is replay-idempotent: a re-run batch replaces its delta") {
+    val staged = StreamOps.stageVecSliceFiles(spark, sf, 4)
+    val storeDir = java.nio.file.Files.createTempDirectory("graft_ivfpq_maint_r")
+      .resolve("codes_store").toString
+    StreamOps.ivfPqIndexMaintainInto(spark, staged, storeDir, "b*.parquet", "all")
+    val first = StreamOps.readIvfIndexStore(spark, storeDir)
+      .orderBy("vec_id").collect()
+    StreamOps.ivfPqIndexMaintainInto(spark, staged, storeDir, "b*.parquet", "all")
+    val second = StreamOps.readIvfIndexStore(spark, storeDir)
+      .orderBy("vec_id").collect()
+    assert(second === first)
+    // the maintained codes cover the whole corpus exactly once, and
+    // every row carries a valid 3-bit code per subspace
+    assert(first.length === Tables.embeddings(spark, sf).count())
+    first.foreach { r =>
+      (0 to 3).foreach { m =>
+        val c = r.getAs[Long](s"code$m")
+        assert(c >= 0L && c < 8L, s"code$m out of range: $c")
+      }
+    }
+  }
+
   test("streamed semantic dedup equals the arrival-order keep-first replay") {
     val got = StreamOps.semanticDedupMaintainRun(spark, sf).collect()
       .map(r => r.getAs[Long]("vec_id") ->
