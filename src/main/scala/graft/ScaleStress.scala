@@ -331,6 +331,18 @@ object ScaleStress {
         "factor)", 1.25,
       bigConf = f => dataSizedPartitions(f) ++
         Map("spark.graft.ann.centroidMod" -> (32L * f).toString)),
+    Heavy("ann_ivfpq_nprobe",
+      "ann_ivfpq_fitted's fit + probe over nprobe cell scans with a " +
+        "per-cell query ADC table (|queries|*nprobe broadcast rows); " +
+        "linear at constant centroid count (centroidMod x factor)", 1.25,
+      bigConf = f => dataSizedPartitions(f) ++
+        Map("spark.graft.ann.centroidMod" -> (32L * f).toString)),
+    Heavy("ann_recall_ivfpq",
+      "composes the audited-linear ivfpq probe and the fixed-query " +
+        "brute truth + a |queries|*k hit check; linear (centroidMod x " +
+        "factor)", 1.25,
+      bigConf = f => dataSizedPartitions(f) ++
+        Map("spark.graft.ann.centroidMod" -> (32L * f).toString)),
     Heavy("ann_recall_pq_fitted",
       "composes the audited-linear fitted-ADC probe (vocab-sized fit) " +
         "and the fixed-query brute truth + a |queries|*k hit check; " +

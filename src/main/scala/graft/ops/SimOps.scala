@@ -1565,9 +1565,11 @@ object SimOps {
     * is recomputed against each probed cell's centroid, so each cell's
     * stored codes are compared against a table sharing their origin and
     * every ADC value approximates the same ‖q − x‖² (which is what makes
-    * the cross-cell top-10 cut well-defined). Candidates from the
-    * probed cells union WITHOUT dedup — a corpus vector lives in
-    * exactly one cell. Cost at 100 TB: nprobe partition-pruned cell
+    * the cross-cell candidate cut well-defined). The ADC candidate
+    * budget scales with the probe width (10·nprobe — the FAISS
+    * convention of deepening the rerank as nprobe grows). Candidates
+    * from the probed cells union WITHOUT dedup — a corpus vector lives
+    * in exactly one cell. Cost at 100 TB: nprobe partition-pruned cell
     * scans per query and nprobe M×K-double query tables instead of one —
     * still broadcast-sized; the index at rest is unchanged. nprobe=1
     * degenerates EXACTLY to [[annIvfPqFitted]] (the assign's argmax IS
@@ -1604,9 +1606,16 @@ object SimOps {
         col("qe"), col("qn"), col("embedding"), col("nrm"), pqAdcPick(cb).as("adc"))
     val wq = Window.partitionBy("query_id")
       .orderBy(col("adc").asc, col("neighbor_id").asc)
+    // candidate budget scales WITH the probe width (10 ADC survivors per
+    // probed cell — the FAISS convention of deepening the rerank as
+    // nprobe grows): a fixed cut would make extra cells pure noise
+    // competition for the same 10 slots, and the measured ×10 in-cell
+    // ADC ordering is weak enough (ANN_TRADEOFF in_cell_x10 0.067) that
+    // the exact rerank, not the ADC order, must do the final selection.
+    // nprobe=1 keeps cut 10 — the exact ann_ivfpq_fitted degeneration.
     val candidates = scored
       .withColumn("crnk", row_number().over(wq))
-      .filter(col("crnk") <= 10)
+      .filter(col("crnk") <= 10 * nprobe)
     val wr = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     candidates
@@ -2358,8 +2367,8 @@ object SimOps {
     * residual wrt EACH probed cell, subspace-distanced against the same
     * fitted book. The pair join ties a query table row to candidates of
     * its own origin cell, so every ADC value approximates ‖q − x‖²
-    * against a shared origin and the cross-cell top-10 cut is
-    * well-defined. */
+    * against a shared origin and the cross-cell cut is well-defined;
+    * the cut depth 20 = 10·nprobe at the pinned default nprobe=2. */
   private lazy val sqlIvfPqNprobe: String =
     s"""WITH $sqlIvfCtes,
        |resid AS (
@@ -2414,7 +2423,7 @@ object SimOps {
        |    SELECT query_id, neighbor_id, cell,
        |      row_number() OVER (PARTITION BY query_id
        |        ORDER BY adc ASC, neighbor_id ASC) AS crnk
-       |    FROM adc) t WHERE crnk <= 10),
+       |    FROM adc) t WHERE crnk <= 20),
        |cs AS (
        |  SELECT c.query_id, c.neighbor_id, c.cell,
        |    ${sqlDot("nq.d", "nx.d")} / sqrt(nq.nrm * nx.nrm) AS cos

@@ -832,6 +832,19 @@ class PlanAuditSpec extends SparkSpec {
       s"cell probe not a broadcast join in:\n$plan")
   }
 
+  test("ann_ivfpq_nprobe: multi-origin probe stays broadcast — book as literals, no cartesian") {
+    val plan = planOf("ann_ivfpq_nprobe")
+    // the nprobe composition must keep the fitted tier's serving shape:
+    // the |queries|·nprobe query-table rows broadcast into the cell
+    // join, the fitted book enters as literals (never a codebook-table
+    // join), and no stage falls back to sort-merge or cartesian
+    assert(!plan.contains("SortMergeJoin"),
+      s"a codebook/cell table sort-merged in:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"cell probe not a broadcast join in:\n$plan")
+  }
+
   test("ann_ivfpq_persist: the at-rest probe partition-prunes the cell directories") {
     val plan = planOf("ann_ivfpq_persist")
     // the 100 TB claim made literal: the corpus-side scan of the
