@@ -1709,21 +1709,81 @@ object SimOps {
     * [[annIvfPq]] (floats/norms/codes round-trip parquet exactly; the
     * query-side ADC table rebuilds from the stored raw vector), so the
     * SAME DuckDB oracle gates both and the spec pins bit-equality. */
-  def annIvfPqPersist(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The at-rest codes index directory, built once per (quantizer conf,
+    * corpus fingerprint) — shared by the single-cell and nprobe probes
+    * so both read the SAME physical index. */
+  private def ivfPqIndexDir(spark: SparkSession, sfDir: String): String = {
     val mod = graft.GraftConf.annCentroidMod(spark)
     val fp = embCorpusFp(spark, sfDir)
-    val dir = FileOps.materializeOnce(spark, s"ivfpq_index_m${mod}_$fp", sfDir) { d =>
+    FileOps.materializeOnce(spark, s"ivfpq_index_m${mod}_$fp", sfDir) { d =>
       val v = withNorm(Tables.embeddings(spark, sfDir))
       pqCoded(ivfAssign(v, ivfCentroids(spark, v)))
         .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"),
           col("code0"), col("code1"), col("code2"), col("code3"))
         .write.mode("overwrite").partitionBy("cell").parquet(d)
     }
+  }
+
+  def annIvfPqPersist(spark: SparkSession, sfDir: String): DataFrame = {
     // partition-column inference reads `cell` back as INT — restore the
     // index schema (the annIvfPersist review finding, same root cause)
-    val corpus = spark.read.parquet(dir)
+    val corpus = spark.read.parquet(ivfPqIndexDir(spark, sfDir))
       .withColumn("cell", col("cell").cast("long"))
     ivfPqProbeCodes(corpus)
+  }
+
+  /** nprobe probe of the AT-REST codes index — the two flagship
+    * directions composed end-to-end: [[annIvfPqPersist]]'s
+    * cell-partitioned 12-bit index (built once, SHARED physically with
+    * the single-cell probe — same `materializeOnce` key) probed at
+    * [[graft.GraftConf.annNprobe]] cells per query, so the scan reads
+    * nprobe partition-pruned cell DIRECTORIES per query batch via
+    * dynamic partition pruning (plan-pinned) — the literal 100 TB
+    * serving shape: index at rest, recall bought per query by reading
+    * more cells, corpus floats never scanned. Codes here quantize RAW
+    * vectors (the index's `by_residual=false` layout), which is what
+    * makes the multi-cell probe need NO multi-origin machinery: the
+    * query's ADC table depends only on its own vector, one table serves
+    * every probed cell. Candidate budget 10·nprobe (the [[annIvfPqNprobe]]
+    * convention), exact rerank to top-3; nprobe=1 degenerates EXACTLY
+    * to [[annIvfPqPersist]] (the assign's argmax is the top-1 ranked
+    * cell and the cut is 10 — spec-pinned). Fully hash-oracled: the
+    * shared assignment/code CTEs + [[sqlIvfNprobe]]'s windowed
+    * top-nprobe cell cut. */
+  def annIvfPqPersistNprobe(spark: SparkSession, sfDir: String): DataFrame = {
+    val nprobe = graft.GraftConf.annNprobe(spark)
+    val corpus = spark.read.parquet(ivfPqIndexDir(spark, sfDir))
+      .withColumn("cell", col("cell").cast("long"))
+    val v = withNorm(Tables.embeddings(spark, sfDir))
+    val cents = ivfCentroids(spark, v)
+    val wProbe = Window.partitionBy("vec_id")
+      .orderBy(col("ccos").desc, col("cent_id").asc)
+    val qcells = v.filter(col("vec_id") < 10).join(broadcast(cents))
+      .withColumn("ccos",
+        dot(col("embedding"), col("ce")) / sqrt(col("nrm") * col("cn")))
+      .withColumn("crnk", row_number().over(wProbe))
+      .filter(col("crnk") <= nprobe)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("nrm").as("qn"), col("cent_id").as("cell"))
+    val q = pqAdcTable(qcells, col("qe"))
+    val scored = broadcast(q).join(corpus, Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cell"),
+        col("qe"), col("qn"), col("embedding"), col("nrm"), pqAdcPick().as("adc"))
+    val wq = Window.partitionBy("query_id")
+      .orderBy(col("adc").asc, col("neighbor_id").asc)
+    val candidates = scored
+      .withColumn("crnk", row_number().over(wq))
+      .filter(col("crnk") <= 10 * nprobe)
+    val wr = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    candidates
+      .select(col("query_id"), col("neighbor_id"), col("cell"),
+        (dot(col("qe"), col("embedding")) / sqrt(col("qn") * col("nrm"))).as("cos"))
+      .withColumn("rnk", row_number().over(wr).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"), col("cell"), col("cos"))
+      .orderBy("query_id", "rnk")
   }
 
   /** Probe an IVF-PQ codes table (vec_id, embedding, nrm, cell,
@@ -1882,6 +1942,7 @@ object SimOps {
     "hard_negatives"       -> (hardNegatives _),
     "ann_ivf_persist"      -> (annIvfPersist _),
     "ann_ivfpq_persist"    -> (annIvfPqPersist _),
+    "ann_ivfpq_persist_nprobe" -> (annIvfPqPersistNprobe _),
     "ann_sq8_persist"      -> (annSq8Persist _),
     "ann_ivf_kmeans"       -> (annIvfKmeans _),
     "pq_encode"            -> (pqEncode _),
@@ -2188,6 +2249,56 @@ object SimOps {
          |  FROM cs)
          |SELECT query_id, rnk, neighbor_id, cell, cos
          |FROM ranked WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin
+  }
+
+  /** nprobe probe of the at-rest codes index, replayed: the shared
+    * assignment + code CTEs (the single-cell `ann_ivfpq` oracle's
+    * halves, verbatim) with [[sqlIvfNprobe]]'s windowed top-nprobe cell
+    * cut as the query side; the raw-book ADC table (`s`) is
+    * cell-independent, so one `qs` row set serves every probed cell.
+    * Cut 20 = 10·nprobe at the pinned default. */
+  private lazy val sqlIvfPqPersistNprobe: String = {
+    val adcSum = (0 until PqM).map { m =>
+      "(CASE " + (0 until PqK).map(k =>
+        s"WHEN x.code$m = $k THEN qs.d${m}_$k").mkString(" ") + " END)"
+    }.mkString(" + ")
+    s"""WITH $sqlIvfCtes,
+       |$sqlPqCdCtes,
+       |qc AS (
+       |  SELECT query_id, cell FROM (
+       |    SELECT n.vec_id AS query_id, c.cent_id AS cell,
+       |      row_number() OVER (PARTITION BY n.vec_id
+       |        ORDER BY ${sqlDot("n.d", "c.ce")} / sqrt(n.nrm * c.cn) DESC,
+       |                 c.cent_id ASC) AS crnk
+       |    FROM n CROSS JOIN cents c
+       |    WHERE n.vec_id < 10) t
+       |  WHERE crnk <= 2),
+       |scored AS (
+       |  SELECT qc.query_id, a.vec_id AS neighbor_id, a.cell,
+       |    $adcSum AS adc
+       |  FROM qc
+       |  JOIN s qs ON qs.vec_id = qc.query_id
+       |  JOIN assigned a ON a.cell = qc.cell AND a.vec_id <> qc.query_id
+       |  JOIN cd x ON x.vec_id = a.vec_id),
+       |cand AS (
+       |  SELECT query_id, neighbor_id, cell FROM (
+       |    SELECT query_id, neighbor_id, cell,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY adc ASC, neighbor_id ASC) AS crnk
+       |    FROM scored) t WHERE crnk <= 20),
+       |cs AS (
+       |  SELECT c.query_id, c.neighbor_id, c.cell,
+       |    ${sqlDot("nq.d", "nx.d")} / sqrt(nq.nrm * nx.nrm) AS cos
+       |  FROM cand c
+       |  JOIN n nq ON nq.vec_id = c.query_id
+       |  JOIN n nx ON nx.vec_id = c.neighbor_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cell, cos,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cos DESC, neighbor_id ASC) AS BIGINT) AS rnk
+       |  FROM cs)
+       |SELECT query_id, rnk, neighbor_id, cell, cos
+       |FROM ranked WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin
   }
 
   /** MMR replay: pool → pairwise sims → the three greedy steps unrolled
@@ -2652,6 +2763,7 @@ object SimOps {
     "ann_ivf_nprobe" -> sqlIvfNprobe,
     "ann_ivf_persist" -> sqlIvfProbe,
     "ann_ivfpq_persist" -> sqlIvfPq,
+    "ann_ivfpq_persist_nprobe" -> sqlIvfPqPersistNprobe,
     "embed_lr_probe" -> sqlLrProbe,
     "embed_lr_converged" -> sqlLrConverged,
     "hard_negatives" ->

@@ -407,6 +407,18 @@ class EmbedAnnSpec extends SparkSpec {
       "no cross-cell neighbor retrieved at nprobe=2 — the union is untested")
   }
 
+  test("ann_ivfpq_persist_nprobe: nprobe=1 degenerates to the single-cell persist probe; default steers") {
+    val single = q("ann_ivfpq_persist").collect().map(_.toSeq).toSeq
+    spark.conf.set("spark.graft.ann.nprobe", "1")
+    val np1 = try q("ann_ivfpq_persist_nprobe").collect().map(_.toSeq).toSeq
+    finally spark.conf.unset("spark.graft.ann.nprobe")
+    assert(np1 === single,
+      "nprobe=1 at-rest probe did not degenerate to ann_ivfpq_persist")
+    val np2 = q("ann_ivfpq_persist_nprobe").collect().map(_.toSeq).toSeq
+    assert(np2 !== single, "nprobe=2 at-rest probe identical to nprobe=1 — knob vacuous")
+    assert(np2.length === 30)
+  }
+
   test("fitted PQ codebook is trained once per corpus — a rebuild runs no Lloyd fit") {
     // the r16 verdict #3 cache: warm both book modes (raw + residual),
     // then rebuild and EXECUTE each *_fitted consumer — the Lloyd-run

@@ -857,6 +857,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
   }
 
+  test("ann_ivfpq_persist_nprobe: the multi-cell at-rest probe still partition-prunes") {
+    val plan = planOf("ann_ivfpq_persist_nprobe")
+    // the 100 TB serving shape end-to-end: probing nprobe cells must
+    // still reach the cell-partitioned index as a dynamic-pruning scan
+    // (the query side's nprobe cells feed the pruning subquery), never
+    // a full-index read, never a sort-merge or cartesian
+    assert(plan.contains("dynamicpruning"),
+      s"no dynamic partition pruning on the multi-cell at-rest probe in:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"index sort-merged in:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
+  }
+
   test("decontaminate_semantic: map-only over the corpus — no corpus hash exchange") {
     val plan = planOf("decontaminate_semantic")
     // the 100 TB claim: the eval set folds to one broadcast array row and
