@@ -63,7 +63,8 @@ object AnnTradeoff {
       "ann_ivfpq" -> Map("spark.graft.ann.centroidMod" -> centModAtScale),
       "ann_ivfpq_residual" -> Map("spark.graft.ann.centroidMod" -> centModAtScale),
       "ann_ivfpq_fitted" -> Map("spark.graft.ann.centroidMod" -> centModAtScale),
-      "ann_ivfpq_nprobe" -> Map("spark.graft.ann.centroidMod" -> centModAtScale))
+      "ann_ivfpq_nprobe" -> Map("spark.graft.ann.centroidMod" -> centModAtScale),
+      "ann_ivfpq_refine" -> Map("spark.graft.ann.centroidMod" -> centModAtScale))
 
     // warm JVM + table cache
     SparkEntry.queries("ann_topk_brute")(spark, small).count()
@@ -205,6 +206,7 @@ object AnnTradeoff {
       ivfPqEntry("ann_ivfpq_residual"),
       ivfPqEntry("ann_ivfpq_fitted"),
       ivfPqEntry("ann_ivfpq_nprobe"),
+      ivfPqEntry("ann_ivfpq_refine"),
       nn1Entry("ann_lsh_bucket"),
       nn1Entry("ann_lsh_multiprobe"), {
         val (t, rows) = timed("pq_encode")

@@ -343,6 +343,13 @@ object ScaleStress {
         "factor)", 1.25,
       bigConf = f => dataSizedPartitions(f) ++
         Map("spark.graft.ann.centroidMod" -> (32L * f).toString)),
+    Heavy("ann_ivfpq_refine",
+      "ann_ivfpq_residual's narrow encode + a second literal-book " +
+        "encode of the reconstruction error + the 3-stage lookup probe; " +
+        "same linear shape at constant centroid count (centroidMod x " +
+        "factor)", 1.25,
+      bigConf = f => dataSizedPartitions(f) ++
+        Map("spark.graft.ann.centroidMod" -> (32L * f).toString)),
     Heavy("ann_recall_pq_fitted",
       "composes the audited-linear fitted-ADC probe (vocab-sized fit) " +
         "and the fixed-query brute truth + a |queries|*k hit check; " +

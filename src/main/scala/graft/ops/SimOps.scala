@@ -1101,6 +1101,34 @@ object SimOps {
   private val pqCbFixed: Map[(Int, Int), Seq[Double]] =
     (for (m <- 0 until PqM; k <- 0 until PqK) yield (m, k) -> pqCent(m, k)).toMap
 
+  /** The REFINE codebook — the level-2 book of [[annIvfPqRefine]]: the
+    * same LCG literal family at an offset stream position, over
+    * denominator 4096 (range ±¼ — level-2 centroids describe the
+    * level-1 reconstruction ERROR, which lives in a smaller ball than
+    * the residual; a ±1 book would waste its 3 bits re-spanning space
+    * level 1 already explained). Power-of-two denominator ⇒ exact
+    * binary doubles whose decimal literals round-trip into DuckDB. */
+  private def pqCentR(m: Int, k: Int): Seq[Double] =
+    (0 until PqSub).map { d =>
+      (((1103515245L * (m * PqK * PqSub + k * PqSub + d + 7777L) + 54321L)
+        % 2048L + 2048L) % 2048L - 1024L) / 4096.0
+    }
+  private val pqCbRefine: Map[(Int, Int), Seq[Double]] =
+    (for (m <- 0 until PqM; k <- 0 until PqK) yield (m, k) -> pqCentR(m, k)).toMap
+
+  /** The refine score's CROSS table: 2·⟨c1(m,k), c2(m,j)⟩ for every
+    * (m, k, j) — a CONSTANT 4×8×8 lookup (sums of products of exact
+    * power-of-two-denominator doubles — exact binary values whose
+    * decimal literals round-trip into the oracle verbatim). This is
+    * what makes the refined distance a pure LOOKUP sum: ‖q−c1−c2‖² =
+    * l2(q,c1) + l2(q,c2) + 2⟨c1,c2⟩ − ‖q‖², and the per-(query,m)
+    * constant ‖q_sub‖² is spelled identically on both sides. */
+  private val pqCross: Map[(Int, Int, Int), Double] =
+    (for (m <- 0 until PqM; k <- 0 until PqK; j <- 0 until PqK) yield {
+      val c1 = pqCbFixed((m, k)); val c2 = pqCbRefine((m, j))
+      (m, k, j) -> 2.0 * c1.zip(c2).map { case (x, y) => x * y }.sum
+    }).toMap
+
   /** Surviving code ids of subspace m under a codebook (Lloyd may drop
     * an empty cluster; the fixed book always has all K). */
   private def pqKs(cb: Map[(Int, Int), Seq[Double]], m: Int): Seq[Int] =
@@ -1123,17 +1151,19 @@ object SimOps {
     * `embedding`. Pure narrow map; shared by [[pqEncode]] and
     * [[annPqAdc]]'s corpus side. */
   private[graft] def pqCoded(base: DataFrame, vec: Column = col("embedding"),
-      cb: Map[(Int, Int), Seq[Double]] = pqCbFixed): DataFrame =
+      cb: Map[(Int, Int), Seq[Double]] = pqCbFixed,
+      prefix: String = "code"): DataFrame =
     (0 until PqM).foldLeft(base) { (df, m) =>
       val ks = pqKs(cb, m)
       val dists = ks.map(k =>
         l2Fold(slice(vec, 1 + m * PqSub, PqSub), array(cb((m, k)).map(lit): _*)))
       val minD = if (dists.size == 1) dists.head else least(dists: _*)
-      df.withColumn(s"code$m",
+      val distName = if (prefix == "code") s"dist$m" else s"${prefix}_dist$m"
+      df.withColumn(s"$prefix$m",
           coalesce(dists.zip(ks).map { case (d, k) =>
             when(d === minD, lit(k.toLong))
           }: _*))
-        .withColumn(s"dist$m", minD)
+        .withColumn(distName, minD)
     }
 
   /** The corpus exploded into per-subspace DOUBLE subvectors
@@ -1332,20 +1362,44 @@ object SimOps {
   /** Adds the query-side ADC distance table: all M×K subspace distances
     * as columns `t{m}_{k}`. Narrow map over the (tiny) query set. */
   private def pqAdcTable(df: DataFrame, vec: Column = col("embedding"),
-      cb: Map[(Int, Int), Seq[Double]] = pqCbFixed): DataFrame =
+      cb: Map[(Int, Int), Seq[Double]] = pqCbFixed,
+      prefix: String = "t"): DataFrame =
     (for (m <- 0 until PqM; k <- pqKs(cb, m))
-        yield s"t${m}_$k" ->
+        yield s"$prefix${m}_$k" ->
           l2Fold(slice(vec, 1 + m * PqSub, PqSub), array(cb((m, k)).map(lit): _*)))
       .foldLeft(df) { case (d, (n, c)) => d.withColumn(n, c) }
 
   /** The ADC lookup-sum: M picks of the query's `t{m}_{k}` columns
     * selected by the corpus row's `code{m}` columns, left-associated. */
-  private def pqAdcPick(cb: Map[(Int, Int), Seq[Double]] = pqCbFixed): Column =
+  private def pqAdcPick(cb: Map[(Int, Int), Seq[Double]] = pqCbFixed,
+      codePrefix: String = "code", tPrefix: String = "t"): Column =
     (0 until PqM).map { m =>
       coalesce(pqKs(cb, m).map { k =>
-        when(col(s"code$m") === k, col(s"t${m}_$k"))
+        when(col(s"$codePrefix$m") === k, col(s"$tPrefix${m}_$k"))
       }: _*)
     }.reduce(_ + _)
+
+  /** The refine score's cross term: Σ_m 2⟨c1(m, code_m), c2(m, rcode_m)⟩
+    * — a pure literal lookup selected by the candidate's two code
+    * columns ([[pqCross]]). */
+  private def pqCrossPick: Column =
+    (0 until PqM).map { m =>
+      coalesce((for (k <- 0 until PqK; j <- 0 until PqK) yield
+        when(col(s"code$m") === k && col(s"rcode$m") === j,
+          lit(pqCross((m, k, j))))): _*)
+    }.reduce(_ + _)
+
+  /** Level-1 reconstruction ERROR of a coded frame: the full-dimension
+    * `err` array `vec − decode1(code0..3)` — the vector the refine book
+    * quantizes. Pure literal lookup + narrow map (the decode is the
+    * codebook entry selected by each subspace's code). */
+  private def pqReconErr(vec: Column): Column =
+    concat((0 until PqM).map { m =>
+      val recon = coalesce((0 until PqK).map(k =>
+        when(col(s"code$m") === k,
+          array(pqCbFixed((m, k)).map(lit): _*))): _*)
+      zip_with(slice(vec, 1 + m * PqSub, PqSub), recon, (x, y) => x - y)
+    }: _*)
 
   def annPqAdc(spark: SparkSession, sfDir: String): DataFrame = {
     val v = withNorm(Tables.embeddings(spark, sfDir))
@@ -1551,6 +1605,91 @@ object SimOps {
       .filter(col("rnk") <= 3)
       .select(col("query_id"), col("rnk"), col("neighbor_id"), col("cell"), col("cos"))
       .orderBy("query_id", "rnk")
+  }
+
+  /** REFINED IVF-PQ — the re-ranking rung of the family (Jégou,
+    * Tavenard, Douze, Amsaleg 2011, "Searching in one billion vectors:
+    * re-rank with source coding" — the FAISS `IVFPQR` index): the
+    * measured remedy for the 12-bit tiers' ordering collapse at scale
+    * (ANN_TRADEOFF in_cell_x10 0.067 — a 4×3-bit code cannot order a
+    * ~320-vector cell). A SECOND 12-bit code per vector quantizes the
+    * level-1 reconstruction ERROR (`res − decode1(codes)`) against the
+    * refine book ([[pqCentR]] — ±¼ range, the error's ball), doubling
+    * the at-rest code budget to 24 bits while keeping every scan
+    * codes-only. Probe = three stages, each reading less and judging
+    * better: (1) level-1 ADC over the whole cell → top-10·REFINE_FANOUT
+    * survivors; (2) REFINED distance — ‖q − c1 − c2‖² up to the
+    * per-query constant, computed as a pure LOOKUP sum (the two ADC
+    * tables + the constant [[pqCross]] table; no floats touched) →
+    * top-10; (3) exact-cosine rerank to top-3 (floats for ≤10 rows, the
+    * family tail). Fully hash-oracled: codes, error, refine codes,
+    * tables and both cuts replay in DuckDB from the same literal books.
+    * Non-vacuity is spec-pinned from distortion: the two-level
+    * reconstruction must beat level-1 alone on the fixture. */
+  def annIvfPqRefine(spark: SparkSession, sfDir: String): DataFrame = {
+    val withRes = ivfResiduals(spark, sfDir)
+    val l1 = pqCoded(withRes, col("res"))
+    val corpus = pqCoded(l1.withColumn("err", pqReconErr(col("res"))),
+        col("err"), pqCbRefine, prefix = "rcode")
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"),
+        col("code0"), col("code1"), col("code2"), col("code3"),
+        col("rcode0"), col("rcode1"), col("rcode2"), col("rcode3"))
+    val q = pqAdcTable(
+        pqAdcTable(withRes.filter(col("vec_id") < 10), col("res")),
+        col("res"), pqCbRefine, prefix = "u")
+      .withColumnRenamed("vec_id", "query_id")
+      .withColumnRenamed("embedding", "qe")
+      .withColumnRenamed("nrm", "qn")
+      .drop("ce", "res")
+    val scored = broadcast(q).join(corpus, Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cell"),
+        col("qe"), col("qn"), col("embedding"), col("nrm"),
+        col("code0"), col("code1"), col("code2"), col("code3"),
+        col("rcode0"), col("rcode1"), col("rcode2"), col("rcode3"),
+        pqAdcPick().as("adc"),
+        (pqAdcPick() + pqAdcPick(pqCbRefine, "rcode", "u") + pqCrossPick)
+          .as("refined"))
+    val wq = Window.partitionBy("query_id")
+      .orderBy(col("adc").asc, col("neighbor_id").asc)
+    val stage1 = scored
+      .withColumn("crnk", row_number().over(wq))
+      .filter(col("crnk") <= 40)
+    val wf = Window.partitionBy("query_id")
+      .orderBy(col("refined").asc, col("neighbor_id").asc)
+    val stage2 = stage1
+      .withColumn("frnk", row_number().over(wf))
+      .filter(col("frnk") <= 10)
+    val wr = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    stage2
+      .select(col("query_id"), col("neighbor_id"), col("cell"),
+        (dot(col("qe"), col("embedding")) / sqrt(col("qn") * col("nrm"))).as("cos"))
+      .withColumn("rnk", row_number().over(wr).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select(col("query_id"), col("rnk"), col("neighbor_id"), col("cell"), col("cos"))
+      .orderBy("query_id", "rnk")
+  }
+
+  /** The refined tier's own recall gate. */
+  def annRecallIvfPqRefine(spark: SparkSession, sfDir: String): DataFrame =
+    recallEvalOf(spark, sfDir, annIvfPqRefine(spark, sfDir), depth = 3)
+
+  /** Spec hook: total level-1 vs two-level reconstruction distortion on
+    * the corpus — the refinement's non-vacuity witness (‖res − c1‖² vs
+    * ‖res − c1 − c2‖², summed; the second book must actually explain
+    * part of the error it was pointed at). */
+  private[graft] def refineDistortions(
+      spark: SparkSession, sfDir: String): (Double, Double) = {
+    val withErr = pqCoded(ivfResiduals(spark, sfDir), col("res"))
+      .withColumn("err", pqReconErr(col("res")))
+    val r = pqCoded(withErr, col("err"), pqCbRefine, prefix = "rcode")
+      .agg(
+        sum(col("dist0") + col("dist1") + col("dist2") + col("dist3")),
+        sum(col("rcode_dist0") + col("rcode_dist1") +
+          col("rcode_dist2") + col("rcode_dist3")))
+      .collect()(0)
+    (r.getDouble(0), r.getDouble(1))
   }
 
   /** nprobe-COMPOSED fitted-residual IVF-PQ — the full FAISS serving
@@ -1954,6 +2093,8 @@ object SimOps {
     "ann_ivfpq_fitted"     -> (annIvfPqFitted _),
     "ann_ivfpq_nprobe"     -> (annIvfPqNprobe _),
     "ann_recall_ivfpq_nprobe" -> (annRecallIvfPqNprobe _),
+    "ann_ivfpq_refine"     -> (annIvfPqRefine _),
+    "ann_recall_ivfpq_refine" -> (annRecallIvfPqRefine _),
     "mmr_rerank"           -> (mmrRerank _))
 
   private def sqlPlaneList(j: Int): String =
@@ -1999,6 +2140,47 @@ object SimOps {
   private def sqlPqCentList(m: Int, k: Int): String =
     pqCent(m, k).map(x => if (x == x.floor) s"${x.toLong}.0" else x.toString)
       .mkString("[", ", ", "]")
+
+  /** [[sqlPqCentList]] over an arbitrary literal book (the refine tier's
+    * second book). */
+  private def sqlPqCentListOf(cb: Map[(Int, Int), Seq[Double]],
+      m: Int, k: Int): String =
+    cb((m, k)).map(x => if (x == x.floor) s"${x.toLong}.0" else x.toString)
+      .mkString("[", ", ", "]")
+
+  /** [[sqlPqDist]] over an arbitrary literal book. */
+  private def sqlPqDistOf(cb: Map[(Int, Int), Seq[Double]],
+      m: Int, k: Int): String =
+    s"list_sum(list_transform(list_zip(d[${1 + m * PqSub}:${(m + 1) * PqSub}], " +
+      s"${sqlPqCentListOf(cb, m, k)}), z -> (z[1] - z[2]) * (z[1] - z[2])))"
+
+  /** Generalized code CTEs ([[sqlPqCdCtesFrom]] with book + names as
+    * parameters — the refine tier needs a SECOND chain over the
+    * level-1 error with the refine book). */
+  private def sqlPqCodesCtesGen(src: String, cb: Map[(Int, Int), Seq[Double]],
+      sName: String, mName: String, cdName: String,
+      dPrefix: String, codePrefix: String): String = {
+    val distCols = (for (m <- 0 until PqM; k <- 0 until PqK)
+      yield s"${sqlPqDistOf(cb, m, k)} AS $dPrefix${m}_$k").mkString(",\n    ")
+    val minCols = (0 until PqM).map(m =>
+      s"LEAST(${(0 until PqK).map(k => s"$dPrefix${m}_$k").mkString(", ")}) AS mn$m")
+      .mkString(",\n    ")
+    val codeCols = (0 until PqM).map { m =>
+      val cases = (0 until PqK).map(k =>
+        s"CASE WHEN $dPrefix${m}_$k = mn$m THEN CAST($k AS BIGINT) END").mkString(", ")
+      s"coalesce($cases) AS $codePrefix$m"
+    }.mkString(",\n    ")
+    s"""$sName AS (SELECT vec_id,
+       |    $distCols
+       |  FROM $src),
+       |$mName AS (SELECT *,
+       |    $minCols
+       |  FROM $sName),
+       |$cdName AS (SELECT vec_id,
+       |    $codeCols,
+       |    mn0 + mn1 + mn2 + mn3 AS distortion
+       |  FROM $mName)""".stripMargin
+  }
 
   /** Squared-L2 distance of subspace m against codebook entry k — the
     * same left-to-right element fold the Spark `aggregate` performs. */
@@ -2249,6 +2431,86 @@ object SimOps {
          |  FROM cs)
          |SELECT query_id, rnk, neighbor_id, cell, cos
          |FROM ranked WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin
+  }
+
+  /** Refined IVF-PQ replay: the residual tier's assignment + level-1
+    * code CTEs verbatim; `rerr` decodes level 1 per subspace (literal
+    * CASE lists) and subtracts element-wise; the refine-book chain codes
+    * the error (`cd2`) and a second query table over the RESIDUAL
+    * (`s2q` — the engine's u columns) feeds the refined lookup sum with
+    * the constant cross table; stage-1 top-40 by level-1 ADC, stage-2
+    * top-10 by refined, exact rerank to 3. */
+  private lazy val sqlIvfPqRefine: String = {
+    val adc1 = (0 until PqM).map { m =>
+      "(CASE " + (0 until PqK).map(k =>
+        s"WHEN x.code$m = $k THEN qs.d${m}_$k").mkString(" ") + " END)"
+    }.mkString(" + ")
+    val adc2 = (0 until PqM).map { m =>
+      "(CASE " + (0 until PqK).map(k =>
+        s"WHEN x2.rcode$m = $k THEN qs2.e${m}_$k").mkString(" ") + " END)"
+    }.mkString(" + ")
+    val cross = (0 until PqM).map { m =>
+      "(CASE x.code" + m + " " + (0 until PqK).map { k =>
+        s"WHEN $k THEN (CASE x2.rcode$m " + (0 until PqK).map { j =>
+          val v = pqCross((m, k, j))
+          val lit = if (v == v.floor) s"${v.toLong}.0" else v.toString
+          s"WHEN $j THEN CAST($lit AS DOUBLE)"
+        }.mkString(" ") + " END)"
+      }.mkString(" ") + " END)"
+    }.mkString(" + ")
+    val reconSub = (0 until PqM).map { m =>
+      val cases = (0 until PqK).map(k =>
+        s"WHEN $k THEN ${sqlPqCentList(m, k)}").mkString(" ")
+      s"list_transform(list_zip(r.d[${1 + m * PqSub}:${(m + 1) * PqSub}], " +
+        s"CASE c.code$m $cases END), z -> z[1] - z[2])"
+    }.mkString(" || ")
+    s"""WITH $sqlIvfCtes,
+       |resid AS (
+       |  SELECT a.vec_id,
+       |    list_transform(list_zip(a.d, c.ce), z -> z[1] - z[2]) AS d
+       |  FROM assigned a JOIN cents c ON a.cell = c.cent_id),
+       |${sqlPqCdCtesFrom("resid")},
+       |rerr AS (
+       |  SELECT r.vec_id, $reconSub AS d
+       |  FROM resid r JOIN cd c ON c.vec_id = r.vec_id),
+       |${sqlPqCodesCtesGen("rerr", pqCbRefine, "s2", "m2", "cd2", "r", "rcode")},
+       |${sqlPqCodesCtesGen("resid", pqCbRefine, "s2q", "m2q", "cd2q", "e", "qrcode")},
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id, a.cell,
+       |    $adc1 AS adc,
+       |    ($adc1) + ($adc2) + ($cross) AS refined
+       |  FROM assigned q
+       |  JOIN s qs ON qs.vec_id = q.vec_id
+       |  JOIN s2q qs2 ON qs2.vec_id = q.vec_id
+       |  JOIN assigned a ON a.cell = q.cell AND a.vec_id <> q.vec_id
+       |  JOIN cd x ON x.vec_id = a.vec_id
+       |  JOIN cd2 x2 ON x2.vec_id = a.vec_id
+       |  WHERE q.vec_id < 10),
+       |stage1 AS (
+       |  SELECT query_id, neighbor_id, cell, refined FROM (
+       |    SELECT query_id, neighbor_id, cell, refined,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY adc ASC, neighbor_id ASC) AS crnk
+       |    FROM scored) t WHERE crnk <= 40),
+       |stage2 AS (
+       |  SELECT query_id, neighbor_id, cell FROM (
+       |    SELECT query_id, neighbor_id, cell,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY refined ASC, neighbor_id ASC) AS frnk
+       |    FROM stage1) t WHERE frnk <= 10),
+       |cs AS (
+       |  SELECT c.query_id, c.neighbor_id, c.cell,
+       |    ${sqlDot("nq.d", "nx.d")} / sqrt(nq.nrm * nx.nrm) AS cos
+       |  FROM stage2 c
+       |  JOIN n nq ON nq.vec_id = c.query_id
+       |  JOIN n nx ON nx.vec_id = c.neighbor_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cell, cos,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cos DESC, neighbor_id ASC) AS BIGINT) AS rnk
+       |  FROM cs)
+       |SELECT query_id, rnk, neighbor_id, cell, cos
+       |FROM ranked WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin
   }
 
   /** nprobe probe of the at-rest codes index, replayed: the shared
@@ -2711,6 +2973,8 @@ object SimOps {
     "ann_ivfpq_fitted" -> sqlIvfPqFitted,
     "ann_ivfpq_nprobe" -> sqlIvfPqNprobe,
     "ann_recall_ivfpq_nprobe" -> sqlRecallOf(sqlIvfPqNprobe, 3),
+    "ann_ivfpq_refine" -> sqlIvfPqRefine,
+    "ann_recall_ivfpq_refine" -> sqlRecallOf(sqlIvfPqRefine, 3),
     "mmr_rerank" -> sqlMmr,
     "embed_knn_classify" ->
       s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS d,

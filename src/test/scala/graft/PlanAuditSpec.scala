@@ -857,6 +857,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
   }
 
+  test("ann_ivfpq_refine: the three-stage probe stays broadcast — both books as literals") {
+    val plan = planOf("ann_ivfpq_refine")
+    // both codebooks and the cross table enter as literal expressions —
+    // no codebook-table join anywhere; the cell probe broadcasts the
+    // query tables; refined scoring is lookup columns, not a join
+    assert(!plan.contains("SortMergeJoin"),
+      s"a codebook/cell table sort-merged in:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"cell probe not a broadcast join in:\n$plan")
+  }
+
   test("ann_ivfpq_persist_nprobe: the multi-cell at-rest probe still partition-prunes") {
     val plan = planOf("ann_ivfpq_persist_nprobe")
     // the 100 TB serving shape end-to-end: probing nprobe cells must
