@@ -1101,34 +1101,6 @@ object SimOps {
   private val pqCbFixed: Map[(Int, Int), Seq[Double]] =
     (for (m <- 0 until PqM; k <- 0 until PqK) yield (m, k) -> pqCent(m, k)).toMap
 
-  /** The REFINE codebook — the level-2 book of [[annIvfPqRefine]]: the
-    * same LCG literal family at an offset stream position, over
-    * denominator 4096 (range ±¼ — level-2 centroids describe the
-    * level-1 reconstruction ERROR, which lives in a smaller ball than
-    * the residual; a ±1 book would waste its 3 bits re-spanning space
-    * level 1 already explained). Power-of-two denominator ⇒ exact
-    * binary doubles whose decimal literals round-trip into DuckDB. */
-  private def pqCentR(m: Int, k: Int): Seq[Double] =
-    (0 until PqSub).map { d =>
-      (((1103515245L * (m * PqK * PqSub + k * PqSub + d + 7777L) + 54321L)
-        % 2048L + 2048L) % 2048L - 1024L) / 4096.0
-    }
-  private val pqCbRefine: Map[(Int, Int), Seq[Double]] =
-    (for (m <- 0 until PqM; k <- 0 until PqK) yield (m, k) -> pqCentR(m, k)).toMap
-
-  /** The refine score's CROSS table: 2·⟨c1(m,k), c2(m,j)⟩ for every
-    * (m, k, j) — a CONSTANT 4×8×8 lookup (sums of products of exact
-    * power-of-two-denominator doubles — exact binary values whose
-    * decimal literals round-trip into the oracle verbatim). This is
-    * what makes the refined distance a pure LOOKUP sum: ‖q−c1−c2‖² =
-    * l2(q,c1) + l2(q,c2) + 2⟨c1,c2⟩ − ‖q‖², and the per-(query,m)
-    * constant ‖q_sub‖² is spelled identically on both sides. */
-  private val pqCross: Map[(Int, Int, Int), Double] =
-    (for (m <- 0 until PqM; k <- 0 until PqK; j <- 0 until PqK) yield {
-      val c1 = pqCbFixed((m, k)); val c2 = pqCbRefine((m, j))
-      (m, k, j) -> 2.0 * c1.zip(c2).map { case (x, y) => x * y }.sum
-    }).toMap
-
   /** Surviving code ids of subspace m under a codebook (Lloyd may drop
     * an empty cluster; the fixed book always has all K). */
   private def pqKs(cb: Map[(Int, Int), Seq[Double]], m: Int): Seq[Int] =
@@ -1254,12 +1226,26 @@ object SimOps {
   private def pqFitCodebookCached(spark: SparkSession, sfDir: String,
       input: String): Map[(Int, Int), Seq[Double]] = {
     val modKey =
-      if (input == "residual") s"|m${graft.GraftConf.annCentroidMod(spark)}" else ""
+      if (input == "residual" || input == "refine")
+        s"|m${graft.GraftConf.annCentroidMod(spark)}" else ""
     val key = spark.sparkContext.applicationId + "|" + sfDir + "|" + input +
       modKey + "|" + embCorpusFp(spark, sfDir)
+    // the refine mode's input depends on the residual book — resolve it
+    // OUTSIDE computeIfAbsent (a nested computeIfAbsent on the same map
+    // is a recursive update)
+    val cb1ForRefine =
+      if (input == "refine") Some(pqFitCodebookCached(spark, sfDir, "residual"))
+      else None
     pqBookCache.computeIfAbsent(key, _ => pqFitCodebook(input match {
       case "residual" => ivfResiduals(spark, sfDir)
         .select(col("vec_id"), col("res").as("embedding"))
+      case "refine" =>
+        // the refine tier's level-2 training set: the level-1
+        // reconstruction error under the FITTED residual book
+        val cb1 = cb1ForRefine.get
+        pqCoded(ivfResiduals(spark, sfDir), col("res"), cb1)
+          .withColumn("err", pqReconErr(col("res"), cb1))
+          .select(col("vec_id"), col("err").as("embedding"))
       case _ => Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
     }))
   }
@@ -1381,23 +1367,26 @@ object SimOps {
 
   /** The refine score's cross term: Σ_m 2⟨c1(m, code_m), c2(m, rcode_m)⟩
     * — a pure literal lookup selected by the candidate's two code
-    * columns ([[pqCross]]). */
-  private def pqCrossPick: Column =
+    * columns, computed from the two (possibly fitted) books. */
+  private def pqCrossPick(cb1: Map[(Int, Int), Seq[Double]],
+      cb2: Map[(Int, Int), Seq[Double]]): Column =
     (0 until PqM).map { m =>
-      coalesce((for (k <- 0 until PqK; j <- 0 until PqK) yield
+      coalesce((for (k <- pqKs(cb1, m); j <- pqKs(cb2, m)) yield
         when(col(s"code$m") === k && col(s"rcode$m") === j,
-          lit(pqCross((m, k, j))))): _*)
+          lit(2.0 * cb1((m, k)).zip(cb2((m, j)))
+            .map { case (x, y) => x * y }.sum))): _*)
     }.reduce(_ + _)
 
   /** Level-1 reconstruction ERROR of a coded frame: the full-dimension
     * `err` array `vec − decode1(code0..3)` — the vector the refine book
     * quantizes. Pure literal lookup + narrow map (the decode is the
     * codebook entry selected by each subspace's code). */
-  private def pqReconErr(vec: Column): Column =
+  private def pqReconErr(vec: Column,
+      cb: Map[(Int, Int), Seq[Double]] = pqCbFixed): Column =
     concat((0 until PqM).map { m =>
-      val recon = coalesce((0 until PqK).map(k =>
+      val recon = coalesce(pqKs(cb, m).map(k =>
         when(col(s"code$m") === k,
-          array(pqCbFixed((m, k)).map(lit): _*))): _*)
+          array(cb((m, k)).map(lit): _*))): _*)
       zip_with(slice(vec, 1 + m * PqSub, PqSub), recon, (x, y) => x - y)
     }: _*)
 
@@ -1609,34 +1598,44 @@ object SimOps {
 
   /** REFINED IVF-PQ — the re-ranking rung of the family (Jégou,
     * Tavenard, Douze, Amsaleg 2011, "Searching in one billion vectors:
-    * re-rank with source coding" — the FAISS `IVFPQR` index): the
-    * measured remedy for the 12-bit tiers' ordering collapse at scale
-    * (ANN_TRADEOFF in_cell_x10 0.067 — a 4×3-bit code cannot order a
-    * ~320-vector cell). A SECOND 12-bit code per vector quantizes the
-    * level-1 reconstruction ERROR (`res − decode1(codes)`) against the
-    * refine book ([[pqCentR]] — ±¼ range, the error's ball), doubling
-    * the at-rest code budget to 24 bits while keeping every scan
-    * codes-only. Probe = three stages, each reading less and judging
-    * better: (1) level-1 ADC over the whole cell → top-10·REFINE_FANOUT
-    * survivors; (2) REFINED distance — ‖q − c1 − c2‖² up to the
-    * per-query constant, computed as a pure LOOKUP sum (the two ADC
-    * tables + the constant [[pqCross]] table; no floats touched) →
+    * re-rank with source coding" — the FAISS `IVFPQR` index, here with
+    * BOTH books trained, the production form): the measured remedy for
+    * the 12-bit tiers' ordering collapse at scale (ANN_TRADEOFF
+    * in_cell_x10 0.067 — a 4×3-bit code cannot order a ~320-vector
+    * cell). A SECOND 12-bit code per vector quantizes the level-1
+    * reconstruction ERROR (`res − decode1(codes)`) against a refine
+    * book subspace-Lloyd-FIT on exactly those errors (the
+    * [[pqFitCodebookCached]] `refine` mode — one fit per corpus per
+    * session, like its level-1 input book), doubling the at-rest code
+    * budget to 24 bits while keeping every scan codes-only. Probe =
+    * three stages, each reading less and judging better: (1) level-1
+    * ADC over the whole cell → top-160 survivors (the FAISS `k_factor`
+    * fanout — the refined re-score is float-free, so a DEEP stage-1 is
+    * nearly free, and it has to be deep: the level-1 ADC order alone is
+    * the thing being repaired); (2) REFINED distance — ‖q − c1 − c2‖²
+    * up to the per-query constant, a pure LOOKUP sum (the two query
+    * tables + the 64-entry cross table 2⟨c1,c2⟩; no floats touched) →
     * top-10; (3) exact-cosine rerank to top-3 (floats for ≤10 rows, the
-    * family tail). Fully hash-oracled: codes, error, refine codes,
-    * tables and both cuts replay in DuckDB from the same literal books.
-    * Non-vacuity is spec-pinned from distortion: the two-level
-    * reconstruction must beat level-1 alone on the fixture. */
+    * family tail). MEASURED at ×10 (ANN_TRADEOFF r17): in-cell recall
+    * 0.300 vs 0.067 for every single-code tier — the code-budget
+    * remedy, measured. Fully hash-oracled: both fit chains, codes,
+    * error decode, tables, cross relation and both cuts replay in
+    * DuckDB relationally (the fitted-book doctrine). Non-vacuity is
+    * spec-pinned from distortion: the two-level reconstruction must
+    * beat level-1 alone on the fixture. */
   def annIvfPqRefine(spark: SparkSession, sfDir: String): DataFrame = {
     val withRes = ivfResiduals(spark, sfDir)
-    val l1 = pqCoded(withRes, col("res"))
-    val corpus = pqCoded(l1.withColumn("err", pqReconErr(col("res"))),
-        col("err"), pqCbRefine, prefix = "rcode")
+    val cb1 = pqFitCodebookCached(spark, sfDir, "residual")
+    val cb2 = pqFitCodebookCached(spark, sfDir, "refine")
+    val l1 = pqCoded(withRes, col("res"), cb1)
+    val corpus = pqCoded(l1.withColumn("err", pqReconErr(col("res"), cb1)),
+        col("err"), cb2, prefix = "rcode")
       .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"),
         col("code0"), col("code1"), col("code2"), col("code3"),
         col("rcode0"), col("rcode1"), col("rcode2"), col("rcode3"))
     val q = pqAdcTable(
-        pqAdcTable(withRes.filter(col("vec_id") < 10), col("res")),
-        col("res"), pqCbRefine, prefix = "u")
+        pqAdcTable(withRes.filter(col("vec_id") < 10), col("res"), cb1),
+        col("res"), cb2, prefix = "u")
       .withColumnRenamed("vec_id", "query_id")
       .withColumnRenamed("embedding", "qe")
       .withColumnRenamed("nrm", "qn")
@@ -1647,14 +1646,14 @@ object SimOps {
         col("qe"), col("qn"), col("embedding"), col("nrm"),
         col("code0"), col("code1"), col("code2"), col("code3"),
         col("rcode0"), col("rcode1"), col("rcode2"), col("rcode3"),
-        pqAdcPick().as("adc"),
-        (pqAdcPick() + pqAdcPick(pqCbRefine, "rcode", "u") + pqCrossPick)
+        pqAdcPick(cb1).as("adc"),
+        (pqAdcPick(cb1) + pqAdcPick(cb2, "rcode", "u") + pqCrossPick(cb1, cb2))
           .as("refined"))
     val wq = Window.partitionBy("query_id")
       .orderBy(col("adc").asc, col("neighbor_id").asc)
     val stage1 = scored
       .withColumn("crnk", row_number().over(wq))
-      .filter(col("crnk") <= 40)
+      .filter(col("crnk") <= 160)
     val wf = Window.partitionBy("query_id")
       .orderBy(col("refined").asc, col("neighbor_id").asc)
     val stage2 = stage1
@@ -1681,9 +1680,11 @@ object SimOps {
     * part of the error it was pointed at). */
   private[graft] def refineDistortions(
       spark: SparkSession, sfDir: String): (Double, Double) = {
-    val withErr = pqCoded(ivfResiduals(spark, sfDir), col("res"))
-      .withColumn("err", pqReconErr(col("res")))
-    val r = pqCoded(withErr, col("err"), pqCbRefine, prefix = "rcode")
+    val cb1 = pqFitCodebookCached(spark, sfDir, "residual")
+    val cb2 = pqFitCodebookCached(spark, sfDir, "refine")
+    val withErr = pqCoded(ivfResiduals(spark, sfDir), col("res"), cb1)
+      .withColumn("err", pqReconErr(col("res"), cb1))
+    val r = pqCoded(withErr, col("err"), cb2, prefix = "rcode")
       .agg(
         sum(col("dist0") + col("dist1") + col("dist2") + col("dist3")),
         sum(col("rcode_dist0") + col("rcode_dist1") +
@@ -2221,18 +2222,19 @@ object SimOps {
     * subvector to its argmin centroid of `$prev` (ties to the smaller
     * code — the min(struct) order), then per-(m, k, dim) exact-decimal
     * mean. The [[sqlLloydIter]] doctrine applied per subspace. */
-  private def sqlPqLloydIter(prev: String, out: String): String =
-    s"""asg_$out AS (
+  private def sqlPqLloydIter(prev: String, out: String,
+      subsName: String = "subs"): String =
+    s"""asg_$out AS MATERIALIZED (
        |  SELECT vec_id, m, sub, k FROM (
        |    SELECT s.vec_id, s.m, s.sub, c.k,
        |      row_number() OVER (PARTITION BY s.vec_id, s.m
        |        ORDER BY list_sum(list_transform(list_zip(s.sub, c.ce),
        |                   z -> (z[1] - z[2]) * (z[1] - z[2]))) ASC,
        |                 c.k ASC) AS rk
-       |    FROM subs s JOIN $prev c ON c.m = s.m) t WHERE rk = 1),
+       |    FROM $subsName s JOIN $prev c ON c.m = s.m) t WHERE rk = 1),
        |pd_$out AS (SELECT m, k, t.pos, sub[t.pos] AS val
        |  FROM asg_$out, unnest(range(1, len(sub) + 1)) AS t(pos)),
-       |$out AS (
+       |$out AS MATERIALIZED (
        |  SELECT m, k, list(mean ORDER BY pos) AS ce FROM (
        |    SELECT m, k, pos,
        |      CAST(sum(CAST(floor(val * CAST(1048576 AS DOUBLE)) AS BIGINT)) AS DOUBLE)
@@ -2244,15 +2246,20 @@ object SimOps {
     * Lloyd rounds → `cb2`, built over any source CTE exposing
     * (vec_id, d): `v` for the raw fit, `resid` for the residual-input
     * mode the fitted-residual tier trains in. */
-  private def sqlPqFitCtesFrom(src: String): String =
-    s"""subs AS (
+  // `subs` and the final book are referenced by several downstream CTEs;
+  // DuckDB 1.0 re-executes a CTE per reference unless MATERIALIZED, and
+  // the fit chain is the expensive subtree — without the hint the refine
+  // oracle's two chains replay ~10× at sf0.1 (minutes instead of
+  // seconds). Pure execution hint: results are unchanged.
+  private def sqlPqFitCtesFrom(src: String, sfx: String = ""): String =
+    s"""subs$sfx AS MATERIALIZED (
        |  SELECT vec_id, mm.m,
        |    list_slice(d, 1 + mm.m * $PqSub, (mm.m + 1) * $PqSub) AS sub
        |  FROM $src CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS m) mm),
-       |cb0 AS (SELECT m, CAST(vec_id AS INT) AS k, sub AS ce
-       |        FROM subs WHERE vec_id < $PqK),
-       |${sqlPqLloydIter("cb0", "cb1")},
-       |${sqlPqLloydIter("cb1", "cb2")}""".stripMargin
+       |cb0$sfx AS (SELECT m, CAST(vec_id AS INT) AS k, sub AS ce
+       |        FROM subs$sfx WHERE vec_id < $PqK),
+       |${sqlPqLloydIter(s"cb0$sfx", s"cb1$sfx", s"subs$sfx")},
+       |${sqlPqLloydIter(s"cb1$sfx", s"cb2$sfx", s"subs$sfx")}""".stripMargin
 
   private lazy val sqlPqFitCtes: String = sqlPqFitCtesFrom("v")
 
@@ -2433,65 +2440,97 @@ object SimOps {
          |FROM ranked WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin
   }
 
-  /** Refined IVF-PQ replay: the residual tier's assignment + level-1
-    * code CTEs verbatim; `rerr` decodes level 1 per subspace (literal
-    * CASE lists) and subtracts element-wise; the refine-book chain codes
-    * the error (`cd2`) and a second query table over the RESIDUAL
-    * (`s2q` — the engine's u columns) feeds the refined lookup sum with
-    * the constant cross table; stage-1 top-40 by level-1 ADC, stage-2
-    * top-10 by refined, exact rerank to 3. */
+  /** Refined IVF-PQ replay (FITTED books — the production IVFPQR): the
+    * residual tier's assignment CTEs; the residual-input fit chain
+    * (level-1 book `cb2`); level-1 codes from the `dist` relation (the
+    * `ann_ivfpq_fitted` doctrine — a fitted book's surviving code ids
+    * are data, so codes come from relations, not pivoted columns);
+    * `rerr` decodes level 1 RELATIONALLY (codes joined to the book,
+    * per-subspace error lists re-assembled in m order) and a SECOND
+    * suffixed fit chain over it yields the refine book `cb2r`; the
+    * refined score is a relational lookup sum — the query's two
+    * distance tables (`qt1` over `dist`, `qt2` = residual subvectors ×
+    * refine book) plus the 64-row `crosst` relation 2⟨c1,c2⟩ — with the
+    * m-split SUM spelling that pins the engine's left-associated
+    * addition order; stage-1 top-160 by level-1 ADC, stage-2 top-10 by
+    * refined, exact rerank to 3. */
   private lazy val sqlIvfPqRefine: String = {
-    val adc1 = (0 until PqM).map { m =>
-      "(CASE " + (0 until PqK).map(k =>
-        s"WHEN x.code$m = $k THEN qs.d${m}_$k").mkString(" ") + " END)"
-    }.mkString(" + ")
-    val adc2 = (0 until PqM).map { m =>
-      "(CASE " + (0 until PqK).map(k =>
-        s"WHEN x2.rcode$m = $k THEN qs2.e${m}_$k").mkString(" ") + " END)"
-    }.mkString(" + ")
-    val cross = (0 until PqM).map { m =>
-      "(CASE x.code" + m + " " + (0 until PqK).map { k =>
-        s"WHEN $k THEN (CASE x2.rcode$m " + (0 until PqK).map { j =>
-          val v = pqCross((m, k, j))
-          val lit = if (v == v.floor) s"${v.toLong}.0" else v.toString
-          s"WHEN $j THEN CAST($lit AS DOUBLE)"
-        }.mkString(" ") + " END)"
-      }.mkString(" ") + " END)"
-    }.mkString(" + ")
-    val reconSub = (0 until PqM).map { m =>
-      val cases = (0 until PqK).map(k =>
-        s"WHEN $k THEN ${sqlPqCentList(m, k)}").mkString(" ")
-      s"list_transform(list_zip(r.d[${1 + m * PqSub}:${(m + 1) * PqSub}], " +
-        s"CASE c.code$m $cases END), z -> z[1] - z[2])"
-    }.mkString(" || ")
+    def msum(t: String) = (0 until PqM)
+      .map(m => s"SUM(CASE WHEN m = $m THEN $t END)").mkString(" + ")
     s"""WITH $sqlIvfCtes,
-       |resid AS (
+       |resid AS MATERIALIZED (
        |  SELECT a.vec_id,
        |    list_transform(list_zip(a.d, c.ce), z -> z[1] - z[2]) AS d
        |  FROM assigned a JOIN cents c ON a.cell = c.cent_id),
-       |${sqlPqCdCtesFrom("resid")},
+       |${sqlPqFitCtesFrom("resid")},
+       |dist AS MATERIALIZED (
+       |  SELECT s.vec_id, s.m, c.k,
+       |    list_sum(list_transform(list_zip(s.sub, c.ce),
+       |      z -> (z[1] - z[2]) * (z[1] - z[2]))) AS dist2
+       |  FROM subs s JOIN cb2 c ON c.m = s.m),
+       |codes AS MATERIALIZED (
+       |  SELECT vec_id, m, k AS code FROM (
+       |    SELECT vec_id, m, k,
+       |      row_number() OVER (PARTITION BY vec_id, m
+       |        ORDER BY dist2 ASC, k ASC) AS rk
+       |    FROM dist) t WHERE rk = 1),
+       |rdec AS (
+       |  SELECT c.vec_id, c.m, b.ce
+       |  FROM codes c JOIN cb2 b ON b.m = c.m AND b.k = c.code),
+       |rerrsub AS (
+       |  SELECT d.vec_id, d.m,
+       |    list_transform(list_zip(
+       |      list_slice(r.d, 1 + d.m * $PqSub, (d.m + 1) * $PqSub), d.ce),
+       |      z -> z[1] - z[2]) AS esub
+       |  FROM rdec d JOIN resid r ON r.vec_id = d.vec_id),
        |rerr AS (
-       |  SELECT r.vec_id, $reconSub AS d
-       |  FROM resid r JOIN cd c ON c.vec_id = r.vec_id),
-       |${sqlPqCodesCtesGen("rerr", pqCbRefine, "s2", "m2", "cd2", "r", "rcode")},
-       |${sqlPqCodesCtesGen("resid", pqCbRefine, "s2q", "m2q", "cd2q", "e", "qrcode")},
-       |scored AS (
-       |  SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id, a.cell,
-       |    $adc1 AS adc,
-       |    ($adc1) + ($adc2) + ($cross) AS refined
+       |  SELECT vec_id, flatten(list(esub ORDER BY m)) AS d
+       |  FROM rerrsub GROUP BY vec_id),
+       |${sqlPqFitCtesFrom("rerr", "r")},
+       |dist2t AS (
+       |  SELECT s.vec_id, s.m, c.k,
+       |    list_sum(list_transform(list_zip(s.sub, c.ce),
+       |      z -> (z[1] - z[2]) * (z[1] - z[2]))) AS dist2
+       |  FROM subsr s JOIN cb2r c ON c.m = s.m),
+       |codes2 AS (
+       |  SELECT vec_id, m, k AS rcode FROM (
+       |    SELECT vec_id, m, k,
+       |      row_number() OVER (PARTITION BY vec_id, m
+       |        ORDER BY dist2 ASC, k ASC) AS rk
+       |    FROM dist2t) t WHERE rk = 1),
+       |qt1 AS (SELECT vec_id AS query_id, m, k, dist2 FROM dist WHERE vec_id < 10),
+       |qt2 AS (
+       |  SELECT s.vec_id AS query_id, s.m, c.k,
+       |    list_sum(list_transform(list_zip(s.sub, c.ce),
+       |      z -> (z[1] - z[2]) * (z[1] - z[2]))) AS dist2
+       |  FROM subs s JOIN cb2r c ON c.m = s.m WHERE s.vec_id < 10),
+       |crosst AS (
+       |  SELECT a.m, a.k AS k1, b.k AS k2,
+       |    2 * list_sum(list_transform(list_zip(a.ce, b.ce),
+       |      z -> z[1] * z[2])) AS cx
+       |  FROM cb2 a JOIN cb2r b ON b.m = a.m),
+       |pair AS (
+       |  SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id, a.cell, c1.m,
+       |    qt1.dist2 AS t1, qt2.dist2 AS t2, cxt.cx AS cx
        |  FROM assigned q
-       |  JOIN s qs ON qs.vec_id = q.vec_id
-       |  JOIN s2q qs2 ON qs2.vec_id = q.vec_id
        |  JOIN assigned a ON a.cell = q.cell AND a.vec_id <> q.vec_id
-       |  JOIN cd x ON x.vec_id = a.vec_id
-       |  JOIN cd2 x2 ON x2.vec_id = a.vec_id
+       |  JOIN codes c1 ON c1.vec_id = a.vec_id
+       |  JOIN codes2 c2 ON c2.vec_id = a.vec_id AND c2.m = c1.m
+       |  JOIN qt1 ON qt1.query_id = q.vec_id AND qt1.m = c1.m AND qt1.k = c1.code
+       |  JOIN qt2 ON qt2.query_id = q.vec_id AND qt2.m = c1.m AND qt2.k = c2.rcode
+       |  JOIN crosst cxt ON cxt.m = c1.m AND cxt.k1 = c1.code AND cxt.k2 = c2.rcode
        |  WHERE q.vec_id < 10),
+       |adcagg AS (
+       |  SELECT query_id, neighbor_id, cell,
+       |    ${msum("t1")} AS adc,
+       |    (${msum("t1")}) + (${msum("t2")}) + (${msum("cx")}) AS refined
+       |  FROM pair GROUP BY query_id, neighbor_id, cell),
        |stage1 AS (
        |  SELECT query_id, neighbor_id, cell, refined FROM (
        |    SELECT query_id, neighbor_id, cell, refined,
        |      row_number() OVER (PARTITION BY query_id
        |        ORDER BY adc ASC, neighbor_id ASC) AS crnk
-       |    FROM scored) t WHERE crnk <= 40),
+       |    FROM adcagg) t WHERE crnk <= 160),
        |stage2 AS (
        |  SELECT query_id, neighbor_id, cell FROM (
        |    SELECT query_id, neighbor_id, cell,
