@@ -488,6 +488,102 @@ case class SortedLongIntersectCount(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Squared-L2 distance of two float/double array columns as a native
+  * whole-stage-codegen expression — the PQ family's ONE distance kernel
+  * ([[graft.ops.SimOps]] `l2Fold`), previously phrased as
+  * `aggregate(zip_with(a, b, (x,y) => (x-y)*(x-y)), 0.0, +)`. Higher-order
+  * functions are CodegenFallback: every evaluation interprets two lambda
+  * frames per element and allocates the zipped array, and the PQ encoders
+  * evaluate this kernel M·K times per corpus row (r18 optimization round:
+  * the interpreted form dominated every `ann_pq*`/`ann_ivfpq*` probe's
+  * single-task stages). The fold semantics are replicated EXACTLY:
+  *   - left-to-right `acc = acc + (x_i − y_i)²` in DOUBLE, acc starts 0.0
+  *     (same IEEE-754 op sequence as the lambda, so results are
+  *     bit-identical to the HOF phrasing and the DuckDB oracle);
+  *   - `zip_with` pads the shorter array with null and a null element
+  *     poisons the sum — so mismatched lengths or a null element yield
+  *     NULL, exactly like the original;
+  *   - float×float inputs (which the lambda would subtract in FLOAT) are
+  *     rejected at analysis time rather than silently widened — every
+  *     call site pairs a float/double vector with a double literal or a
+  *     double array, so DOUBLE arithmetic is the one coercion that ever
+  *     ran.
+  */
+case class SqL2Fold(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vec_l2sq"
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName: float×float would fold in FLOAT under zip_with " +
+            "coercion; cast one side to array<double> explicitly")
+      case (ArrayType(FloatType | DoubleType, _),
+            ArrayType(FloatType | DoubleType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<float|double> inputs, got $l, $r")
+    }
+  }
+
+  private def elemType(e: Expression): DataType =
+    e.dataType.asInstanceOf[ArrayType].elementType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    val lt = elemType(left)
+    val rt = elemType(right)
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      val xv = if (lt == FloatType) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (rt == FloatType) y.getFloat(i).toDouble else y.getDouble(i)
+      val d = xv - yv
+      acc = acc + d * d
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val lGet = if (elemType(left) == FloatType) "getFloat" else "getDouble"
+      val rGet = if (elemType(right) == FloatType) "getFloat" else "getDouble"
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = $a.numElements();
+         |double $acc = 0.0;
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    double $d = (double) $a.$lGet($i) - (double) $b.$rGet($i);
+         |    $acc = $acc + $d * $d;
+         |  }
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Column-API front door for the native vector expressions. */
 object VectorFunctions {
   import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
@@ -514,6 +610,12 @@ object VectorFunctions {
   def vecDot(a: Column, b: Column): Column =
     ColumnBridge.column(
       DotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Exact sequential-fold squared-L2 distance of two float/double array
+    * columns, in DOUBLE, as a whole-stage-codegen native expression. */
+  def vecL2Sq(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      SqL2Fold(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   /** Count of agreeing positions between two long-array columns. */
   def arrayEqCount(a: Column, b: Column): Column =

@@ -1092,8 +1092,13 @@ object SimOps {
     * query ADC table), bit-identical to the DuckDB
     * `list_sum(list_transform(list_zip(...)))` spelling. */
   private def l2Fold(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, z) => acc + z)
+    // native codegen kernel (r18): same left-to-right double fold as the
+    // former `aggregate(zip_with(a, b, (x,y) => (x-y)*(x-y)), 0.0, +)` —
+    // see [[graft.functions.SqL2Fold]] for the exact-equivalence notes.
+    // HOFs are CodegenFallback and this kernel runs M·K times per corpus
+    // row in every PQ encode/probe, so the interpreted form dominated
+    // the family's single-task stages.
+    graft.functions.VectorFunctions.vecL2Sq(a, b)
 
   /** The fixed pseudo-random codebook as a lookup — the default the
     * parameterized encode/probe helpers close over; the FITTED tier
@@ -1124,19 +1129,27 @@ object SimOps {
     * [[annPqAdc]]'s corpus side. */
   private[graft] def pqCoded(base: DataFrame, vec: Column = col("embedding"),
       cb: Map[(Int, Int), Seq[Double]] = pqCbFixed,
-      prefix: String = "code"): DataFrame =
-    (0 until PqM).foldLeft(base) { (df, m) =>
+      prefix: String = "code"): DataFrame = {
+    // all 2·M new columns land in ONE select (not a withColumn fold):
+    // every withColumn re-analyzes the whole growing plan, which made
+    // DataFrame CONSTRUCTION quadratic in the column count — measured
+    // 2.5 s of the refine tier's 6.5 s warm wall (r18 §1). The columns
+    // only reference `vec`, never each other, so one projection is
+    // value-identical to the fold.
+    val newCols = (0 until PqM).flatMap { m =>
       val ks = pqKs(cb, m)
       val dists = ks.map(k =>
         l2Fold(slice(vec, 1 + m * PqSub, PqSub), array(cb((m, k)).map(lit): _*)))
       val minD = if (dists.size == 1) dists.head else least(dists: _*)
       val distName = if (prefix == "code") s"dist$m" else s"${prefix}_dist$m"
-      df.withColumn(s"$prefix$m",
-          coalesce(dists.zip(ks).map { case (d, k) =>
-            when(d === minD, lit(k.toLong))
-          }: _*))
-        .withColumn(distName, minD)
+      Seq(
+        coalesce(dists.zip(ks).map { case (d, k) =>
+          when(d === minD, lit(k.toLong))
+        }: _*).as(s"$prefix$m"),
+        minD.as(distName))
     }
+    base.select(col("*") +: newCols: _*)
+  }
 
   /** The corpus exploded into per-subspace DOUBLE subvectors
     * (vec_id, m, sub) — the training view of the PQ fit. Narrow map. */
@@ -1350,10 +1363,12 @@ object SimOps {
   private def pqAdcTable(df: DataFrame, vec: Column = col("embedding"),
       cb: Map[(Int, Int), Seq[Double]] = pqCbFixed,
       prefix: String = "t"): DataFrame =
-    (for (m <- 0 until PqM; k <- pqKs(cb, m))
-        yield s"$prefix${m}_$k" ->
-          l2Fold(slice(vec, 1 + m * PqSub, PqSub), array(cb((m, k)).map(lit): _*)))
-      .foldLeft(df) { case (d, (n, c)) => d.withColumn(n, c) }
+    // one select, not a 32-column withColumn fold — the quadratic
+    // re-analysis note on [[pqCoded]] applies verbatim (the refine tier
+    // builds TWO of these tables back to back)
+    df.select(col("*") +: (for (m <- 0 until PqM; k <- pqKs(cb, m))
+        yield l2Fold(slice(vec, 1 + m * PqSub, PqSub),
+          array(cb((m, k)).map(lit): _*)).as(s"$prefix${m}_$k")): _*)
 
   /** The ADC lookup-sum: M picks of the query's `t{m}_{k}` columns
     * selected by the corpus row's `code{m}` columns, left-associated. */

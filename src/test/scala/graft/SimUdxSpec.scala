@@ -18,6 +18,63 @@ class SimUdxSpec extends SparkSpec {
     assert(mism === 0)
   }
 
+  test("native SqL2Fold equals the higher-order-function fold exactly") {
+    // the PQ family's l2Fold kernel (r18): bit-identical to the
+    // aggregate(zip_with(...)) phrasing it replaced, on float×double
+    // (the raw-embedding call shape) and double×double (residual/err)
+    val v = Tables.embeddings(spark, sf).limit(200)
+    val cent = array((0 until 8).map(i => lit(i * 0.125 - 0.4)): _*)
+    def hof(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, z) => acc + z)
+    val s = slice(col("embedding"), 1, 8)
+    val d = transform(slice(col("embedding"), 9, 8), _.cast("double"))
+    val mism = v.select(
+        VectorFunctions.vecL2Sq(s, cent).as("nf"), hof(s, cent).as("hf"),
+        VectorFunctions.vecL2Sq(d, cent).as("nd"), hof(d, cent).as("hd"))
+      .filter(col("nf") =!= col("hf") || col("nd") =!= col("hd")).count()
+    assert(mism === 0)
+  }
+
+  test("SqL2Fold null semantics match zip_with padding (length mismatch / null element)") {
+    // mismatched lengths and a null element must yield NULL (zip_with
+    // pads with null and null poisons the sum); empty arrays fold to 0.0
+    import spark.implicits._
+    val rows = Seq(
+      (Seq(1.0, 2.0), Seq(1.0)),          // length mismatch -> null
+      (Seq(1.0, 2.0), Seq(1.0, 2.0)),     // equal -> 0.0
+      (Seq.empty[Double], Seq.empty[Double])) // empty -> 0.0
+      .toDF("a", "b")
+      .select(VectorFunctions.vecL2Sq(col("a"), col("b")).as("d")).collect()
+    assert(rows(0).isNullAt(0))
+    assert(rows(1).getDouble(0) === 0.0)
+    assert(rows(2).getDouble(0) === 0.0)
+    val withNullElem = spark.sql(
+      "SELECT CAST(array(1.0, NULL) AS array<double>) a, " +
+        "CAST(array(1.0, 2.0) AS array<double>) b")
+      .select(VectorFunctions.vecL2Sq(col("a"), col("b")).as("d")).collect()
+    assert(withNullElem(0).isNullAt(0))
+  }
+
+  test("SqL2Fold participates in whole-stage codegen and rejects float×float") {
+    val v = Tables.embeddings(spark, sf)
+      .select(VectorFunctions.vecL2Sq(
+        transform(slice(col("embedding"), 1, 8), _.cast("double")),
+        array((0 until 8).map(_ => lit(0.0)): _*)).as("d"))
+    val codegen = v.queryExecution.executedPlan
+      .find(_.isInstanceOf[org.apache.spark.sql.execution.WholeStageCodegenExec])
+    assert(codegen.isDefined, s"no codegen span in:\n${v.queryExecution.executedPlan}")
+    // float×float would fold in FLOAT under zip_with coercion — the
+    // native kernel refuses it instead of silently widening
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      Tables.embeddings(spark, sf)
+        .select(VectorFunctions.vecL2Sq(
+          slice(col("embedding"), 1, 8), slice(col("embedding"), 9, 8)))
+        .collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("float"))
+  }
+
   test("DotProduct participates in whole-stage codegen") {
     val v = Tables.embeddings(spark, sf)
       .select(VectorFunctions.vecDot(col("embedding"), col("embedding")).as("d"))
