@@ -105,15 +105,32 @@ object DedupOps {
     // collision can only ADD a candidate pair, and every candidate is
     // re-verified by exact intersection below — so the result stays
     // exact, no probabilistic caveat.
+    // prefix rows carry the token's 0-based POSITION in the sorted set:
+    // the PPJoin positional filter below needs it (r18 optimization)
     val prefix = sets.select(col("doc_id"), col("source"), col("n"),
-      explode(slice(col("tokset"), lit(1),
-        (col("n") - expr("(n * 9 + 9) div 10") + 1).cast("int"))).as("tok"))
-      .select(col("doc_id"), col("source"), col("n"),
+      posexplode(slice(col("tokset"), lit(1),
+        (col("n") - expr("(n * 9 + 9) div 10") + 1).cast("int"))).as(Seq("pos", "tok")))
+      .select(col("doc_id"), col("source"), col("n"), col("pos"),
         xxhash64(col("tok"), col("source")).as("tokh"))
+    // PPJoin POSITIONAL filter (Xiao et al. 2008 §3.2), exact integers:
+    // all common tokens are ≥ the colliding token in the sorted order,
+    // so c ≤ 1 + min(na − pa, nb − pb) (pa/pb 1-based = pos+1); j ≥ 0.9
+    // ⟺ 19c ≥ 9(na+nb), so a collision can only witness a qualifying
+    // pair when 19·(1 + min(na−pa, nb−pb)) ≥ 9(na+nb). LOSSLESS for the
+    // pair set: a qualifying pair's FIRST common token lies within both
+    // prefixes (the same prefix-filter lemma candidate completeness
+    // already rests on) and passes this bound, so the pair still reaches
+    // the distinct; only collisions that cannot witness a qualifying
+    // pair are dropped — measured 3.85M → far fewer candidate rows into
+    // the distinct + verify joins at sf0.1. Verification is unchanged,
+    // so the result is identical row for row.
     val cand = prefix.as("a").join(prefix.as("b"),
         col("a.tokh") === col("b.tokh") && col("a.source") === col("b.source") &&
           col("a.doc_id") < col("b.doc_id") &&
-          col("a.n") * 10 >= col("b.n") * 9 && col("b.n") * 10 >= col("a.n") * 9)
+          col("a.n") * 10 >= col("b.n") * 9 && col("b.n") * 10 >= col("a.n") * 9 &&
+          (lit(1) + least(col("a.n") - col("a.pos") - 1,
+            col("b.n") - col("b.pos") - 1)) * 19 >=
+            (col("a.n") + col("b.n")) * 9)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     val isect = graft.functions.VectorFunctions
@@ -147,18 +164,26 @@ object DedupOps {
   def ngramContainment(spark: SparkSession, sfDir: String): DataFrame = {
     val sets = toksetTable(spark, sfDir)
     val prefix = sets.select(col("doc_id"), col("source"), col("n"),
-      explode(slice(col("tokset"), lit(1),
-        (col("n") - expr("(n * 9 + 9) div 10") + 1).cast("int"))).as("tok"))
-      .select(col("doc_id"), col("source"), col("n"),
+      posexplode(slice(col("tokset"), lit(1),
+        (col("n") - expr("(n * 9 + 9) div 10") + 1).cast("int"))).as(Seq("pos", "tok")))
+      .select(col("doc_id"), col("source"), col("n"), col("pos"),
         xxhash64(col("tok"), col("source")).as("tokh"))
     val index = sets.select(col("doc_id"), col("source"), col("n"),
-      explode(col("tokset")).as("tok"))
-      .select(col("doc_id"), col("source"), col("n"),
+      posexplode(col("tokset")).as(Seq("pos", "tok")))
+      .select(col("doc_id"), col("source"), col("n"), col("pos"),
         xxhash64(col("tok"), col("source")).as("tokh"))
+    // positional filter, the [[ngramJaccardPairs]] doctrine adapted to
+    // containment: c ≤ 1 + min(ns − pa, nb − pb) and c ≥ 0.9·ns ⟺
+    // 10c ≥ 9ns, so a collision can only witness a qualifying pair when
+    // 10·(1 + min(...)) ≥ 9·ns. Lossless for the pair set (the first
+    // common token is within the probe's prefix and passes); the exact
+    // verify below is unchanged, so results are identical.
     val cand = prefix.as("a").join(index.as("b"),
         col("a.tokh") === col("b.tokh") && col("a.source") === col("b.source") &&
           (col("a.n") < col("b.n") ||
-            (col("a.n") === col("b.n") && col("a.doc_id") < col("b.doc_id"))))
+            (col("a.n") === col("b.n") && col("a.doc_id") < col("b.doc_id"))) &&
+          (lit(1) + least(col("a.n") - col("a.pos") - 1,
+            col("b.n") - col("b.pos") - 1)) * 10 >= col("a.n") * 9)
       .select(col("a.doc_id").as("doc_small"), col("b.doc_id").as("doc_big"))
       .distinct()
     val isect = graft.functions.VectorFunctions
@@ -590,14 +615,21 @@ object DedupOps {
     val sets = toksetTable(spark, sfDir)
     // prefix length n − ⌈0.8n⌉ + 1 (⌈4n/5⌉ = (4n+4) div 5, exact ints)
     val prefix = sets.select(col("doc_id"), col("source"), col("n"),
-      explode(slice(col("tokset"), lit(1),
-        (col("n") - expr("(n * 4 + 4) div 5") + 1).cast("int"))).as("tok"))
-      .select(col("doc_id"), col("source"), col("n"),
+      posexplode(slice(col("tokset"), lit(1),
+        (col("n") - expr("(n * 4 + 4) div 5") + 1).cast("int"))).as(Seq("pos", "tok")))
+      .select(col("doc_id"), col("source"), col("n"), col("pos"),
         xxhash64(col("tok"), col("source")).as("tokh"))
+    // positional filter at the curve's floor τ = 0.8 (the
+    // [[ngramJaccardPairs]] doctrine): j ≥ 0.8 ⟺ 9c ≥ 4(na+nb), and
+    // c ≤ 1 + min(na − pa, nb − pb) — lossless for the pair set, exact
+    // verify unchanged.
     val cand = prefix.as("a").join(prefix.as("b"),
         col("a.tokh") === col("b.tokh") && col("a.source") === col("b.source") &&
           col("a.doc_id") < col("b.doc_id") &&
-          col("a.n") * 5 >= col("b.n") * 4 && col("b.n") * 5 >= col("a.n") * 4)
+          col("a.n") * 5 >= col("b.n") * 4 && col("b.n") * 5 >= col("a.n") * 4 &&
+          (lit(1) + least(col("a.n") - col("a.pos") - 1,
+            col("b.n") - col("b.pos") - 1)) * 9 >=
+            (col("a.n") + col("b.n")) * 4)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     val isect = graft.functions.VectorFunctions
@@ -704,6 +736,18 @@ object DedupOps {
           array_sort(array_distinct(toks)).as("tokset"))
         .withColumn("n", size(col("tokset")))
         .persist())
+        // NOTE (r18, measured): a rarest-first (df-ascending) prefix
+        // order — the canonical PPJoin global order — was tried here and
+        // REVERTED. On this corpus the candidate join's output is only
+        // ~1.34× the true pair volume (3.85 M collisions for 2.88 M
+        // verified pairs at sf0.1: near-dup families dominate, and
+        // family members collide under ANY order), so the reorder cut
+        // nothing while its (source, token) df aggregate + join added
+        // ~2 s to every consumer's tokset build (the bench clears the
+        // cache per query, so five queries pay it). On a corpus whose
+        // candidate volume is collision-driven (hot tokens, length
+        // spread) the df-ordered prefix is the right production lever —
+        // it steers candidates only, never results.
   }
 
   /** Shared day-2 preamble: the per-doc digest table (persisted once per

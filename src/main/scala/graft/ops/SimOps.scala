@@ -821,13 +821,29 @@ object SimOps {
     }.orderBy("term")
   }
 
+  /** A 65-double model row as a 1-row literal frame — shared by both
+    * trainers (the converged trainer always stepped this way; the fixed
+    * trainer adopted it in r18, see [[embedLrProbe]]). */
+  private def lrModelFrame(spark: SparkSession,
+      w: Seq[Double], wb: Double): DataFrame =
+    spark.range(1).select(array(w.map(lit): _*).as("w"), lit(wb).as("wb"))
+
   def embedLrProbe(spark: SparkSession, sfDir: String): DataFrame = {
     val v = lrFeatures(spark, sfDir)
-    val w0 = spark.range(1).select(
-      array_repeat(lit(0.0d), DIM).as("w"), lit(0.0d).as("wb"))
     // unroll depth = the family's one step constant, shared with the
-    // converged trainer's default budget and both oracles' replay
-    val wT = (1 to graft.GraftConf.LrStepsDefault).foldLeft(w0)((w, _) => lrStep(v, w))
+    // converged trainer's default budget and both oracles' replay.
+    // Each step's 65-double model is COLLECTED (1 bounded row — the
+    // embedLrConverged idiom) and re-enters as literals, so step i+1 is
+    // ONE corpus scan: the lazy unrolled chain this replaces nested all
+    // three steps into one plan that the report's two consumers (acc,
+    // dims) then re-executed end to end — measured 22 jobs / 4.8 s at
+    // sf0.1, vs ~9 jobs after (r18). The collected doubles round-trip
+    // exactly, so the oracle's fixed 3-step replay is unchanged.
+    val wT = (1 to graft.GraftConf.LrStepsDefault)
+      .foldLeft(lrModelFrame(spark, Seq.fill(DIM)(0.0d), 0.0d)) { (w, _) =>
+        val row = lrStep(v, w).collect()(0)
+        lrModelFrame(spark, row.getSeq[Double](0), row.getDouble(1))
+      }
     lrReport(spark, v, wT, Nil)
   }
 
@@ -860,7 +876,7 @@ object SimOps {
     val tol = graft.GraftConf.lrTol(spark)
     val v = lrFeatures(spark, sfDir)
     def asFrame(w: Seq[Double], wb: Double): DataFrame =
-      spark.range(1).select(array(w.map(lit): _*).as("w"), lit(wb).as("wb"))
+      lrModelFrame(spark, w, wb)
     def lossOf(w: DataFrame): Double = {
       val e = floor((lit(1.0d) / (lit(1.0d) + exp(-lrZ))) * LrGrid) / LrGrid - col("y")
       val r = v.crossJoin(broadcast(w))
