@@ -585,6 +585,8 @@ object DedupOps {
     * [[TextOps.docShingleSketch]]. */
   def dupNgramSpans(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
+      // compact-source parallelism — the substringSpanPairs note applies
+      .repartition(spark.sparkContext.defaultParallelism)
       .filter(size(toks) >= 3)
       .select(col("doc_id"), toks.as("t"), (size(toks) - 2).as("m"))
       .select(col("doc_id"), explode(shingleHashes).as("shingle_hash"))
@@ -971,6 +973,10 @@ object DedupOps {
   def substringSpanPairs(spark: SparkSession, sfDir: String): DataFrame = {
     val minSpan = 4
     val sh = capPostingsDf(Tables.documents(spark, sfDir)
+      // compact-source parallelism (the minhashLsh rationale): the
+      // per-shingle md5s below are the operator's CPU bulk and would
+      // otherwise run inside the one-split parquet scan's single task
+      .repartition(spark.sparkContext.defaultParallelism)
       .filter(size(toks) >= 3)
       .select(col("doc_id"), col("source"), toks.as("t"), (size(toks) - 2).as("m"))
       .select(col("doc_id"), col("source"), posexplode(shingleHashes))
@@ -1036,6 +1042,8 @@ object DedupOps {
   def decontaminateSpanPairs(spark: SparkSession, sfDir: String): DataFrame = {
     val minSpan = 4
     val sh = Tables.documents(spark, sfDir)
+      // compact-source parallelism — the substringSpanPairs note applies
+      .repartition(spark.sparkContext.defaultParallelism)
       .filter(size(toks) >= 3)
       .select(col("doc_id"), toks.as("t"), (size(toks) - 2).as("m"))
       .select(col("doc_id"), posexplode(shingleHashes))

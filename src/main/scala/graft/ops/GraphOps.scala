@@ -81,8 +81,15 @@ object GraphOps {
     // disappears into an in-row sorted-merge intersect (native
     // SortedLongIntersectCount — see sortedAdjacency for why).
     val adj = sortedAdjacency(oriented)
-    val nTri = oriented
-      .join(adj.select(col("u"), col("nbrs").as("un")), Seq("u"))
+    // (u, v, un) comes from EXPLODING the adjacency itself — the
+    // adjacency's (u, nbrs) rows are exactly the oriented edges grouped
+    // by u, so `explode(nbrs)` reproduces oriented-with-un as a narrow
+    // map and the former `oriented ⋈ adj(u)` equi-join (one exchange +
+    // sort of the full edge list) disappears (r18; same multiset, edges
+    // are distinct). Only the v-side attach still shuffles.
+    val withUn = adj.select(
+      col("u"), col("nbrs").as("un"), explode(col("nbrs")).as("v"))
+    val nTri = withUn
       .join(adj.select(col("u").as("v"), col("nbrs").as("vn")), Seq("v"))
       .select(sortedLongIntersectCount(col("un"), col("vn")).as("t"))
       .agg(coalesce(sum(col("t")), lit(0L)).as("n_triangles"))
@@ -156,8 +163,11 @@ object GraphOps {
   def graphLocalCc(spark: SparkSession, sfDir: String): DataFrame = {
     val (_, deg, oriented) = basketGraph(spark, sfDir)
     val adj = sortedAdjacency(oriented)
-    val hits = oriented
-      .join(adj.select(col("u"), col("nbrs").as("un")), Seq("u"))
+    // adjacency-explode instead of `oriented ⋈ adj(u)` — see the
+    // [[graphTriangles]] note (one exchange + sort of the edge list
+    // deleted; identical multiset)
+    val hits = adj
+      .select(col("u"), col("nbrs").as("un"), explode(col("nbrs")).as("v"))
       .join(adj.select(col("u").as("v"), col("nbrs").as("vn")), Seq("v"))
       .select(col("u"), col("v"), sortedLongIntersect(col("un"), col("vn")).as("ws"))
       .filter(size(col("ws")) > 0)
@@ -235,9 +245,17 @@ object GraphOps {
     val edges = li.select((col("pk") * 2).as("src"), (col("sk") * 2 + 1).as("dst"))
       .unionAll(li.select((col("sk") * 2 + 1).as("src"), (col("pk") * 2).as("dst")))
     val e = DedupOps.eagerCheckpoint(edges)
-    var dist = DedupOps.eagerCheckpoint(
-      li.agg((min(col("pk")) * 2).as("node")).select(col("node"), lit(0).as("hop")))
-    var frontier = dist
+    // the distance table is kept as a UNION of the per-round checkpointed
+    // frontiers (disjoint by construction — each round anti-joins the
+    // previous union) instead of being re-checkpointed whole every round:
+    // that re-materialized O(V) rows per round for a table whose only
+    // per-round use is the anti-join's build side, and it was one of the
+    // two actions each round paid (r18; same fixpoint, rounds ≤ 50 keep
+    // the union plan bounded).
+    var distParts = List(DedupOps.eagerCheckpoint(
+      li.agg((min(col("pk")) * 2).as("node")).select(col("node"), lit(0).as("hop"))))
+    def dist: DataFrame = distParts.reduce(_ unionAll _)
+    var frontier = distParts.head
     var h = 0
     while (frontier.limit(1).count() > 0 && h < MaxBfsRounds) {
       h += 1
@@ -246,7 +264,7 @@ object GraphOps {
       frontier = DedupOps.eagerCheckpoint(
         next.join(dist, Seq("node"), "left_anti")
           .groupBy("node").agg(min(col("hop")).as("hop")))
-      dist = DedupOps.eagerCheckpoint(dist.unionAll(frontier))
+      distParts = distParts :+ frontier
     }
     dist.orderBy(col("hop").asc, col("node").asc)
   }
