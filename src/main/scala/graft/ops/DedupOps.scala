@@ -249,7 +249,13 @@ object DedupOps {
     val sig = docs
       .repartition(spark.sparkContext.defaultParallelism)
       .select(col("doc_id"),
-        graft.functions.VectorFunctions.minhashSig(toks, K).as("sig"))
+        // array_distinct first (r18): a duplicated token contributes the
+        // same 64 transformed hash values, so the slot minima — and the
+        // signature — are bit-identical on the distinct set, while each
+        // duplicate occurrence skips its md5 + K transforms (the kernel
+        // is the operator's CPU bulk)
+        graft.functions.VectorFunctions.minhashSig(array_distinct(toks), K)
+          .as("sig"))
     // LSH runs at the UNIQUE-SIGNATURE level, one representative per
     // distinct signature. Exact-duplicate families (boilerplate pages at
     // corpus scale — the fixture's largest is 324 docs with one

@@ -24,15 +24,19 @@ import org.apache.spark.storage.StorageLevel
   * tables of the ingest, rebuilt per corpus version, not per query.
   */
 private[graft] object PinCache {
-  private val cache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  // keyed on the canonicalized LogicalPlan OBJECT (structural equality),
+  // not an md5 of its toString: plan rendering elides field lists past
+  // spark.sql.debug.maxToStringFields ("... N more fields"), so two
+  // different plans could hash identically and pinned() would silently
+  // serve the wrong frame (r17 advice, medium). Structural equality has
+  // no such truncation.
+  private val cache = new java.util.concurrent.ConcurrentHashMap[
+    (String, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan),
+    DataFrame]()
 
   def pinned(df: DataFrame): DataFrame = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val planKey = md.digest(
-        df.queryExecution.logical.canonicalized.toString.getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString
-    val key = df.sparkSession.sparkContext.applicationId + "|" + planKey
+    val key = (df.sparkSession.sparkContext.applicationId,
+      df.queryExecution.logical.canonicalized)
     cache.compute(key, (_, old) =>
       if (old != null && old.storageLevel != StorageLevel.NONE) old
       else df.persist())

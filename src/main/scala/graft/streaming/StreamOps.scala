@@ -601,8 +601,13 @@ object StreamOps {
       .parquet(staged)
     val q = stream.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
       val sigs = batch.select(col("doc_id"),
+        // array_distinct first — bit-identical signature, duplicate
+        // occurrences skip their md5 + K transforms (the batch
+        // operator's r18 note; the two sides must stay value-identical
+        // for the band store to interoperate, and they do)
         graft.functions.VectorFunctions
-          .minhashSig(split(col("text"), " "), DedupOps.SigK).as("sig"))
+          .minhashSig(array_distinct(split(col("text"), " ")), DedupOps.SigK)
+          .as("sig"))
       val newBands = DedupOps.bandExplode(sigs, "doc_id")
         .persist()
       // list the store's generation subdirs explicitly, EXCLUDING this
