@@ -27,9 +27,18 @@ object Explain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // SPARK_GRAFT_EXPLAIN_MODE=formatted switches to the numbered-operator
+    // explain("formatted") rendering (the r18 plan artifacts); default
+    // stays the raw executedPlan tree the plan-shape specs grep.
+    val formatted =
+      sys.env.get("SPARK_GRAFT_EXPLAIN_MODE").contains("formatted")
     names.foreach { n =>
       println(s"===== $n")
-      println(SparkEntry.queries(n)(spark, sfDir).queryExecution.executedPlan.toString)
+      val qe = SparkEntry.queries(n)(spark, sfDir).queryExecution
+      if (formatted)
+        println(qe.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+      else println(qe.executedPlan.toString)
     }
     spark.stop()
   }

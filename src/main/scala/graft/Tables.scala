@@ -17,15 +17,32 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 object Tables {
   private def p(sfDir: String, name: String) = s"$sfDir/$name.parquet"
 
-  def region(spark: SparkSession, sfDir: String): DataFrame     = spark.read.parquet(p(sfDir, "region"))
-  def nation(spark: SparkSession, sfDir: String): DataFrame     = spark.read.parquet(p(sfDir, "nation"))
-  def customer(spark: SparkSession, sfDir: String): DataFrame   = spark.read.parquet(p(sfDir, "customer"))
-  def supplier(spark: SparkSession, sfDir: String): DataFrame   = spark.read.parquet(p(sfDir, "supplier"))
-  def part(spark: SparkSession, sfDir: String): DataFrame       = spark.read.parquet(p(sfDir, "part"))
-  def orders(spark: SparkSession, sfDir: String): DataFrame     = spark.read.parquet(p(sfDir, "orders"))
-  def lineitem(spark: SparkSession, sfDir: String): DataFrame   = spark.read.parquet(p(sfDir, "lineitem"))
-  def documents(spark: SparkSession, sfDir: String): DataFrame  = spark.read.parquet(p(sfDir, "documents"))
-  def embeddings(spark: SparkSession, sfDir: String): DataFrame = spark.read.parquet(p(sfDir, "embeddings"))
+  /** Inferred parquet SCHEMA per path, cached for the JVM lifetime (r18
+    * optimization): without it every `spark.read.parquet` call pays
+    * footer-based schema inference — a 1-task driver job per table read,
+    * repeated for every one of the registry's ~278 query builds in a
+    * bench run. This is METADATA caching only (the catalog role a
+    * metastore plays in production — fixture files are immutable for a
+    * process lifetime); no data or results are cached, and the first
+    * read of each path still infers from the actual footer, so the
+    * schema can never drift from the file. */
+  private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.sql.types.StructType]()
+
+  private def read(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(
+      schemaCache.computeIfAbsent(path, spark.read.parquet(_).schema))
+      .parquet(path)
+
+  def region(spark: SparkSession, sfDir: String): DataFrame     = read(spark, p(sfDir, "region"))
+  def nation(spark: SparkSession, sfDir: String): DataFrame     = read(spark, p(sfDir, "nation"))
+  def customer(spark: SparkSession, sfDir: String): DataFrame   = read(spark, p(sfDir, "customer"))
+  def supplier(spark: SparkSession, sfDir: String): DataFrame   = read(spark, p(sfDir, "supplier"))
+  def part(spark: SparkSession, sfDir: String): DataFrame       = read(spark, p(sfDir, "part"))
+  def orders(spark: SparkSession, sfDir: String): DataFrame     = read(spark, p(sfDir, "orders"))
+  def lineitem(spark: SparkSession, sfDir: String): DataFrame   = read(spark, p(sfDir, "lineitem"))
+  def documents(spark: SparkSession, sfDir: String): DataFrame  = read(spark, p(sfDir, "documents"))
+  def embeddings(spark: SparkSession, sfDir: String): DataFrame = read(spark, p(sfDir, "embeddings"))
 
   /** Historically the driver wrote `events.ts` as parquet TIMESTAMP(NANOS)
     * (current fixtures write microseconds — the LongType branch below is
@@ -44,7 +61,9 @@ object Tables {
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = spark.read.parquet(p(sfDir, "events"))
+    // schema cached AFTER the conf set, so the cached entry is always the
+    // nanosAsLong-shaped one every harness session reads with
+    val df = read(spark, p(sfDir, "events"))
     if (df.schema("ts").dataType == LongType)
       df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
     else df

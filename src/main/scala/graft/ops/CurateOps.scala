@@ -198,6 +198,10 @@ object CurateOps {
     val maxPk = Tables.part(spark, sfDir).agg(max(col("p_partkey")).as("max_pk"))
     val cands = Tables.supplier(spark, sfDir)
       .select(col("s_suppkey"))
+      // compact-source parallelism (the minhashLsh rationale): the
+      // 10-trial md5/conv fan-out below is the operator's CPU bulk and
+      // would otherwise run inside the one-split scan's single task
+      .repartition(spark.sparkContext.defaultParallelism)
       .crossJoin(broadcast(maxPk))
       .select(col("s_suppkey"), explode(sequence(lit(0), lit(9))).as("trial"),
         col("max_pk"))

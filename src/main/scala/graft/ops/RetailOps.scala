@@ -29,8 +29,11 @@ object RetailOps {
   def marketBasket(spark: SparkSession, sfDir: String): DataFrame = {
     val li = Tables.lineitem(spark, sfDir)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
-    val baskets = li.groupBy("ok")
-      .agg(sort_array(collect_set(col("pk"))).as("parts"))
+    // pinned (r18): three consumers (pair explode, item frequencies, the
+    // basket total) otherwise re-run the collect_set aggregate — exchange
+    // reuse shares the shuffle write, not the aggregation
+    val baskets = PinCache.pinned(li.groupBy("ok")
+      .agg(sort_array(collect_set(col("pk"))).as("parts")))
     val pairs = baskets.select(explode(expr(
       """flatten(transform(parts, (x, i) ->
         |  transform(slice(parts, i + 2, size(parts) - i - 1),
