@@ -828,6 +828,15 @@ object SimOps {
       w: Seq[Double], wb: Double): DataFrame =
     spark.range(1).select(array(w.map(lit): _*).as("w"), lit(wb).as("wb"))
 
+  /** Spec hook (r18): ONE GD step's plan over a zero model — the frame
+    * the eager trainer runs per step, exposed so PlanAuditSpec can keep
+    * pinning the step's shape (map-side partial gradient sums, no
+    * corpus-keyed exchange) now that the steps run at build time and no
+    * longer appear in the report's own plan. */
+  private[graft] def lrStepPlanProbe(spark: SparkSession, sfDir: String): DataFrame =
+    lrStep(lrFeatures(spark, sfDir),
+      lrModelFrame(spark, Seq.fill(DIM)(0.0d), 0.0d))
+
   def embedLrProbe(spark: SparkSession, sfDir: String): DataFrame = {
     val v = lrFeatures(spark, sfDir)
     // unroll depth = the family's one step constant, shared with the

@@ -902,14 +902,27 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("embed_lr_probe: gradient sums are partial-aggregated; the corpus never hash-shuffles") {
-    val plan = planOf("embed_lr_probe")
+    // since r18 the GD steps run eagerly at build (each step's model is
+    // collected and re-enters as literals), so the step's shape is
+    // pinned on the step plan itself; the report plan keeps the
+    // no-corpus-exchange / no-SMJ invariants
+    val adaptiveWas = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val stepPlan =
+      try graft.ops.SimOps.lrStepPlanProbe(spark, sf)
+        .queryExecution.executedPlan.toString
+      finally spark.conf.set("spark.sql.adaptive.enabled", adaptiveWas)
     // each GD step's only exchange carries 66-key partial LONG sums —
     // map-side combine must be present, and no exchange may be keyed on
     // the corpus id (the corpus is scanned, never repartitioned)
-    assert("partial_sum\\(c#".r.findFirstIn(plan).isDefined,
-      s"no map-side partial sum over the gradient contribution column in:\n$plan")
+    assert("partial_sum\\(c#".r.findFirstIn(stepPlan).isDefined,
+      s"no map-side partial sum over the gradient contribution column in:\n$stepPlan")
+    assert(!"Exchange hashpartitioning\\([^)]*vec_id".r.findFirstIn(stepPlan).isDefined,
+      s"corpus-keyed exchange in the GD step plan:\n$stepPlan")
+    assert(!stepPlan.contains("SortMergeJoin"), s"model join sort-merged in:\n$stepPlan")
+    val plan = planOf("embed_lr_probe")
     assert(!"Exchange hashpartitioning\\([^)]*vec_id".r.findFirstIn(plan).isDefined,
-      s"corpus-keyed exchange in the GD plan:\n$plan")
+      s"corpus-keyed exchange in the report plan:\n$plan")
     assert(!plan.contains("SortMergeJoin"), s"model join sort-merged in:\n$plan")
   }
 
