@@ -35,6 +35,12 @@ private[graft] object PinCache {
     DataFrame]()
 
   def pinned(df: DataFrame): DataFrame = {
+    // evict entries whose session is gone (r17 advice, low): the map
+    // otherwise holds strong references to DataFrames — and through them
+    // stopped SparkSessions — forever, accumulating across test suites
+    // and multi-app JVMs
+    cache.entrySet.removeIf(e =>
+      e.getValue.sparkSession.sparkContext.isStopped)
     val key = (df.sparkSession.sparkContext.applicationId,
       df.queryExecution.logical.canonicalized)
     cache.compute(key, (_, old) =>

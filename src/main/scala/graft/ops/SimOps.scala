@@ -2195,33 +2195,9 @@ object SimOps {
     s"list_sum(list_transform(list_zip(d[${1 + m * PqSub}:${(m + 1) * PqSub}], " +
       s"${sqlPqCentListOf(cb, m, k)}), z -> (z[1] - z[2]) * (z[1] - z[2])))"
 
-  /** Generalized code CTEs ([[sqlPqCdCtesFrom]] with book + names as
-    * parameters — the refine tier needs a SECOND chain over the
-    * level-1 error with the refine book). */
-  private def sqlPqCodesCtesGen(src: String, cb: Map[(Int, Int), Seq[Double]],
-      sName: String, mName: String, cdName: String,
-      dPrefix: String, codePrefix: String): String = {
-    val distCols = (for (m <- 0 until PqM; k <- 0 until PqK)
-      yield s"${sqlPqDistOf(cb, m, k)} AS $dPrefix${m}_$k").mkString(",\n    ")
-    val minCols = (0 until PqM).map(m =>
-      s"LEAST(${(0 until PqK).map(k => s"$dPrefix${m}_$k").mkString(", ")}) AS mn$m")
-      .mkString(",\n    ")
-    val codeCols = (0 until PqM).map { m =>
-      val cases = (0 until PqK).map(k =>
-        s"CASE WHEN $dPrefix${m}_$k = mn$m THEN CAST($k AS BIGINT) END").mkString(", ")
-      s"coalesce($cases) AS $codePrefix$m"
-    }.mkString(",\n    ")
-    s"""$sName AS (SELECT vec_id,
-       |    $distCols
-       |  FROM $src),
-       |$mName AS (SELECT *,
-       |    $minCols
-       |  FROM $sName),
-       |$cdName AS (SELECT vec_id,
-       |    $codeCols,
-       |    mn0 + mn1 + mn2 + mn3 AS distortion
-       |  FROM $mName)""".stripMargin
-  }
+  // (a generalized sqlPqCodesCtesGen helper lived here through r17 —
+  // dead code, nothing referenced it: the refine oracle hand-writes its
+  // two code chains. Deleted per r17 advice.)
 
   /** Squared-L2 distance of subspace m against codebook entry k — the
     * same left-to-right element fold the Spark `aggregate` performs. */
