@@ -523,6 +523,21 @@ object DedupOps {
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
     else df.localCheckpoint()
 
+  /** Read one long metric from an [[org.apache.spark.sql.Observation]]
+    * whose query just ran (the fixpoint loops fuse their per-round
+    * convergence probe into the checkpoint action this way — one action
+    * per round instead of two). The observation completes on the async
+    * listener bus a few ms after the action returns, so this waits a
+    * BOUNDED beat for it; if the bus ever drops the event (pathological
+    * load), the caller's fallback job recomputes the probe — the fusion
+    * can delay a round by at most the bound, never hang or change the
+    * answer. */
+  private[graft] def observedLong(obs: org.apache.spark.sql.Observation,
+      key: String)(fallback: => Long): Long =
+    scala.util.Try(scala.concurrent.Await.result(
+        obs.future, scala.concurrent.duration.Duration(2, "s")))
+      .toOption.map(_.getAs[Long](key)).getOrElse(fallback)
+
   private val MaxCcRounds = 50
 
   def connectedComponents(nodes: DataFrame, pairs: DataFrame): DataFrame = {
@@ -547,16 +562,25 @@ object DedupOps {
       val prop = labels.join(nbrMin, col("doc_id") === col("dst"), "left_outer")
         .select(col("doc_id"), col("label").as("prev"),
           least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
-      val next = eagerCheckpoint(prop
-        .join(prop.select(col("doc_id").as("p_id"), col("label").as("p_label")),
-          col("label") === col("p_id"))
-        .select(col("doc_id"), col("prev"), col("p_label").as("label")))
       // Convergence = zero labels changed this round. Labels only ever
       // decrease, so changed == 0 IS the fixpoint; the count can't give a
       // false positive, unlike a Σlabel equality probe, which can wrap
       // around Long on billion-node/large-id graphs. Still one driver-side
-      // long per round, no collect.
-      val changed = next.filter(col("label") =!= col("prev")).count()
+      // long per round, no collect — and since r19 the count rides the
+      // checkpoint action as an observed metric (one action per round,
+      // not two; hang-proof: getOrEmpty never blocks, and a missing
+      // metric falls back to the r18 count job over the checkpointed
+      // table).
+      val obs = org.apache.spark.sql.Observation()
+      val next = eagerCheckpoint(prop
+        .join(prop.select(col("doc_id").as("p_id"), col("label").as("p_label")),
+          col("label") === col("p_id"))
+        .select(col("doc_id"), col("prev"), col("p_label").as("label"))
+        .observe(obs,
+          count(when(col("label") =!= col("prev"), lit(1))).as("changed")))
+      val changed = observedLong(obs, "changed") {
+        next.filter(col("label") =!= col("prev")).count()
+      }
       labels = next.select("doc_id", "label")
       converged = changed == 0L
       iter += 1

@@ -120,8 +120,13 @@ object GraphOps {
     * the oracle state the same arithmetic. */
   def graphPagerank(spark: SparkSession, sfDir: String): DataFrame = {
     val SCALE = 1073741824.0 // 2^30
-    val li = Tables.lineitem(spark, sfDir)
-      .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk")).distinct()
+    // the (pk, sk) distinct feeds BOTH static-table checkpoints below;
+    // exchange reuse does not cross checkpoint jobs, so without its own
+    // checkpoint the 600k-row scan + distinct re-ran once per consumer
+    // job (measured: three 590k-record exchange writes per build at
+    // sf0.1 — one for outdeg, two for eo's union branches)
+    val li = DedupOps.eagerCheckpoint(Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk")).distinct())
     val edges = li.select((col("pk") * 2).as("src"), (col("sk") * 2 + 1).as("dst"))
       .unionAll(li.select((col("sk") * 2 + 1).as("src"), (col("pk") * 2).as("dst")))
     // materialize the static (src, dst, deg) table once: every iteration
@@ -130,7 +135,16 @@ object GraphOps {
     // "cache the edge list" step of any iterative graph job
     val outdeg = DedupOps.eagerCheckpoint(
       edges.groupBy("src").agg(count(lit(1)).as("deg")))
-    val eo = DedupOps.eagerCheckpoint(edges.join(outdeg, "src")) // (src, dst, deg)
+    // ... and hash-partitioned + sorted by the ITERATION JOIN KEY at
+    // checkpoint time: Dataset.checkpoint preserves outputPartitioning/
+    // outputOrdering, so every power iteration (and the final deg join)
+    // consumes the full edge list exchange-free and sort-free instead of
+    // re-shuffling + re-sorting it per round (guide §2.4 — hoist the
+    // loop-invariant shuffle out of the loop; the r18 plan showed
+    // `Exchange hashpartitioning(src)` + two Sorts inside the unrolled
+    // iterations, r19 deletes them)
+    val eo = DedupOps.eagerCheckpoint(edges.join(outdeg, "src")
+      .repartition(col("src")).sortWithinPartitions("src")) // (src, dst, deg)
     val pr0 = outdeg.select(col("src").as("node"), lit(1.0).as("pr"))
     val pr3 = (1 to 3).foldLeft(pr0) { (pr, _) =>
       eo.join(pr, eo("src") === pr("node"))
@@ -256,14 +270,26 @@ object GraphOps {
       li.agg((min(col("pk")) * 2).as("node")).select(col("node"), lit(0).as("hop"))))
     def dist: DataFrame = distParts.reduce(_ unionAll _)
     var frontier = distParts.head
+    // the frontier-empty probe rides the checkpoint action as an
+    // observed count(1) instead of a separate limit(1).count() job —
+    // one action per round, not two (r19; the r18-rejected Observation
+    // idea, now hang-proof: getOrEmpty never blocks, and a missing
+    // metric falls back to the old probe). The seed frontier is one row
+    // by construction, so the first round needs no probe.
+    var frontierRows = 1L
     var h = 0
-    while (frontier.limit(1).count() > 0 && h < MaxBfsRounds) {
+    while (frontierRows > 0 && h < MaxBfsRounds) {
       h += 1
       val next = e.join(frontier, e("src") === frontier("node"))
         .select(e("dst").as("node"), lit(h).as("hop"))
+      val obs = org.apache.spark.sql.Observation()
       frontier = DedupOps.eagerCheckpoint(
         next.join(dist, Seq("node"), "left_anti")
-          .groupBy("node").agg(min(col("hop")).as("hop")))
+          .groupBy("node").agg(min(col("hop")).as("hop"))
+          .observe(obs, count(lit(1)).as("rows")))
+      frontierRows = DedupOps.observedLong(obs, "rows") {
+        frontier.limit(1).count()
+      }
       distParts = distParts :+ frontier
     }
     dist.orderBy(col("hop").asc, col("node").asc)

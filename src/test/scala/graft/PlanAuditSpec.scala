@@ -959,4 +959,18 @@ class PlanAuditSpec extends SparkSpec {
         s"unpartitioned or mis-keyed packing window: $w") }
     assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
   }
+
+  test("graph_pagerank: the checkpointed edge table feeds every iteration exchange-free and sort-free") {
+    val plan = planOf("graph_pagerank")
+    // r19: eo is hash-partitioned + sorted by the iteration join key at
+    // checkpoint time (Dataset.checkpoint preserves partitioning and
+    // ordering), so the unrolled power iterations must carry NO exchange
+    // and NO sort on the edge side — the only src-keyed work left is the
+    // checkpoint scan itself. The rank side's per-iteration aggregate
+    // exchanges (keyed by dst/node) are the inherent shuffles.
+    assert(!plan.contains("Exchange hashpartitioning(src"),
+      s"edge table re-shuffled inside the iteration loop:\n$plan")
+    assert(!"Sort \\[src#".r.findFirstIn(plan).isDefined,
+      s"edge table re-sorted inside the iteration loop:\n$plan")
+  }
 }
