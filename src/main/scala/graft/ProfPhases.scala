@@ -2,17 +2,23 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** TEMPORARY profiling aid (r18 optimization round): splits a registry
-  * query's warm wall time into build / analyze / optimize / physical-plan
-  * / execute phases, to separate driver planning cost from executor work.
+/** Phase-profiling aid (r18; kept as a standing audit tool alongside
+  * StageAudit/TimeOne — the r18 advice to de-temporize it): splits a
+  * registry query's warm wall time into build / analyze / optimize /
+  * physical-plan / execute phases, to separate driver planning cost from
+  * executor work, then re-times without AQE and without codegen. The
+  * AQE/codegen conf mutations are restored to their defaults after each
+  * query; like the other audit mains it is never driver-run.
   * Usage: runMain graft.ProfPhases <query> [query...]
+  * (`SPARK_GRAFT_CPUS`, `SPARK_GRAFT_SF_DIR` honored like Bench.)
   */
 object ProfPhases {
   def main(args: Array[String]): Unit = {
+    val (cpuStr, cpus) = GraftConf.cpuSpec(32)
     val spark = SparkSession.builder()
       .withExtensions(new graft.plans.GraftExtensions)
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+      .master(s"local[$cpuStr]")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")

@@ -27,12 +27,20 @@ object Tables {
     * read of each path still infers from the actual footer, so the
     * schema can never drift from the file. */
   private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
-    String, org.apache.spark.sql.types.StructType]()
+    (String, Long), org.apache.spark.sql.types.StructType]()
 
-  private def read(spark: SparkSession, path: String): DataFrame =
+  private def read(spark: SparkSession, path: String): DataFrame = {
+    // keyed by (path, dir mtime), not path alone (r18 advice): an
+    // in-JVM generator that rewrites a fixture path with
+    // mode("overwrite") — ScaleStress, the audit tools — bumps the
+    // directory mtime, so the rewritten table re-infers instead of
+    // being served a stale schema. Stale entries for dead mtimes are
+    // bounded by the handful of fixture paths a JVM ever touches.
+    val key = (path, new java.io.File(path).lastModified)
     spark.read.schema(
-      schemaCache.computeIfAbsent(path, spark.read.parquet(_).schema))
+      schemaCache.computeIfAbsent(key, _ => spark.read.parquet(path).schema))
       .parquet(path)
+  }
 
   def region(spark: SparkSession, sfDir: String): DataFrame     = read(spark, p(sfDir, "region"))
   def nation(spark: SparkSession, sfDir: String): DataFrame     = read(spark, p(sfDir, "nation"))
@@ -59,6 +67,22 @@ object Tables {
     * builders (Verify/Bench/tests) also set it up front; this set is the
     * safety net for sessions handed in by the driver.
     */
+  /** Round-robin spread of a COMPACT source ahead of a CPU-bulk stage
+    * (per-shingle md5s, masked-key explodes, signature kernels), GUARDED
+    * by the source's planned scan parallelism (r19 scale guard; closes
+    * r18 What's-wrong #1): at fixture scale the parquet source is one
+    * split and the repartition is what keeps the downstream CPU bulk off
+    * a single task (measured 5× on minhash_lsh, r14), but at cluster
+    * scale the same scan is thousands of splits and an UNCONDITIONAL
+    * repartition would round-robin the raw corpus bytes for nothing —
+    * and even REDUCE parallelism to defaultParallelism. Probing
+    * `rdd.getNumPartitions` is plan-time only (no job: split planning,
+    * not execution) and answers exactly the question the guard asks. */
+  private[graft] def spreadCompactSource(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // schema cached AFTER the conf set, so the cached entry is always the

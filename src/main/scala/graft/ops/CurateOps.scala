@@ -196,12 +196,11 @@ object CurateOps {
     val positives = Tables.lineitem(spark, sfDir)
       .select(col("l_suppkey"), col("l_partkey")).distinct()
     val maxPk = Tables.part(spark, sfDir).agg(max(col("p_partkey")).as("max_pk"))
-    val cands = Tables.supplier(spark, sfDir)
-      .select(col("s_suppkey"))
-      // compact-source parallelism (the minhashLsh rationale): the
+    val cands = graft.Tables.spreadCompactSource(
+      // guarded compact-source spread (the minhashLsh rationale): the
       // 10-trial md5/conv fan-out below is the operator's CPU bulk and
       // would otherwise run inside the one-split scan's single task
-      .repartition(spark.sparkContext.defaultParallelism)
+      Tables.supplier(spark, sfDir).select(col("s_suppkey")))
       .crossJoin(broadcast(maxPk))
       .select(col("s_suppkey"), explode(sequence(lit(0), lit(9))).as("trial"),
         col("max_pk"))

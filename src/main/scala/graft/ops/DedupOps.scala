@@ -240,14 +240,13 @@ object DedupOps {
     // earlier explode + 64-min-aggregate formulation shuffled |tokens|
     // rows).
     //
-    // The explicit repartition matters: a compact source (here one small
-    // parquet split; at scale, a handful of dense splits) would otherwise
-    // flow the whole signature/band pipeline through a single task even
-    // though the DOWNSTREAM pair work it seeds explodes 1000×. Spreading
-    // the cheap rows first costs one tiny shuffle and keeps every later
-    // stage at full parallelism (measured 5× on the whole operator).
-    val sig = docs
-      .repartition(spark.sparkContext.defaultParallelism)
+    // The explicit spread matters: a compact source (here one small
+    // parquet split) would otherwise flow the whole signature/band
+    // pipeline through a single task even though the DOWNSTREAM pair
+    // work it seeds explodes 1000× (measured 5× on the whole operator).
+    // Guarded by the scan's split count — a multi-split production scan
+    // skips the shuffle (Tables.spreadCompactSource, r19).
+    val sig = graft.Tables.spreadCompactSource(docs)
       .select(col("doc_id"),
         // array_distinct first (r18): a duplicated token contributes the
         // same 64 transformed hash values, so the slot minima — and the
@@ -373,9 +372,8 @@ object DedupOps {
     * ≤3 flipped bands; we use it as a recall-friendly candidate filter),
     * then verify true Hamming distance ≤ 8 with bit_count(xor). */
   def simhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
-    // same compact-source parallelism rationale as in minhashLsh
-    val sh = simhashSigs(spark, sfDir)
-      .repartition(spark.sparkContext.defaultParallelism)
+    // same guarded compact-source spread rationale as in minhashLsh
+    val sh = graft.Tables.spreadCompactSource(simhashSigs(spark, sfDir))
     // Banding runs at the UNIQUE-SIGNATURE level for the same reason
     // minhashLsh does: an identical-signature family (exact-dup
     // boilerplate) collides in all 4 bands, so doc-level banding
@@ -614,9 +612,8 @@ object DedupOps {
     * avoids the O(tokens²) re-split trap documented at
     * [[TextOps.docShingleSketch]]. */
   def dupNgramSpans(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.documents(spark, sfDir)
-      // compact-source parallelism — the substringSpanPairs note applies
-      .repartition(spark.sparkContext.defaultParallelism)
+    graft.Tables.spreadCompactSource(Tables.documents(spark, sfDir))
+      // guarded compact-source spread — the substringSpanPairs note applies
       .filter(size(toks) >= 3)
       .select(col("doc_id"), toks.as("t"), (size(toks) - 2).as("m"))
       .select(col("doc_id"), explode(shingleHashes).as("shingle_hash"))
@@ -761,9 +758,8 @@ object DedupOps {
     toksetCache.compute(key, (_, old) =>
       if (old != null &&
           old.storageLevel != org.apache.spark.storage.StorageLevel.NONE) old
-      else Tables.documents(spark, sfDir)
-        // compact source must not serialize the pipeline
-        .repartition(spark.sparkContext.defaultParallelism)
+      else graft.Tables.spreadCompactSource(Tables.documents(spark, sfDir))
+        // compact source must not serialize the pipeline (guarded spread)
         .select(col("doc_id"), col("source"),
           array_sort(array_distinct(toks)).as("tokset"))
         .withColumn("n", size(col("tokset")))
@@ -1002,11 +998,11 @@ object DedupOps {
     * composed consumers ([[spanExcision]]) build on. */
   def substringSpanPairs(spark: SparkSession, sfDir: String): DataFrame = {
     val minSpan = 4
-    val sh = capPostingsDf(Tables.documents(spark, sfDir)
-      // compact-source parallelism (the minhashLsh rationale): the
+    val sh = capPostingsDf(graft.Tables.spreadCompactSource(
+      // guarded compact-source spread (the minhashLsh rationale): the
       // per-shingle md5s below are the operator's CPU bulk and would
       // otherwise run inside the one-split parquet scan's single task
-      .repartition(spark.sparkContext.defaultParallelism)
+      Tables.documents(spark, sfDir))
       .filter(size(toks) >= 3)
       .select(col("doc_id"), col("source"), toks.as("t"), (size(toks) - 2).as("m"))
       .select(col("doc_id"), col("source"), posexplode(shingleHashes))
@@ -1071,9 +1067,8 @@ object DedupOps {
     * composed consumers ([[decontaminateReport]]) build on. */
   def decontaminateSpanPairs(spark: SparkSession, sfDir: String): DataFrame = {
     val minSpan = 4
-    val sh = Tables.documents(spark, sfDir)
-      // compact-source parallelism — the substringSpanPairs note applies
-      .repartition(spark.sparkContext.defaultParallelism)
+    val sh = graft.Tables.spreadCompactSource(Tables.documents(spark, sfDir))
+      // guarded compact-source spread — the substringSpanPairs note applies
       .filter(size(toks) >= 3)
       .select(col("doc_id"), toks.as("t"), (size(toks) - 2).as("m"))
       .select(col("doc_id"), posexplode(shingleHashes))

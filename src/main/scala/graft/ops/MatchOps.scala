@@ -30,11 +30,10 @@ object MatchOps {
     * property that makes the deletion-neighborhood method (FastSS) safe
     * to aggregate without a distinct. */
   def fuzzyNamePairs(spark: SparkSession, sfDir: String): DataFrame = {
-    val keyed = Tables.customer(spark, sfDir)
-      // compact-source parallelism (the minhashLsh rationale): the L-way
-      // masked-key explode + bucket collect is the operator's CPU bulk
-      // and would otherwise run inside the one-split scan's single task
-      .repartition(spark.sparkContext.defaultParallelism)
+    val keyed = graft.Tables.spreadCompactSource(Tables.customer(spark, sfDir))
+      // guarded compact-source spread (the minhashLsh rationale): the
+      // L-way masked-key explode + bucket collect is the operator's CPU
+      // bulk and would otherwise run inside the one-split scan's task
       .select(col("c_name").as("name"))
       .select(col("name"), explode(expr(
         """transform(sequence(10, 18), p -> struct(p AS pos,

@@ -635,18 +635,24 @@ object MultiModalOps {
     * joined back (frames of a clip co-locate — the join keys on doc_id);
     * the islands window and segment rollup touch ACTIVE frames only. */
   def mmAudioSegments(spark: SparkSession, sfDir: String): DataFrame = {
-    // the contour feeds BOTH the clip totals and the gate probe — persist
-    // it (doc_id + 3 longs per frame, tiny next to the media bytes) or
-    // the per-partition WAV decode runs twice (the dedupIncremental
-    // digest-table lesson applied to a decode that is far more expensive
-    // than a digest)
-    val fr = PinCache.pinned(audioEnergyFrames(spark, sfDir))
-    val tot = fr.groupBy("doc_id").agg(
-      sum(col("energy")).as("clip_energy"),
-      sum(col("frame_len")).as("clip_len"))
+    // ONE pass over the decoded contour (r19): the clip totals ride a
+    // doc-keyed WINDOW instead of a groupBy + join back. The join form
+    // pinned the contour, but its two subtrees (totals, gate probe) ran
+    // as CONCURRENT stages racing to materialize the cache — the 5000-
+    // file WAV corpus was decoded twice per run (measured: two 157-task
+    // stages, run 78.7 s + 55.1 s vs cpu 6.9 s + 3.9 s — the blocked
+    // time is small-file I/O, and doubling it is what made this the
+    // board's one unstable bench row). The window form decodes once,
+    // shares its single doc_id exchange with the islands window below
+    // (same partition key), and needs no pin at all. Same totals — a
+    // partition-wide window sum over all frames of the doc — so the
+    // gate, the islands and the output are row-identical.
+    val fr = audioEnergyFrames(spark, sfDir)
+    val wClip = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
     val wRun = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("frame_idx")
-    fr.join(tot, "doc_id")
+    fr.withColumn("clip_energy", sum(col("energy")).over(wClip))
+      .withColumn("clip_len", sum(col("frame_len")).over(wClip))
       .filter(col("energy") * col("clip_len") >
         col("clip_energy") * col("frame_len"))
       .withColumn("isl", col("frame_idx") - row_number().over(wRun))

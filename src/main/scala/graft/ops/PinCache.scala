@@ -14,12 +14,12 @@ import org.apache.spark.storage.StorageLevel
   * drops the storage and the `storageLevel == NONE` check rebuilds — the
   * `toksetCache` doctrine, generalized).
   *
-  * The cache key is the md5 of the CANONICALIZED logical plan, so it
-  * needs no per-site key discipline: two calls that build the same plan
-  * over the same source share the entry, while a different corpus dir
-  * (different scan path) or a different steering conf (different
-  * literals baked into the plan — e.g. `sem.nprobe`'s rank bound) keys
-  * separately by construction. Deliberately session-lifetime, like the
+  * The cache key is the CANONICALIZED logical plan itself, compared
+  * structurally (plus the application id), so it needs no per-site key
+  * discipline: two calls that build the same plan over the same source
+  * share the entry, while a different corpus dir (different scan path)
+  * or a different steering conf (different literals baked into the plan
+  * — e.g. `sem.nprobe`'s rank bound) keys separately by construction. Deliberately session-lifetime, like the
   * digest table: in production these ARE the materialized intermediate
   * tables of the ingest, rebuilt per corpus version, not per query.
   */

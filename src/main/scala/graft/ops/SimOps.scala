@@ -839,6 +839,12 @@ object SimOps {
 
   def embedLrProbe(spark: SparkSession, sfDir: String): DataFrame = {
     val v = lrFeatures(spark, sfDir)
+    // REGISTRY NOTE (r18 advice, documented): construction runs the GD
+    // steps — three bounded collect() jobs — so a plan-only consumer
+    // (Explain, plan dumps) triggers corpus scans as a build side
+    // effect. Accepted for the same reason as eagerCheckpoint (see its
+    // scaladoc): iterative training IS driver-paced, and every timed
+    // harness times build+action together.
     // unroll depth = the family's one step constant, shared with the
     // converged trainer's default budget and both oracles' replay.
     // Each step's 65-double model is COLLECTED (1 bounded row — the

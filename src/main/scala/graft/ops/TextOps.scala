@@ -330,11 +330,10 @@ object TextOps {
     * selection all happen array-side inside one row. md5 makes the sketch
     * engine-portable, so even this sketch is fully oracle-checked. */
   def docShingleSketch(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.documents(spark, sfDir)
-      // compact-source parallelism (the minhashLsh rationale): the
+    graft.Tables.spreadCompactSource(Tables.documents(spark, sfDir))
+      // guarded compact-source spread (the minhashLsh rationale): the
       // per-shingle md5s are the operator's CPU bulk and would otherwise
       // run inside the one-split parquet scan's single task
-      .repartition(spark.sparkContext.defaultParallelism)
       .filter(size(tokens) >= 3)
       // Shingling via three shifted slices + zip_with, NOT element_at
       // inside a transform lambda: the optimizer inlines the token-array
