@@ -62,9 +62,23 @@ object GraphOps {
     * pair — on the O(m^{3/2}) hits join that constant factor dominated
     * `graph_local_cc` (judge-measured ~36s steady state at sf0.1). The
     * sort is paid once per node at aggregation, not once per pair; edges
-    * are distinct so no dedup pass is needed. */
+    * are distinct so no dedup pass is needed.
+    *
+    * CHECKPOINTED (r19): both kernels reference the adjacency twice (the
+    * wedge explode and the closing join's v side), and Catalyst's
+    * exchange reuse did not unify the two references — the before-plans
+    * show the partial/finalize collect_list + per-array sort pair TWICE
+    * with no ReusedExchange (the self-join re-aliasing makes the
+    * subtrees structurally distinct). The checkpoint computes the
+    * aggregate once; it also preserves the aggregate's hash(u)
+    * partitioning and the explicit u-ordering below, which the closing
+    * join's `u AS v` rename keeps via alias-aware partitioning — so the
+    * adjacency side of that SortMergeJoin needs neither an exchange nor
+    * a sort. */
   private def sortedAdjacency(oriented: DataFrame): DataFrame =
-    oriented.groupBy("u").agg(array_sort(collect_list(col("v"))).as("nbrs"))
+    DedupOps.eagerCheckpoint(
+      oriented.groupBy("u").agg(array_sort(collect_list(col("v"))).as("nbrs"))
+        .sortWithinPartitions("u"))
 
   /** Triangle census of the part co-purchase graph: one row with node,
     * edge and triangle counts. Edges are deduplicated (x < y) before
